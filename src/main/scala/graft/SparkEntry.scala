@@ -1,13 +1,678 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{EdgeKind, RelType}
+import graft.query.QueryLibrary
+import graft.store.GraphStore
+import graft.tpch.TpchGraphAdapter
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle over the same parquet tables.
+  *
+  * The graph-query operators (Q1-Q23) run through the real engine
+  * ([[QueryLibrary]]) over the deterministic [[TpchGraphAdapter]] mapping of
+  * the TESTDATA tables; the oracle SQL reconstructs the identical graph in a
+  * WITH-prelude ([[SparkEntry.oraclePrelude]]) and replays the query
+  * relationally. Every query ends in a total ORDER BY so both sides are
+  * row-order deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------------ store
+  private val stores = scala.collection.concurrent.TrieMap[String, GraphStore]()
+
+  def storeFor(spark: SparkSession, sfDir: String): GraphStore =
+    stores.getOrElseUpdate(sfDir, TpchGraphAdapter(spark, sfDir).cacheAll())
+
+  private def lib(spark: SparkSession, sfDir: String): QueryLibrary =
+    new QueryLibrary(storeFor(spark, sfDir))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    lib(spark, "/root/testdata/sf0.001").initialProjectGraph()
+
+  // ------------------------------------------------------- registration DSL
+  private final case class Q(name: String,
+      fn: (SparkSession, String) => DataFrame, sql: Option[String])
+  private val reg = scala.collection.mutable.ArrayBuffer[Q]()
+  private def q(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Unit =
+    reg += Q(name, fn, Some(sql))
+  private def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Unit =
+    reg += Q(name, fn, None)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    ensureRegistered(); reg.map(x => x.name -> x.fn).toMap
+  }
+  def oracleSql: Map[String, String] = {
+    ensureRegistered()
+    reg.flatMap(x => x.sql.map(s => x.name -> s)).toMap
+  }
+
+  // --------------------------------------------------------- oracle prelude
+  /** DuckDB WITH-prelude reconstructing the [[TpchGraphAdapter]] graph from
+    * the raw tables. Kept in lockstep with the adapter — every clause mirrors
+    * one adapter DataFrame.
+    */
+  val oraclePrelude: String = """WITH g_nat AS (
+  SELECT n_nationkey, n_name, n_regionkey, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+), g_custfile AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_nationkey, n_name, r_name,
+         r_name || '/' || n_name || '/' || c_name || '.py' AS fpath
+  FROM customer JOIN g_nat ON c_nationkey = n_nationkey
+), g_dirs AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS path, '/' || r_name AS absolute_path, 'tpch' AS repository_name, r_name AS name FROM region
+  UNION ALL
+  SELECT CAST(n_nationkey + 10 AS BIGINT), r_name || '/' || n_name, '/' || r_name || '/' || n_name, 'tpch', n_name FROM g_nat
+), g_files AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id, fpath AS path, '/' || fpath AS absolute_path, lower(c_mktsegment) AS language, 'tpch' AS repository_name, 'py' AS extension, c_name || '.py' AS name FROM g_custfile
+), g_defs AS (
+  SELECT CAST(c_custkey + 50000000 AS BIGINT) AS id, c_name AS fqn, c_name AS name, 'Module' AS definition_type, fpath AS primary_file_path, CAST(0 AS BIGINT) AS primary_start_byte, CAST(1000000 AS BIGINT) AS primary_end_byte, CAST(1 AS INT) AS start_line, CAST(100000 AS INT) AS end_line, CAST(0 AS INT) AS start_col, CAST(0 AS INT) AS end_col, CAST(1 AS INT) AS total_locations FROM g_custfile
+  UNION ALL
+  SELECT CAST(o_orderkey AS BIGINT), c_name || '.order_' || o_orderkey, 'order_' || o_orderkey, CASE o_orderstatus WHEN 'O' THEN 'Function' WHEN 'F' THEN 'Method' ELSE 'Lambda' END, fpath, CAST(o_orderkey * 100 AS BIGINT), CAST(o_orderkey * 100 + 99 AS BIGINT), CAST(o_orderkey % 997 + 2 AS INT), CAST(o_orderkey % 997 + 7 AS INT), CAST(0 AS INT), CAST(120 AS INT), CAST(1 AS INT)
+  FROM orders JOIN g_custfile ON o_custkey = c_custkey
+), g_supphome AS (
+  SELECT s_suppkey, s_name, s_nationkey, mc.min_custkey, cf.fpath AS home_path
+  FROM supplier
+  JOIN (SELECT c_nationkey AS mn, min(c_custkey) AS min_custkey FROM customer GROUP BY c_nationkey) mc ON s_nationkey = mc.mn
+  JOIN g_custfile cf ON mc.min_custkey = cf.c_custkey
+), g_imps AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS id, 'module' AS import_type, 'suppliers/' || lower(s_name) AS import_path, s_name AS name, CASE WHEN s_suppkey % 3 = 0 THEN 'sup' || (s_suppkey % 10) ELSE NULL END AS alias, home_path AS file_path, CAST(s_suppkey * 10 AS BIGINT) AS start_byte, CAST(s_suppkey * 10 + 9 AS BIGINT) AS end_byte, CAST(s_suppkey % 50 + 1 AS INT) AS start_line, CAST(s_suppkey % 50 + 1 AS INT) AS end_line, CAST(0 AS INT) AS start_col, CAST(40 AS INT) AS end_col FROM g_supphome
+), g_edges AS (
+  SELECT 'DIR_TO_DIR' AS kind, 'DIR_CONTAINS_DIR' AS type, CAST(n_regionkey AS BIGINT) AS source_id, CAST(n_nationkey + 10 AS BIGINT) AS target_id, CAST(NULL AS BIGINT) AS source_start_byte, CAST(NULL AS BIGINT) AS source_end_byte, CAST(NULL AS INT) AS source_start_line, CAST(NULL AS INT) AS source_end_line, CAST(NULL AS INT) AS source_start_col, CAST(NULL AS INT) AS source_end_col FROM g_nat
+  UNION ALL SELECT 'DIR_TO_FILE', 'DIR_CONTAINS_FILE', CAST(c_nationkey + 10 AS BIGINT), CAST(c_custkey AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM g_custfile
+  UNION ALL SELECT 'FILE_TO_DEF', 'FILE_DEFINES', CAST(c_custkey AS BIGINT), CAST(c_custkey + 50000000 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM g_custfile
+  UNION ALL SELECT 'FILE_TO_DEF', 'FILE_DEFINES', CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM orders
+  UNION ALL SELECT DISTINCT 'FILE_TO_IMP', 'FILE_IMPORTS', CAST(o_custkey AS BIGINT), CAST(l_suppkey AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL SELECT 'DEF_TO_DEF', 'MODULE_TO_' || CASE o_orderstatus WHEN 'O' THEN 'FUNCTION' WHEN 'F' THEN 'METHOD' ELSE 'LAMBDA' END, CAST(o_custkey + 50000000 AS BIGINT), CAST(o_orderkey AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM orders
+  UNION ALL SELECT 'DEF_TO_DEF', 'CALLS', CAST(o_orderkey AS BIGINT), CAST(o_custkey + 50000000 AS BIGINT), NULL, NULL, CAST(o_orderkey % 997 + 3 AS INT), CAST(o_orderkey % 997 + 3 AS INT), CAST(10 AS INT), CAST(30 AS INT) FROM orders
+  UNION ALL SELECT 'DEF_TO_DEF', CASE WHEN c_custkey % 7 = 0 THEN 'AMBIGUOUSLY_CALLS' ELSE 'CALLS' END, CAST(c_custkey + 50000000 AS BIGINT), CAST(next_custkey + 50000000 AS BIGINT), NULL, NULL, CAST(c_custkey % 100 + 1 AS INT), CAST(c_custkey % 100 + 1 AS INT), CAST(5 AS INT), CAST(25 AS INT) FROM (SELECT c_custkey, lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS next_custkey FROM customer) t WHERE next_custkey IS NOT NULL
+  UNION ALL SELECT 'DEF_TO_IMP', CASE l_returnflag WHEN 'N' THEN 'CALLS' WHEN 'R' THEN 'AMBIGUOUSLY_CALLS' ELSE 'PROPERTY_REFERENCE' END, CAST(l_orderkey AS BIGINT), CAST(l_suppkey AS BIGINT), CAST(l_partkey AS BIGINT), CAST(l_partkey + 10 AS BIGINT), CAST(l_linenumber AS INT), CAST(l_linenumber AS INT), CAST(floor(l_quantity) AS INT), CAST(floor(l_quantity) + 20 AS INT) FROM lineitem
+  UNION ALL SELECT 'IMP_TO_IMP', 'IMPORTED_SYMBOL_TO_IMPORTED_SYMBOL', CAST(s_suppkey AS BIGINT), CAST(next_suppkey AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM (SELECT s_suppkey, lead(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS next_suppkey FROM supplier) t WHERE next_suppkey IS NOT NULL
+  UNION ALL SELECT 'IMP_TO_DEF', 'IMPORTED_SYMBOL_TO_DEFINITION', CAST(s_suppkey AS BIGINT), CAST(min_custkey + 50000000 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM g_supphome
+  UNION ALL SELECT 'IMP_TO_FILE', 'IMPORTED_SYMBOL_TO_FILE', CAST(s_suppkey AS BIGINT), CAST(min_custkey AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL FROM g_supphome
+)
+"""
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and convert to a microsecond timestamp.
+    */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  // small driver-side point lookups for path parameters (bounded: one row)
+  private def filePathOf(spark: SparkSession, sfDir: String, custkey: Long): String =
+    storeFor(spark, sfDir).files.where(col("id") === custkey)
+      .select("path").head().getString(0)
+  private def defFileOf(spark: SparkSession, sfDir: String, defId: Long): String =
+    storeFor(spark, sfDir).definitions.where(col("id") === defId)
+      .select("primary_file_path").head().getString(0)
+  private def defFqnOf(spark: SparkSession, sfDir: String, defId: Long): String =
+    storeFor(spark, sfDir).definitions.where(col("id") === defId)
+      .select("fqn").head().getString(0)
+
+  // ------------------------------------------------------------ the queries
+  private lazy val ensureRegistered: () => Unit = { registerAll(); () => () }
+
+  private def registerAll(): Unit = {
+    val P = oraclePrelude
+
+    // ---- Q1 get_import_usage (library.rs:50-151)
+    val q1paths = Seq("suppliers/supplier#000000001", "suppliers/supplier#000000002")
+    q("q01_import_usage", P +
+      s"""SELECT i.import_path, i.name AS import_name, i.alias AS import_alias,
+        f.path AS file_path, d.fqn AS caller_fqn,
+        COALESCE(r.source_start_line, d.start_line) AS ref_line
+      FROM g_imps i
+      JOIN g_edges fi ON fi.kind = 'FILE_TO_IMP' AND fi.target_id = i.id
+      JOIN g_files f ON fi.source_id = f.id
+      LEFT JOIN (SELECT * FROM g_edges WHERE kind = 'DEF_TO_IMP'
+                 AND type IN ('CALLS','AMBIGUOUSLY_CALLS')) r ON r.target_id = i.id
+      LEFT JOIN g_defs d ON r.source_id = d.id
+      WHERE lower(i.import_path) IN ('${q1paths.mkString("','")}')
+      ORDER BY import_path NULLS FIRST, file_path NULLS FIRST,
+        caller_fqn NULLS FIRST, ref_line NULLS FIRST
+      LIMIT 50""") { (s, d) => lib(s, d).importUsage(q1paths) }
+
+    // ---- Q2 get_dependency_import_paths (library.rs:165-197)
+    val q2paths = Seq("suppliers/supplier#000000003", "suppliers/supplier#000000004",
+      "suppliers/no_such_module")
+    q("q02_dependency_import_paths", P +
+      s"""SELECT id AS import_id, import_path, name AS import_name,
+        alias AS import_alias, file_path
+      FROM g_imps
+      WHERE lower(COALESCE(import_path, '')) IN ('${q2paths.mkString("','")}')
+      ORDER BY import_id
+      LIMIT 50""") { (s, d) => lib(s, d).dependencyImportPaths(q2paths) }
+
+    // ---- Q3 get_definition_relations (library.rs:292-332) — undirected 1-hop
+    val q3fqn = "Customer#000000013"
+    q("q03_definition_relations", P +
+      s""", src AS (SELECT id FROM g_defs WHERE fqn = '$q3fqn'),
+      sym AS (
+        SELECT kind, type, source_id, target_id, 'out' AS dir FROM g_edges
+          WHERE kind IN ('DEF_TO_DEF','DEF_TO_IMP')
+        UNION ALL
+        SELECT kind, type, target_id, source_id, 'in' FROM g_edges
+          WHERE kind = 'DEF_TO_DEF'
+      ),
+      hits AS (SELECT sym.* FROM sym JOIN src ON sym.source_id = src.id)
+      SELECT DISTINCT * FROM (
+        SELECT h.type AS rel_type, h.dir, 'definition' AS related_kind,
+               d.id AS related_id, d.fqn AS related_label
+        FROM hits h JOIN g_defs d ON h.target_id = d.id WHERE h.kind = 'DEF_TO_DEF'
+        UNION ALL
+        SELECT h.type, h.dir, 'imported_symbol', i.id, i.name
+        FROM hits h JOIN g_imps i ON h.target_id = i.id WHERE h.kind = 'DEF_TO_IMP'
+      ) u
+      ORDER BY related_kind NULLS FIRST, related_id NULLS FIRST,
+        rel_type NULLS FIRST, dir NULLS FIRST
+      LIMIT 100""") { (s, d) => lib(s, d).definitionRelations(q3fqn) }
+
+    // ---- Q4 get_file_definitions (library.rs:334-373)
+    q("q04_file_definitions", P +
+      """SELECT f.path AS file_path, d.fqn, d.name, d.definition_type,
+        d.start_line, d.end_line
+      FROM (SELECT * FROM g_files WHERE id = 13) f
+      JOIN g_edges e ON e.kind = 'FILE_TO_DEF' AND e.source_id = f.id
+      JOIN g_defs d ON e.target_id = d.id
+      ORDER BY d.start_line NULLS FIRST, d.fqn NULLS FIRST
+      LIMIT 100""") { (s, d) => lib(s, d).fileDefinitions(filePathOf(s, d, 13)) }
+
+    // ---- Q5 get_file_imports (library.rs:375-411)
+    q("q05_file_imports", P +
+      """SELECT f.path AS file_path, i.import_path, i.name AS import_name,
+        i.alias AS import_alias, i.id AS import_id
+      FROM (SELECT * FROM g_files WHERE id = 13) f
+      JOIN g_edges e ON e.kind = 'FILE_TO_IMP' AND e.source_id = f.id
+      JOIN g_imps i ON e.target_id = i.id
+      ORDER BY import_id
+      LIMIT 100""") { (s, d) => lib(s, d).fileImports(filePathOf(s, d, 13)) }
+
+    // ---- Q6 get_list_matches (library.rs:413-452)
+    val q6sub = "customer#00000001"
+    q("q06_list_matches", P +
+      s"""SELECT id AS def_id, fqn, name, definition_type, primary_file_path
+      FROM g_defs WHERE contains(lower(fqn), '$q6sub')
+      ORDER BY fqn NULLS FIRST, def_id
+      LIMIT 100""") { (s, d) => lib(s, d).listMatches(q6sub) }
+
+    // ---- Q9 get_search_nodes (library.rs:787-918)
+    val q9term = "r#00000002"
+    q("q09_search_nodes", P +
+      s"""SELECT DISTINCT * FROM (
+        SELECT 'directory' AS node_type, id AS node_id, name, path AS detail FROM g_dirs
+          WHERE contains(lower(name), '$q9term') OR contains(lower(path), '$q9term')
+        UNION ALL
+        SELECT 'file', id, name, path FROM g_files
+          WHERE contains(lower(name), '$q9term') OR contains(lower(path), '$q9term')
+        UNION ALL
+        SELECT 'definition', id, name, fqn FROM g_defs
+          WHERE contains(lower(name), '$q9term') OR contains(lower(fqn), '$q9term')
+        UNION ALL
+        SELECT 'imported_symbol', id, name, COALESCE(import_path, '') FROM g_imps
+          WHERE contains(lower(name), '$q9term') OR contains(lower(COALESCE(alias, '')), '$q9term')
+      ) u
+      ORDER BY node_type NULLS FIRST, name NULLS FIRST, node_id
+      LIMIT 100""") { (s, d) => lib(s, d).searchNodes(q9term) }
+
+    // ---- Q10 get_search_definitions + SKIP/LIMIT (library.rs:920-969)
+    val q10terms = Seq("order_10", "order_99")
+    q("q10_search_definitions", P +
+      s"""SELECT id AS def_id, name, fqn, definition_type, primary_file_path, start_line
+      FROM g_defs
+      WHERE ${q10terms.map(t => s"contains(lower(name), '$t')").mkString(" OR ")}
+      ORDER BY name NULLS FIRST, def_id
+      LIMIT 50 OFFSET 20""") { (s, d) =>
+      lib(s, d).searchDefinitions(q10terms, skip = 20, limit = 50) }
+
+    // ---- Q11 get_definitions_by_fqn_or_name (library.rs:971-1013)
+    q("q11_defs_by_fqn_or_name", P +
+      """SELECT d.id AS def_id, d.fqn, d.name, d.definition_type, d.start_line
+      FROM g_defs d
+      WHERE d.primary_file_path = (SELECT path FROM g_files WHERE id = 13)
+        AND (contains(lower(d.name), 'order_1') OR contains(lower(d.fqn), 'order_1'))
+      ORDER BY def_id
+      LIMIT 100""") { (s, d) =>
+      lib(s, d).definitionsByFqnOrName(filePathOf(s, d, 13), "order_1") }
+
+    // ---- Q12 get_references (mcp get_references/repository.rs:32-120)
+    val q12name = "Customer#000000013"
+    q("q12_get_references", P +
+      s""", tgt AS (SELECT id FROM g_defs
+            WHERE name = '$q12name'
+              AND primary_file_path = (SELECT path FROM g_files WHERE id = 13))
+      SELECT s.fqn AS caller_fqn, s.name AS caller_name,
+             s.primary_file_path AS caller_file, e.type AS rel_type,
+             e.source_start_line AS ref_line
+      FROM g_edges e
+      JOIN tgt ON e.target_id = tgt.id
+      JOIN g_defs s ON e.source_id = s.id
+      WHERE e.kind = 'DEF_TO_DEF'
+        AND e.type IN ('CALLS','AMBIGUOUSLY_CALLS','PROPERTY_REFERENCE')
+      ORDER BY caller_fqn NULLS FIRST, ref_line NULLS FIRST, rel_type NULLS FIRST
+      LIMIT 50""") { (s, d) =>
+      lib(s, d).getReferences(q12name, filePathOf(s, d, 13)) }
+
+    // ---- Q13 read_definitions (mcp read_definitions/repository.rs:47-90)
+    q("q13_read_definitions", P +
+      """SELECT id AS def_id, fqn, name, definition_type, primary_file_path,
+        start_line, end_line
+      FROM g_defs
+      WHERE name = 'order_42'
+        AND primary_file_path = (SELECT primary_file_path FROM g_defs WHERE id = 42)
+      ORDER BY start_line NULLS FIRST, def_id""") { (s, d) =>
+      lib(s, d).readDefinitions("order_42", defFileOf(s, d, 42)) }
+
+    // ---- Q14 repo_map (mcp repo_map/service.rs:46-60)
+    q("q14_repo_map", P +
+      """SELECT primary_file_path, start_line, fqn, name, definition_type,
+        id AS def_id
+      FROM g_defs
+      WHERE primary_file_path IN (SELECT path FROM g_files WHERE id IN (1,2,3))
+      ORDER BY primary_file_path NULLS FIRST, start_line NULLS FIRST, def_id
+      LIMIT 200""") { (s, d) =>
+      lib(s, d).repoMap(Seq(1L, 2L, 3L).map(filePathOf(s, d, _))) }
+
+    // ---- Q19 agg_node_by MAX (query_builder.rs:133-142)
+    q("q19_max_ids", P +
+      """SELECT (SELECT max(id) FROM g_dirs) AS max_dir_id,
+        (SELECT max(id) FROM g_files) AS max_file_id,
+        (SELECT max(id) FROM g_defs) AS max_def_id,
+        (SELECT max(id) FROM g_imps) AS max_imp_id""") { (s, d) =>
+      val st = storeFor(s, d)
+      st.directories.agg(max(col("id")).as("max_dir_id"))
+        .crossJoin(st.files.agg(max(col("id")).as("max_file_id")))
+        .crossJoin(st.definitions.agg(max(col("id")).as("max_def_id")))
+        .crossJoin(st.importedSymbols.agg(max(col("id")).as("max_imp_id")))
+    }
+
+    // ---- Q20 count_nodes_by (query_builder.rs:144-168)
+    q("q20_count_defs_by_type", P +
+      """SELECT definition_type, count(*) AS n
+      FROM g_defs GROUP BY definition_type
+      ORDER BY definition_type""") { (s, d) =>
+      storeFor(s, d).definitions.groupBy("definition_type")
+        .agg(count(lit(1)).as("n")).orderBy("definition_type")
+    }
+
+    // ---- Q21 graph stats (query_builder.rs:177-209)
+    q("q21_graph_stats", P +
+      (EdgeKind.all.map(k =>
+        s"""count(*) FILTER (WHERE kind = '$k') AS "$k"""").mkString(
+        """SELECT (SELECT count(*) FROM g_dirs) AS directory_count,
+          (SELECT count(*) FROM g_files) AS file_count,
+          (SELECT count(*) FROM g_defs) AS definition_count,
+          (SELECT count(*) FROM g_imps) AS imported_symbol_count, """,
+        ", ", " FROM g_edges"))) { (s, d) => lib(s, d).graphStats() }
+
+    // ---- Q22 count_relationships_of_type (query_builder.rs:211-241)
+    q("q22_count_rel_type", P +
+      """SELECT count(*) AS distinct_pairs FROM (
+        SELECT DISTINCT source_id, target_id FROM g_edges WHERE type = 'CALLS') t""") {
+      (s, d) =>
+      storeFor(s, d).edges.where(col("type") === RelType.Calls)
+        .select("source_id", "target_id").distinct()
+        .agg(count(lit(1)).as("distinct_pairs"))
+    }
+
+    // ---- Q23 call-graph lookups (kuzu/service.rs:292-471)
+    q("q23_calls_from", P +
+      """, src AS (SELECT id FROM g_defs WHERE fqn = (SELECT fqn FROM g_defs WHERE id = 42)),
+      hits AS (SELECT e.* FROM g_edges e JOIN src ON e.source_id = src.id
+        WHERE e.kind IN ('DEF_TO_DEF','DEF_TO_IMP') AND e.type IN ('CALLS','AMBIGUOUSLY_CALLS'))
+      SELECT * FROM (
+        SELECT 'definition' AS callee_kind, h.target_id AS callee_id, d.fqn AS callee_label,
+               h.type AS rel_type, h.source_start_line AS call_line
+        FROM hits h JOIN g_defs d ON h.target_id = d.id WHERE h.kind = 'DEF_TO_DEF'
+        UNION ALL
+        SELECT 'imported_symbol', h.target_id, i.name, h.type, h.source_start_line
+        FROM hits h JOIN g_imps i ON h.target_id = i.id WHERE h.kind = 'DEF_TO_IMP'
+      ) u
+      ORDER BY callee_kind NULLS FIRST, callee_id, call_line NULLS FIRST
+      LIMIT 100""") { (s, d) => lib(s, d).callsFrom(defFqnOf(s, d, 42)) }
+
+    q("q23_calls_to", P +
+      s""", dst AS (SELECT id FROM g_defs WHERE fqn = 'Customer#000000013')
+      SELECT s.fqn AS caller_fqn, e.type AS rel_type,
+             e.source_start_line AS call_line
+      FROM g_edges e
+      JOIN dst ON e.target_id = dst.id
+      JOIN g_defs s ON e.source_id = s.id
+      WHERE e.kind = 'DEF_TO_DEF' AND e.type IN ('CALLS','AMBIGUOUSLY_CALLS')
+      ORDER BY caller_fqn NULLS FIRST, call_line NULLS FIRST
+      LIMIT 100""") { (s, d) => lib(s, d).callsTo("Customer#000000013") }
+
+    q("q23_call_closure", P.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", call_edges AS (
+        SELECT DISTINCT source_id, target_id FROM g_edges
+        WHERE kind = 'DEF_TO_DEF' AND type IN ('CALLS','AMBIGUOUSLY_CALLS')
+      ), reach(node_id, hops) AS (
+        SELECT id, 0 FROM g_defs WHERE fqn = 'Customer#000000000'
+        UNION ALL
+        SELECT e.target_id, r.hops + 1 FROM reach r
+        JOIN call_edges e ON e.source_id = r.node_id WHERE r.hops < 8
+      ), m AS (SELECT node_id, min(hops) AS hops FROM reach GROUP BY node_id)
+      SELECT m.node_id, d.fqn, d.name, m.hops
+      FROM m JOIN g_defs d ON m.node_id = d.id
+      ORDER BY hops, node_id""") { (s, d) =>
+      lib(s, d).callClosure("Customer#000000000", maxHops = 8) }
+
+    // ---- Q7 get_initial_project_graph (library.rs:454-529)
+    val kindMapSql = """km(kind, fromk, tok) AS (VALUES
+      ('DIR_TO_DIR','directory','directory'), ('DIR_TO_FILE','directory','file'),
+      ('FILE_TO_DEF','file','definition'), ('FILE_TO_IMP','file','imported_symbol'),
+      ('DEF_TO_DEF','definition','definition'), ('DEF_TO_IMP','definition','imported_symbol'),
+      ('IMP_TO_IMP','imported_symbol','imported_symbol'), ('IMP_TO_DEF','imported_symbol','definition'),
+      ('IMP_TO_FILE','imported_symbol','file'))"""
+    val labSql = """lab AS (
+      SELECT 'directory' AS nkind, id AS nid, name AS nlabel FROM g_dirs
+      UNION ALL SELECT 'file', id, name FROM g_files
+      UNION ALL SELECT 'definition', id, fqn FROM g_defs
+      UNION ALL SELECT 'imported_symbol', id, name FROM g_imps)"""
+    val q7sections = Seq("DIR_TO_DIR" -> 50, "DIR_TO_FILE" -> 100,
+      "FILE_TO_DEF" -> 200, "FILE_TO_IMP" -> 50, "DEF_TO_DEF" -> 200,
+      "DEF_TO_IMP" -> 50, "IMP_TO_IMP" -> 50, "IMP_TO_DEF" -> 50,
+      "IMP_TO_FILE" -> 50)
+    q("q07_initial_graph", P +
+      s""", sec AS (
+        ${q7sections.map { case (k, n) =>
+          s"""SELECT * FROM (SELECT kind, type, source_id, target_id FROM g_edges
+             WHERE kind = '$k' ORDER BY source_id, target_id, type LIMIT $n)"""
+        }.mkString("\n        UNION ALL ")}
+      ), $kindMapSql, $labSql
+      SELECT DISTINCT s.kind AS kind, s.type AS rel_type, km.fromk AS src_kind,
+        s.source_id, ls.nlabel AS src_label, km.tok AS dst_kind, s.target_id,
+        ld.nlabel AS dst_label
+      FROM sec s JOIN km ON s.kind = km.kind
+      JOIN lab ls ON ls.nkind = km.fromk AND ls.nid = s.source_id
+      JOIN lab ld ON ld.nkind = km.tok AND ld.nid = s.target_id
+      ORDER BY s.kind, source_id, target_id, rel_type""") { (s, d) =>
+      lib(s, d).initialProjectGraph() }
+
+    // ---- Q8 get_node_neighbors (library.rs:667-785)
+    q("q08_node_neighbors", P +
+      s""", sym AS (
+        SELECT kind, type, source_id, target_id, 'out' AS dir FROM g_edges
+        UNION ALL SELECT kind, type, target_id, source_id, 'in' FROM g_edges
+      ), $kindMapSql, $labSql,
+      sel AS (
+        SELECT s.type, s.dir, s.target_id,
+          CASE WHEN s.dir = 'out' THEN km.fromk ELSE km.tok END AS self_kind,
+          CASE WHEN s.dir = 'out' THEN km.tok ELSE km.fromk END AS neighbor_kind
+        FROM sym s JOIN km ON s.kind = km.kind
+        WHERE s.source_id = 50000013
+      )
+      SELECT DISTINCT sel.type AS rel_type, sel.dir, sel.neighbor_kind,
+        sel.target_id AS neighbor_id, lab.nlabel AS neighbor_label
+      FROM sel JOIN lab ON lab.nkind = sel.neighbor_kind AND lab.nid = sel.target_id
+      WHERE sel.self_kind = 'definition'
+      ORDER BY neighbor_kind, neighbor_id, rel_type, dir
+      LIMIT 100""") { (s, d) =>
+      lib(s, d).nodeNeighbors("definition", 50000013L) }
+
+    // ---- Q15 get_definition at position (mcp get_definition/repository.rs:49-126)
+    q("q15_definition_at", P +
+      """, f0 AS (SELECT primary_file_path AS p FROM g_defs WHERE id = 0),
+      srcdefs AS (SELECT id FROM g_defs WHERE primary_file_path = (SELECT p FROM f0)),
+      ce AS (SELECT * FROM g_edges
+        WHERE kind IN ('DEF_TO_DEF','DEF_TO_IMP') AND type IN ('CALLS','AMBIGUOUSLY_CALLS')
+          AND source_start_line = 3 AND source_start_col <= 25 AND source_end_col >= 25),
+      hits AS (SELECT ce.* FROM ce JOIN srcdefs ON ce.source_id = srcdefs.id)
+      SELECT DISTINCT * FROM (
+        SELECT 'definition' AS target_kind, d.id AS target_id, d.fqn AS target_label,
+               d.primary_file_path AS target_file
+        FROM hits h JOIN g_defs d ON h.target_id = d.id WHERE h.kind = 'DEF_TO_DEF'
+        UNION ALL
+        SELECT 'imported_symbol', i.id, i.name, i.file_path
+        FROM hits h JOIN g_imps i ON h.target_id = i.id WHERE h.kind = 'DEF_TO_IMP'
+      ) u
+      ORDER BY target_kind, target_id
+      LIMIT 100""") { (s, d) =>
+      lib(s, d).definitionAt(defFileOf(s, d, 0), 3, 25) }
+
+    // ---- Q17 delete_by + DETACH DELETE (query_builder.rs:95-112; SURVEY M2)
+    val q17ids: Seq[Any] = ((1L to 30L) ++ (50000001L to 50000003L)).toSeq
+    q("q17_detach_delete", P +
+      """, doomed AS (SELECT id AS xid FROM g_defs
+        WHERE id BETWEEN 1 AND 30 OR id BETWEEN 50000001 AND 50000003),
+      kept_defs AS (SELECT * FROM g_defs WHERE id NOT IN (SELECT xid FROM doomed)),
+      kept_edges AS (SELECT * FROM g_edges
+        WHERE NOT (kind IN ('DEF_TO_DEF','DEF_TO_IMP') AND source_id IN (SELECT xid FROM doomed))
+          AND NOT (kind IN ('FILE_TO_DEF','DEF_TO_DEF','IMP_TO_DEF') AND target_id IN (SELECT xid FROM doomed)))
+      SELECT * FROM (
+        SELECT 'definitions' AS entity, count(*) AS n FROM kept_defs
+        UNION ALL SELECT kind, count(*) FROM kept_edges GROUP BY kind
+      ) u ORDER BY entity""") { (s, d) =>
+      val st2 = lib(s, d).detachDeleteDefinitions("id", q17ids)
+      st2.definitions.agg(count(lit(1)).as("n"))
+        .select(lit("definitions").as("entity"), col("n"))
+        .unionByName(st2.edges.groupBy(col("kind").as("entity"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy("entity")
+    }
+
+    // ---- Q18 get_by point/batch lookup (query_builder.rs:114-131)
+    val q18ids: Seq[Any] = ((1L to 10L) :+ 50000001L).toSeq
+    q("q18_get_by", P +
+      s"""SELECT id AS def_id, fqn, definition_type FROM g_defs
+      WHERE id IN (${q18ids.mkString(",")})
+      ORDER BY def_id""") { (s, d) =>
+      lib(s, d).getBy(storeFor(s, d).definitions, "id", q18ids)
+        .select(col("id").as("def_id"), col("fqn"), col("definition_type"))
+        .orderBy("def_id")
+    }
+
+    // ---- M2 incremental delete of changed files (mutation/changes.rs:53-148)
+    q("m2_delete_changed_files", P +
+      """, doomed AS (SELECT id AS xid, path FROM g_files WHERE id <= 20),
+      kept_files AS (SELECT * FROM g_files WHERE id NOT IN (SELECT xid FROM doomed)),
+      kept_edges AS (SELECT * FROM g_edges
+        WHERE NOT (kind IN ('FILE_TO_DEF','FILE_TO_IMP') AND source_id IN (SELECT xid FROM doomed))
+          AND NOT (kind IN ('DIR_TO_FILE','IMP_TO_FILE') AND target_id IN (SELECT xid FROM doomed)))
+      SELECT * FROM (
+        SELECT 'files' AS entity, count(*) AS n FROM kept_files
+        UNION ALL SELECT kind, count(*) FROM kept_edges GROUP BY kind
+      ) u ORDER BY entity""") { (s, d) =>
+      val st = storeFor(s, d)
+      val changed = st.files.where(col("id") <= 20)
+        .select(col("path").as("changed_path"))
+      val st2 = graft.stream.IncrementalIndexer.applyFileDeletes(st, changed)
+      st2.files.agg(count(lit(1)).as("n"))
+        .select(lit("files").as("entity"), col("n"))
+        .unionByName(st2.edges.groupBy(col("kind").as("entity"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy("entity")
+    }
+
+    // ---- T1 debounce-window analog: tumbling event-time window over events
+    q("t1_event_window", """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""") { (s, d) =>
+      readEvents(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("win_start", "event_type")
+    }
+
+    // ---- JSON scalar extraction over events.props
+    q("j1_json_extract", """SELECT event_id, event_type,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY event_id""") { (s, d) =>
+      readEvents(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }
+
+    // ---- pricing summary (TPC-H Q1 shape): wide aggregate, map-side combine
+    q("agg_pricing_summary", """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty,
+        round(sum(l_extendedprice), 2) AS sum_base,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+
+    // ---- multi-way join + agg (TPC-H Q5 shape): broadcast dims, shuffle facts
+    q("join_revenue_by_nation", """SELECT n_name,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val su = s.read.parquet(s"$d/supplier.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      val r = s.read.parquet(s"$d/region.parquet").where(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy("n_name")
+    }
+
+    // ---- top-k by aggregate (TPC-H Q3 shape)
+    q("topk_order_revenue", """SELECT l_orderkey,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }
+
+    // ---- window functions: per-supplier running quantity
+    q("window_running_qty", """SELECT l_suppkey, l_orderkey, l_linenumber,
+        sum(l_quantity) OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      FROM lineitem WHERE l_suppkey < 5
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .drop("l_shipdate")
+    }
+
+    // ---- exact distinct counts (Q22 family over raw fact table)
+    q("distinct_counts", """SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+    }
+
+    // ---- A2 directory-hierarchy derivation (analysis/mod.rs:201-236)
+    q("a2_dir_hierarchy", P +
+      """SELECT path, parent_path, name, depth FROM (
+        SELECT DISTINCT array_to_string(p[1:i], '/') AS path,
+               CASE WHEN i > 1 THEN array_to_string(p[1:i-1], '/') END AS parent_path,
+               p[i] AS name, CAST(i AS INT) AS depth
+        FROM (SELECT string_split(path, '/') AS p FROM g_files) parts,
+             LATERAL (SELECT unnest(generate_series(1, len(p) - 1)) AS i) t
+      ) u ORDER BY path""") { (s, d) =>
+      graft.analyze.Analyzer.deriveDirectories(storeFor(s, d).files)
+        .select(col("path"), col("parent_path"), col("name"),
+          col("depth").cast("int").as("depth"))
+        .orderBy("path")
+    }
+
+    // ---- A5 parent-child FQN linking (analysis/mod.rs:510-556)
+    q("a5_nesting_links", P +
+      """SELECT p.fqn AS parent_fqn, c.fqn AS child_fqn,
+        upper(p.definition_type) || '_TO_' || upper(c.definition_type) AS rel_type
+      FROM g_defs c
+      JOIN g_defs p ON regexp_replace(c.fqn, '\.[^.]*$', '') = p.fqn
+      WHERE contains(c.fqn, '.')
+      ORDER BY child_fqn""") { (s, d) =>
+      graft.analyze.Analyzer.linkNestedDefinitions(storeFor(s, d).definitions)
+        .select("parent_fqn", "child_fqn", "rel_type")
+        .orderBy("child_fqn")
+    }
+
+    // ---- A9 dense deterministic id assignment (mutation/utils.rs:23-163)
+    q("a9_id_assignment", P +
+      """SELECT row_number() OVER (ORDER BY path) - 1 AS id, path
+      FROM g_files ORDER BY id""") { (s, d) =>
+      graft.analyze.Analyzer.assignIds(
+        storeFor(s, d).files.select("path"), Seq("path"))
+        .select("id", "path").orderBy("id")
+    }
+
+    // ---- S5/S1 scan with filter+projection pushdown
+    q("s5_scan_pushdown",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity >= 45
+      ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+
+    // ---- S6 stats sink (indexer/src/stats.rs:27-100): per-language counts
+    q("s6_stats_by_language", P +
+      """SELECT f.language, count(*) AS n_files,
+        (SELECT count(*) FROM g_defs d JOIN g_files f2 ON d.primary_file_path = f2.path
+         WHERE f2.language = f.language) AS n_defs
+      FROM g_files f GROUP BY f.language
+      ORDER BY f.language""") { (s, d) =>
+      val st = storeFor(s, d)
+      val perLang = st.files.groupBy("language").agg(count(lit(1)).as("n_files"))
+      val defsPerLang = st.definitions.alias("d")
+        .join(st.files.alias("f2"), col("d.primary_file_path") === col("f2.path"))
+        .groupBy(col("f2.language").as("language2"))
+        .agg(count(lit(1)).as("n_defs"))
+      perLang.join(defsPerLang, col("language") === col("language2"), "left")
+        .select(col("language"), col("n_files"),
+          coalesce(col("n_defs"), lit(0L)).as("n_defs"))
+        .orderBy("language")
+    }
+  }
 }

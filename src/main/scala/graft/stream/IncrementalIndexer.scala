@@ -1,0 +1,117 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.EdgeKind
+import graft.store.GraphStore
+
+/** Incremental maintenance (SURVEY §2.5 M1-M3, §2.6 T1-T2).
+  *
+  * The reference watches the filesystem, debounces events per project, and
+  * re-indexes changed files by DETACH-deleting the affected subgraph and
+  * re-inserting fresh rows (http-server-desktop/src/watcher.rs:440-600;
+  * indexer/src/mutation/changes.rs:53-260). Here:
+  *
+  *  - a change batch is a DataFrame of (changed_path, change_type);
+  *  - deletion = anti-joins of the store against the changed-path set (M2);
+  *  - re-insert = re-running extraction/analysis on just the changed files and
+  *    unioning (M3) — at scale this is a dynamic-partition-overwrite keyed by
+  *    file_path, so ids stay natural keys and no MAX(id)+1 arithmetic is
+  *    needed (SURVEY §7.3);
+  *  - the streaming wrapper is `readStream` over a change-feed directory +
+  *    `foreachBatch` applying the above, with the trigger interval playing the
+  *    reference's debounce-window role (T1).
+  */
+object IncrementalIndexer {
+
+  /** M2 — remove file nodes whose path is in `changedPaths`
+    * (column `changed_path`) plus every edge touching a removed file.
+    * Anti-joins only: no driver-side collection, safe at any scale.
+    */
+  def applyFileDeletes(store: GraphStore, changedPaths: DataFrame): GraphStore = {
+    val doomed = store.files
+      .join(changedPaths, store.files("path") === changedPaths("changed_path"))
+      .select(col("id").as("xid"))
+    val keptFiles = store.files
+      .join(doomed, store.files("id") === doomed("xid"), "left_anti")
+    val srcIsFile = col("kind").isin(EdgeKind.FileToDef, EdgeKind.FileToImp)
+    val dstIsFile = col("kind").isin(EdgeKind.DirToFile, EdgeKind.ImpToFile)
+    val keptEdges = store.edges
+      .join(doomed.withColumnRenamed("xid", "sdel"),
+        srcIsFile && col("source_id") === col("sdel"), "left_anti")
+      .join(doomed.withColumnRenamed("xid", "tdel"),
+        dstIsFile && col("target_id") === col("tdel"), "left_anti")
+    store.copy(files = keptFiles, edges = keptEdges)
+  }
+
+  /** M2 full cascade — also drop definitions/imports belonging to the
+    * changed files (the reference deletes defs/imports by file_path —
+    * mutation/changes.rs:53-148).
+    */
+  def applyCascadingDeletes(store: GraphStore, changedPaths: DataFrame): GraphStore = {
+    val base = applyFileDeletes(store, changedPaths)
+    val cp = changedPaths.select(col("changed_path"))
+    val keptDefs = base.definitions.join(cp,
+      col("primary_file_path") === col("changed_path"), "left_anti")
+    val keptImps = base.importedSymbols.join(cp,
+      col("file_path") === col("changed_path"), "left_anti")
+    val doomedDefIds = store.definitions.join(cp,
+      col("primary_file_path") === col("changed_path"))
+      .select(col("id").as("xid"))
+    val doomedImpIds = store.importedSymbols.join(cp,
+      col("file_path") === col("changed_path"))
+      .select(col("id").as("xid"))
+    val srcIsDef = col("kind").isin(EdgeKind.DefToDef, EdgeKind.DefToImp)
+    val dstIsDef = col("kind").isin(EdgeKind.FileToDef, EdgeKind.DefToDef, EdgeKind.ImpToDef)
+    val srcIsImp = col("kind").isin(EdgeKind.ImpToImp, EdgeKind.ImpToDef, EdgeKind.ImpToFile)
+    val dstIsImp = col("kind").isin(EdgeKind.FileToImp, EdgeKind.DefToImp, EdgeKind.ImpToImp)
+    val keptEdges = base.edges
+      .join(doomedDefIds.withColumnRenamed("xid", "d1"),
+        srcIsDef && col("source_id") === col("d1"), "left_anti")
+      .join(doomedDefIds.withColumnRenamed("xid", "d2"),
+        dstIsDef && col("target_id") === col("d2"), "left_anti")
+      .join(doomedImpIds.withColumnRenamed("xid", "i1"),
+        srcIsImp && col("source_id") === col("i1"), "left_anti")
+      .join(doomedImpIds.withColumnRenamed("xid", "i2"),
+        dstIsImp && col("target_id") === col("i2"), "left_anti")
+    base.copy(definitions = keptDefs, importedSymbols = keptImps, edges = keptEdges)
+  }
+
+  /** M3 — apply a reindex batch: delete the changed files' subgraph, then
+    * union in the freshly analyzed replacement store (built by re-running the
+    * extract/analyze pipeline on just those files).
+    */
+  def applyReindexBatch(store: GraphStore, changedPaths: DataFrame,
+                        fresh: GraphStore): GraphStore = {
+    val deleted = applyCascadingDeletes(store, changedPaths)
+    GraphStore(
+      directories = deleted.directories.unionByName(fresh.directories).distinct(),
+      files = deleted.files.unionByName(fresh.files),
+      definitions = deleted.definitions.unionByName(fresh.definitions),
+      importedSymbols = deleted.importedSymbols.unionByName(fresh.importedSymbols),
+      edges = deleted.edges.unionByName(fresh.edges))
+  }
+
+  /** T1/T2 — continuous reindex loop: a file-source stream of change records
+    * (json lines with changed_path/change_type), debounced by the trigger
+    * interval, applied per micro-batch via `onBatch`. The caller's `onBatch`
+    * typically runs applyReindexBatch + GraphStore.write (dynamic partition
+    * overwrite keyed by file_path).
+    */
+  def start(spark: SparkSession, changeFeedDir: String,
+            triggerMs: Long)(onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("changed_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("change_type",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).json(changeFeedDir)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(batch.toDF(), id)
+      }
+      .start()
+  }
+}
