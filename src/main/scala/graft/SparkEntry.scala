@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{EdgeKind, RelType}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.QueryLibrary
 import graft.store.GraphStore
 import graft.tpch.TpchGraphAdapter
@@ -604,6 +605,188 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy("l_returnflag")
+    }
+
+    // ================= LLM-data-pipeline operators (BASELINE.json) =========
+    // DuckDB inline helpers kept in lockstep with graft.functions.TextFunctions
+    val sqlToks = """list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')"""
+    def sqlCharFold(s: String, mult: Int = 31) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($s)), i -> CAST(unicode($s[i]) AS BIGINT))), (acc, c) -> (acc * $mult + c) % 1000000007)"""
+    val docPrelude = s"""WITH d_toks AS (
+      SELECT doc_id, lang, source, text,
+        lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')) AS t,
+        $sqlToks AS toks
+      FROM documents
+    )
+    """
+    // exact word-3-gram jaccard pairs, shared by the ngram + minhash oracles
+    val jaccardPairsSql = s"""$docPrelude, sh AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+      ), shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jac AS (SELECT ida, idb, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+        FROM common JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id)
+      SELECT ida AS id_a, idb AS id_b, round(j, 4) AS jaccard FROM jac
+      WHERE j >= 0.8 ORDER BY id_a, id_b"""
+
+    // ---- dedup: exact (hash-groupBy)
+    q("dd_exact", docPrelude +
+      s"""SELECT ${sqlCharFold("t")} AS fp, min(doc_id) AS kept_doc_id,
+        count(*) AS n_dups
+      FROM d_toks GROUP BY 1 ORDER BY fp""") { (s, d) =>
+      Dedup.exact(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        .orderBy("fp")
+    }
+
+    // ---- dedup: n-gram Jaccard via inverted-index self-join
+    q("dd_ngram_jaccard", jaccardPairsSql) { (s, d) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    }
+
+    // ---- dedup: MinHash+LSH (bucketed candidates, exact-verified) — the
+    // oracle is the exact-pair answer; LSH miss probability ~5e-8 at j=0.8
+    q("dd_minhash_lsh", jaccardPairsSql) { (s, d) =>
+      Dedup.minhashLshPairs(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    }
+
+    // ---- dedup: SimHash signature per document
+    q("dd_simhash", docPrelude +
+      s""", th AS (SELECT doc_id, ${sqlCharFold("tok")} AS h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d_toks) u
+      ), votes AS (
+        SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, LATERAL (SELECT unnest(generate_series(0, 29)) AS i) g
+        GROUP BY doc_id, i
+      )
+      SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      Dedup.simhash(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+
+    // simhash near-dup pairs (banded; no SQL oracle — rows-only check)
+    qNoOracle("dd_simhash_pairs") { (s, d) =>
+      Dedup.simhashPairs(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", maxDist = 8).orderBy("id_a", "id_b")
+    }
+
+    // ---- dedup: embedding-cosine near-dup pairs (exact, left-fold dot)
+    val vnSql = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      vn AS (SELECT vec_id, vec,
+        sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(vec)), i -> vec[i] * vec[i])), (x, y) -> x + y)) AS nrm
+      FROM v)"""
+    q("dd_embedding_cosine", s"""$vnSql,
+      pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM vn a JOIN vn b ON a.vec_id < b.vec_id)
+      SELECT ida AS id_a, idb AS id_b, round(cos, 4) AS cosine FROM pairs
+      WHERE cos >= 0.45 ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.embeddingCosinePairs(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
+    }
+
+    // ---- similarity search: brute-force cosine top-k (exact baseline)
+    q("ann_brute_topk", s"""$vnSql,
+      scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM vn a JOIN vn b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10),
+      ranked AS (SELECT qid, nid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        FROM scored)
+      SELECT qid AS query_id, nid AS neighbor_id, round(cos, 4) AS cosine, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5).orderBy("query_id", "rank")
+    }
+
+    // hyperplane-LSH ANN (the 100TB scale path; no oracle — recall < 1)
+    qNoOracle("ann_lsh_topk") { (s, d) =>
+      Similarity.annLsh(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", dim = 64, k = 5).orderBy("query_id", "rank")
+    }
+
+    // ---- text analysis: token counting
+    q("td_token_counts", """SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS INT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
+        CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      TextAnalysis.withTokenCounts(s.read.parquet(s"$d/documents.parquet"), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "est_tokens")
+        .orderBy("doc_id")
+    }
+
+    // ---- text analysis: quality features + composite score
+    q("td_quality", docPrelude +
+      s""", q AS (SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS nchars,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS npunct,
+        CAST(len(toks) AS DOUBLE) AS ntoks,
+        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) AS stophits
+      FROM d_toks)
+      SELECT doc_id, CAST(nchars AS INT) AS n_chars, CAST(ntoks AS INT) AS n_tokens,
+        round(nalpha / nchars, 4) AS alpha_ratio,
+        round(npunct / nchars, 4) AS punct_ratio,
+        round(stophits / ntoks, 4) AS stopword_ratio,
+        round(0.4 * (nalpha / nchars) + 0.3 * (stophits / ntoks) + 0.3 * least(1.0, ntoks / 100.0), 4) AS quality_score
+      FROM q ORDER BY doc_id""") { (s, d) =>
+      TextAnalysis.withQuality(s.read.parquet(s"$d/documents.parquet"), "text")
+        .select("doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+          "stopword_ratio", "quality_score")
+        .orderBy("doc_id")
+    }
+
+    // ---- text analysis: stopword-heuristic language ID
+    q("td_langid", docPrelude +
+      s""", sc AS (SELECT doc_id, lang, list_distinct(toks) AS dt FROM d_toks),
+      s2 AS (SELECT doc_id, lang,
+        len(list_intersect(dt, ['the','a','of','and','to','in','is'])) AS s_en,
+        len(list_intersect(dt, ['el','la','de','que','y','en','un'])) AS s_es,
+        len(list_intersect(dt, ['der','die','und','das','ist','mit','von'])) AS s_de,
+        len(list_intersect(dt, ['le','la','les','des','et','du','est'])) AS s_fr
+      FROM sc)
+      SELECT doc_id, lang,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+             WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'und' END AS pred_lang
+      FROM s2 ORDER BY doc_id""") { (s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }
+
+    // ---- text analysis: document fingerprint (rolling hash)
+    q("td_fingerprint", docPrelude +
+      s"""SELECT doc_id, ${sqlCharFold("t")} AS fp FROM d_toks ORDER BY doc_id""") {
+      (s, d) =>
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+
+    // ---- multimodal: binary payload plumbing + stubbed decode features
+    q("mm_decode_features", s"""SELECT doc_id AS media_id,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        unicode(text[1]) AS head_byte,
+        ${sqlCharFold("text", mult = 131)} AS checksum,
+        CAST(length(text) % 640 + 1 AS INT) AS fake_width,
+        CAST(length(text) % 480 + 1 AS INT) AS fake_height
+      FROM documents ORDER BY media_id""") { (s, d) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", "source"))
+        .orderBy("media_id")
     }
 
     // ---- A2 directory-hierarchy derivation (analysis/mod.rs:201-236)

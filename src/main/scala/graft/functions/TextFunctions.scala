@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis /
+  * similarity operators (BASELINE.json north-star set).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd, no UDFs — and every hash is an explicit polynomial fold so the
+  * identical computation is expressible in the DuckDB oracle (and in any
+  * other engine): determinism across engines is part of the operator
+  * contract, so builtin hashes (xxhash64, murmur) are deliberately avoided.
+  */
+object TextFunctions {
+
+  /** Modulus for all polynomial hashes: fits products in 63 bits. */
+  val HashMod = 1000000007L
+
+  /** lowercase + non-alphanumerics → space. Keep in lockstep with the oracle:
+    * regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g') → lower.
+    */
+  def normText(c: Column): Column = lower(regexp_replace(c, "[^a-zA-Z0-9 ]", " "))
+
+  /** whitespace tokens of the normalized text, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " +"), t => length(t) > 0)
+
+  /** Polynomial char fold: foldl (acc*31 + codepoint) % HashMod over the
+    * string's characters. ASCII-safe cross-engine (ascii() == unicode()).
+    */
+  def charFold(c: Column): Column =
+    aggregate(
+      transform(filter(split(c, ""), ch => length(ch) > 0), // split("") may emit a trailing ""
+        ch => ascii(ch).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
+
+  /** Word n-gram shingles (space-joined), empty array when too short. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle strings of a text column. */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(shingles(tokens(text), n))
+
+  /** Per-element polynomial hash of a string array. */
+  def hashAll(arr: Column): Column = transform(arr, s => charFold(s))
+
+  // --- MinHash family ------------------------------------------------------
+  /** Deterministic hash-family coefficients (fixed LCG-style constants, no
+    * runtime randomness): h_i(x) = (a_i * x + b_i) % HashMod with x < HashMod
+    * so products stay within 63 bits.
+    */
+  def coeffA(i: Int): Long = ((2654435761L % HashMod) * (2L * i + 1)) % HashMod
+  def coeffB(i: Int): Long = (1779033703L * (i + 1)) % HashMod
+
+  /** MinHash signature (array of `numHashes` longs) over a long-array column
+    * of element hashes. Each signature slot is one scan of the element list
+    * (codegen'd transform+array_min; no shuffle).
+    */
+  def minhashSignature(elemHashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(elemHashes,
+        x => (lit(coeffA(i)) * x + lit(coeffB(i))) % HashMod))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `signatureLen / bands` rows each; key = comma-joined slice.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => concat_ws(",", slice(signature, j * rowsPerBand + 1, lit(rowsPerBand))))
+
+  // --- SimHash -------------------------------------------------------------
+  /** Number of simhash bits: token hashes are < 2^30 (mod 1e9+7), so only the
+    * low 30 bits carry signal.
+    */
+  val SimHashBits = 30
+}

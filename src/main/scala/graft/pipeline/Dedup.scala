@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine. All are pure DataFrame programs:
+  *
+  *  - exact:      one shuffle on the content fingerprint;
+  *  - ngram/minhash: candidate generation is an inverted-index / LSH-bucket
+  *    self-join — work is proportional to bucket sizes, never |docs|²;
+  *  - at 100 TB the bucket join shuffles on (band, key) and skewed buckets
+  *    (boilerplate shingles) are handled by AQE skew-join; the verification
+  *    join only touches candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup via content-hash groupBy: one row per distinct normalized
+    * text, with the surviving (minimum) id and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), charFold(normText(col(textCol))).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** All-pairs n-gram Jaccard over word `n`-gram shingle sets, via an
+    * inverted-index self-join on shingles (never a cross join). Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shd = docs.select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol), n)).as("shingle"))
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = shd.alias("x")
+      .join(shd.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    jac.where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: shingle → minhash signature →
+    * banded bucket join for candidates → exact-Jaccard verification on the
+    * candidate pairs only. With 128 hashes / 32 bands of 4, the probability
+    * of missing a pair at jaccard 0.8 is (1-0.8^4)^32 ≈ 5e-8.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = base.withColumn("mh", minhashSignature(hashAll(col("sh")), numHashes))
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(bandKeys(col("mh"), bands, rowsPerBand)).as(Seq("band", "key")))
+    val candidates = bandRows.alias("x")
+      .join(bandRows.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // verify on the true shingle sets (strings, not hashes — immune to hash
+    // collisions), candidate pairs only
+    val withSets = candidates
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("sha")) + size(col("shb")) - col("c")))
+    withSets.where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Per-document SimHash over the token multiset: token → polynomial hash →
+    * per-bit ±1 vote → sign bit. 30 bits (token hashes are < 2^30).
+    * One explode + one groupBy with 30 codegen'd conditional sums.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val th = tok.withColumn("h", charFold(col("tok")))
+    val votes = (0 until SimHashBits).map { i =>
+      sum(when(shiftright(col("h"), i) % 2 === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val agg = th.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until SimHashBits).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxDist, using
+    * banded LSH over the simhash bits (pigeonhole: distance <= maxDist means
+    * at least one of maxDist+1 bands matches exactly) + bit_count verify.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sim = simhash(docs, idCol, textCol)
+    val nBands = maxDist + 1
+    val bandBits = SimHashBits / nBands // 30/4 = 7 bits per band (last gets rest)
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * bandBits
+      val width = if (b == nBands - 1) SimHashBits - lo else bandBits
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), lo) % (1L << width)).as("key"))
+    }
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(expr("x.simhash").bitwiseXOR(expr("y.simhash"))).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold on exact cosine).
+    * Brute-force blocked self-join; the LSH-bucketed scale path is
+    * [[Similarity.annLsh]].
+    */
+  def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.45): DataFrame = {
+    val v = embs.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+    v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
+      .withColumn("cos",
+        Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= threshold)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(col("cos"), 4).as("cosine"))
+  }
+}

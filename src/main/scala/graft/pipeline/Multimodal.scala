@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (BASELINE.json north star).
+  *
+  * Media (image/audio/video) are opaque `binary` columns with a typed
+  * metadata struct. The decode / feature-extract stage runs as a
+  * `mapPartitions` over the binary payloads — the Scala analog of a
+  * Pandas-UDF `mapInPandas` stage: batch-oriented, executor-side, one codec
+  * instance per partition. The actual codec is STUBBED (no image/audio libs
+  * in this container) with a deterministic fake whose outputs are pure
+  * functions of the bytes — the Spark-side plumbing (schema, partitioning,
+  * batch shape, feature join-back) is real and oracle-checked.
+  */
+object Multimodal {
+
+  /** Media record schema: id + binary payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", LongType))), nullable = true)))
+
+  /** Wrap a text table as a media table (payload = UTF-8 bytes). Stands in
+    * for `spark.read.format("binaryFile")` over a media lake.
+    */
+  def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      lit("image/fake").as("media_type"),
+      col(textCol).cast("binary").as("payload"),
+      struct(col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("head_byte", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("fake_width", IntegerType, nullable = false),
+    StructField("fake_height", IntegerType, nullable = false)))
+
+  /** "Decode" each payload per partition. Deterministic fake codec:
+    * checksum = foldl (acc*131 + byte) % 1e9+7; width/height derived from
+    * byte length. A real deployment swaps `decodeOne` for an image decoder —
+    * the partition loop, batch shape, and output schema stay identical.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      // per-partition "codec" init happens here in a real implementation
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val (n, head, sum) = decodeOne(bytes)
+        Row(id, n, head, sum, (n % 640L + 1L).toInt, (n % 480L + 1L).toInt)
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  private def decodeOne(bytes: Array[Byte]): (Long, Int, Long) = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 131 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    (bytes.length.toLong, if (bytes.isEmpty) -1 else bytes(0) & 0xff, acc)
+  }
+}

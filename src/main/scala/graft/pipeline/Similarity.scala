@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(Q·N) dot products as a join —
+  * fine when the query set is bounded). Scale path: random-hyperplane LSH
+  * bucketing — candidates share a bucket, so the join cost is bucket-local;
+  * recall is tunable via number of tables/bits. Both are pure DataFrame
+  * programs; the dot product is a codegen'd zip_with+aggregate fold, not a
+  * UDF.
+  */
+object Similarity {
+
+  /** Left-fold dot product: aggregate(zip_with(a,b,*), 0.0, +). Sequential
+    * index-order accumulation — bit-reproducible across engines that fold
+    * left (the DuckDB oracle replays the identical fold).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * `queries`/`corpus`: (id, vec float array). Excludes self-pairs.
+    * Returns (query_id, neighbor_id, cosine, rank<=k).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, p: String) = df
+      .select(col(idCol).as(p + "id"), col(vecCol).cast("array<double>").as(p + "vec"))
+      .withColumn(p + "nrm", sqrt(dot(col(p + "vec"), col(p + "vec"))))
+    val q = prep(queries, "q_")
+    val c = prep(corpus, "c_")
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("c_id").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * a fixed LCG expansion in [-0.5, 0.5). No runtime randomness — signatures
+    * are reproducible across runs and engines.
+    */
+  private def planeComponent(j: Int, i: Int): Double = {
+    var x = (j.toLong * 1103515245L + i.toLong * 2654435761L + 42L) & 0x7fffffffL
+    x = (x * 1103515245L + 12345L) & 0x7fffffffL
+    x.toDouble / 0x80000000L.toDouble - 0.5
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits of dot(v, plane_j).
+    * One bucket per row; multi-probe = run with several `table` seeds.
+    */
+  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int): Column =
+    (0 until bits).map { j =>
+      val plane = array((0 until dim).map(i =>
+        lit(planeComponent(table * 1000 + j, i))): _*)
+      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate NN via hyperplane LSH: vectors sharing a bucket in any of
+    * `tables` hash tables become candidates; exact cosine on candidates only;
+    * top-k per query. Scale path for the 100 TB case: the candidate join
+    * shuffles on (table, bucket), never all-pairs.
+    */
+  def annLsh(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+             k: Int, bits: Int = 10, tables: Int = 4): DataFrame = {
+    val v = embs.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val buckets = (0 until tables).map { t =>
+      v.select(col("vid"), col("vec"), col("nrm"),
+        lit(t).as("tbl"), lshBucket(col("vec"), dim, bits, t).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val cand = buckets.alias("a").join(buckets.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("a.vec").as("q_vec"),
+        col("a.nrm").as("q_nrm"), col("b.vid").as("neighbor_id"),
+        col("b.vec").as("c_vec"), col("b.nrm").as("c_nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cosine",
+      dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

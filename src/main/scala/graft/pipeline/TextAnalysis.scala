@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-hit heuristic), quality scoring, token counting, document
+  * fingerprinting. All codegen'd column expressions — no UDFs — and each is
+  * replayable in SQL for the oracle.
+  */
+object TextAnalysis {
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "du", "est"),
+    "zh" -> Seq())
+
+  /** Language-ID: distinct-token intersection with per-language stopword
+    * sets; argmax with deterministic tie order en>es>de>fr; 'und' when no
+    * stopword hits at all. (CJK detection would key on codepoint ranges; the
+    * testdata is ASCII.)
+    */
+  def langIdScores(text: Column): Map[String, Column] = {
+    val toks = array_distinct(tokens(text))
+    Seq("en", "es", "de", "fr").map { l =>
+      l -> size(array_intersect(toks, array(stopwords(l).map(lit): _*)))
+    }.toMap
+  }
+
+  def langId(text: Column): Column = {
+    val s = langIdScores(text)
+    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr") && s("en") > 0, "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr") && s("es") > 0, "es")
+      .when(s("de") >= s("fr") && s("de") > 0, "de")
+      .when(s("fr") > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Quality features + composite score. All ratios are exact integer
+    * divisions in double; the composite is a fixed-order weighted sum so the
+    * oracle reproduces it bit-for-bit.
+    */
+  def withQuality(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val nPunct = length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("double")
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks,
+      x => array_contains(array(stopwords("en").map(lit): _*), x))).cast("double")
+    docs
+      .withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("alpha_ratio", round(nAlpha / nChars, 4))
+      .withColumn("punct_ratio", round(nPunct / nChars, 4))
+      .withColumn("stopword_ratio", round(stopHits / nToks, 4))
+      .withColumn("quality_score",
+        round(lit(0.4) * (nAlpha / nChars) + lit(0.3) * (stopHits / nToks) +
+          lit(0.3) * least(lit(1.0), nToks / lit(100.0)), 4))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs | digit runs | single punctuation), and the chars/4
+    * heuristic estimate.
+    */
+  def withTokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_ws_tokens", size(tokens(t)))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(t, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))))
+      .withColumn("est_tokens",
+        floor((length(t) + lit(3)).cast("double") / lit(4.0)).cast("long"))
+  }
+
+  /** Document fingerprint: polynomial rolling hash of the normalized text. */
+  def fingerprint(text: Column): Column = charFold(normText(text))
+}
