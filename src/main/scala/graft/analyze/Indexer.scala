@@ -1,0 +1,152 @@
+package graft.analyze
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.extract.{Extracted, Extractors, SourceFile}
+import graft.model.{EdgeKind, RelType}
+import graft.store.GraphStore
+
+/** The indexing dataflow (SURVEY §3.1 stages 3-5 as one job DAG):
+  * files → mapPartitions(parse) → relationship-derivation joins → GraphStore.
+  *
+  * Scale shape: extraction is per-file map work; every join downstream is an
+  * equi-join keyed by file path or natural key; nothing is collected to the
+  * driver. Id assignment (dense, deterministic) happens once at the end, only
+  * because the reference's store (and GraphX) wants integer ids — all
+  * derivation joins run on natural keys.
+  */
+object Indexer {
+
+  final case class FileMeta(path: String, absolutePath: String,
+      repositoryName: String, name: String, extension: String, language: String)
+
+  def index(spark: SparkSession, files: Dataset[SourceFile]): GraphStore = {
+    import spark.implicits._
+
+    // ---- E1-E3: per-file extraction (pure map; content never shuffled) ----
+    val extracted = files.mapPartitions { it =>
+      it.map { f =>
+        val e: Extracted = Extractors.extract(f)
+        (FileMeta(f.path, f.absolutePath, f.repositoryName, f.name,
+          f.extension, f.language), e.definitions, e.imports, e.references)
+      }
+    }.toDF("file", "definitions", "imports", "references")
+      .localCheckpoint(true) // parse once; everything below reuses it
+
+    val fileMeta = extracted.select($"file.*")
+    val rawDefs = extracted.select(explode($"definitions").as("d")).select($"d.*")
+    val rawImps = extracted.select(explode($"imports").as("im")).select($"im.*")
+    val rawRefs = extracted.select(explode($"references").as("r")).select($"r.*")
+
+    // ---- A2: directory hierarchy --------------------------------------
+    val dirPaths = Analyzer.deriveDirectories(fileMeta)
+    val dirNodes = Analyzer.assignIds(dirPaths.select("path", "parent_path", "name"),
+      Seq("path"))
+    val repoName = lit(files.head(1).headOption.map(_.repositoryName).getOrElse("repo"))
+    val directories = dirNodes.select(col("id"), col("path"),
+      col("path").as("absolute_path"), repoName.as("repository_name"), col("name"))
+
+    // ---- file nodes ----------------------------------------------------
+    val fileNodes = Analyzer.assignIds(fileMeta, Seq("path"))
+    val filesDf = fileNodes.select(col("id"), col("path"),
+      col("absolutePath").as("absolute_path"), col("language"),
+      col("repositoryName").as("repository_name"),
+      col("extension"), col("name"))
+
+    // ---- A3: definition dedup by (fqn, file) + total_locations ---------
+    val dedupedDefs = rawDefs
+      .groupBy(col("fqn"), col("filePath"))
+      .agg(min(struct(col("startByte"), col("endByte"), col("startLine"),
+        col("endLine"), col("startCol"), col("endCol"), col("name"),
+        col("definitionType"))).as("p"),
+        count(lit(1)).cast("int").as("total_locations"))
+      .select(col("fqn"), col("filePath").as("primary_file_path"),
+        col("p.name").as("name"), col("p.definitionType").as("definition_type"),
+        col("p.startByte").as("primary_start_byte"),
+        col("p.endByte").as("primary_end_byte"),
+        col("p.startLine").as("start_line"), col("p.endLine").as("end_line"),
+        col("p.startCol").as("start_col"), col("p.endCol").as("end_col"),
+        col("total_locations"))
+    val defNodes = Analyzer.assignIds(dedupedDefs,
+      Seq("primary_file_path", "primary_start_byte", "fqn"))
+    val definitions = defNodes.select(col("id"), col("fqn"), col("name"),
+      col("definition_type"), col("primary_file_path"),
+      col("primary_start_byte"), col("primary_end_byte"),
+      col("start_line"), col("end_line"), col("start_col"), col("end_col"),
+      col("total_locations"))
+
+    // ---- A4: imported symbols ------------------------------------------
+    val impNodes = Analyzer.assignIds(
+      rawImps.dropDuplicates("filePath", "startByte", "name"),
+      Seq("filePath", "startByte", "name"))
+    val importedSymbols = impNodes.select(col("id"),
+      col("importType").as("import_type"), col("importPath").as("import_path"),
+      col("name"), col("alias"), col("filePath").as("file_path"),
+      col("startByte").as("start_byte"), col("endByte").as("end_byte"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("startCol").as("start_col"), col("endCol").as("end_col"))
+
+    // ---------------- edges ----------------
+    val nulls = Seq(
+      lit(null).cast("long").as("source_start_byte"),
+      lit(null).cast("long").as("source_end_byte"),
+      lit(null).cast("int").as("source_start_line"),
+      lit(null).cast("int").as("source_end_line"),
+      lit(null).cast("int").as("source_start_col"),
+      lit(null).cast("int").as("source_end_col"))
+
+    val dirEdges = Analyzer.directoryEdges(dirPaths,
+      dirNodes.select("path", "id"), fileNodes.select("path", "id"))
+      .select(col("*") +: nulls: _*)
+
+    val fileIds = fileNodes.select(col("path").as("fpath"), col("id").as("file_id"))
+
+    val fileDefines = definitions.join(fileIds,
+        col("primary_file_path") === col("fpath"))
+      .select(lit(EdgeKind.FileToDef).as("kind"),
+        lit(RelType.FileDefines).as("type"),
+        col("file_id").as("source_id"), col("id").as("target_id"))
+      .select(col("*") +: nulls: _*)
+
+    val fileImports = importedSymbols.join(fileIds, col("file_path") === col("fpath"))
+      .select(lit(EdgeKind.FileToImp).as("kind"),
+        lit(RelType.FileImports).as("type"),
+        col("file_id").as("source_id"), col("id").as("target_id"))
+      .select(col("*") +: nulls: _*)
+
+    // ---- A5: typed nesting edges (same-file parent FQN join) -----------
+    val nestingEdges = {
+      val d = definitions.select(col("id"), col("fqn"),
+        col("definition_type"), col("primary_file_path"))
+      val children = d.where(col("fqn").contains("."))
+        .select(col("id").as("cid"), col("definition_type").as("ctype"),
+          col("primary_file_path").as("cfile"),
+          regexp_replace(col("fqn"), "\\.[^.]*$", "").as("parent_fqn"))
+      children.join(d,
+          col("parent_fqn") === col("fqn") &&
+            col("cfile") === col("primary_file_path"))
+        .select(lit(EdgeKind.DefToDef).as("kind"),
+          concat(upper(col("definition_type")), lit("_TO_"),
+            upper(col("ctype"))).as("type"),
+          col("id").as("source_id"), col("cid").as("target_id"))
+        .select(col("*") +: nulls: _*)
+    }
+
+    // ---- A6: import resolution (Python candidate paths + re-exports) ---
+    val importEdges = PythonResolver.resolveImports(
+      importedSymbols, filesDf, definitions).select(col("*") +: nulls: _*)
+
+    // ---- A7: reference (call) resolution -------------------------------
+    val callEdges = ReferenceResolver.resolve(rawRefs, definitions, importedSymbols)
+
+    val edges = Seq(dirEdges, fileDefines, fileImports, nestingEdges,
+      importEdges, callEdges).reduce(_.unionByName(_))
+
+    GraphStore(directories, filesDf, definitions, importedSymbols, edges)
+  }
+
+  /** Convenience: scan a local directory and index it. */
+  def indexDirectory(spark: SparkSession, dir: String, repo: String): GraphStore =
+    index(spark, graft.extract.FileScanner.scan(spark, dir, repo))
+}

@@ -1,0 +1,138 @@
+package graft.analyze
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{EdgeKind, RelType}
+
+/** A6 — interfile import resolution (reference:
+  * analysis/languages/python/interfile.rs:8-170, analyzer.rs:643-898).
+  *
+  * `from foo.bar import x` resolves to, in order of candidates:
+  *   - module file `foo/bar/x.py` or `foo/bar/x/__init__.py` → IMP→FILE
+  *   - a definition named `x` in `foo/bar.py` / `foo/bar/__init__.py` → IMP→DEF
+  *   - a re-exported import named/aliased `x` in those files → IMP→IMP
+  *     (chains resolved by [[resolveReExportChains]], fixpoint with a cycle
+  *     guard via max depth)
+  * Relative imports (`from ..m import y`) resolve against the importing
+  * file's directory. Candidate generation is a pure column computation
+  * (explode of a deterministic path list); resolution is equi-joins against
+  * the file / definition / import tables — no driver lookups.
+  */
+object PythonResolver {
+
+  /** module dotted path → candidate relative file paths, given the importing
+    * file's directory for relative imports.
+    */
+  private def candidateModulePaths(fileDir: org.apache.spark.sql.Column,
+                                   importPath: org.apache.spark.sql.Column) = {
+    val dots = length(importPath) - length(regexp_replace(importPath, "^\\.+", ""))
+    val rest = regexp_replace(importPath, "^\\.+", "")
+    val restSlash = regexp_replace(rest, "\\.", "/")
+    // relative: strip (dots-1) trailing segments from fileDir
+    val relBase = when(dots > 0,
+      when(dots === 1, fileDir).otherwise(
+        // remove dots-1 trailing path segments; supports up to 3 levels up
+        when(dots === 2, regexp_replace(fileDir, "/[^/]+$", ""))
+          .otherwise(regexp_replace(fileDir, "/[^/]+/[^/]+$", ""))))
+    val base = when(dots > 0,
+      when(length(restSlash) > 0, concat(relBase, lit("/"), restSlash))
+        .otherwise(relBase))
+      .otherwise(restSlash)
+    base
+  }
+
+  /** Emits IMP→FILE, IMP→DEF, IMP→IMP edges (ids resolved). */
+  def resolveImports(imps: DataFrame, files: DataFrame,
+                     defs: DataFrame): DataFrame = {
+    val fileDir = when(col("file_path").contains("/"),
+      regexp_replace(col("file_path"), "/[^/]*$", "")).otherwise(lit(""))
+    val base = candidateModulePaths(fileDir, col("import_path"))
+
+    val withCand = imps
+      .where(col("import_type").isin("import", "from_import", "wildcard_import",
+        "require", "require_relative"))
+      .select(col("id").as("imp_id"), col("import_type"), col("name"),
+        base.as("modbase"))
+
+    // candidate module files for the *name* (from X import name → X/name.py)
+    val nameModule = when(col("import_type") === "from_import" && length(col("modbase")) > 0,
+      concat(col("modbase"), lit("/"), col("name")))
+      .when(col("import_type") === "from_import", col("name"))
+      .otherwise(col("modbase"))
+
+    val fileCands = withCand.select(col("imp_id"), explode(array(
+      concat(nameModule, lit(".py")),
+      concat(nameModule, lit("/__init__.py")),
+      concat(col("modbase"), lit(".rb")),
+      concat(col("modbase"), lit(".ts")))).as("cand"))
+    val fileTargets = fileCands
+      .join(files.select(col("id").as("fid"), col("path")), col("cand") === col("path"))
+      .select(col("imp_id"), col("fid")).distinct()
+    val impToFile = fileTargets.select(
+      lit(EdgeKind.ImpToFile).as("kind"), lit(RelType.ImpToFile).as("type"),
+      col("imp_id").as("source_id"), col("fid").as("target_id"))
+
+    // symbol candidates: definition / re-export named `name` in the module file
+    val symCands = withCand
+      .where(col("import_type") === "from_import")
+      .select(col("imp_id"), col("name").as("sym"), explode(array(
+        concat(col("modbase"), lit(".py")),
+        concat(col("modbase"), lit("/__init__.py")))).as("cand"))
+    val impToDef = symCands
+      .join(defs.select(col("id").as("did"), col("name").as("dname"),
+          col("primary_file_path")),
+        col("cand") === col("primary_file_path") && col("sym") === col("dname"))
+      .select(lit(EdgeKind.ImpToDef).as("kind"), lit(RelType.ImpToDef).as("type"),
+        col("imp_id").as("source_id"), col("did").as("target_id"))
+      .distinct()
+    val impToImp = symCands
+      .join(imps.select(col("id").as("iid2"), col("name").as("iname"),
+          col("alias").as("ialias"), col("file_path").as("ifile")),
+        col("cand") === col("ifile") &&
+          (col("sym") === coalesce(col("ialias"), col("iname"))))
+      .select(lit(EdgeKind.ImpToImp).as("kind"), lit(RelType.ImpToImp).as("type"),
+        col("imp_id").as("source_id"), col("iid2").as("target_id"))
+      .distinct()
+
+    impToFile.unionByName(impToDef).unionByName(impToImp)
+  }
+
+  /** Transitive resolution of re-export chains: follow IMP→IMP edges to a
+    * terminal IMP→DEF / IMP→FILE, bounded by `maxDepth` (cycle guard —
+    * reference: interfile.rs recursion with cycle set). Iterative join with
+    * localCheckpoint per hop. Returns (source_id, target_kind, target_id).
+    */
+  def resolveReExportChains(importEdges: DataFrame, maxDepth: Int = 10): DataFrame = {
+    val impImp = importEdges.where(col("kind") === EdgeKind.ImpToImp)
+      .select(col("source_id").as("src"), col("target_id").as("via"))
+    val terminal = importEdges.where(col("kind") =!= EdgeKind.ImpToImp)
+      .select(col("source_id").as("t_src"),
+        when(col("kind") === EdgeKind.ImpToDef, "definition")
+          .otherwise("file").as("target_kind"),
+        col("target_id"))
+    var frontier = impImp.localCheckpoint(true)
+    var resolved = frontier
+      .join(terminal, col("via") === col("t_src"))
+      .select(col("src").as("source_id"), col("target_kind"), col("target_id"))
+      .localCheckpoint(true)
+    var depth = 1
+    var continue = frontier.limit(1).count() > 0
+    while (continue && depth < maxDepth) {
+      depth += 1
+      val next = frontier
+        .join(impImp.select(col("src").as("n_src"), col("via").as("n_via")),
+          col("via") === col("n_src"))
+        .select(col("src"), col("n_via").as("via"))
+        .localCheckpoint(true)
+      continue = next.limit(1).count() > 0
+      if (continue) {
+        resolved = resolved.unionByName(
+          next.join(terminal, col("via") === col("t_src"))
+            .select(col("src").as("source_id"), col("target_kind"), col("target_id")))
+          .distinct().localCheckpoint(true)
+        frontier = next
+      }
+    }
+    resolved
+  }
+}

@@ -1,0 +1,55 @@
+package graft.extract
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** S1/S2 — repository file scan + text read.
+  *
+  * The reference enumerates repo files honoring .gitignore with a 5 MB size
+  * cutoff and binary skip (indexer/src/indexer.rs:58-72,266-321). Local
+  * driver-side walk here; on a cluster the same Dataset comes from
+  * `spark.read.format("binaryFile")` over a distributed FS — the downstream
+  * pipeline is identical either way.
+  */
+object FileScanner {
+
+  val MaxFileBytes: Long = 5L * 1000 * 1000 // reference: indexer.rs:64-72
+
+  private val ignoredDirs = Set(".git", ".hg", ".svn", "node_modules",
+    "__pycache__", "target", ".idea")
+
+  def scan(spark: SparkSession, rootDir: String,
+           repositoryName: String): Dataset[SourceFile] = {
+    import spark.implicits._
+    val root = Paths.get(rootDir).toAbsolutePath.normalize
+    val files = Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(p => p.iterator().asScala.exists(seg => ignoredDirs(seg.toString)))
+      .flatMap(p => readOne(root, p, repositoryName))
+      .toSeq
+    // distribute: extraction parallelism is per-file
+    spark.createDataset(files).repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  private def readOne(root: Path, p: Path, repo: String): Option[SourceFile] = {
+    val size = Files.size(p)
+    if (size > MaxFileBytes) return None // oversized → Skipped record
+    val bytes = Files.readAllBytes(p)
+    if (bytes.contains(0.toByte)) return None // binary → Skipped record
+    val rel = root.relativize(p).toString.replace('\\', '/')
+    val name = p.getFileName.toString
+    val ext = name.lastIndexOf('.') match {
+      case -1 => ""
+      case i => name.substring(i + 1)
+    }
+    Some(SourceFile(
+      path = rel,
+      absolutePath = p.toString,
+      repositoryName = repo,
+      name = name,
+      extension = ext,
+      language = LanguageDetect(ext),
+      content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+  }
+}

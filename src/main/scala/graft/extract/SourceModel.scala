@@ -1,0 +1,71 @@
+package graft.extract
+
+/** Per-file extraction IR (SURVEY §2.2 E1-E3).
+  *
+  * The reference's parser stage produces per-language
+  * `DefinitionInfo` / `ImportedSymbolInfo` / `ReferenceInfo` payloads
+  * (indexer/src/parsing/processor.rs:1-41, 424-706). Here one normalized
+  * schema with a `language` discriminator replaces the per-language ADTs —
+  * columnar-friendly, one extraction Dataset for all languages.
+  */
+final case class SourceFile(
+    path: String,
+    absolutePath: String,
+    repositoryName: String,
+    name: String,
+    extension: String,
+    language: String,
+    content: String)
+
+final case class RawDefinition(
+    filePath: String,
+    fqn: String,
+    name: String,
+    definitionType: String,
+    startByte: Long,
+    endByte: Long,
+    startLine: Int,
+    endLine: Int,
+    startCol: Int,
+    endCol: Int)
+
+final case class RawImport(
+    filePath: String,
+    importType: String,
+    importPath: String,
+    name: String,
+    alias: String,
+    startByte: Long,
+    endByte: Long,
+    startLine: Int,
+    endLine: Int,
+    startCol: Int,
+    endCol: Int)
+
+/** A reference site (call / attribute access) awaiting resolution. */
+final case class RawReference(
+    filePath: String,
+    name: String,
+    receiver: String, // "" for bare calls; receiver expr for x.f()
+    startByte: Long,
+    endByte: Long,
+    startLine: Int,
+    startCol: Int,
+    endCol: Int)
+
+final case class Extracted(
+    file: SourceFile,
+    definitions: Seq[RawDefinition],
+    imports: Seq[RawImport],
+    references: Seq[RawReference])
+
+/** E1 — extension → language (reference: parsing/processor.rs:183-196). */
+object LanguageDetect {
+  val byExtension: Map[String, String] = Map(
+    "py" -> "python", "rb" -> "ruby", "kt" -> "kotlin", "kts" -> "kotlin",
+    "java" -> "java", "cs" -> "csharp", "ts" -> "typescript",
+    "tsx" -> "typescript", "js" -> "javascript", "jsx" -> "javascript",
+    "rs" -> "rust")
+  def apply(extension: String): String =
+    byExtension.getOrElse(extension.toLowerCase, "unknown")
+}

@@ -1,0 +1,215 @@
+package graft.extract
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** E2 for TypeScript/JavaScript — heuristic brace-depth extractor
+  * (reference analyzer: analysis/languages/typescript.rs). Covers:
+  * class / interface / function / `const f = (..) =>` / methods inside
+  * classes; `import x from 'm'`, `import {a as b, c} from 'm'`,
+  * `import * as ns from 'm'`, side-effect `import 'm'`, `require('m')`;
+  * call references.
+  */
+object TypeScriptExtractor extends Extractor {
+  override val language = "typescript"
+
+  private val classRe: Regex =
+    """(?:export\s+)?(?:abstract\s+)?(class|interface|enum)\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r
+  private val funcRe: Regex =
+    """(?:export\s+)?(?:async\s+)?function\s*\*?\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r
+  private val arrowRe: Regex =
+    """(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][A-Za-z0-9_$]*)\s*=>""".r
+  private val methodRe: Regex =
+    """^\s*(?:public\s+|private\s+|protected\s+|static\s+|async\s+|readonly\s+)*([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?::[^{;]+)?\{""".r
+  private val importFromRe: Regex =
+    """import\s+(.+?)\s+from\s+['"]([^'"]+)['"]""".r
+  private val importBareRe: Regex = """import\s+['"]([^'"]+)['"]""".r
+  private val requireRe: Regex =
+    """(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_${}, ]*)\s*=\s*require\(\s*['"]([^'"]+)['"]\s*\)""".r
+  private val callRe: Regex =
+    """(?:([A-Za-z_$][A-Za-z0-9_$.]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
+  private val keywords = Set("if", "for", "while", "switch", "catch", "return",
+    "function", "constructor", "super", "typeof", "new", "import", "require")
+
+  override def extract(f: SourceFile): Extracted = {
+    val lines = f.content.split("\n", -1)
+    val lineStart = new Array[Long](lines.length + 1)
+    var off = 0L
+    for (i <- lines.indices) { lineStart(i) = off; off += lines(i).getBytes("UTF-8").length + 1 }
+    lineStart(lines.length) = off
+
+    val defs = ArrayBuffer[RawDefinition]()
+    val imports = ArrayBuffer[RawImport]()
+    val refs = ArrayBuffer[RawReference]()
+    // (braceDepthAtOpen, name, kind, startLine, startCol)
+    var classStack = List.empty[(Int, String, Int)]
+    var depth = 0
+
+    for (i <- lines.indices) {
+      val raw = lines(i)
+      val line = raw.indexOf("//") match { case -1 => raw; case n => raw.substring(0, n) }
+
+      def fqnOf(name: String) =
+        (classStack.reverseIterator.map(_._2).toSeq :+ name).mkString(".")
+      def add(name: String, kind: String, colNo: Int): Unit =
+        defs += RawDefinition(f.path, fqnOf(name), name, kind,
+          lineStart(i) + colNo, lineStart(i) + line.length, i, i, colNo, line.length)
+
+      var matchedDef = false
+      classRe.findFirstMatchIn(line).foreach { m =>
+        val kind = if (m.group(1) == "interface") "Interface" else "Class"
+        add(m.group(2), kind, m.start(2))
+        classStack ::= (depth, m.group(2), i)
+        matchedDef = true
+      }
+      if (!matchedDef) funcRe.findFirstMatchIn(line).foreach { m =>
+        val kind = if (classStack.nonEmpty) "Method" else "Function"
+        add(m.group(1), kind, m.start(1)); matchedDef = true
+      }
+      if (!matchedDef) arrowRe.findFirstMatchIn(line).foreach { m =>
+        add(m.group(1), if (classStack.nonEmpty) "Method" else "Function", m.start(1))
+        matchedDef = true
+      }
+      if (!matchedDef && classStack.nonEmpty)
+        methodRe.findFirstMatchIn(line).foreach { m =>
+          if (!keywords(m.group(1))) { add(m.group(1), "Method", m.start(1)); matchedDef = true }
+        }
+
+      importFromRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          val clause = m.group(1).trim
+          val module = m.group(2)
+          if (clause.startsWith("{")) {
+            clause.stripPrefix("{").stripSuffix("}").split(",").map(_.trim)
+              .filter(_.nonEmpty).foreach { item =>
+                val parts = item.split("\\s+as\\s+")
+                imports += RawImport(f.path, "named_import", module,
+                  parts(0).trim, if (parts.length > 1) parts(1).trim else null,
+                  lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
+              }
+          } else if (clause.startsWith("* as ")) {
+            imports += RawImport(f.path, "namespace_import", module,
+              "*", clause.stripPrefix("* as ").trim,
+              lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
+          } else {
+            imports += RawImport(f.path, "default_import", module,
+              clause.split(",")(0).trim, null,
+              lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
+          }
+        case None =>
+          importBareRe.findFirstMatchIn(line).foreach { m =>
+            imports += RawImport(f.path, "side_effect_import", m.group(1), "", null,
+              lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
+          }
+          requireRe.findFirstMatchIn(line).foreach { m =>
+            imports += RawImport(f.path, "require", m.group(2),
+              m.group(1).replaceAll("[{} ]", ""), null,
+              lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
+          }
+      }
+
+      if (!matchedDef && !line.trim.startsWith("import"))
+        callRe.findAllMatchIn(line).foreach { m =>
+          val name = m.group(2)
+          if (!keywords(name))
+            refs += RawReference(f.path, name, Option(m.group(1)).getOrElse(""),
+              lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
+        }
+
+      // track brace depth; pop class scopes whose block closed
+      for (c <- line) {
+        if (c == '{') depth += 1
+        else if (c == '}') {
+          depth -= 1
+          while (classStack.nonEmpty && depth <= classStack.head._1) classStack = classStack.tail
+        }
+      }
+    }
+    Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq)
+  }
+}
+
+/** E2 for Ruby — heuristic extractor (reference fixtures: ruby test-repo;
+  * analyzers analysis/languages/ruby/). Covers module/class/def nesting via
+  * `end`-balancing, `require`/`require_relative`, call references.
+  */
+object RubyExtractor extends Extractor {
+  override val language = "ruby"
+
+  private val moduleRe: Regex = """^(\s*)module\s+([A-Z][A-Za-z0-9_:]*)""".r
+  private val classRe: Regex = """^(\s*)class\s+([A-Z][A-Za-z0-9_:]*)""".r
+  private val defRe: Regex = """^(\s*)def\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!=]*)""".r
+  private val requireRe: Regex = """^\s*require(_relative)?\s+['"]([^'"]+)['"]""".r
+  private val blockOpenRe: Regex =
+    """^\s*(?:if|unless|while|until|case|begin|do)\b""".r
+  private val callRe: Regex =
+    """(?:([A-Za-z_@][A-Za-z0-9_.@]*)\.)?([a-z_][A-Za-z0-9_?!]*)\s*\(""".r
+  private val keywords = Set("if", "unless", "while", "until", "puts", "def",
+    "require", "require_relative", "attr_accessor", "attr_reader", "new")
+
+  private final case class RScope(name: String, kind: String, line: Int, col: Int)
+
+  override def extract(f: SourceFile): Extracted = {
+    val lines = f.content.split("\n", -1)
+    val lineStart = new Array[Long](lines.length + 1)
+    var off = 0L
+    for (i <- lines.indices) { lineStart(i) = off; off += lines(i).getBytes("UTF-8").length + 1 }
+    lineStart(lines.length) = off
+
+    val defs = ArrayBuffer[RawDefinition]()
+    val imports = ArrayBuffer[RawImport]()
+    val refs = ArrayBuffer[RawReference]()
+    // stack entries: Some(scope) for module/class/def, None for other `end`-blocks
+    var stack = List.empty[Option[(RScope, Long)]]
+
+    def fqn(name: String) =
+      (stack.flatten.reverseIterator.map(_._1.name).toSeq :+ name).mkString(".")
+
+    for (i <- lines.indices) {
+      val raw = lines(i)
+      val line = raw.indexOf('#') match { case -1 => raw; case n => raw.substring(0, n) }
+      val trimmed = line.trim
+
+      moduleRe.findFirstMatchIn(line) match {
+        case Some(m) =>
+          defs += RawDefinition(f.path, fqn(m.group(2)), m.group(2), "Module",
+            lineStart(i) + m.start(2), lineStart(i) + line.length, i, i, m.start(2), line.length)
+          stack ::= Some((RScope(m.group(2), "Module", i, m.start(2)), lineStart(i)))
+        case None => classRe.findFirstMatchIn(line) match {
+          case Some(m) =>
+            defs += RawDefinition(f.path, fqn(m.group(2)), m.group(2), "Class",
+              lineStart(i) + m.start(2), lineStart(i) + line.length, i, i, m.start(2), line.length)
+            stack ::= Some((RScope(m.group(2), "Class", i, m.start(2)), lineStart(i)))
+          case None => defRe.findFirstMatchIn(line) match {
+            case Some(m) =>
+              val inClass = stack.flatten.headOption.exists(s =>
+                s._1.kind == "Class" || s._1.kind == "Module")
+              val kind = if (inClass) "Method" else "Function"
+              defs += RawDefinition(f.path, fqn(m.group(3)), m.group(3), kind,
+                lineStart(i) + m.start(3), lineStart(i) + line.length, i, i, m.start(3), line.length)
+              stack ::= Some((RScope(m.group(3), kind, i, m.start(3)), lineStart(i)))
+            case None =>
+              if (blockOpenRe.findFirstIn(trimmed).isDefined &&
+                  !trimmed.contains(" end")) stack ::= None
+              requireRe.findFirstMatchIn(line).foreach { m =>
+                imports += RawImport(f.path,
+                  if (m.group(1) != null) "require_relative" else "require",
+                  m.group(2), m.group(2).split("/").last, null,
+                  lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
+              }
+              callRe.findAllMatchIn(line).foreach { m =>
+                val name = m.group(2)
+                if (!keywords(name))
+                  refs += RawReference(f.path, name, Option(m.group(1)).getOrElse(""),
+                    lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
+              }
+          }
+        }
+      }
+      if (trimmed == "end" || trimmed.startsWith("end ")) {
+        if (stack.nonEmpty) stack = stack.tail
+      }
+    }
+    Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq)
+  }
+}

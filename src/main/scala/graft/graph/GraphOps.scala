@@ -1,0 +1,97 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{EdgeKind, NodeTag}
+import graft.query.QueryLibrary
+import graft.store.GraphStore
+
+/** GraphX bridge (SURVEY §7.1 graft.graph): bulk traversals that the
+  * per-request DataFrame queries (Q8 one-node neighborhoods) don't cover —
+  * k-hop reachability over the whole graph, connected components, degree
+  * distributions, multi-hop call closure for *all* definitions at once.
+  *
+  * vertexId = (nodeTypeTag << 32) | id — per-type id spaces overlap
+  * (SURVEY §1.2), the tag disambiguates.
+  */
+object GraphOps {
+
+  private def tagOf(kindCol: org.apache.spark.sql.Column, from: Boolean) = {
+    val k = QueryLibrary.kindFromSide(kindCol, from)
+    when(k === "directory", NodeTag.Directory)
+      .when(k === "file", NodeTag.File)
+      .when(k === "definition", NodeTag.Definition)
+      .otherwise(NodeTag.ImportedSymbol)
+  }
+
+  /** Build a GraphX property graph: vertex attr = (kind, label),
+    * edge attr = (kind, relationship type).
+    */
+  def toGraph(store: GraphStore): Graph[(String, String), (String, String)] = {
+    val vertices = store.directories
+      .select((lit(NodeTag.Directory * (1L << 32)) + col("id")).as("vid"),
+        lit("directory").as("kind"), col("name").as("label"))
+      .unionByName(store.files
+        .select((lit(NodeTag.File * (1L << 32)) + col("id")).as("vid"),
+          lit("file").as("kind"), col("name").as("label")))
+      .unionByName(store.definitions
+        .select((lit(NodeTag.Definition * (1L << 32)) + col("id")).as("vid"),
+          lit("definition").as("kind"), col("fqn").as("label")))
+      .unionByName(store.importedSymbols
+        .select((lit(NodeTag.ImportedSymbol * (1L << 32)) + col("id")).as("vid"),
+          lit("imported_symbol").as("kind"), col("name").as("label")))
+      .rdd.map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val edges = store.edges
+      .select(
+        (tagOf(col("kind"), from = true) * (1L << 32) + col("source_id")).as("src"),
+        (tagOf(col("kind"), from = false) * (1L << 32) + col("target_id")).as("dst"),
+        col("kind"), col("type"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getString(2), r.getString(3))))
+    Graph(vertices, edges)
+  }
+
+  /** Vertices reachable from `start` within `maxHops` (directed), via Pregel.
+    * Returns (vertexId, hops). The Pregel superstep count is bounded by
+    * maxHops — each superstep is one join-shaped message exchange.
+    */
+  def kHopFrom(graph: Graph[(String, String), (String, String)],
+               start: VertexId, maxHops: Int): Map[VertexId, Int] = {
+    val init = graph.mapVertices((vid, _) =>
+      if (vid == start) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue, maxHops, EdgeDirection.Out)(
+      (_, attr, msg) => math.min(attr, msg),
+      triplet =>
+        if (triplet.srcAttr != Int.MaxValue && triplet.srcAttr + 1 < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue).collect().toMap
+  }
+
+  /** Undirected connected components over the whole store; returns
+    * (kind, id, component) as a DataFrame.
+    */
+  def components(spark: SparkSession, store: GraphStore): DataFrame = {
+    import spark.implicits._
+    val g = toGraph(store)
+    val cc = g.connectedComponents().vertices
+      .map { case (vid, comp) => (vid >> 32, vid & 0xffffffffL, comp) }
+      .toDF("tag", "id", "component")
+    cc
+  }
+
+  /** Degree distribution per node kind — a bulk-analytics op the reference's
+    * per-node Q8 cannot express without N queries.
+    */
+  def degreeByKind(spark: SparkSession, store: GraphStore): DataFrame = {
+    import spark.implicits._
+    val g = toGraph(store)
+    val deg = g.degrees.map { case (vid, d) => (vid >> 32, d) }
+      .toDF("tag", "degree")
+    deg.groupBy("tag").agg(count(lit(1)).as("n_nodes"),
+      max(col("degree")).as("max_degree"),
+      round(avg(col("degree")), 4).as("avg_degree"))
+      .orderBy("tag")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(d.length == 4) // docs 0 and 3 collapse
+    val dup = d.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("kept_doc_id") == 0L)
+  }
+
+  test("ngram jaccard finds near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash-LSH agrees with exact jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs share signature, near-dups are close") {
+    val sims = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(3L))
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(1L)) <= 6)
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(2L)) > 6)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("brute-force topk: nearest neighbor of a vector is its near-copy") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.05f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") === 0), vecs, "vec_id", "embedding", 2).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Double]("cosine") > 0.99)
+    // LSH with enough tables finds the same top-1 on this tiny set
+    val lsh = Similarity.annLsh(vecs, "vec_id", "embedding", dim = 3, k = 1,
+      bits = 2, tables = 8)
+      .where(col("query_id") === 0).collect()
+    assert(lsh.headOption.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint deterministic") {
+    val t = TextAnalysis.withTokenCounts(docs, "text")
+      .where(col("doc_id") === 4).head()
+    assert(t.getAs[Int]("n_ws_tokens") == 2)
+    val q = TextAnalysis.withQuality(docs, "text")
+      .where(col("doc_id") === 0).head()
+    assert(q.getAs[Double]("quality_score") > 0)
+    assert(q.getAs[Double]("alpha_ratio") <= 1.0)
+    val langs = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) == "en") // 'the', 'and', 'over' stopwords hit
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(1L))
+  }
+
+  test("multimodal: stubbed decode features are pure functions of bytes") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(feats(0L).getAs[Long]("checksum") == feats(3L).getAs[Long]("checksum"))
+    assert(feats(0L).getAs[Long]("n_bytes") ==
+      docs.where(col("doc_id") === 0).head().getAs[String]("text").length)
+    assert(feats(4L).getAs[Int]("head_byte") == 's'.toInt)
+  }
+}
