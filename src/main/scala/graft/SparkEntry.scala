@@ -26,8 +26,9 @@ object SparkEntry {
   def storeFor(spark: SparkSession, sfDir: String): GraphStore =
     stores.getOrElseUpdate(sfDir, TpchGraphAdapter(spark, sfDir).cacheAll())
 
+  private val libs = scala.collection.concurrent.TrieMap[String, QueryLibrary]()
   private def lib(spark: SparkSession, sfDir: String): QueryLibrary =
-    new QueryLibrary(storeFor(spark, sfDir))
+    libs.getOrElseUpdate(sfDir, new QueryLibrary(storeFor(spark, sfDir)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -673,7 +674,7 @@ object SparkEntry {
     // simhash near-dup pairs (banded; no SQL oracle — rows-only check)
     qNoOracle("dd_simhash_pairs") { (s, d) =>
       Dedup.simhashPairs(s.read.parquet(s"$d/documents.parquet"),
-        "doc_id", "text", maxDist = 8).orderBy("id_a", "id_b")
+        "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b")
     }
 
     // ---- dedup: embedding-cosine near-dup pairs (exact, left-fold dot)

@@ -29,11 +29,19 @@ object TextFunctions {
   /** Polynomial char fold: foldl (acc*31 + codepoint) % HashMod over the
     * string's characters. ASCII-safe cross-engine (ascii() == unicode()).
     */
-  def charFold(c: Column): Column =
-    aggregate(
-      transform(filter(split(c, ""), ch => length(ch) > 0), // split("") may emit a trailing ""
-        ch => ascii(ch).cast("long")),
-      lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
+  def charFold(c: Column): Column = charFold(c, 31L)
+
+  def charFold(c: Column, mult: Long): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => // codegen'd native expression (fast path)
+        VectorExpressions.register(s)
+        VectorExpressions.charFold(c, mult)
+      case None => // interpreted fallback, same fold
+        aggregate(
+          transform(filter(split(c, ""), ch => length(ch) > 0),
+            ch => ascii(ch).cast("long")),
+          lit(0L), (acc, x) => (acc * mult + x) % HashMod)
+    }
 
   /** Word n-gram shingles (space-joined), empty array when too short. */
   def shingles(toks: Column, n: Int): Column =
@@ -44,7 +52,12 @@ object TextFunctions {
 
   /** Distinct shingle strings of a text column. */
   def shingleSet(text: Column, n: Int = 3): Column =
-    array_distinct(shingles(tokens(text), n))
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => // one-pass native builder (fast path)
+        VectorExpressions.register(s)
+        VectorExpressions.shingleSet(text, n)
+      case None => array_distinct(shingles(tokens(text), n))
+    }
 
   /** Per-element polynomial hash of a string array. */
   def hashAll(arr: Column): Column = transform(arr, s => charFold(s))

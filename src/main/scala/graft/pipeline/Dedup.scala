@@ -34,6 +34,7 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val shd = docs.select(col(idCol).as("doc_id"),
         explode(shingleSet(col(textCol), n)).as("shingle"))
+      .cache() // referenced 4x below (sizes + both join sides)
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = shd.alias("x")
       .join(shd.alias("y"),
@@ -61,7 +62,18 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val sig = base.withColumn("mh", minhashSignature(hashAll(col("sh")), numHashes))
+      .cache() // signature input + verification join sides
+    // signature via explode + 128 min-aggregates: keeps the whole stage in
+    // codegen (a single 128-slot array<transform> expression tree trips the
+    // 64KB generated-method limit and falls back to interpretation, ~30x slower)
+    val elems = base.select(col("doc_id"), explode(hashAll(col("sh"))).as("h"))
+    val minExprs = (0 until numHashes).map { i =>
+      min((lit(coeffA(i)) * col("h") + lit(coeffB(i))) % HashMod).as(s"mh_$i")
+    }
+    val sig = elems.groupBy("doc_id")
+      .agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("mh"))
     val bandRows = sig.select(col("doc_id"),
       posexplode(bandKeys(col("mh"), bands, rowsPerBand)).as(Seq("band", "key")))
     val candidates = bandRows.alias("x")

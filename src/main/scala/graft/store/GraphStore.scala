@@ -54,7 +54,8 @@ final case class GraphStore(
   }
 
   def cacheAll(): GraphStore = {
-    Seq(directories, files, definitions, importedSymbols, edges).foreach(_.cache())
+    Seq(directories, files, definitions, importedSymbols, edges,
+      symmetrizedEdges).foreach(_.cache())
     this
   }
 
