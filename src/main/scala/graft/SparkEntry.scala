@@ -608,6 +608,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }
 
+    // ---- Q24 passthrough: full Spark SQL over the registered graph views
+    q("q24_sql_passthrough", P +
+      """SELECT d.definition_type, count(*) AS n, max(d.start_line) AS max_line
+      FROM g_defs d JOIN g_edges e ON e.kind = 'FILE_TO_DEF' AND e.target_id = d.id
+      GROUP BY d.definition_type ORDER BY d.definition_type""") { (s, d) =>
+      lib(s, d).sql(s,
+        """SELECT d.definition_type, count(*) AS n, max(d.start_line) AS max_line
+           FROM definition_nodes d
+           JOIN edges e ON e.kind = 'FILE_TO_DEF' AND e.target_id = d.id
+           GROUP BY d.definition_type ORDER BY d.definition_type""")
+    }
+
     // ================= LLM-data-pipeline operators (BASELINE.json) =========
     // DuckDB inline helpers kept in lockstep with graft.functions.TextFunctions
     val sqlToks = """list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')"""

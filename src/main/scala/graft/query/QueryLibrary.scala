@@ -343,6 +343,38 @@ final class QueryLibrary(store: GraphStore) {
       .limit(limit)
   }
 
+  // ---------------------------------------------------------------- Q16
+  /** search_codebase_definitions with file-content context
+    * (mcp search_codebase_definitions.rs:167-304): Q10 plus the ±`contextLines`
+    * lines around each hit, hydrated from a `(path, content)` table.
+    * The reference does concurrent file reads with a 10s timeout; here
+    * hydration is a join against the contents table — executor-side, no
+    * driver IO, no timeout needed.
+    */
+  def searchDefinitionsWithContext(contents: DataFrame, terms: Seq[String],
+      skip: Int = 0, limit: Int = 50, contextLines: Int = 3): DataFrame = {
+    val hits = searchDefinitions(terms, skip, limit)
+    val lines = contents.select(col("path").as("c_path"),
+      split(col("content"), "\n").as("c_lines"))
+    hits.join(lines, col("primary_file_path") === col("c_path"), "left_outer")
+      .withColumn("ctx_start", greatest(col("start_line") - contextLines, lit(0)))
+      .withColumn("context", when(col("c_lines").isNotNull, array_join(
+        slice(col("c_lines"), col("ctx_start") + 1,
+          lit(2 * contextLines + 1)), "\n")))
+      .drop("c_path", "c_lines")
+      .orderBy(col("name"), col("def_id"))
+  }
+
+  // ---------------------------------------------------------------- Q24
+  /** Dev `query` passthrough (gkg/src/commands/query.rs:12-66): the Cypher
+    * string surface is superseded by full Spark SQL over the registered
+    * node/edge views — strictly more expressive, same read-only contract.
+    */
+  def sql(spark: org.apache.spark.sql.SparkSession, text: String): DataFrame = {
+    store.registerViews(spark)
+    spark.sql(text)
+  }
+
   // ---------------------------------------------------------------- Q17/Q18
   /** `get_by` point/batch lookup — query_builder.rs:114-131. */
   def getBy(table: DataFrame, column: String, values: Seq[Any]): DataFrame =

@@ -127,6 +127,27 @@ class IndexerSpec extends SparkSpec {
     assert(lib.searchNodes("models").count() >= 2) // file node + dir-free hits
   }
 
+  test("search with file-content context hydration (Q16)") {
+    import spark.implicits._
+    val contents = graft.extract.FileScanner
+      .scan(spark, fixtureDir.toString, "fixture")
+      .map(f => (f.path, f.content)).toDF("path", "content")
+    val hits = lib.searchDefinitionsWithContext(contents, Seq("greet"))
+      .collect()
+    assert(hits.length == 1)
+    val ctx = hits.head.getAs[String]("context")
+    assert(ctx.contains("def greet"))
+    assert(ctx.contains("helper(self.name)"))
+  }
+
+  test("sql passthrough over registered views (Q24)") {
+    val n = lib.sql(spark,
+      """SELECT count(*) AS n FROM definition_nodes d
+         JOIN edges e ON e.kind = 'FILE_TO_DEF' AND e.target_id = d.id""")
+      .head().getLong(0)
+    assert(n == 8)
+  }
+
   test("store round-trips through parquet") {
     val out = Files.createTempDirectory("graft-store").toString
     store.write(out)

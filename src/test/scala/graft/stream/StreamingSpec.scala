@@ -1,0 +1,68 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+/** T1/T2 — Structured Streaming behaviors: debounced change-feed reindex via
+  * foreachBatch, and event-time windowed aggregation with a watermark (the
+  * streaming face of t1_event_window).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("change-feed stream drives foreachBatch reindex batches") {
+    val feed = Files.createTempDirectory("graft-feed").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Seq[String])]()
+    val query = IncrementalIndexer.start(spark, feed, triggerMs = 100) {
+      (batch, id) =>
+        val paths = batch.select("changed_path").collect().map(_.getString(0)).toSeq
+        if (paths.nonEmpty) seen.synchronized { seen += ((id, paths)) }
+    }
+    try {
+      Files.writeString(java.nio.file.Paths.get(feed, "b1.json"),
+        """{"changed_path":"app/a.py","change_type":"modified"}
+          |{"changed_path":"app/b.py","change_type":"deleted"}
+          |""".stripMargin)
+      query.processAllAvailable()
+      Files.writeString(java.nio.file.Paths.get(feed, "b2.json"),
+        """{"changed_path":"app/c.py","change_type":"added"}
+          |""".stripMargin)
+      query.processAllAvailable()
+    } finally query.stop()
+    val all = seen.flatMap(_._2).toSet
+    assert(all == Set("app/a.py", "app/b.py", "app/c.py"))
+    assert(seen.size == 2) // one batch per debounce window, not per file
+  }
+
+  test("watermarked tumbling window over an event stream matches batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
+        col("event_type"), col("n"), col("sum_value"))
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:10:00"), "click", 1.0),
+      (t("2024-01-01 00:40:00"), "click", 2.0),
+      (t("2024-01-01 01:10:00"), "view", 5.0),
+      (t("2024-01-01 00:20:00"), "view", 3.0))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM winagg ORDER BY win, event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 00:00:00", "view", 1L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 5.0)))
+  }
+}
