@@ -28,7 +28,14 @@ object Bench {
     Seq(st.directories, st.files, st.definitions, st.importedSymbols, st.edges,
       st.symmetrizedEdges).foreach(_.count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warmup pass (JIT + codegen + caches), mirroring the reference's
+    // hyperfine warmup=1 (gkg-benchmark-config.toml); opt out with WARM=0
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0")
+      qs0.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    val results = qs0.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.analyze.Indexer
+import graft.query.QueryLibrary
+import graft.store.GraphStore
+
+/** CLI entry points — the analog of the reference's `gkg` binary
+  * (gkg/src/cli.rs:30-60: index / query / stats, minus the HTTP server).
+  *
+  * Usage:
+  *   graft.Cli index <repoDir> <storeDir> [repoName]
+  *   graft.Cli stats <storeDir>
+  *   graft.Cli query <storeDir> <name> [args...]   (see `queries` below)
+  *   graft.Cli sql   <storeDir> <statement>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-cli")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "index" :: repoDir :: storeDir :: rest =>
+      val repo = rest.headOption.getOrElse(
+        new java.io.File(repoDir).getName)
+      val store = Indexer.indexDirectory(spark, repoDir, repo)
+      store.write(storeDir)
+      val lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
+      lib.graphStats().show(truncate = false)
+
+    case "stats" :: storeDir :: Nil =>
+      new QueryLibrary(GraphStore.read(spark, storeDir)).graphStats()
+        .show(truncate = false)
+
+    case "query" :: storeDir :: name :: rest =>
+      val lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
+      val df = (name, rest) match {
+        case ("file-definitions", path :: _) => lib.fileDefinitions(path)
+        case ("file-imports", path :: _) => lib.fileImports(path)
+        case ("search", term :: _) => lib.searchNodes(term)
+        case ("search-definitions", terms) => lib.searchDefinitions(terms)
+        case ("matches", s :: _) => lib.listMatches(s)
+        case ("references", n :: p :: _) => lib.getReferences(n, p)
+        case ("definition-relations", fqn :: _) => lib.definitionRelations(fqn)
+        case ("calls-from", fqn :: _) => lib.callsFrom(fqn)
+        case ("calls-to", fqn :: _) => lib.callsTo(fqn)
+        case ("call-closure", fqn :: _) => lib.callClosure(fqn)
+        case ("neighbors", kind :: id :: _) => lib.nodeNeighbors(kind, id.toLong)
+        case ("initial-graph", _) => lib.initialProjectGraph()
+        case ("repo-map", paths) => lib.repoMap(paths)
+        case other =>
+          throw new IllegalArgumentException(s"unknown query: $other")
+      }
+      df.show(100, truncate = false)
+
+    case "sql" :: storeDir :: statement :: Nil =>
+      new QueryLibrary(GraphStore.read(spark, storeDir))
+        .sql(spark, statement).show(100, truncate = false)
+
+    case other =>
+      System.err.println(
+        s"""unknown args: ${other.mkString(" ")}
+           |usage: index <repoDir> <storeDir> [repoName]
+           |       stats <storeDir>
+           |       query <storeDir> <name> [args...]
+           |       sql <storeDir> <statement>""".stripMargin)
+      sys.exit(2)
+  }
+}

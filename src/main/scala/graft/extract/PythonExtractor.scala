@@ -166,8 +166,11 @@ trait Extractor extends Serializable {
 }
 
 object Extractors {
-  val all: Seq[Extractor] = Seq(PythonExtractor, TypeScriptExtractor, RubyExtractor)
-  val byLanguage: Map[String, Extractor] = all.map(e => e.language -> e).toMap
+  val all: Seq[Extractor] = Seq(PythonExtractor, TypeScriptExtractor,
+    RubyExtractor, JavaExtractor, KotlinExtractor, CSharpExtractor,
+    RustExtractor, ScalaExtractor)
+  val byLanguage: Map[String, Extractor] =
+    all.map(e => e.language -> e).toMap + ("javascript" -> TypeScriptExtractor)
   def extract(f: SourceFile): Extracted =
     byLanguage.get(f.language).map(_.extract(f))
       .getOrElse(Extracted(f, Nil, Nil, Nil))

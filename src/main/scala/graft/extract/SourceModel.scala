@@ -65,7 +65,7 @@ object LanguageDetect {
     "py" -> "python", "rb" -> "ruby", "kt" -> "kotlin", "kts" -> "kotlin",
     "java" -> "java", "cs" -> "csharp", "ts" -> "typescript",
     "tsx" -> "typescript", "js" -> "javascript", "jsx" -> "javascript",
-    "rs" -> "rust")
+    "rs" -> "rust", "scala" -> "scala", "sc" -> "scala")
   def apply(extension: String): String =
     byExtension.getOrElse(extension.toLowerCase, "unknown")
 }

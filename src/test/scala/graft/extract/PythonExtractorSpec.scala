@@ -97,6 +97,88 @@ class OtherExtractorsSpec extends AnyFunSuite {
     assert(e.references.exists(_.name == "helper"))
   }
 
+  test("java: classes, interfaces, methods, imports") {
+    val f = SourceFile("A.java", "/A.java", "r", "A.java", "java", "java",
+      """import java.util.List;
+        |import static java.lang.Math.max;
+        |import com.example.util.*;
+        |public class UserService implements Service {
+        |    private final List<String> names;
+        |    public String greet(String name) {
+        |        return format(name);
+        |    }
+        |    public static UserService create() { return new UserService(); }
+        |}
+        |interface Service {
+        |    String greet(String name);
+        |}
+        |""".stripMargin)
+    val e = JavaExtractor.extract(f)
+    val fqns = e.definitions.map(d => d.fqn -> d.definitionType).toMap
+    assert(fqns("UserService") == "Class")
+    assert(fqns("UserService.greet") == "Method")
+    assert(fqns("UserService.create") == "Method")
+    assert(fqns("Service") == "Interface")
+    assert(e.imports.map(_.importType).toSet ==
+      Set("import", "static_import", "wildcard_import"))
+    assert(e.references.exists(_.name == "format"))
+  }
+
+  test("kotlin: classes, objects, functions, aliased imports") {
+    val f = SourceFile("K.kt", "/K.kt", "r", "K.kt", "kt", "kotlin",
+      """import com.example.Foo as F
+        |import com.example.bar.*
+        |data class Point(val x: Int, val y: Int) {
+        |    fun dist(): Int { return abs(x) }
+        |}
+        |object Registry {
+        |    fun lookup(k: String) = items.get(k)
+        |}
+        |fun topLevel() { }
+        |""".stripMargin)
+    val e = KotlinExtractor.extract(f)
+    val fqns = e.definitions.map(d => d.fqn -> d.definitionType).toMap
+    assert(fqns("Point") == "Class")
+    assert(fqns("Point.dist") == "Method")
+    assert(fqns("Registry") == "Class")
+    assert(fqns("Registry.lookup") == "Method")
+    assert(fqns.contains("topLevel"))
+    assert(e.imports.exists(i => i.alias == "F"))
+    assert(e.imports.exists(_.importType == "wildcard_import"))
+  }
+
+  test("csharp and rust basics") {
+    val cs = CSharpExtractor.extract(SourceFile("P.cs", "/P.cs", "r", "P.cs",
+      "cs", "csharp",
+      """using System.Collections.Generic;
+        |namespace App.Core {
+        |    public class Processor {
+        |        public int Run(int x) { return Helper(x); }
+        |    }
+        |}
+        |""".stripMargin))
+    assert(cs.definitions.map(_.fqn).toSet ==
+      Set("App.Core", "App.Core.Processor", "App.Core.Processor.Run"))
+    assert(cs.imports.head.importPath == "System.Collections.Generic")
+
+    val rs = RustExtractor.extract(SourceFile("l.rs", "/l.rs", "r", "l.rs",
+      "rs", "rust",
+      """use std::collections::HashMap;
+        |pub mod engine {
+        |    pub struct Plan { }
+        |    impl Plan {
+        |        pub fn optimize(&self) -> Plan { rewrite(self) }
+        |    }
+        |}
+        |""".stripMargin))
+    val rfqns = rs.definitions.map(d => d.fqn -> d.definitionType).toMap
+    assert(rfqns("engine") == "Module")
+    assert(rfqns("engine.Plan") == "Class")
+    assert(rfqns.contains("engine.Plan.optimize"))
+    assert(rs.imports.head.importPath == "std.collections.HashMap")
+    assert(rs.references.exists(_.name == "rewrite"))
+  }
+
   test("ruby: modules, classes, methods, requires") {
     val f = SourceFile("b.rb", "/b.rb", "r", "b.rb", "rb", "ruby",
       """require 'json'
