@@ -596,6 +596,121 @@ object SparkEntry {
         .drop("l_shipdate")
     }
 
+    // ---- as-of join (custom operator via union+window composition;
+    //      oracle = DuckDB's native ASOF JOIN)
+    q("asof_purchase_signup", """SELECT p.event_id, p.user_id,
+        s.event_id AS signup_event_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.event_id""") { (s, d) =>
+      val ev = readEvents(s, d)
+      graft.operators.AsOfJoin.backward(
+        left = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("s_event_id")),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("s_event_id" -> "signup_event_id"))
+        .select("event_id", "user_id", "signup_event_id")
+        .orderBy("event_id")
+    }
+
+    // ---- sessionization (gap > 30 min starts a new session)
+    q("t2_sessionize", """WITH e AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), s AS (
+        SELECT user_id, ts, event_id, value,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM e
+      )
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      readEvents(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(wCum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }
+
+    // ---- rollup (grouping-set family; beyond the reference's surface)
+    q("agg_rollup", """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+
+    // ---- ranking window: top-3 line items per supplier by price
+    q("window_rank_topn", """SELECT * FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          CAST(dense_rank() OVER (PARTITION BY l_suppkey
+            ORDER BY l_extendedprice DESC) AS INT) AS rnk
+        FROM lineitem WHERE l_suppkey < 10) t
+      WHERE rnk <= 3
+      ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc)
+      s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_suppkey") < 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), dense_rank().over(w).as("rnk"))
+        .where(col("rnk") <= 3)
+        .orderBy("l_suppkey", "rnk", "l_orderkey", "l_linenumber")
+    }
+
+    // ---- semi/anti joins (EXISTS / NOT EXISTS)
+    q("join_anti_customers", """SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000)
+      ORDER BY c_custkey""") { (s, d) =>
+      s.read.parquet(s"$d/customer.parquet")
+        .join(s.read.parquet(s"$d/orders.parquet")
+            .where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }
+
+    q("join_semi_parts", """SELECT p_partkey, p_name FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+                    AND l_quantity >= 49)
+      ORDER BY p_partkey""") { (s, d) =>
+      s.read.parquet(s"$d/part.parquet")
+        .join(s.read.parquet(s"$d/lineitem.parquet").where(col("l_quantity") >= 49),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    }
+
+    // ---- HLL sketch vs exact (approx has no cross-engine oracle: rows-only)
+    qNoOracle("agg_approx_distinct") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }
+
     // ---- exact distinct counts (Q22 family over raw fact table)
     q("distinct_counts", """SELECT l_returnflag,
         count(DISTINCT l_suppkey) AS n_supp,

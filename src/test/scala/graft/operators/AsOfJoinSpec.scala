@@ -1,0 +1,40 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of picks latest right row at or before left ts, per key") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, t("2024-01-01 10:00:05"), "T1"),
+      (1L, t("2024-01-01 10:00:30"), "T2"),
+      (2L, t("2024-01-01 10:00:10"), "T3"),
+      (2L, t("2024-01-01 09:59:00"), "T4") // before any quote → dropped (inner)
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100.0),
+      (1L, t("2024-01-01 10:00:30"), 101.0), // equal ts → matches T2
+      (2L, t("2024-01-01 10:00:00"), 200.0)
+    ).toDF("k", "qts", "px")
+    val out = AsOfJoin.backward(trades, quotes, "k", "ts", "qts",
+      Seq("px" -> "px", "qts" -> "qts"))
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("T1" -> 100.0, "T2" -> 101.0, "T3" -> 200.0))
+  }
+
+  test("outer variant keeps unmatched left rows with null") {
+    import spark.implicits._
+    val l = Seq((1L, t("2024-01-01 00:00:00"), "a")).toDF("k", "ts", "v")
+    val r = Seq((1L, t("2024-01-02 00:00:00"), 9.0)).toDF("k", "rts", "px")
+    val out = AsOfJoin.backward(l, r, "k", "ts", "rts",
+      Seq("px" -> "px"), inner = false).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("px")))
+  }
+}
