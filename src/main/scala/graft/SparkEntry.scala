@@ -26,6 +26,14 @@ object SparkEntry {
   def storeFor(spark: SparkSession, sfDir: String): GraphStore =
     stores.getOrElseUpdate(sfDir, TpchGraphAdapter(spark, sfDir).cacheAll())
 
+  private val graphs = scala.collection.concurrent.TrieMap[
+    String, org.apache.spark.graphx.Graph[(String, String), (String, String)]]()
+  private def graphFor(spark: SparkSession, sfDir: String) =
+    graphs.getOrElseUpdate(sfDir, {
+      val g = graft.graph.GraphOps.toGraph(storeFor(spark, sfDir))
+      g.cache(); g
+    })
+
   private val libs = scala.collection.concurrent.TrieMap[String, QueryLibrary]()
   private def lib(spark: SparkSession, sfDir: String): QueryLibrary =
     libs.getOrElseUpdate(sfDir, new QueryLibrary(storeFor(spark, sfDir)))
@@ -723,6 +731,28 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }
 
+    // ---- 2-hop motif pattern (generalizes the 1-hop library queries)
+    q("q25_two_hop_motif", P +
+      """SELECT DISTINCT e1.source_id AS a, e1.type AS t1, e1.target_id AS b,
+        e2.type AS t2, e2.target_id AS c
+      FROM g_edges e1
+      JOIN g_edges e2 ON e1.target_id = e2.source_id
+      WHERE e1.kind = 'DEF_TO_DEF' AND e1.type = 'CALLS'
+        AND e2.kind = 'DEF_TO_DEF' AND e2.type = 'AMBIGUOUSLY_CALLS'
+      ORDER BY a, b, c, t1, t2
+      LIMIT 1000""") { (s, d) =>
+      lib(s, d).twoHopMotif("DEF_TO_DEF", Seq("CALLS"),
+        "DEF_TO_DEF", Seq("AMBIGUOUSLY_CALLS"))
+    }
+
+    // ---- GraphX bulk analytics (iterative float ranks: rows-only checks)
+    qNoOracle("g_pagerank_top") { (s, d) =>
+      graft.graph.GraphOps.pageRankOf(graphFor(s, d), s, iters = 5).limit(20)
+    }
+    qNoOracle("g_degree_by_kind") { (s, d) =>
+      graft.graph.GraphOps.degreeByKindOf(graphFor(s, d), s)
+    }
+
     // ---- Q24 passthrough: full Spark SQL over the registered graph views
     q("q24_sql_passthrough", P +
       """SELECT d.definition_type, count(*) AS n, max(d.start_line) AS max_line
@@ -798,8 +828,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
-    // simhash near-dup pairs (banded; no SQL oracle — rows-only check)
-    qNoOracle("dd_simhash_pairs") { (s, d) =>
+    // simhash near-dup pairs: banded LSH + verify. With maxDist=3 and 4
+    // bands the pigeonhole guarantee makes recall exactly 1, so the
+    // brute-force SQL answer is a true oracle.
+    q("dd_simhash_pairs", docPrelude +
+      s""", th AS (SELECT doc_id, ${sqlCharFold("tok")} AS h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d_toks) u
+      ), votes AS (
+        SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, LATERAL (SELECT unnest(generate_series(0, 29)) AS i) g
+        GROUP BY doc_id, i
+      ), sim AS (
+        SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY id_a, id_b""") { (s, d) =>
       Dedup.simhashPairs(s.read.parquet(s"$d/documents.parquet"),
         "doc_id", "text", maxDist = 3).orderBy("id_a", "id_b")
     }

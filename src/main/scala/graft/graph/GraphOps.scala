@@ -81,12 +81,33 @@ object GraphOps {
     cc
   }
 
+  /** PageRank over the whole graph (bulk analytics beyond the reference's
+    * per-node queries): importance of definitions by incoming call mass.
+    * Returns (kind, id, rank) sorted descending.
+    */
+  def pageRank(spark: SparkSession, store: GraphStore,
+               iters: Int = 10, resetProb: Double = 0.15): DataFrame =
+    pageRankOf(toGraph(store), spark, iters, resetProb)
+
+  def pageRankOf(g: Graph[(String, String), (String, String)],
+                 spark: SparkSession, iters: Int = 10,
+                 resetProb: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    g.staticPageRank(iters, resetProb).vertices
+      .map { case (vid, r) => (vid >> 32, vid & 0xffffffffL, r) }
+      .toDF("tag", "id", "rank")
+      .orderBy(col("rank").desc, col("tag"), col("id"))
+  }
+
   /** Degree distribution per node kind — a bulk-analytics op the reference's
     * per-node Q8 cannot express without N queries.
     */
-  def degreeByKind(spark: SparkSession, store: GraphStore): DataFrame = {
+  def degreeByKind(spark: SparkSession, store: GraphStore): DataFrame =
+    degreeByKindOf(toGraph(store), spark)
+
+  def degreeByKindOf(g: Graph[(String, String), (String, String)],
+                     spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val g = toGraph(store)
     val deg = g.degrees.map { case (vid, d) => (vid >> 32, d) }
       .toDF("tag", "degree")
     deg.groupBy("tag").agg(count(lit(1)).as("n_nodes"),

@@ -343,6 +343,27 @@ final class QueryLibrary(store: GraphStore) {
       .limit(limit)
   }
 
+  /** 2-hop motif: (a)-[e1]->(b)-[e2]->(c) with per-hop kind/type filters —
+    * the pattern-match generalization of the 1-hop library queries (the
+    * reference's Cypher could express this; its library never does).
+    * One self-join of the edge table on b; distinct + total order + limit.
+    */
+  def twoHopMotif(kind1: String, types1: Seq[String],
+                  kind2: String, types2: Seq[String],
+                  limit: Int = 1000): DataFrame = {
+    val e1 = edges.where(col("kind") === kind1 && col("type").isin(types1: _*))
+      .select(col("source_id").as("a"), col("target_id").as("b"),
+        col("type").as("t1"))
+    val e2 = edges.where(col("kind") === kind2 && col("type").isin(types2: _*))
+      .select(col("source_id").as("b2"), col("target_id").as("c"),
+        col("type").as("t2"))
+    e1.join(e2, col("b") === col("b2")).drop("b2")
+      .select(col("a"), col("t1"), col("b"), col("t2"), col("c"))
+      .distinct()
+      .orderBy(col("a"), col("b"), col("c"), col("t1"), col("t2"))
+      .limit(limit)
+  }
+
   // ---------------------------------------------------------------- Q16
   /** search_codebase_definitions with file-content context
     * (mcp search_codebase_definitions.rs:167-304): Q10 plus the ±`contextLines`

@@ -79,6 +79,46 @@ final case class GraphStore(
 
 object GraphStore {
 
+  /** Bucketed write for co-located joins at scale: node tables bucketed by
+    * `id`, edges bucketed by `source_id`, so node-edge-node joins read
+    * pre-shuffled buckets and skip the exchange entirely. Requires a
+    * catalog (saveAsTable); `db` is created if missing. Bucket count should
+    * be sized so each bucket is 100-500 MB at the target scale.
+    */
+  def writeBucketed(spark: SparkSession, store: GraphStore, db: String,
+                    buckets: Int): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // a fresh (in-memory) catalog may not know a table whose files survive
+    // from a previous session; drop + purge the location before writing
+    def fresh(df: DataFrame, name: String, bucketCol: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+      val loc = spark.sql(s"DESCRIBE DATABASE $db")
+        .where(col("info_name") === "Location")
+        .select("info_value").head().getString(0).stripPrefix("file:")
+      deleteRecursively(new java.io.File(s"$loc/$name"))
+      df.write.mode("overwrite")
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(s"$db.$name")
+    }
+    fresh(store.directories, "directory_nodes", "id")
+    fresh(store.files, "file_nodes", "id")
+    fresh(store.definitions, "definition_nodes", "id")
+    fresh(store.importedSymbols, "imported_symbol_nodes", "id")
+    fresh(store.edges, "edges", "source_id")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  def readBucketed(spark: SparkSession, db: String): GraphStore = GraphStore(
+    directories = spark.table(s"$db.directory_nodes"),
+    files = spark.table(s"$db.file_nodes"),
+    definitions = spark.table(s"$db.definition_nodes"),
+    importedSymbols = spark.table(s"$db.imported_symbol_nodes"),
+    edges = spark.table(s"$db.edges"))
+
   /** Read a store previously written with [[GraphStore.write]]. */
   def read(spark: SparkSession, dir: String): GraphStore = GraphStore(
     directories = spark.read.schema(Schemas.directoryNodes).parquet(s"$dir/directory_nodes"),

@@ -93,6 +93,27 @@ object IncrementalIndexer {
       edges = deleted.edges.unionByName(fresh.edges))
   }
 
+  /** M3 at scale — persist a reindex batch by rewriting ONLY the partitions
+    * of the changed files, via dynamic partition overwrite. Tables are laid
+    * out partitioned by a stable bucket of the owning file path
+    * (`fbucket = charFold(file) % nBuckets`), so a batch touching k files
+    * rewrites at most k buckets, not the whole table — the scalable
+    * replacement for the reference's DETACH DELETE + MAX(id)+1 re-insert
+    * (mutation/changes.rs:57-192).
+    */
+  def overwriteChangedPartitions(spark: org.apache.spark.sql.SparkSession,
+      fresh: GraphStore, dir: String, nBuckets: Int = 256): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    def bucketed(df: DataFrame, fileCol: String) = df.withColumn("fbucket",
+      pmod(graft.functions.TextFunctions.charFold(col(fileCol)), lit(nBuckets)))
+    bucketed(fresh.definitions, "primary_file_path")
+      .write.mode("overwrite").partitionBy("fbucket")
+      .parquet(s"$dir/definition_nodes_bucketed")
+    bucketed(fresh.importedSymbols, "file_path")
+      .write.mode("overwrite").partitionBy("fbucket")
+      .parquet(s"$dir/imported_symbol_nodes_bucketed")
+  }
+
   /** T1/T2 — continuous reindex loop: a file-source stream of change records
     * (json lines with changed_path/change_type), debounced by the trigger
     * interval, applied per micro-batch via `onBatch`. The caller's `onBatch`

@@ -1,0 +1,86 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Scale-path mechanics: bucketed co-located joins and dynamic-partition
+  * overwrite for incremental persistence (SCALE.md).
+  */
+class StoreScaleSpec extends SparkSpec {
+
+  private lazy val store = {
+    import spark.implicits._
+    // small synthetic store: 100 defs across 10 files, def->def call edges
+    val defs = (0L until 100L).map(i => (i, s"Def$i", s"Def$i", "Function",
+      s"f${i % 10}.py", i * 10, i * 10 + 9, i.toInt, i.toInt + 1, 0, 10, 1))
+      .toDF("id", "fqn", "name", "definition_type", "primary_file_path",
+        "primary_start_byte", "primary_end_byte", "start_line", "end_line",
+        "start_col", "end_col", "total_locations")
+    val edges = (0L until 99L).map(i => ("DEF_TO_DEF", "CALLS", i, i + 1,
+      None: Option[Long], None: Option[Long], None: Option[Int],
+      None: Option[Int], None: Option[Int], None: Option[Int]))
+      .toDF("kind", "type", "source_id", "target_id", "source_start_byte",
+        "source_end_byte", "source_start_line", "source_end_line",
+        "source_start_col", "source_end_col")
+    val empty = GraphStore.empty(spark)
+    empty.copy(definitions = defs, edges = edges,
+      files = (0 until 10).map(i => (i.toLong, s"f$i.py", s"/f$i.py",
+        "python", "r", "py", s"f$i.py"))
+        .toDF("id", "path", "absolute_path", "language", "repository_name",
+          "extension", "name"))
+  }
+
+  test("bucketed store joins node-edge without a shuffle exchange") {
+    GraphStore.writeBucketed(spark, store, "graft_test_db", buckets = 4)
+    val b = GraphStore.readBucketed(spark, "graft_test_db")
+    val joined = b.definitions.join(b.edges,
+      b.definitions("id") === b.edges("source_id"))
+    assert(joined.count() == 99)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("dynamic partition overwrite rewrites only changed file buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
+    val nBuckets = 16
+    // initial full write
+    graft.stream.IncrementalIndexer.overwriteChangedPartitions(
+      spark, store, dir, nBuckets)
+    val before = spark.read.parquet(s"$dir/definition_nodes_bucketed")
+    assert(before.count() == 100)
+    // "reindex" of a single file: defs of f3.py get new names
+    val fresh = store.copy(definitions = store.definitions
+      .where(col("primary_file_path") === "f3.py")
+      .withColumn("name", concat(col("name"), lit("_v2"))))
+    graft.stream.IncrementalIndexer.overwriteChangedPartitions(
+      spark, fresh, dir, nBuckets)
+    val after = spark.read.parquet(s"$dir/definition_nodes_bucketed")
+    // expectation derived with the same bucketing rule the writer uses
+    val changedBuckets = store.definitions
+      .where(col("primary_file_path") === "f3.py")
+      .select(pmod(graft.functions.TextFunctions.charFold(
+        col("primary_file_path")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val expected = store.definitions
+      .withColumn("b", pmod(graft.functions.TextFunctions.charFold(
+        col("primary_file_path")), lit(nBuckets)))
+      .where(!col("b").isin(changedBuckets.toSeq: _*))
+      .select("fqn").collect().map(_.getString(0)).toSet ++
+      fresh.definitions.select("fqn").collect().map(_.getString(0)).toSet
+    val got = after.select("fqn").collect().map(_.getString(0)).toSet
+    assert(got == expected)
+    // the changed file's defs carry the new names
+    assert(after.where(col("primary_file_path") === "f3.py" &&
+      col("name").endsWith("_v2")).count() == 10)
+  }
+
+  test("pagerank: module hubs rank above leaves") {
+    val pr = graft.graph.GraphOps.pageRank(spark, store, iters = 8).collect()
+    assert(pr.nonEmpty)
+    // chain 0->1->...->99: rank grows along the chain; tail ranks highest
+    val defRanks = pr.filter(_.getLong(0) == graft.model.NodeTag.Definition)
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(defRanks(99L) > defRanks(0L))
+  }
+}
