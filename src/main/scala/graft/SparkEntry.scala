@@ -753,6 +753,18 @@ object SparkEntry {
       graft.graph.GraphOps.degreeByKindOf(graphFor(s, d), s)
     }
 
+    // ---- full indexing pipeline (S1-S2, E1-E3, A1-A10) on a deterministic
+    //      synthetic Python tree; rows-only (no TESTDATA-relational oracle)
+    qNoOracle("p_index_pipeline") { (s, _) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-gate-tree")
+      graft.extract.SyntheticTree.generate(root, 200)
+      val store = graft.analyze.Indexer.indexDirectory(s, root.toString, "gate")
+      store.definitions
+        .select("id", "fqn", "name", "definition_type", "primary_file_path",
+          "start_line", "end_line")
+        .orderBy("id")
+    }
+
     // ---- Q24 passthrough: full Spark SQL over the registered graph views
     q("q24_sql_passthrough", P +
       """SELECT d.definition_type, count(*) AS n, max(d.start_line) AS max_line
