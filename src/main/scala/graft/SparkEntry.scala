@@ -710,6 +710,18 @@ object SparkEntry {
         .select("p_partkey", "p_name").orderBy("p_partkey")
     }
 
+    // ---- exact percentiles (interpolated median/p90 over integral values)
+    q("agg_percentiles", """SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
+        .orderBy("l_returnflag")
+    }
+
     // ---- HLL sketch vs exact (approx has no cross-engine oracle: rows-only)
     qNoOracle("agg_approx_distinct") { (s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
