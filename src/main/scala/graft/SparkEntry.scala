@@ -111,7 +111,9 @@ object SparkEntry {
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral `div`, not `/`: double division at epoch-nanos magnitude
+      // (ulp 256ns) can round across a microsecond boundary
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   // small driver-side point lookups for path parameters (bounded: one row)

@@ -59,9 +59,25 @@ object Analyzer {
 
   /** A3 — definition dedup by (fqn, file_path)
     * (reference: analysis/mod.rs:96, map keyed by (fqn, file_path)).
+    * Deterministic: keeps the minimum (start_byte-ordered) location as
+    * primary and counts merged duplicates — dropDuplicates would keep an
+    * arbitrary row and violate the oracle-replayability contract.
+    * Expects raw-extraction column names (filePath, startByte, ...).
     */
-  def dedupDefinitions(defs: DataFrame): DataFrame =
-    defs.dropDuplicates("fqn", "primary_file_path")
+  def dedupDefinitions(rawDefs: DataFrame): DataFrame =
+    rawDefs
+      .groupBy(col("fqn"), col("filePath"))
+      .agg(min(struct(col("startByte"), col("endByte"), col("startLine"),
+        col("endLine"), col("startCol"), col("endCol"), col("name"),
+        col("definitionType"))).as("p"),
+        count(lit(1)).cast("int").as("total_locations"))
+      .select(col("fqn"), col("filePath").as("primary_file_path"),
+        col("p.name").as("name"), col("p.definitionType").as("definition_type"),
+        col("p.startByte").as("primary_start_byte"),
+        col("p.endByte").as("primary_end_byte"),
+        col("p.startLine").as("start_line"), col("p.endLine").as("end_line"),
+        col("p.startCol").as("start_col"), col("p.endCol").as("end_col"),
+        col("total_locations"))
 
   /** A5 — parent-child definition linking via FQN equi-join (reference:
     * analysis/mod.rs:510-556): child's parent FQN (everything before the last

@@ -55,19 +55,7 @@ object Indexer {
       col("extension"), col("name"))
 
     // ---- A3: definition dedup by (fqn, file) + total_locations ---------
-    val dedupedDefs = rawDefs
-      .groupBy(col("fqn"), col("filePath"))
-      .agg(min(struct(col("startByte"), col("endByte"), col("startLine"),
-        col("endLine"), col("startCol"), col("endCol"), col("name"),
-        col("definitionType"))).as("p"),
-        count(lit(1)).cast("int").as("total_locations"))
-      .select(col("fqn"), col("filePath").as("primary_file_path"),
-        col("p.name").as("name"), col("p.definitionType").as("definition_type"),
-        col("p.startByte").as("primary_start_byte"),
-        col("p.endByte").as("primary_end_byte"),
-        col("p.startLine").as("start_line"), col("p.endLine").as("end_line"),
-        col("p.startCol").as("start_col"), col("p.endCol").as("end_col"),
-        col("total_locations"))
+    val dedupedDefs = Analyzer.dedupDefinitions(rawDefs)
     val defNodes = Analyzer.assignIds(dedupedDefs,
       Seq("primary_file_path", "primary_start_byte", "fqn"))
     val definitions = defNodes.select(col("id"), col("fqn"), col("name"),

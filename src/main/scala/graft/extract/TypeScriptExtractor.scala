@@ -189,7 +189,8 @@ object RubyExtractor extends Extractor {
                 lineStart(i) + m.start(3), lineStart(i) + line.length, i, i, m.start(3), line.length)
               stack ::= Some((RScope(m.group(3), kind, i, m.start(3)), lineStart(i)))
             case None =>
-              if (blockOpenRe.findFirstIn(trimmed).isDefined &&
+              val trailingDo = trimmed.matches(""".*\bdo\s*(\|[^|]*\|)?\s*$""")
+              if ((blockOpenRe.findFirstIn(trimmed).isDefined || trailingDo) &&
                   !trimmed.contains(" end")) stack ::= None
               requireRe.findFirstMatchIn(line).foreach { m =>
                 imports += RawImport(f.path,

@@ -70,15 +70,10 @@ object TextFunctions {
   def coeffA(i: Int): Long = ((2654435761L % HashMod) * (2L * i + 1)) % HashMod
   def coeffB(i: Int): Long = (1779033703L * (i + 1)) % HashMod
 
-  /** MinHash signature (array of `numHashes` longs) over a long-array column
-    * of element hashes. Each signature slot is one scan of the element list
-    * (codegen'd transform+array_min; no shuffle).
-    */
-  def minhashSignature(elemHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(elemHashes,
-        x => (lit(coeffA(i)) * x + lit(coeffB(i))) % HashMod))
-    }: _*)
+  // NOTE: the signature itself is computed in Dedup.minhashLshPairs as
+  // explode + per-slot min-aggregates (a single `numHashes`-slot array
+  // expression trips the 64KB codegen limit); coeffA/coeffB here are the
+  // single source of the hash family.
 
   /** LSH band keys: split the signature into `bands` bands of
     * `signatureLen / bands` rows each; key = comma-joined slice.

@@ -30,22 +30,23 @@ object GraphOps {
     */
   def toGraph(store: GraphStore): Graph[(String, String), (String, String)] = {
     val vertices = store.directories
-      .select((lit(NodeTag.Directory * (1L << 32)) + col("id")).as("vid"),
+      .select(NodeTag.vertexIdCol(NodeTag.Directory, col("id")).as("vid"),
         lit("directory").as("kind"), col("name").as("label"))
       .unionByName(store.files
-        .select((lit(NodeTag.File * (1L << 32)) + col("id")).as("vid"),
+        .select(NodeTag.vertexIdCol(NodeTag.File, col("id")).as("vid"),
           lit("file").as("kind"), col("name").as("label")))
       .unionByName(store.definitions
-        .select((lit(NodeTag.Definition * (1L << 32)) + col("id")).as("vid"),
+        .select(NodeTag.vertexIdCol(NodeTag.Definition, col("id")).as("vid"),
           lit("definition").as("kind"), col("fqn").as("label")))
       .unionByName(store.importedSymbols
-        .select((lit(NodeTag.ImportedSymbol * (1L << 32)) + col("id")).as("vid"),
+        .select(NodeTag.vertexIdCol(NodeTag.ImportedSymbol, col("id")).as("vid"),
           lit("imported_symbol").as("kind"), col("name").as("label")))
       .rdd.map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    // same packing, tag chosen per edge side by kind
     val edges = store.edges
       .select(
-        (tagOf(col("kind"), from = true) * (1L << 32) + col("source_id")).as("src"),
-        (tagOf(col("kind"), from = false) * (1L << 32) + col("target_id")).as("dst"),
+        (tagOf(col("kind"), from = true) * lit(1L << 32) + col("source_id")).as("src"),
+        (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("dst"),
         col("kind"), col("type"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getString(2), r.getString(3))))
     Graph(vertices, edges)

@@ -106,6 +106,12 @@ object NodeTag {
   val Definition = 3L
   val ImportedSymbol = 4L
   def vertexId(tag: Long, id: Long): Long = (tag << 32) | id
+
+  /** Column form of [[vertexId]] (ids are dense non-negative longs < 2^32,
+    * so `tag*2^32 + id` ≡ `(tag << 32) | id`).
+    */
+  def vertexIdCol(tag: Long, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(tag << 32) + id
 }
 
 /** Fine-grained relationship types — reference:

@@ -149,6 +149,7 @@ object Dedup {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0) // zero vectors: cosine undefined (NaN sorts high)
     v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
       .withColumn("cos",
         Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))

@@ -40,6 +40,7 @@ object Similarity {
     def prep(df: DataFrame, p: String) = df
       .select(col(idCol).as(p + "id"), col(vecCol).cast("array<double>").as(p + "vec"))
       .withColumn(p + "nrm", sqrt(dot(col(p + "vec"), col(p + "vec"))))
+      .where(col(p + "nrm") > 0) // zero vectors: NaN cosine would rank first
     val q = prep(queries, "q_")
     val c = prep(corpus, "c_")
     val scored = q.join(c, col("q_id") =!= col("c_id"))
@@ -83,6 +84,7 @@ object Similarity {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0) // zero vectors: NaN cosine would rank first
     val buckets = (0 until tables).map { t =>
       v.select(col("vid"), col("vec"), col("nrm"),
         lit(t).as("tbl"), lshBucket(col("vec"), dim, bits, t).as("bucket"))

@@ -161,13 +161,20 @@ final class QueryLibrary(store: GraphStore) {
       EdgeKind.DefToDef -> 200, EdgeKind.DefToImp -> 50,
       EdgeKind.ImpToImp -> 50, EdgeKind.ImpToDef -> 50,
       EdgeKind.ImpToFile -> 50)
-    sections.map { case (kind, k) =>
-      val e = edges.where(col("kind") === kind)
-        .select(col("kind"), col("type"), col("source_id"), col("target_id"))
-        .orderBy(col("source_id"), col("target_id"), col("type"))
-        .limit(k)
-      labelEndpoints(e)
-    }.reduce(_.unionByName(_)).distinct()
+    // one windowed pass instead of 9 separate top-k scans of the edge table;
+    // identical row set (per-kind ORDER BY + LIMIT as in library.rs:495-526)
+    val perKindLimit = sections.tail.foldLeft(
+      when(col("kind") === sections.head._1, sections.head._2)) {
+      case (acc, (k, n)) => acc.when(col("kind") === k, n)
+    }
+    val w = Window.partitionBy(col("kind"))
+      .orderBy(col("source_id"), col("target_id"), col("type"))
+    val sec = edges
+      .select(col("kind"), col("type"), col("source_id"), col("target_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perKindLimit)
+      .drop("rn")
+    labelEndpoints(sec).distinct()
       .orderBy(col("kind"), col("source_id"), col("target_id"), col("rel_type"))
   }
 
@@ -409,8 +416,6 @@ final class QueryLibrary(store: GraphStore) {
   def detachDeleteDefinitions(column: String, values: Seq[Any]): GraphStore = {
     val doomed = defs.where(col(column).isin(values: _*)).select(col("id").as("xid"))
     val keptDefs = defs.join(broadcast(doomed), col("id") === col("xid"), "left_anti")
-    val defKinds = Seq(EdgeKind.FileToDef, EdgeKind.DefToDef, EdgeKind.DefToImp,
-      EdgeKind.ImpToDef)
     val srcIsDef = col("kind").isin(EdgeKind.DefToDef, EdgeKind.DefToImp)
     val dstIsDef = col("kind").isin(EdgeKind.FileToDef, EdgeKind.DefToDef,
       EdgeKind.ImpToDef)

@@ -79,18 +79,36 @@ object IncrementalIndexer {
   }
 
   /** M3 — apply a reindex batch: delete the changed files' subgraph, then
-    * union in the freshly analyzed replacement store (built by re-running the
+    * merge in the freshly analyzed replacement store (built by re-running the
     * extract/analyze pipeline on just those files).
+    *
+    * The surviving store and the fresh store carry unrelated dense-id
+    * spaces (the fresh one starts at 0), so a plain union would collide
+    * ids; [[graft.analyze.IdRemapper.rebuild]] merges on natural keys and
+    * assigns one new id space, remapping all edges.
     */
   def applyReindexBatch(store: GraphStore, changedPaths: DataFrame,
                         fresh: GraphStore): GraphStore = {
     val deleted = applyCascadingDeletes(store, changedPaths)
-    GraphStore(
-      directories = deleted.directories.unionByName(fresh.directories).distinct(),
-      files = deleted.files.unionByName(fresh.files),
-      definitions = deleted.definitions.unionByName(fresh.definitions),
-      importedSymbols = deleted.importedSymbols.unionByName(fresh.importedSymbols),
-      edges = deleted.edges.unionByName(fresh.edges))
+    // Cross-file edges (import resolution, IMP_TO_*) depend on files OUTSIDE
+    // the changed set — a fresh per-file analysis can't see resolution
+    // targets in unchanged files, and unchanged imports may now resolve into
+    // the changed file. Drop the whole family and recompute it over the
+    // merged node tables (a deterministic function of them; same joins the
+    // full index runs — A6 is cheap relative to parsing).
+    val crossFileKinds = Seq(EdgeKind.ImpToImp, EdgeKind.ImpToDef, EdgeKind.ImpToFile)
+    def dropCrossFile(s: GraphStore) =
+      s.copy(edges = s.edges.where(!col("kind").isin(crossFileKinds: _*)))
+    val merged = graft.analyze.IdRemapper.rebuild(
+      Seq(dropCrossFile(deleted), dropCrossFile(fresh)))
+    val nulls = Seq("source_start_byte", "source_end_byte").map(c =>
+      lit(null).cast("long").as(c)) ++
+      Seq("source_start_line", "source_end_line", "source_start_col",
+        "source_end_col").map(c => lit(null).cast("int").as(c))
+    val importEdges = graft.analyze.PythonResolver.resolveImports(
+        merged.importedSymbols, merged.files, merged.definitions)
+      .select(col("*") +: nulls: _*)
+    merged.copy(edges = merged.edges.unionByName(importEdges))
   }
 
   /** M3 at scale — persist a reindex batch by rewriting ONLY the partitions

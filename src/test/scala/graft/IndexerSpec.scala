@@ -179,6 +179,24 @@ class IndexerSpec extends SparkSpec {
     val merged = IncrementalIndexer.applyReindexBatch(store, changed, fresh)
     assert(merged.files.count() == 4)
     assert(merged.definitions.where(col("fqn") === "auth").count() == 1)
+    // id spaces must be rebuilt, not collided: ids dense + unique per table
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsOf(merged.files) == (0L until 4L))
+    assert(idsOf(merged.definitions) == (0L until merged.definitions.count()))
+    assert(idsOf(merged.importedSymbols) ==
+      (0L until merged.importedSymbols.count()))
+    // edges remapped through natural keys: id-joined queries still correct
+    val mlib = new graft.query.QueryLibrary(merged)
+    val mdefs = mlib.fileDefinitions("app/services.py").collect()
+    assert(mdefs.map(_.getAs[String]("fqn")).toSeq == Seq("auth"))
+    assert(mlib.fileDefinitions("app/models.py").count() == 6)
+    // same total edge census as a from-scratch index of the same tree
+    val full = Indexer.indexDirectory(spark, fixtureDir.toString, "fixture")
+    assert(merged.edges.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      full.edges.groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   test("graphx bridge: khop + degrees") {
