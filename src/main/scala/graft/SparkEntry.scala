@@ -729,7 +729,7 @@ object SparkEntry {
       s.read.parquet(s"$d/lineitem.parquet")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
         .orderBy("l_returnflag")
     }
 

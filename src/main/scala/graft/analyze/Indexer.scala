@@ -42,13 +42,13 @@ object Indexer {
     // ---- A2: directory hierarchy --------------------------------------
     val dirPaths = Analyzer.deriveDirectories(fileMeta)
     val dirNodes = Analyzer.assignIds(dirPaths.select("path", "parent_path", "name"),
-      Seq("path"))
+      Seq("path")).localCheckpoint(true) // reused by several edge branches
     val repoName = lit(files.head(1).headOption.map(_.repositoryName).getOrElse("repo"))
     val directories = dirNodes.select(col("id"), col("path"),
       col("path").as("absolute_path"), repoName.as("repository_name"), col("name"))
 
     // ---- file nodes ----------------------------------------------------
-    val fileNodes = Analyzer.assignIds(fileMeta, Seq("path"))
+    val fileNodes = Analyzer.assignIds(fileMeta, Seq("path")).localCheckpoint(true)
     val filesDf = fileNodes.select(col("id"), col("path"),
       col("absolutePath").as("absolute_path"), col("language"),
       col("repositoryName").as("repository_name"),
@@ -57,7 +57,7 @@ object Indexer {
     // ---- A3: definition dedup by (fqn, file) + total_locations ---------
     val dedupedDefs = Analyzer.dedupDefinitions(rawDefs)
     val defNodes = Analyzer.assignIds(dedupedDefs,
-      Seq("primary_file_path", "primary_start_byte", "fqn"))
+      Seq("primary_file_path", "primary_start_byte", "fqn")).localCheckpoint(true)
     val definitions = defNodes.select(col("id"), col("fqn"), col("name"),
       col("definition_type"), col("primary_file_path"),
       col("primary_start_byte"), col("primary_end_byte"),
@@ -67,7 +67,7 @@ object Indexer {
     // ---- A4: imported symbols ------------------------------------------
     val impNodes = Analyzer.assignIds(
       rawImps.dropDuplicates("filePath", "startByte", "name"),
-      Seq("filePath", "startByte", "name"))
+      Seq("filePath", "startByte", "name")).localCheckpoint(true)
     val importedSymbols = impNodes.select(col("id"),
       col("importType").as("import_type"), col("importPath").as("import_path"),
       col("name"), col("alias"), col("filePath").as("file_path"),
