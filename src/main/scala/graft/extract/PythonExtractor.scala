@@ -60,10 +60,15 @@ object PythonExtractor extends Extractor {
     }
 
     var lastContent = 0 // last non-blank, non-comment line index
+    var tq: String = null // active triple-quote (docstring) delimiter
     for (i <- lines.indices) {
       val line = lines(i)
       val trimmed = line.trim
-      val isBlank = trimmed.isEmpty || trimmed.startsWith("#")
+      val wasInDocstring = tq != null
+      tq = advanceTripleQuote(line, tq)
+      // docstring body lines are neither defs nor refs, and must not close
+      // indentation scopes
+      val isBlank = trimmed.isEmpty || trimmed.startsWith("#") || wasInDocstring
       if (!isBlank) {
         val indent = line.indexWhere(c => c != ' ' && c != '\t') match {
           case -1 => 0
@@ -100,6 +105,21 @@ object PythonExtractor extends Extractor {
     }
     stack.foreach(close(_, lastContent))
     Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq)
+  }
+
+  /** Track '''/\"\"\" string state across lines (both delimiters, same-line
+    * open+close pairs handled).
+    */
+  private def advanceTripleQuote(line: String, state: String): String = {
+    var s = state
+    var i = 0
+    while (i <= line.length - 3) {
+      val three = line.substring(i, i + 3)
+      if (s == null && (three == "\"\"\"" || three == "'''")) { s = three; i += 3 }
+      else if (s != null && three == s) { s = null; i += 3 }
+      else i += 1
+    }
+    s
   }
 
   private def isContinuation(trimmed: String): Boolean =

@@ -55,6 +55,22 @@ class PythonExtractorSpec extends AnyFunSuite {
     assert(e.imports.size == 8)
   }
 
+  test("docstrings do not produce phantom defs/refs or close scopes") {
+    val e = PythonExtractor.extract(file(
+      """class A:
+        |    def f(self):
+        |        '''Example:
+        |            def fake(): pass
+        |            call_me(now)
+        |        '''
+        |        return real_call(1)
+        |    def g(self):
+        |        pass
+        |""".stripMargin))
+    assert(e.definitions.map(_.fqn).toSet == Set("A", "A.f", "A.g"))
+    assert(e.references.map(_.name).toSet == Set("real_call"))
+  }
+
   test("lambda definitions and dedent scoping") {
     val e = PythonExtractor.extract(file(
       """square = lambda x: x * x
