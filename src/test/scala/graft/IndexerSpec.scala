@@ -127,6 +127,34 @@ class IndexerSpec extends SparkSpec {
     assert(lib.searchNodes("models").count() >= 2) // file node + dir-free hits
   }
 
+  test("neighborhood, relations, go-to-definition over the code store") {
+    val userId = store.definitions.where(col("fqn") === "User").head().getLong(0)
+    // Q8: undirected neighborhood of the User class definition
+    val nbrs = lib.nodeNeighbors("definition", userId).collect()
+    val labels = nbrs.map(_.getAs[String]("neighbor_label")).toSet
+    assert(labels.contains("User.__init__")) // nesting out-edges
+    assert(labels.contains("User.greet"))
+    assert(labels.contains("models.py")) // reversed FILE_TO_DEF
+    // Q3: undirected 1-hop relations of User
+    val rels = lib.definitionRelations("User").collect()
+    assert(rels.map(_.getAs[String]("rel_type")).toSet.contains("CLASS_TO_METHOD"))
+    // Q7: whole-project exploration graph is non-empty and labeled
+    val ig = lib.initialProjectGraph().collect()
+    assert(ig.length > 10)
+    assert(ig.forall(r => r.getAs[String]("src_label") != null))
+    // Q15: go-to-definition at the helper(...) call site inside User.greet
+    val call = store.edges
+      .where(col("kind") === graft.model.EdgeKind.DefToDef &&
+        col("type") === graft.model.RelType.Calls)
+      .join(store.definitions.where(col("fqn") === "helper")
+        .select(col("id").as("tid")), col("target_id") === col("tid"))
+      .head()
+    val hit = lib.definitionAt("app/models.py",
+      call.getAs[Int]("source_start_line"),
+      call.getAs[Int]("source_start_col")).collect()
+    assert(hit.map(_.getAs[String]("target_label")).contains("helper"))
+  }
+
   test("search with file-content context hydration (Q16)") {
     import spark.implicits._
     val contents = graft.extract.FileScanner
