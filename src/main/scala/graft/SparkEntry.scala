@@ -913,6 +913,13 @@ object SparkEntry {
         "vec_id", "embedding", dim = 64, k = 5).orderBy("query_id", "rank")
     }
 
+    // IVF ANN (coarse-quantized cells, nprobe probing; no oracle — recall < 1)
+    qNoOracle("ann_ivf_topk") { (s, d) =>
+      Similarity.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", k = 5, queryFilter = col("vid") < 10)
+        .orderBy("query_id", "rank")
+    }
+
     // ---- text analysis: token counting
     q("td_token_counts", """SELECT doc_id,
         CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS INT) AS n_ws_tokens,

@@ -54,6 +54,78 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate NN — the other classic scale path:
+    * k-means-style coarse quantization into `nlist` cells, queries probe the
+    * `nprobe` nearest cells only. Deterministic: centroids seeded from the
+    * first `nlist` vectors by id, refined with `lloydIters` assignment/mean
+    * rounds — all DataFrame ops (broadcast centroid table, explode/avg for
+    * the mean), no RNG. At 100 TB the cell index is the partition key: the
+    * candidate join shuffles on cell id and touches nprobe/nlist of the data.
+    */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+              queryFilter: Column = lit(true)): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val v = embs.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0)
+      .cache()
+
+    def centroidDf(rows: Seq[(Int, Seq[Double])]) =
+      broadcast(rows.toDF("cid", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<double>")))
+
+    // seed: first nlist vectors in id order (deterministic)
+    var centroids = centroidDf(
+      v.orderBy("vid").limit(nlist).collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](r.fieldIndex("vec")))
+      })
+
+    def assign(c: DataFrame): DataFrame = {
+      val scored = v.join(c,
+          lit(true), "cross")
+        .withColumn("d", dot(col("vec"), col("cvec")) / col("nrm"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("vid"), col("cid"), col("vec"), col("nrm"))
+    }
+
+    // Lloyd refinement: new centroid = per-dimension mean of its members
+    (1 to lloydIters).foreach { _ =>
+      val assigned = assign(centroids)
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("parts"))
+        .select(col("cid"), expr("transform(parts, p -> p.m)").as("cvec"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      centroids = centroidDf(means.toSeq)
+    }
+
+    val index = assign(centroids).cache()
+
+    // probe: nprobe best cells per query, exact cosine within them
+    val queries = v.where(queryFilter)
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val probes = queries.join(centroids, lit(true), "cross")
+      .withColumn("d", dot(col("q_vec"), col("cvec")) / col("q_nrm"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cid"))
+    val probed = probes.withColumn("rk", row_number().over(wp))
+      .where(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cid"))
+    val cand = probed.join(index, "cid")
+      .where(col("vid") =!= col("q_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm")))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vid"))
+    cand.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("vid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * a fixed LCG expansion in [-0.5, 0.5). No runtime randomness — signatures
     * are reproducible across runs and engines.

@@ -69,6 +69,19 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.headOption.map(_.getAs[Long]("neighbor_id")).contains(1L))
   }
 
+  test("ivf ann recalls the brute-force top-1 on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 10), embs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", k = 1,
+        nlist = 16, nprobe = 6, queryFilter = col("vid") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf.keySet == brute.keySet)
+    val recall = brute.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(recall >= 7, s"IVF top-1 recall too low: $recall/10 ($ivf vs $brute)")
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint deterministic") {
     val t = TextAnalysis.withTokenCounts(docs, "text")
       .where(col("doc_id") === 4).head()
