@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the bench box has 128 GiB; a small heap makes the 63-query bench run
+  // evict and recompute its cached stores (round-1 full run was ~4x slower
+  // than the same queries run in isolation)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 63 bench queries x 2 passes generate thousands of whole-stage-codegen
+  // classes; the 240MB default code cache fills mid-run and the JIT shuts
+  // off, making late queries run interpreted (~4x slower)
+  "-XX:ReservedCodeCacheSize=1g",
+)
+// surface JIT shutoff instead of silently degrading
+javaOptions ++= Seq(
+  "-XX:+UseCodeCacheFlushing",
 )

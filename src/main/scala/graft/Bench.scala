@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: restrict to these query names (local profiling loop;
+    // the driver invokes with no args = full run)
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,17 +26,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorExpressions.register(spark)
 
-    // warm: build + materialize the graph-store caches once
+    // warm: build + materialize the graph-store and GraphX caches once —
+    // these are the long-lived serving state (the reference's analog: the
+    // Kuzu DB stays open across queries)
     val st = SparkEntry.storeFor(spark, sfDir)
     Seq(st.directories, st.files, st.definitions, st.importedSymbols, st.edges,
       st.symmetrizedEdges).foreach(_.count())
+    SparkEntry.warmGraph(spark, sfDir)
+    // every RDD cached from here on is a per-query intermediate (e.g. the
+    // dedup operators' candidate caches); drop them after each query so 63
+    // queries' worth never accumulates into storage-eviction thrash
+    val permanent = spark.sparkContext.getPersistentRDDs.keySet
 
     // noop sink forces full materialization (a global count() would let
     // Catalyst prune the projected columns and eliminate the final sort —
     // the benchmark would measure less work than the query does)
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!permanent(id)) rdd.unpersist(blocking = false)
+      }
+    }
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     // warmup pass (JIT + codegen + caches), mirroring the reference's
     // hyperfine warmup=1 (gkg-benchmark-config.toml); opt out with WARM=0
     if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0")
@@ -45,10 +60,14 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the whole line ~1.7KB: the driver captures
+    // only the tail of stdout, and round 1's full-precision line (~3.7KB)
+    // overflowed that window and failed to parse.
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
