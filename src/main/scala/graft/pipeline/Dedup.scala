@@ -136,8 +136,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         bit_count(expr("x.simhash").bitwiseXOR(expr("y.simhash"))).as("dist"))
-      .distinct()
+      // verify BEFORE dedup: bit_count is a codegen'd map-side filter, so the
+      // distinct only shuffles surviving pairs (~1% of banded candidates on
+      // near-dup-dense corpora), not every bucket collision
       .where(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (threshold on exact cosine).

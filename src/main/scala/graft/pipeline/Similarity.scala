@@ -161,15 +161,16 @@ object Similarity {
       v.select(col("vid"), col("vec"), col("nrm"),
         lit(t).as("tbl"), lshBucket(col("vec"), dim, bits, t).as("bucket"))
     }.reduce(_.unionByName(_))
-    val cand = buckets.alias("a").join(buckets.alias("b"),
+    // score before dedup: the cosine is map-side codegen over the bucket
+    // join output, so the dropDuplicates shuffle carries (ids, cosine) rows
+    // instead of both 64-dim vectors (~15x narrower)
+    val scored = buckets.alias("a").join(buckets.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vid") =!= col("b.vid"))
-      .select(col("a.vid").as("query_id"), col("a.vec").as("q_vec"),
-        col("a.nrm").as("q_nrm"), col("b.vid").as("neighbor_id"),
-        col("b.vec").as("c_vec"), col("b.nrm").as("c_nrm"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("cosine",
-      dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -88,7 +88,10 @@ final class QueryLibrary(store: GraphStore) {
     val sym = store.symmetrizedEdges
       .where(col("kind") === EdgeKind.DefToDef ||
         (col("kind") === EdgeKind.DefToImp && col("dir") === "out"))
-    val hits = sym.join(broadcast(src), col("source_id") === col("src_id"))
+    // hits = the 1-hop fan-out of ONE definition — bounded and tiny, so it
+    // broadcasts into the node-table joins (no shuffle of defs/imps)
+    val hits = broadcast(
+      sym.join(broadcast(src), col("source_id") === col("src_id")))
     val toDefs = hits.where(col("kind") === EdgeKind.DefToDef)
       .join(defs.alias("d"), col("target_id") === col("d.id"))
       .select(col("type").as("rel_type"), col("dir"),
@@ -161,20 +164,18 @@ final class QueryLibrary(store: GraphStore) {
       EdgeKind.DefToDef -> 200, EdgeKind.DefToImp -> 50,
       EdgeKind.ImpToImp -> 50, EdgeKind.ImpToDef -> 50,
       EdgeKind.ImpToFile -> 50)
-    // one windowed pass instead of 9 separate top-k scans of the edge table;
-    // identical row set (per-kind ORDER BY + LIMIT as in library.rs:495-526)
-    val perKindLimit = sections.tail.foldLeft(
-      when(col("kind") === sections.head._1, sections.head._2)) {
-      case (acc, (k, n)) => acc.when(col("kind") === k, n)
-    }
-    val w = Window.partitionBy(col("kind"))
-      .orderBy(col("source_id"), col("target_id"), col("type"))
-    val sec = edges
-      .select(col("kind"), col("type"), col("source_id"), col("target_id"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= perKindLimit)
-      .drop("rn")
-    labelEndpoints(sec).distinct()
+    // 9 per-kind orderBy+limit sections (as in library.rs:495-526): Catalyst
+    // plans each as TakeOrderedAndProject — a parallel partial top-k per
+    // partition + tiny driver merge. (A single row_number window over
+    // partitionBy(kind) computes the same rows but funnels each kind through
+    // ONE reducer — the 600k-edge DEF_TO_IMP kind sorts single-threaded.)
+    val sec = sections.map { case (k, n) =>
+      edges.where(col("kind") === k)
+        .select(col("kind"), col("type"), col("source_id"), col("target_id"))
+        .orderBy(col("source_id"), col("target_id"), col("type"))
+        .limit(n)
+    }.reduce(_.unionByName(_))
+    labelEndpoints(broadcast(sec)).distinct()
       .orderBy(col("kind"), col("source_id"), col("target_id"), col("rel_type"))
   }
 
@@ -504,10 +505,14 @@ final class QueryLibrary(store: GraphStore) {
     var growing = true
     while (growing && hop < maxHops) {
       hop += 1
+      // broadcast the frontier + seen sets: the cached edge table stays
+      // un-shuffled every hop (map-side hash joins). The frontier of a
+      // single-source closure is bounded by the reachable set; for whole-
+      // graph closures use GraphOps.kHopFrom (Pregel) instead.
       val next = callDefEdges
-        .join(frontier, col("source_id") === col("node_id"))
+        .join(broadcast(frontier), col("source_id") === col("node_id"))
         .select(col("target_id").as("node_id")).distinct()
-        .join(reached.select(col("node_id").as("seen")),
+        .join(broadcast(reached.select(col("node_id").as("seen"))),
           col("node_id") === col("seen"), "left_anti")
         .localCheckpoint(true)
       growing = next.limit(1).count() > 0
