@@ -634,6 +634,49 @@ object SparkEntry {
         .orderBy("event_id")
     }
 
+    // ---- time-range (interval) join: clicks within 30 min before each
+    //      purchase (bucketed equi-join, never a nested loop)
+    q("op_range_join", """SELECT p.event_id, count(*) AS n_clicks,
+        max(c.event_id) AS last_click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      GROUP BY p.event_id ORDER BY p.event_id""") { (s, d) =>
+      val ev = readEvents(s, d)
+      graft.operators.RangeJoin.backwardWindow(
+        left = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("click_id")),
+        leftKey = "user_id", rightKey = "c_user",
+        leftTs = "ts", rightTs = "c_ts",
+        windowMicros = 1800000000L)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_clicks"), max(col("click_id")).as("last_click_id"))
+        .orderBy("event_id")
+    }
+
+    // ---- skew-salted join: same rows as a plain inner join, partitioned by
+    //      (key, salt) — oracle is the unsalted relational answer
+    q("join_salted_skew", """SELECT o_orderpriority,
+        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        count(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+      graft.operators.SaltedJoin.innerSalted(
+        left = s.read.parquet(s"$d/lineitem.parquet"),
+        right = s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderpriority"),
+        leftKey = "l_orderkey", rightKey = "o_orderkey",
+        saltBuckets = 8, saltOn = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }
+
     // ---- sessionization (gap > 30 min starts a new session)
     q("t2_sessionize", """WITH e AS (
         SELECT user_id, ts, event_id, value,
@@ -732,12 +775,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }
 
-    // ---- HLL sketch vs exact (approx has no cross-engine oracle: rows-only)
-    qNoOracle("agg_approx_distinct") { (s, d) =>
+    // ---- HLL sketch, oracle-checked as an error bound: the sketch estimate
+    // itself has no cross-engine twin, but |approx - exact| <= 15% of exact
+    // (3x the requested rsd; HLL is deterministic for fixed input) is a
+    // value-level claim DuckDB can assert as a constant-true column.
+    q("agg_approx_distinct", """SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts, true AS approx_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+        .withColumn("approx_ok",
+          abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15)
+        .select("l_returnflag", "exact_parts", "approx_ok")
         .orderBy("l_returnflag")
     }
 
@@ -767,11 +819,66 @@ object SparkEntry {
         "DEF_TO_DEF", Seq("AMBIGUOUSLY_CALLS"))
     }
 
-    // ---- GraphX bulk analytics (iterative float ranks: rows-only checks)
-    qNoOracle("g_pagerank_top") { (s, d) =>
-      graft.graph.GraphOps.pageRankOf(graphFor(s, d), s, iters = 5).limit(20)
+    // ---- GraphX bulk analytics, oracle-checked relationally: the (kind →
+    // endpoint-tag) VALUES table mirrors GraphOps.tagOf / NodeTag
+    val kmTagSql = """km2(kind, stag, dtag) AS (VALUES
+      ('DIR_TO_DIR', 1, 1), ('DIR_TO_FILE', 1, 2),
+      ('FILE_TO_DEF', 2, 3), ('FILE_TO_IMP', 2, 4),
+      ('DEF_TO_DEF', 3, 3), ('DEF_TO_IMP', 3, 4),
+      ('IMP_TO_IMP', 4, 4), ('IMP_TO_DEF', 4, 3), ('IMP_TO_FILE', 4, 2))"""
+
+    // staticPageRank(5, 0.15) unrolled: rank_0 = 1.0; rank_{k+1}(v) =
+    // 0.15 + 0.85 * Σ_{(u,v)∈E} rank_k(u)/outdeg(u). Ranks rounded to 6
+    // decimals on BOTH sides before the ORDER BY so float summation-order
+    // noise cannot flip the top-20 membership or order.
+    val prIterSql = (1 to 5).map { k =>
+      s"""pr$k AS (SELECT v.vid, 0.15 + 0.85 * COALESCE(m.s, 0) AS rank
+         FROM pv v LEFT JOIN (
+           SELECT pw.dst, sum(r.rank * pw.w) AS s
+           FROM pw JOIN pr${k - 1} r ON pw.src = r.vid GROUP BY pw.dst
+         ) m ON v.vid = m.dst)"""
+    }.mkString(",\n      ")
+    q("g_pagerank_top", P +
+      s""", $kmTagSql,
+      pv AS (
+        SELECT CAST(1 AS BIGINT) * 4294967296 + id AS vid FROM g_dirs
+        UNION ALL SELECT CAST(2 AS BIGINT) * 4294967296 + id FROM g_files
+        UNION ALL SELECT CAST(3 AS BIGINT) * 4294967296 + id FROM g_defs
+        UNION ALL SELECT CAST(4 AS BIGINT) * 4294967296 + id FROM g_imps
+      ),
+      pe AS (SELECT CAST(km2.stag AS BIGINT) * 4294967296 + e.source_id AS src,
+                    CAST(km2.dtag AS BIGINT) * 4294967296 + e.target_id AS dst
+             FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      od AS (SELECT src, count(*) AS odeg FROM pe GROUP BY src),
+      pw AS (SELECT pe.src, pe.dst, 1.0 / od.odeg AS w
+             FROM pe JOIN od ON pe.src = od.src),
+      pr0 AS (SELECT vid, 1.0 AS rank FROM pv),
+      $prIterSql
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id,
+             round(rank, 6) AS rank
+      FROM pr5 ORDER BY rank DESC, tag, id LIMIT 20""") { (s, d) =>
+      graft.graph.GraphOps.pageRankDf(graphFor(s, d), s, iters = 5)
+        .select(col("tag"), col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("tag"), col("id"))
+        .limit(20)
     }
-    qNoOracle("g_degree_by_kind") { (s, d) =>
+
+    // degree distribution per node kind (GraphX degrees == per-endpoint
+    // incidence counts of the edge table)
+    q("g_degree_by_kind", P +
+      s""", $kmTagSql,
+      inc AS (
+        SELECT km2.stag AS tag, e.source_id AS vid
+        FROM g_edges e JOIN km2 ON e.kind = km2.kind
+        UNION ALL
+        SELECT km2.dtag, e.target_id FROM g_edges e JOIN km2 ON e.kind = km2.kind
+      ),
+      dg AS (SELECT tag, vid, count(*) AS degree FROM inc GROUP BY tag, vid)
+      SELECT CAST(tag AS BIGINT) AS tag, count(*) AS n_nodes,
+        CAST(max(degree) AS INT) AS max_degree,
+        round(avg(degree), 4) AS avg_degree
+      FROM dg GROUP BY tag ORDER BY tag""") { (s, d) =>
       graft.graph.GraphOps.degreeByKindOf(graphFor(s, d), s)
     }
 
@@ -990,6 +1097,41 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }
+
+    // ---- deterministic hash sampling (reproducible across runs + engines)
+    val idFold = sqlCharFold("CAST(doc_id AS VARCHAR)")
+    q("samp_hash_pct",
+      s"""SELECT doc_id, lang FROM documents
+      WHERE $idFold % 100 < 10 ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Sampling.hashPercent(
+        s.read.parquet(s"$d/documents.parquet"), col("doc_id"), 10)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }
+
+    q("samp_stratified",
+      s"""SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY $idFold, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 20 ORDER BY lang, doc_id""") { (s, d) =>
+      graft.pipeline.Sampling.stratifiedTopK(
+        s.read.parquet(s"$d/documents.parquet"), col("lang"), col("doc_id"), 20)
+        .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }
+
+    // ---- embedding int8 quantization (exploded to scalar rows: integer-
+    //      exact cross-engine compare, no float-array hashing)
+    q("emb_quantize_int8", s"""$vnSql,
+      qv AS (SELECT vec_id,
+        list_transform(vec, x -> CAST(round(x / nrm * 127) AS INT)) AS q
+        FROM vn WHERE nrm > 0)
+      SELECT vec_id, CAST(i - 1 AS INT) AS dim, q[i] AS qval
+      FROM qv, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) g
+      ORDER BY vec_id, dim""") { (s, d) =>
+      graft.pipeline.Embeddings.quantizeInt8(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding")
+        .orderBy("vec_id", "dim")
     }
 
     // ---- multimodal: binary payload plumbing + stubbed decode features

@@ -92,12 +92,21 @@ object GraphOps {
 
   def pageRankOf(g: Graph[(String, String), (String, String)],
                  spark: SparkSession, iters: Int = 10,
+                 resetProb: Double = 0.15): DataFrame =
+    pageRankDf(g, spark, iters, resetProb)
+      .orderBy(col("rank").desc, col("tag"), col("id"))
+
+  /** Unordered (tag, id, rank) pagerank result — callers pick the sort.
+    * Gate queries order by a *rounded* rank so the float summation-order
+    * noise (~1e-15) can never flip the cross-engine comparison.
+    */
+  def pageRankDf(g: Graph[(String, String), (String, String)],
+                 spark: SparkSession, iters: Int = 10,
                  resetProb: Double = 0.15): DataFrame = {
     import spark.implicits._
     g.staticPageRank(iters, resetProb).vertices
       .map { case (vid, r) => (vid >> 32, vid & 0xffffffffL, r) }
       .toDF("tag", "id", "rank")
-      .orderBy(col("rank").desc, col("tag"), col("id"))
   }
 
   /** Degree distribution per node kind — a bulk-analytics op the reference's

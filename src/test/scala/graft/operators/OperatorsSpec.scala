@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.pipeline.{Embeddings, Sampling}
+
+/** Unit coverage for the scale-path operators: bucketed range join,
+  * skew-salted join, deterministic sampling, embedding quantization.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("RangeJoin.backwardWindow matches rows within the trailing window, " +
+    "inclusive bounds, across bucket boundaries") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 01:00:00")),
+      (2L, 10L, ts("2024-01-01 02:00:00")),
+      (3L, 20L, ts("2024-01-01 01:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:30:00")), // 30 min before L1: in (boundary)
+      (101L, 10L, ts("2024-01-01 00:59:59")), // 1s before L1: in, crosses bucket
+      (102L, 10L, ts("2024-01-01 01:00:00")), // equal ts: in (inclusive)
+      (103L, 10L, ts("2024-01-01 01:45:00")), // 15 min before L2: in
+      (104L, 10L, ts("2024-01-01 00:29:59")), // 30m01s before L1: out
+      (105L, 20L, ts("2024-01-01 01:00:01")), // after L3: out
+      (106L, 99L, ts("2024-01-01 01:00:00")) // wrong key: out
+    ).toDF("click_id", "c_user", "c_ts")
+    val got = RangeJoin.backwardWindow(left, right,
+        "user_id", "c_user", "ts", "c_ts", windowMicros = 1800000000L)
+      .select("event_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L), (1L, 101L), (1L, 102L), (2L, 103L)))
+  }
+
+  test("SaltedJoin.innerSalted returns exactly the unsalted inner-join rows") {
+    val left = (1 to 200).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
+    val right = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "z")).toDF("rk", "tag")
+    val plain = left.join(right, $"k" === $"rk")
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = SaltedJoin.innerSalted(left, right, "k", "rk",
+        saltBuckets = 5, saltOn = $"v")
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("Sampling is deterministic and respects stratum bounds") {
+    val docs = (1 to 300).map(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
+    val s1 = Sampling.hashPercent(docs, $"id", 10).as[(Long, String)].collect().toSet
+    val s2 = Sampling.hashPercent(docs, $"id", 10).as[(Long, String)].collect().toSet
+    assert(s1 === s2)
+    assert(s1.nonEmpty && s1.size < 100) // ~10% of 300, loose bound
+    // percent=100 keeps everything, percent=0 nothing
+    assert(Sampling.hashPercent(docs, $"id", 100).count() === 300)
+    assert(Sampling.hashPercent(docs, $"id", 0).count() === 0)
+
+    val st = Sampling.stratifiedTopK(docs, $"lang", $"id", 7)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(st === Map("lang0" -> 7L, "lang1" -> 7L, "lang2" -> 7L))
+    val st1 = Sampling.stratifiedTopK(docs, $"lang", $"id", 7)
+      .as[(Long, String)].collect().toSet
+    val st2 = Sampling.stratifiedTopK(docs, $"lang", $"id", 7)
+      .as[(Long, String)].collect().toSet
+    assert(st1 === st2)
+  }
+
+  test("Embeddings: l2Normalize yields unit vectors, quantizeInt8 stays in " +
+    "[-127,127], zero vectors dropped") {
+    val embs = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f)) // zero vector: dropped
+    ).toDF("vec_id", "embedding")
+    val unit = Embeddings.l2Normalize(embs, "vec_id", "embedding")
+      .select($"vec_id", aggregate(transform($"unit", x => x * x),
+        lit(0.0), (a, x) => a + x).as("sq"))
+      .as[(Long, Double)].collect().toMap
+    assert(unit.keySet === Set(1L, 2L))
+    unit.values.foreach(sq => assert(math.abs(sq - 1.0) < 1e-9))
+
+    val qv = Embeddings.quantizeInt8(embs, "vec_id", "embedding")
+      .as[(Long, Int, Int)].collect()
+    assert(qv.map(_._1).toSet === Set(1L, 2L))
+    qv.foreach { case (_, _, q) => assert(q >= -127 && q <= 127) }
+    // (3,4)/5*127 = (76.2, 101.6) -> (76, 102)
+    val v1 = qv.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(v1 === Seq(76, 102))
+    val v2 = qv.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(v2 === Seq(-127, 0))
+  }
+}
