@@ -37,6 +37,42 @@ class StreamingSpec extends SparkSpec {
     assert(seen.size == 2) // one batch per debounce window, not per file
   }
 
+  test("flatMapGroupsWithState sessionization: gap closes + watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value").as[SessionEvent]
+    val sessions = StreamingSessionize.sessions(events,
+      gapMs = 30 * 60 * 1000L, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 10 two events 10 min apart (one session), user 20 one
+      input.addData(
+        (10L, t("2024-01-01 00:00:00"), 1.0),
+        (10L, t("2024-01-01 00:10:00"), 2.0),
+        (20L, t("2024-01-01 00:05:00"), 7.0))
+      q.processAllAvailable()
+      // batch 2: user 10 again after a 50-min gap -> closes session 1 now
+      input.addData((10L, t("2024-01-01 01:00:00"), 4.0))
+      q.processAllAvailable()
+      // batch 3: far-future event pushes the watermark past every
+      // lastTs + gap -> remaining open sessions time out and emit
+      input.addData((99L, t("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql(
+        "SELECT user_id, session_start, n_events, sum_value FROM sess " +
+        "ORDER BY user_id, session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (10L, "2024-01-01 00:00:00.0", 2L, 3.0),
+      (10L, "2024-01-01 01:00:00.0", 1L, 4.0),
+      (20L, "2024-01-01 00:05:00.0", 1L, 7.0)))
+    // user 99's session is still open (watermark hasn't passed it): not emitted
+  }
+
   test("watermarked tumbling window over an event stream matches batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
