@@ -1,18 +1,24 @@
 package graft
 import org.apache.spark.sql.functions._
+
+/** Dump formatted physical plans for gate queries (plan-shape audit: check
+  * pushdown, broadcast choices, exchange reuse, codegen coverage).
+  *
+  * Usage: runMain graft.ExplainAudit [queryName...]  (default: a spot set)
+  */
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(8, "explain")
-    val d = "/root/testdata/sf0.01"
-    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    graft.functions.VectorExpressions.register(spark)
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("s5_scan_pushdown", "join_revenue_by_nation",
+        "q04_file_definitions", "dd_minhash_lsh")
+    names.foreach { name =>
       println(s"===== $name")
-      println(df.queryExecution.explainString(
+      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
-    dump("s5_scan_pushdown", SparkEntry.queries("s5_scan_pushdown")(spark, d))
-    dump("join_revenue", SparkEntry.queries("join_revenue_by_nation")(spark, d))
-    dump("q04_file_definitions", SparkEntry.queries("q04_file_definitions")(spark, d))
-    dump("dd_minhash", SparkEntry.queries("dd_minhash_lsh")(spark, d))
     spark.stop()
   }
 }

@@ -127,10 +127,14 @@ object Dedup {
       struct(lit(b).as("band"),
         (shiftright(col("simhash"), lo) % (1L << width)).as("key"))
     }
+    // cache: the self-join's probe and broadcast sides would otherwise EACH
+    // recompute the token-explode + signature aggregation (a broadcast
+    // exchange can't reuse a shuffle exchange, so nothing is shared)
     val bands = sim.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
