@@ -864,6 +864,28 @@ object SparkEntry {
         .limit(20)
     }
 
+    // Pregel k-hop reachability over the full typed graph (directed, all
+    // edge kinds), oracle = recursive CTE over (tag<<32 | id)-packed ids
+    q("g_khop_from", P.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", $kmTagSql,
+      pe AS (SELECT CAST(km2.stag AS BIGINT) * 4294967296 + e.source_id AS src,
+                    CAST(km2.dtag AS BIGINT) * 4294967296 + e.target_id AS dst
+             FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      reach(vid, hops) AS (
+        SELECT CAST(3 AS BIGINT) * 4294967296 + 42, 0
+        UNION ALL
+        SELECT pe.dst, r.hops + 1 FROM reach r
+        JOIN pe ON pe.src = r.vid WHERE r.hops < 3
+      ),
+      m AS (SELECT vid, min(hops) AS hops FROM reach GROUP BY vid)
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id, CAST(hops AS INT) AS hops
+      FROM m ORDER BY hops, tag, id""") { (s, d) =>
+      graft.graph.GraphOps.kHopDf(graphFor(s, d), s,
+        start = (3L << 32) + 42L, maxHops = 3)
+        .orderBy("hops", "tag", "id")
+    }
+
     // degree distribution per node kind (GraphX degrees == per-endpoint
     // incidence counts of the edge table)
     q("g_degree_by_kind", P +

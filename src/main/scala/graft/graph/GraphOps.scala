@@ -57,17 +57,34 @@ object GraphOps {
     * maxHops — each superstep is one join-shaped message exchange.
     */
   def kHopFrom(graph: Graph[(String, String), (String, String)],
-               start: VertexId, maxHops: Int): Map[VertexId, Int] = {
+               start: VertexId, maxHops: Int): Map[VertexId, Int] =
+    kHopVertices(graph, start, maxHops).filter(_._2 != Int.MaxValue)
+      .collect().toMap
+
+  private def kHopVertices(graph: Graph[(String, String), (String, String)],
+      start: VertexId, maxHops: Int) = {
     val init = graph.mapVertices((vid, _) =>
       if (vid == start) 0 else Int.MaxValue)
-    val res = init.pregel(Int.MaxValue, maxHops, EdgeDirection.Out)(
+    init.pregel(Int.MaxValue, maxHops, EdgeDirection.Out)(
       (_, attr, msg) => math.min(attr, msg),
       triplet =>
         if (triplet.srcAttr != Int.MaxValue && triplet.srcAttr + 1 < triplet.dstAttr)
           Iterator((triplet.dstId, triplet.srcAttr + 1))
         else Iterator.empty,
-      (a, b) => math.min(a, b))
-    res.vertices.filter(_._2 != Int.MaxValue).collect().toMap
+      (a, b) => math.min(a, b)).vertices
+  }
+
+  /** Distributed k-hop result: (tag, id, hops) for every vertex reachable
+    * from `start` in <= maxHops directed hops — the no-collect face of
+    * [[kHopFrom]] for gate checks and large result sets.
+    */
+  def kHopDf(graph: Graph[(String, String), (String, String)],
+             spark: SparkSession, start: VertexId, maxHops: Int): DataFrame = {
+    import spark.implicits._
+    kHopVertices(graph, start, maxHops)
+      .filter(_._2 != Int.MaxValue)
+      .map { case (vid, h) => (vid >> 32, vid & 0xffffffffL, h) }
+      .toDF("tag", "id", "hops")
   }
 
   /** Undirected connected components over the whole store; returns
