@@ -1142,6 +1142,47 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("lang", "doc_id")
     }
 
+    // ---- sequence packing: boundary-aligned token-budget packs per shard
+    q("pack_sequential", """WITH p AS (
+        SELECT doc_id, source,
+          CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS est_tokens
+        FROM documents
+      ), c AS (
+        SELECT doc_id, source, est_tokens,
+          sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - est_tokens
+            AS start_tok
+        FROM p
+      )
+      SELECT doc_id, source, est_tokens,
+        CAST(start_tok // 512 AS BIGINT) AS pack_id,
+        CAST(start_tok % 512 AS BIGINT) AS pack_offset
+      FROM c ORDER BY source, doc_id""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          floor((length(col("text")) + 3) / 4.0).cast("long").as("est_tokens"))
+      graft.pipeline.Packing.sequentialPacks(docs, col("source"),
+        col("doc_id"), col("est_tokens"), budget = 512)
+        .orderBy("source", "doc_id")
+    }
+
+    // ---- benchmark-contamination check: corpus docs sharing any word
+    //      4-gram with the "benchmark" slice (doc_id < 10)
+    q("td_contamination", docPrelude + s""", sh4 AS (
+        SELECT doc_id, ${(0 until 4).map(k => s"toks[i+$k]").mkString(" || ' ' || ")} AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 3)) AS i) g
+      ), sh4d AS (SELECT DISTINCT doc_id, shingle FROM sh4),
+      bsh AS (SELECT DISTINCT shingle FROM sh4d WHERE doc_id < 10)
+      SELECT d.doc_id, count(*) AS n_shared
+      FROM sh4d d JOIN bsh USING (shingle)
+      WHERE d.doc_id >= 10
+      GROUP BY d.doc_id ORDER BY doc_id""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      Dedup.benchmarkOverlap(docs.where(col("doc_id") >= 10), "doc_id", "text",
+        docs.where(col("doc_id") < 10), "text", n = 4)
+        .orderBy("doc_id")
+    }
+
     // ---- embedding int8 quantization (exploded to scalar rows: integer-
     //      exact cross-engine compare, no float-array hashing)
     q("emb_quantize_int8", s"""$vnSql,

@@ -147,6 +147,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark-contamination detection: documents sharing at least one word
+    * `n`-gram with a (small) benchmark/eval set — the decontamination filter
+    * every pretraining pipeline runs before training. Inverted-index
+    * semi-join through the shingle space: the benchmark's distinct shingles
+    * broadcast (eval sets are tiny next to the corpus), so the corpus scan
+    * is one map-side join + aggregation, no all-pairs work.
+    * Returns (doc_id, n_shared = distinct shared shingles).
+    */
+  def benchmarkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                       bench: DataFrame, benchTextCol: String,
+                       n: Int = 8): DataFrame = {
+    val ds = docs.select(col(idCol).as("doc_id"),
+      explode(shingleSet(col(textCol), n)).as("sh"))
+    val bs = broadcast(bench
+      .select(explode(shingleSet(col(benchTextCol), n)).as("bsh")).distinct())
+    ds.join(bs, col("sh") === col("bsh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold on exact cosine).
     * Brute-force blocked self-join; the LSH-bucketed scale path is
     * [[Similarity.annLsh]].

@@ -67,6 +67,49 @@ class OperatorsSpec extends SparkSpec {
     assert(st1 === st2)
   }
 
+  test("Packing.sequentialPacks: boundary-aligned packs per shard") {
+    val docs = Seq(
+      // shard a: tokens 300, 300, 100 -> starts 0, 300, 600
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 100L),
+      // shard b: tokens 600 (overflows budget alone), 10 -> starts 0, 600
+      (4L, "b", 600L), (5L, "b", 10L)
+    ).toDF("id", "shard", "toks")
+    val got = graft.pipeline.Packing.sequentialPacks(docs,
+        $"shard", $"id", $"toks", budget = 512)
+      .select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L),
+      (4L, 0L, 0L), (5L, 1L, 88L)))
+  }
+
+  test("Dedup.benchmarkOverlap flags docs sharing an n-gram with the bench set") {
+    val mk = (i: Long, t: String) => (i, t)
+    val corpus = Seq(
+      mk(10L, "alpha beta gamma delta shared tail"), // shares 4-gram w/ bench
+      mk(11L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(mk(1L, "alpha beta gamma delta other ending"))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.benchmarkOverlap(
+        corpus, "doc_id", "text", bench, "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L))
+  }
+
+  test("GraftExtensions injects SQL functions via spark.sql.extensions") {
+    // newSession(): fresh session state built from the session extensions
+    // (configured in SparkSpec's builder) — temp functions registered at
+    // runtime by VectorExpressions.register are NOT carried over, so this
+    // resolves only if the extension injection works
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_charfold('ab', 31) AS h""").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) === 97L * 31 + 98) // fold of 'a','b'
+  }
+
   test("Embeddings: l2Normalize yields unit vectors, quantizeInt8 stays in " +
     "[-127,127], zero vectors dropped") {
     val embs = Seq(
