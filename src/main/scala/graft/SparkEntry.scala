@@ -1210,6 +1210,23 @@ object SparkEntry {
         .orderBy("media_id")
     }
 
+    // ---- multimodal: frame sampling (every 4th 256-byte frame per payload)
+    q("mm_frame_sample", s"""SELECT doc_id AS media_id,
+        CAST(i - 1 AS INT) AS frame_idx,
+        CAST(length(chunk) AS BIGINT) AS frame_bytes,
+        ${sqlCharFold("chunk", mult = 131)} AS frame_checksum
+      FROM (
+        SELECT doc_id, i, substring(text, (i - 1) * 256 + 1, 256) AS chunk
+        FROM documents, LATERAL (SELECT unnest(generate_series(1,
+          CAST(ceil(length(text) / 256.0) AS INT))) AS i) g
+      ) t WHERE (i - 1) % 4 = 0
+      ORDER BY media_id, frame_idx""") { (s, d) =>
+      Multimodal.sampleFrames(Multimodal.fromDocuments(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", "source"),
+        frameBytes = 256, every = 4)
+        .orderBy("media_id", "frame_idx")
+    }
+
     // ---- A2 directory-hierarchy derivation (analysis/mod.rs:201-236)
     q("a2_dir_hierarchy", P +
       """SELECT path, parent_path, name, depth FROM (

@@ -65,6 +65,44 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", LongType, nullable = false),
+    StructField("frame_checksum", LongType, nullable = false)))
+
+  /** Frame sampling: split each payload into `frameBytes`-sized frames and
+    * keep every `every`-th one (the video-keyframe-sampling shape: one input
+    * row explodes into a bounded number of frame rows, decoded
+    * executor-side). The stub "decode" checksums the frame's bytes; a real
+    * deployment swaps in a video demuxer — the flatMap-per-payload shape,
+    * schema, and sampling policy stay identical.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256,
+                   every: Int = 4): DataFrame = {
+    require(frameBytes > 0 && every > 0)
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.filter(_ % every == 0).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          var acc = 0L
+          var i = from
+          while (i < until) {
+            acc = (acc * 131 + (bytes(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          Row(id, f, (until - from).toLong, acc)
+        }
+      }
+    }
+    spark.createDataFrame(rows, frameSchema)
+  }
+
   private def decodeOne(bytes: Array[Byte]): (Long, Int, Long) = {
     var acc = 0L
     var i = 0
