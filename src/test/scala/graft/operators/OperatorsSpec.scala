@@ -35,6 +35,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got === Set((1L, 100L), (1L, 101L), (1L, 102L), (2L, 103L)))
   }
 
+  test("property: RangeJoin equals the naive inequality join on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      key <- Gen.chooseNum(1L, 5L)
+      // offsets straddle many bucket boundaries relative to the 1000s window
+      sec <- Gen.chooseNum(0L, 20000L)
+    } yield (key, sec)
+    val listGen = Gen.listOfN(60, rowGen)
+    (0 until 5).foreach { i =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val rows = listGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .zipWithIndex.map { case ((k, sec), id) =>
+          (id.toLong, k, new Timestamp(base + sec * 1000L)) }
+      val left = rows.toDF("lid", "k", "ts")
+      val right = rows.map { case (id, k, t) => (id + 1000L, k, t) }
+        .toDF("rid", "rk", "rts")
+      val wUs = 1000L * 1000000L // 1000s window
+      val naive = left.join(right,
+          $"k" === $"rk" &&
+            unix_micros($"rts") >= unix_micros($"ts") - wUs &&
+            unix_micros($"rts") <= unix_micros($"ts"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val bucketed = RangeJoin.backwardWindow(left, right,
+          "k", "rk", "ts", "rts", wUs)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(bucketed === naive, s"seed ${7 + i}")
+      assert(naive.nonEmpty)
+    }
+  }
+
   test("SaltedJoin.innerSalted returns exactly the unsalted inner-join rows") {
     val left = (1 to 200).map(i => (i.toLong % 7, i.toLong)).toDF("k", "v")
     val right = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "z")).toDF("rk", "tag")
