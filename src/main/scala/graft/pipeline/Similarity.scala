@@ -150,9 +150,16 @@ object Similarity {
     * `tables` hash tables become candidates; exact cosine on candidates only;
     * top-k per query. Scale path for the 100 TB case: the candidate join
     * shuffles on (table, bucket), never all-pairs.
+    *
+    * Default bits/tables trade recall for candidate volume: bucket count
+    * (2^bits) must stay well under the per-table corpus size so true
+    * neighbors co-bucket — 2^5 = 32 buckets × 12 tables recalls ~90% top-1
+    * on the TESTDATA embeddings, where the old 2^10 default isolated every
+    * vector (recall 0.2, caught by PipelineSpec's recall test). At larger
+    * corpora raise bits to keep ~corpus/2^bits per bucket bounded.
     */
   def annLsh(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-             k: Int, bits: Int = 10, tables: Int = 4): DataFrame = {
+             k: Int, bits: Int = 5, tables: Int = 12): DataFrame = {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))

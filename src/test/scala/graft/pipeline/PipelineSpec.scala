@@ -82,6 +82,18 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 7, s"IVF top-1 recall too low: $recall/10 ($ivf vs $brute)")
   }
 
+  test("lsh ann recalls the brute-force top-1 on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 10), embs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.annLsh(embs, "vec_id", "embedding", dim = 64, k = 1)
+      .where(col("query_id") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = brute.count { case (q, n) => lsh.get(q).contains(n) }
+    assert(recall >= 7, s"LSH top-1 recall too low: $recall/10 ($lsh vs $brute)")
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint deterministic") {
     val t = TextAnalysis.withTokenCounts(docs, "text")
       .where(col("doc_id") === 4).head()
