@@ -73,6 +73,34 @@ class StreamingSpec extends SparkSpec {
     // user 99's session is still open (watermark hasn't passed it): not emitted
   }
 
+  test("streaming exact dedup keeps first-seen docs, composes with quality cols") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val deduped = graft.stream.StreamingDedup
+      .dedupStream(docs, "text", "ts", watermarkDelay = "1 hour")
+      // stateless batch operators compose unchanged on the stream
+      .withColumn("n_tok", size(graft.functions.TextFunctions.tokens(col("text"))))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", t("2024-01-01 00:00:00")),
+        (2L, "THE QUICK BROWN FOX", t("2024-01-01 00:01:00")), // dup after norm
+        (3L, "something else entirely", t("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      input.addData( // cross-batch duplicate, still within the watermark
+        (4L, "the QUICK brown fox", t("2024-01-01 00:10:00")),
+        (5L, "a genuinely new document", t("2024-01-01 00:11:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT doc_id, n_tok FROM dedup ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((1L, 4), (3L, 3), (5L, 4)))
+  }
+
   test("watermarked tumbling window over an event stream matches batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
