@@ -38,12 +38,27 @@ object Indexer {
     val rawDefs = extracted.select(explode($"definitions").as("d")).select($"d.*")
     val rawImps = extracted.select(explode($"imports").as("im")).select($"im.*")
     val rawRefs = extracted.select(explode($"references").as("r")).select($"r.*")
+    fromParsed(spark, fileMeta, rawDefs, rawImps, rawRefs)
+  }
+
+  /** A2-A10 over PRE-PARSED tables — the first-class ingestion path for
+    * externally parsed input (SURVEY §7.4: the engine's dataflow must be
+    * exercisable regardless of parser fidelity; a tree-sitter fleet or a
+    * vendor export can hand its results straight to the analysis joins).
+    *
+    * Expected schemas: `fileMeta` = [[FileMeta]] columns; `rawDefs` /
+    * `rawImps` / `rawRefs` = the extractor IR ([[graft.extract.RawDefinition]]
+    * / RawImport / RawReference fields).
+    */
+  def fromParsed(spark: SparkSession, fileMeta: DataFrame, rawDefs: DataFrame,
+                 rawImps: DataFrame, rawRefs: DataFrame): GraphStore = {
 
     // ---- A2: directory hierarchy --------------------------------------
     val dirPaths = Analyzer.deriveDirectories(fileMeta)
     val dirNodes = Analyzer.assignIds(dirPaths.select("path", "parent_path", "name"),
       Seq("path")).localCheckpoint(true) // reused by several edge branches
-    val repoName = lit(files.head(1).headOption.map(_.repositoryName).getOrElse("repo"))
+    val repoName = lit(fileMeta.select("repositoryName").head(1)
+      .headOption.map(_.getString(0)).getOrElse("repo"))
     val directories = dirNodes.select(col("id"), col("path"),
       col("path").as("absolute_path"), repoName.as("repository_name"), col("name"))
 
