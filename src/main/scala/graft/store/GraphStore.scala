@@ -45,6 +45,19 @@ final case class GraphStore(
 
   def edgesOfKind(kind: String): DataFrame = edges.where(col("kind") === kind)
 
+  // ---- typed Dataset[T] face (model.Nodes; `as[T]` is metadata-only) ----
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import graft.model.{DirectoryNode, FileNode, DefinitionNode,
+    ImportedSymbolNode, EdgeRow}
+  def typedDirectories: Dataset[DirectoryNode] =
+    directories.as(Encoders.product[DirectoryNode])
+  def typedFiles: Dataset[FileNode] = files.as(Encoders.product[FileNode])
+  def typedDefinitions: Dataset[DefinitionNode] =
+    definitions.as(Encoders.product[DefinitionNode])
+  def typedImportedSymbols: Dataset[ImportedSymbolNode] =
+    importedSymbols.as(Encoders.product[ImportedSymbolNode])
+  def typedEdges: Dataset[EdgeRow] = edges.as(Encoders.product[EdgeRow])
+
   def registerViews(spark: SparkSession): Unit = {
     directories.createOrReplaceTempView("directory_nodes")
     files.createOrReplaceTempView("file_nodes")

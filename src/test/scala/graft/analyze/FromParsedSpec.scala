@@ -50,5 +50,13 @@ class FromParsedSpec extends SparkSpec {
     // ids are dense per table starting at 0
     val ids = store.definitions.select("id").as[Long].collect().sorted
     assert(ids.toSeq === Seq(0L, 1L, 2L))
+
+    // typed Dataset[T] face: compile-time fields, same rows
+    val methods = store.typedDefinitions
+      .filter(d => d.definition_type == "Method" && d.start_line.exists(_ > 0))
+      .map(_.fqn).collect().toSet
+    assert(methods === Set("Mod.run"))
+    assert(store.typedEdges.filter(_.kind == EdgeKind.DirToFile).count() === 2)
+    assert(store.typedFiles.map(_.extension).collect().toSet === Set("py"))
   }
 }
