@@ -37,6 +37,36 @@ class StreamingSpec extends SparkSpec {
     assert(seen.size == 2) // one batch per debounce window, not per file
   }
 
+  test("EventBus listener observes stream lifecycle + batch progress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bus = EventBus.attach(spark)
+    try {
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream.format("memory")
+        .queryName("busq").outputMode("append").start()
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      // listener delivery is async; poll briefly for the terminal event
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !bus.events.exists(_.isInstanceOf[EventBus.Terminated]))
+        Thread.sleep(50)
+      val evs = bus.events
+      val qid = q.id.toString
+      assert(evs.exists { case EventBus.Started(id, _) => id == qid; case _ => false })
+      assert(evs.exists {
+        case EventBus.BatchProgress(id, _, rows) => id == qid && rows == 3
+        case _ => false
+      })
+      assert(evs.exists {
+        case EventBus.Terminated(id, None) => id == qid; case _ => false
+      })
+    } finally EventBus.detach(spark, bus)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes + watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
