@@ -60,13 +60,40 @@ object Cli {
       new QueryLibrary(GraphStore.read(spark, storeDir))
         .sql(spark, statement).show(100, truncate = false)
 
+    // Workspace = one store per project, exactly the reference's model
+    // (workspace-manager keeps one DB per project and routes queries;
+    // crates/workspace-manager). Merging graphs across repos would conflate
+    // path-keyed natural keys — per-project stores keep ids and paths local.
+    case "index-workspace" :: wsDir :: storeDir :: Nil =>
+      val repos = Option(new java.io.File(wsDir).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).sortBy(_.getName)
+      require(repos.nonEmpty, s"no project directories under $wsDir")
+      repos.foreach { r =>
+        Indexer.indexDirectory(spark, r.getPath, r.getName)
+          .write(s"$storeDir/${r.getName}")
+        println(s"indexed ${r.getName} -> $storeDir/${r.getName}")
+      }
+
+    // list_projects MCP analog: the indexed project stores in a workspace
+    case "list-projects" :: storeDir :: Nil =>
+      listProjects(storeDir).foreach(println)
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
            |usage: index <repoDir> <storeDir> [repoName]
+           |       index-workspace <workspaceDir> <storeDir>
+           |       list-projects <storeDir>
            |       stats <storeDir>
            |       query <storeDir> <name> [args...]
            |       sql <storeDir> <statement>""".stripMargin)
       sys.exit(2)
   }
+
+  /** Project names with a complete store under `storeDir`. */
+  private[graft] def listProjects(storeDir: String): Seq[String] =
+    Option(new java.io.File(storeDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && new java.io.File(d, "file_nodes").isDirectory)
+      .map(_.getName).sorted.toSeq
 }
