@@ -20,6 +20,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner reclaims broadcasts/shuffle state only on GC; with a
+      // 48g heap GC barely runs, so ~70 queries of state pile up and the
+      // eventual full GC lands mid-measurement on late queries. The default
+      // periodic-GC interval is 30min — far longer than the whole run.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
