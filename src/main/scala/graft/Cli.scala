@@ -26,9 +26,18 @@ object Cli {
     case "index" :: repoDir :: storeDir :: rest =>
       val repo = rest.headOption.getOrElse(
         new java.io.File(repoDir).getName)
+      val t0 = System.nanoTime()
       val store = Indexer.indexDirectory(spark, repoDir, repo)
       store.write(storeDir)
-      val lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
+      val wrote = System.nanoTime()
+      val readBack = GraphStore.read(spark, storeDir).cacheAll()
+      // optional 2nd rest arg: stats JSON path (the reference's --stats)
+      rest.drop(1).headOption.foreach { statsPath =>
+        graft.analyze.IndexStats.write(statsPath, readBack,
+          Map("index_and_write" -> (wrote - t0) / 1e9))
+        println(s"stats -> $statsPath")
+      }
+      val lib = new QueryLibrary(readBack)
       lib.graphStats().show(truncate = false)
 
     case "stats" :: storeDir :: Nil =>

@@ -33,4 +33,18 @@ class CliSpec extends SparkSpec {
     assert(alpha.files.where(col("path") === "app.py").count() === 1)
     assert(beta.files.where(col("path") === "app.py").count() === 1)
   }
+
+  test("index --stats writes the reference-style stats JSON") {
+    val ws = Files.createTempDirectory("graft-stats-repo")
+    Files.writeString(ws.resolve("m.py"),
+      "class A:\n    def f(self):\n        pass\n")
+    val out = Files.createTempDirectory("graft-stats-store").toString
+    val statsPath = out + "/stats.json"
+    Cli.run(spark, List("index", ws.toString, out, "statsrepo", statsPath))
+    val txt = Files.readString(java.nio.file.Paths.get(statsPath))
+    assert(txt.contains(""""total_files": 1"""))
+    assert(txt.contains(""""total_definitions": 2"""))
+    assert(txt.contains(""""python": 1""")) // files_per_language
+    assert(txt.contains(""""stage_durations_sec""""))
+  }
 }
