@@ -49,7 +49,10 @@ object GraphOps {
         (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("dst"),
         col("kind"), col("type"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getString(2), r.getString(3))))
-    Graph(vertices, edges)
+    // 2D edge partitioning bounds vertex replication at sqrt(numParts) —
+    // the standard GraphX layout for iterative algorithms (pagerank, Pregel)
+    Graph(vertices, edges).partitionBy(
+      org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }
 
   /** Vertices reachable from `start` within `maxHops` (directed), via Pregel.
