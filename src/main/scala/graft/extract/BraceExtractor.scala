@@ -32,7 +32,8 @@ abstract class BraceExtractor extends Extractor {
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
     val refs = ArrayBuffer[RawReference]()
-    var containerStack = List.empty[(Int, String)] // (depthAtOpen, name)
+    // (depthAtOpen, name, index into defs — for end-range backfill at pop)
+    var containerStack = List.empty[(Int, String, Int)]
     var depth = 0
 
     for (i <- lines.indices) {
@@ -52,7 +53,7 @@ abstract class BraceExtractor extends Extractor {
       containerRes.foreach { case (re, kind) =>
         if (!matched) re.findFirstMatchIn(line).foreach { m =>
           add(m.group(1), kind, m.start(1))
-          containerStack ::= (depth, m.group(1))
+          containerStack ::= (depth, m.group(1), defs.length - 1)
           matched = true
           refScanFrom = m.end
         }
@@ -87,8 +88,14 @@ abstract class BraceExtractor extends Extractor {
         if (c == '{') depth += 1
         else if (c == '}') {
           depth -= 1
-          while (containerStack.nonEmpty && depth <= containerStack.head._1)
+          while (containerStack.nonEmpty && depth <= containerStack.head._1) {
+            // backfill the container's true extent (block end, not header) —
+            // the reference resolver's caller-containment join needs it
+            val idx = containerStack.head._3
+            defs(idx) = defs(idx).copy(
+              endByte = lineStart(i) + line.length, endLine = i)
             containerStack = containerStack.tail
+          }
         }
       }
     }

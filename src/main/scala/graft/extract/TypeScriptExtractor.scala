@@ -41,7 +41,7 @@ object TypeScriptExtractor extends Extractor {
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
     val refs = ArrayBuffer[RawReference]()
-    // (braceDepthAtOpen, name, kind, startLine, startCol)
+    // (braceDepthAtOpen, name, index into defs — for end-range backfill)
     var classStack = List.empty[(Int, String, Int)]
     var depth = 0
 
@@ -59,7 +59,7 @@ object TypeScriptExtractor extends Extractor {
       classRe.findFirstMatchIn(line).foreach { m =>
         val kind = if (m.group(1) == "interface") "Interface" else "Class"
         add(m.group(2), kind, m.start(2))
-        classStack ::= (depth, m.group(2), i)
+        classStack ::= (depth, m.group(2), defs.length - 1)
         matchedDef = true
       }
       if (!matchedDef) funcRe.findFirstMatchIn(line).foreach { m =>
@@ -116,12 +116,18 @@ object TypeScriptExtractor extends Extractor {
               lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
         }
 
-      // track brace depth; pop class scopes whose block closed
+      // track brace depth; pop class scopes whose block closed, backfilling
+      // the class's true extent (the caller-containment join needs it)
       for (c <- line) {
         if (c == '{') depth += 1
         else if (c == '}') {
           depth -= 1
-          while (classStack.nonEmpty && depth <= classStack.head._1) classStack = classStack.tail
+          while (classStack.nonEmpty && depth <= classStack.head._1) {
+            val idx = classStack.head._3
+            defs(idx) = defs(idx).copy(endByte = lineStart(i) + line.length,
+              endLine = i)
+            classStack = classStack.tail
+          }
         }
       }
     }
@@ -144,10 +150,23 @@ object RubyExtractor extends Extractor {
     """^\s*(?:if|unless|while|until|case|begin|do)\b""".r
   private val callRe: Regex =
     """(?:([A-Za-z_@][A-Za-z0-9_.@]*)\.)?([a-z_][A-Za-z0-9_?!]*)\s*\(""".r
+  // Ruby calls are usually paren-less; the dotted `receiver.method` form is
+  // unambiguous enough to extract without a parser (`instance.save`,
+  // `storage.dup`). Bare paren-less identifiers are indistinguishable from
+  // local variables heuristically, so they are left to real parser input
+  // via Indexer.fromParsed (reference: analysis/languages/ruby/* resolves
+  // them with tree-sitter scopes).
+  private val dottedCallRe: Regex =
+    """([A-Za-z_@][A-Za-z0-9_.@]*)\.([a-z_][A-Za-z0-9_]*[?!]?)(?![\w?!(.])""".r
   private val keywords = Set("if", "unless", "while", "until", "puts", "def",
     "require", "require_relative", "attr_accessor", "attr_reader", "new")
 
-  private final case class RScope(name: String, kind: String, line: Int, col: Int)
+  // defIdx: index into the defs buffer, so the scope's true end (its
+  // balanced `end` line) can be backfilled at pop — without it a definition
+  // would span only its header line and the reference resolver's caller-
+  // containment join could never place a call site inside it
+  private final case class RScope(name: String, kind: String, line: Int,
+                                  col: Int, defIdx: Int)
 
   override def extract(f: SourceFile): Extracted = {
     val lines = f.content.split("\n", -1)
@@ -174,12 +193,12 @@ object RubyExtractor extends Extractor {
         case Some(m) =>
           defs += RawDefinition(f.path, fqn(m.group(2)), m.group(2), "Module",
             lineStart(i) + m.start(2), lineStart(i) + line.length, i, i, m.start(2), line.length)
-          stack ::= Some((RScope(m.group(2), "Module", i, m.start(2)), lineStart(i)))
+          stack ::= Some((RScope(m.group(2), "Module", i, m.start(2), defs.length - 1), lineStart(i)))
         case None => classRe.findFirstMatchIn(line) match {
           case Some(m) =>
             defs += RawDefinition(f.path, fqn(m.group(2)), m.group(2), "Class",
               lineStart(i) + m.start(2), lineStart(i) + line.length, i, i, m.start(2), line.length)
-            stack ::= Some((RScope(m.group(2), "Class", i, m.start(2)), lineStart(i)))
+            stack ::= Some((RScope(m.group(2), "Class", i, m.start(2), defs.length - 1), lineStart(i)))
           case None => defRe.findFirstMatchIn(line) match {
             case Some(m) =>
               val inClass = stack.flatten.headOption.exists(s =>
@@ -187,7 +206,7 @@ object RubyExtractor extends Extractor {
               val kind = if (inClass) "Method" else "Function"
               defs += RawDefinition(f.path, fqn(m.group(3)), m.group(3), kind,
                 lineStart(i) + m.start(3), lineStart(i) + line.length, i, i, m.start(3), line.length)
-              stack ::= Some((RScope(m.group(3), kind, i, m.start(3)), lineStart(i)))
+              stack ::= Some((RScope(m.group(3), kind, i, m.start(3), defs.length - 1), lineStart(i)))
             case None =>
               val trailingDo = trimmed.matches(""".*\bdo\s*(\|[^|]*\|)?\s*$""")
               if ((blockOpenRe.findFirstIn(trimmed).isDefined || trailingDo) &&
@@ -204,11 +223,25 @@ object RubyExtractor extends Extractor {
                   refs += RawReference(f.path, name, Option(m.group(1)).getOrElse(""),
                     lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
               }
+              dottedCallRe.findAllMatchIn(line).foreach { m =>
+                val name = m.group(2)
+                if (!keywords(name))
+                  refs += RawReference(f.path, name, m.group(1),
+                    lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
+              }
           }
         }
       }
       if (trimmed == "end" || trimmed.startsWith("end ")) {
-        if (stack.nonEmpty) stack = stack.tail
+        if (stack.nonEmpty) {
+          // backfill the popped scope's true extent (body, not just header)
+          stack.head.foreach { case (sc, _) =>
+            val d = defs(sc.defIdx)
+            defs(sc.defIdx) = d.copy(endByte = lineStart(i) + line.length,
+              endLine = i)
+          }
+          stack = stack.tail
+        }
       }
     }
     Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq)

@@ -51,6 +51,27 @@ class ReferenceFixturesSpec extends SparkSpec {
     }
   }
 
+  test("reference Ruby test-repo: EXACT node/containment parity with the " +
+    "reference's own end-to-end expectations (indexer/src/tests.rs:924-958)") {
+    assume(fixtures.isDirectory, "reference fixtures not present")
+    val store = indexed("test-repo")
+    assert(store.definitions.count() === 96) // tests.rs:924
+    assert(store.files.count() === 7) // tests.rs:929
+    assert(store.directories.count() === 4) // tests.rs:946
+    assert(store.edges.where(col("type") === RelType.FileDefines)
+      .count() === 96) // tests.rs:941
+    assert(store.edges.where(col("type") === RelType.DirContainsFile)
+      .count() === 6) // tests.rs:952
+    assert(store.edges.where(col("type") === RelType.DirContainsDir)
+      .count() === 2) // tests.rs:958
+    // reference edges resolve on real Ruby (tests.rs:935,965 asserts richer
+    // tree-sitter-backed counts; the heuristic extractor's dotted-call
+    // subset must at least produce both reference edge families)
+    assert(store.edges.where(col("type") === RelType.Calls).count() > 0)
+    assert(store.edges.where(col("type") === RelType.PropertyReference)
+      .count() > 0)
+  }
+
   test("reference Ruby test-repo: defs carry plausible positions and FQNs") {
     assume(fixtures.isDirectory, "reference fixtures not present")
     val store = indexed("test-repo")
