@@ -141,7 +141,16 @@ object Indexer {
       importedSymbols, filesDf, definitions).select(col("*") +: nulls: _*)
 
     // ---- A7: reference (call) resolution -------------------------------
-    val callEdges = ReferenceResolver.resolve(rawRefs, definitions, importedSymbols)
+    // (from_file, to_file) via resolved IMP_TO_FILE edges: enables the
+    // import-scoped cross-file candidate lookup
+    val importedFiles = importEdges.where(col("kind") === EdgeKind.ImpToFile)
+      .join(importedSymbols.select(col("id").as("if_imp"),
+        col("file_path").as("from_file")), col("source_id") === col("if_imp"))
+      .join(filesDf.select(col("id").as("if_file"), col("path").as("to_file")),
+        col("target_id") === col("if_file"))
+      .select("from_file", "to_file").distinct()
+    val callEdges = ReferenceResolver.resolve(rawRefs, definitions,
+      importedSymbols, Some(importedFiles))
 
     val edges = Seq(dirEdges, fileDefines, fileImports, nestingEdges,
       importEdges, callEdges).reduce(_.unionByName(_))

@@ -52,7 +52,7 @@ object PythonResolver {
       .where(col("import_type").isin("import", "from_import", "wildcard_import",
         "require", "require_relative"))
       .select(col("id").as("imp_id"), col("import_type"), col("name"),
-        base.as("modbase"))
+        base.as("modbase"), fileDir.as("fdir"))
 
     // candidate module files for the *name* (from X import name → X/name.py)
     val nameModule = when(col("import_type") === "from_import" && length(col("modbase")) > 0,
@@ -60,10 +60,16 @@ object PythonResolver {
       .when(col("import_type") === "from_import", col("name"))
       .otherwise(col("modbase"))
 
+    // ruby require_relative resolves against the requiring file's directory
+    val relRb = when(col("import_type") === "require_relative" &&
+        length(col("fdir")) > 0,
+      concat(col("fdir"), lit("/"), col("modbase"), lit(".rb")))
+      .otherwise(concat(col("modbase"), lit(".rb")))
     val fileCands = withCand.select(col("imp_id"), explode(array(
       concat(nameModule, lit(".py")),
       concat(nameModule, lit("/__init__.py")),
       concat(col("modbase"), lit(".rb")),
+      relRb,
       concat(col("modbase"), lit(".ts")))).as("cand"))
     val fileTargets = fileCands
       .join(files.select(col("id").as("fid"), col("path")), col("cand") === col("path"))

@@ -21,8 +21,15 @@ import graft.model.{EdgeKind, RelType}
   */
 object ReferenceResolver {
 
+  /** `importedFiles`: optional (from_file, to_file) pairs from resolved
+    * IMP_TO_FILE edges — when present, definitions in files imported by the
+    * reference site's file become candidates too (the reference's
+    * import-scoped cross-file lookup; python/analyzer.rs:148-642 resolves
+    * through the imported module's symbols the same way).
+    */
   def resolve(rawRefs: DataFrame, definitions: DataFrame,
-              importedSymbols: DataFrame): DataFrame = {
+              importedSymbols: DataFrame,
+              importedFiles: Option[DataFrame] = None): DataFrame = {
     val refs = rawRefs.select(
       col("filePath").as("r_file"), col("name").as("r_name"),
       col("receiver").as("r_recv"), col("startByte").as("r_sb"),
@@ -46,10 +53,26 @@ object ReferenceResolver {
 
     // 2. candidate targets: same-file defs by name (excluding the caller
     //    itself at the exact same site), then same-file imports by alias/name
-    val defCands = withCaller.join(
+    val sameFileCands = withCaller.join(
       definitions.select(col("id").as("t_def"), col("name").as("t_name"),
         col("primary_file_path").as("t_file")),
       col("r_file") === col("t_file") && col("r_name") === col("t_name"))
+    // cross-file: defs by name in files this file imports (broadcast the
+    // small (from_file, to_file) resolution table)
+    val defCands = importedFiles match {
+      case None => sameFileCands
+      case Some(imf) =>
+        val cross = withCaller
+          .join(broadcast(imf.select(col("from_file"), col("to_file"))),
+            col("r_file") === col("from_file"))
+          .join(definitions.select(col("id").as("t_def"),
+            col("name").as("t_name"),
+            col("primary_file_path").as("t_file")),
+            col("to_file") === col("t_file") && col("r_name") === col("t_name"))
+          .drop("from_file", "to_file")
+        sameFileCands.unionByName(cross)
+          .dropDuplicates("r_file", "r_sb", "r_eb", "t_def")
+    }
     val impCands = withCaller.join(
       importedSymbols.select(col("id").as("t_imp"),
         coalesce(col("alias"), col("name")).as("t_name"),
