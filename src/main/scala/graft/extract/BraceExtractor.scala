@@ -79,8 +79,9 @@ abstract class BraceExtractor extends Extractor {
           val name = m.group(2)
           val c0 = refScanFrom + m.start(2)
           val c1 = refScanFrom + m.end(2)
+          // call-form (parens): empty receiver → CALLS classification
           if (!keywords(name))
-            refs += RawReference(f.path, name, Option(m.group(1)).getOrElse(""),
+            refs += RawReference(f.path, name, "",
               lineStart(i) + c0, lineStart(i) + c1, i, c0, c1)
         }
 

@@ -171,8 +171,11 @@ object PythonExtractor extends Extractor {
     callRe.findAllMatchIn(code).foreach { m =>
       val name = m.group(2)
       if (!keywords(name)) {
-        val recv = Option(m.group(1)).getOrElse("")
-        out += RawReference(f.path, name, recv,
+        // call-form reference (parens): receiver stays empty so resolution
+        // classifies it CALLS/AMBIGUOUSLY_CALLS — the reference reserves
+        // PROPERTY_REFERENCE for non-call attribute access
+        // (database/src/graph/relationship.rs:99-105)
+        out += RawReference(f.path, name, "",
           lineStart(i) + m.start(2), lineStart(i) + m.end(2),
           i, m.start(2), m.end(2))
       }

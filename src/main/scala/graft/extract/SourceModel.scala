@@ -46,7 +46,10 @@ final case class RawImport(
 final case class RawReference(
     filePath: String,
     name: String,
-    receiver: String, // "" for bare calls; receiver expr for x.f()
+    receiver: String, // "" for call-form refs (parens); receiver expr ONLY
+                      // for property access (x.attr) → PROPERTY_REFERENCE
+                      // (reference: relationship.rs:99-105 reserves it for
+                      // non-call attribute access)
     startByte: Long,
     endByte: Long,
     startLine: Int,

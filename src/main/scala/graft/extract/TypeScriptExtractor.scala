@@ -111,8 +111,9 @@ object TypeScriptExtractor extends Extractor {
       if (!matchedDef && !line.trim.startsWith("import"))
         callRe.findAllMatchIn(line).foreach { m =>
           val name = m.group(2)
+          // call-form (parens): empty receiver -> CALLS classification
           if (!keywords(name))
-            refs += RawReference(f.path, name, Option(m.group(1)).getOrElse(""),
+            refs += RawReference(f.path, name, "",
               lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
         }
 
@@ -219,8 +220,9 @@ object RubyExtractor extends Extractor {
               }
               callRe.findAllMatchIn(line).foreach { m =>
                 val name = m.group(2)
+                // call-form (parens): empty receiver -> CALLS classification
                 if (!keywords(name))
-                  refs += RawReference(f.path, name, Option(m.group(1)).getOrElse(""),
+                  refs += RawReference(f.path, name, "",
                     lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
               }
               dottedCallRe.findAllMatchIn(line).foreach { m =>
