@@ -65,9 +65,11 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(store.edges.where(col("type") === RelType.DirContainsDir)
       .count() === 2) // tests.rs:958
     // reference edges resolve on real Ruby (tests.rs:935,965 asserts richer
-    // tree-sitter-backed counts; the heuristic extractor's dotted-call
-    // subset must at least produce both reference edge families)
+    // tree-sitter-backed counts; the heuristic extractor must produce all
+    // three reference edge families with correct classification)
     assert(store.edges.where(col("type") === RelType.Calls).count() > 0)
+    assert(store.edges.where(col("type") === RelType.AmbiguouslyCalls)
+      .count() > 0)
     assert(store.edges.where(col("type") === RelType.PropertyReference)
       .count() > 0)
   }
