@@ -34,6 +34,11 @@ abstract class BraceExtractor extends Extractor {
     val refs = ArrayBuffer[RawReference]()
     // (depthAtOpen, name, index into defs — for end-range backfill at pop)
     var containerStack = List.empty[(Int, String, Int)]
+    // callables with a brace-opened body: (depthAtOpen, defIdx) — tracked
+    // only for end-range backfill (they never contribute to FQNs), so the
+    // resolver's innermost-caller window attributes call sites to the
+    // METHOD, not just its enclosing class
+    var callableStack = List.empty[(Int, Int)]
     var depth = 0
 
     for (i <- lines.indices) {
@@ -64,6 +69,8 @@ abstract class BraceExtractor extends Extractor {
           if (!keywords(name)) {
             val k = if (kind == "Method" && containerStack.isEmpty) "Function" else kind
             add(name, k, m.start(1))
+            if (line.indexOf('{', m.end - 1) >= 0)
+              callableStack ::= (depth, defs.length - 1)
             matched = true
             refScanFrom = m.end
           }
@@ -96,6 +103,12 @@ abstract class BraceExtractor extends Extractor {
             defs(idx) = defs(idx).copy(
               endByte = lineStart(i) + line.length, endLine = i)
             containerStack = containerStack.tail
+          }
+          while (callableStack.nonEmpty && depth <= callableStack.head._1) {
+            val idx = callableStack.head._2
+            defs(idx) = defs(idx).copy(
+              endByte = lineStart(i) + line.length, endLine = i)
+            callableStack = callableStack.tail
           }
         }
       }
