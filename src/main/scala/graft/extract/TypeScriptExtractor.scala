@@ -43,6 +43,9 @@ object TypeScriptExtractor extends Extractor {
     val refs = ArrayBuffer[RawReference]()
     // (braceDepthAtOpen, name, index into defs — for end-range backfill)
     var classStack = List.empty[(Int, String, Int)]
+    // brace-opened function/method bodies: (depthAtOpen, defIdx) — extent
+    // tracking only (no FQN impact), for method-level caller attribution
+    var callableStack = List.empty[(Int, Int)]
     var depth = 0
 
     for (i <- lines.indices) {
@@ -62,17 +65,25 @@ object TypeScriptExtractor extends Extractor {
         classStack ::= (depth, m.group(2), defs.length - 1)
         matchedDef = true
       }
+      def pushCallableIfBraced(fromCol: Int): Unit =
+        if (line.indexOf('{', fromCol) >= 0)
+          callableStack ::= (depth, defs.length - 1)
       if (!matchedDef) funcRe.findFirstMatchIn(line).foreach { m =>
         val kind = if (classStack.nonEmpty) "Method" else "Function"
-        add(m.group(1), kind, m.start(1)); matchedDef = true
+        add(m.group(1), kind, m.start(1)); pushCallableIfBraced(m.end - 1)
+        matchedDef = true
       }
       if (!matchedDef) arrowRe.findFirstMatchIn(line).foreach { m =>
         add(m.group(1), if (classStack.nonEmpty) "Method" else "Function", m.start(1))
+        pushCallableIfBraced(m.end - 1)
         matchedDef = true
       }
       if (!matchedDef && classStack.nonEmpty)
         methodRe.findFirstMatchIn(line).foreach { m =>
-          if (!keywords(m.group(1))) { add(m.group(1), "Method", m.start(1)); matchedDef = true }
+          if (!keywords(m.group(1))) {
+            add(m.group(1), "Method", m.start(1)); pushCallableIfBraced(m.end - 1)
+            matchedDef = true
+          }
         }
 
       importFromRe.findFirstMatchIn(line) match {
@@ -128,6 +139,12 @@ object TypeScriptExtractor extends Extractor {
             defs(idx) = defs(idx).copy(endByte = lineStart(i) + line.length,
               endLine = i)
             classStack = classStack.tail
+          }
+          while (callableStack.nonEmpty && depth <= callableStack.head._1) {
+            val idx = callableStack.head._2
+            defs(idx) = defs(idx).copy(endByte = lineStart(i) + line.length,
+              endLine = i)
+            callableStack = callableStack.tail
           }
         }
       }
