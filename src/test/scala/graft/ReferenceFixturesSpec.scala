@@ -74,6 +74,22 @@ class ReferenceFixturesSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("self-indexing: the engine indexes its own Scala sources") {
+    val src = new File("src/main/scala/graft")
+    assume(src.isDirectory, "run from the repo root")
+    val store = Indexer.indexDirectory(spark, src.getPath, "graft")
+    assert(store.files.where(col("language") === "scala").count() > 20)
+    val fqns = store.definitions.select("fqn").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSet
+    // a few load-bearing objects and methods must be found
+    assert(fqns.contains("QueryLibrary"))
+    assert(fqns.contains("Dedup"))
+    assert(fqns.exists(_.endsWith("Dedup.minhashLshPairs")))
+    assert(fqns.exists(_.endsWith("GraphStore.write")))
+    // nesting edges derived from object.method FQNs
+    assert(store.edges.where(col("kind") === EdgeKind.DefToDef).count() > 100)
+  }
+
   test("reference Ruby test-repo: defs carry plausible positions and FQNs") {
     assume(fixtures.isDirectory, "reference fixtures not present")
     val store = indexed("test-repo")
