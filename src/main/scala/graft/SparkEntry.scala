@@ -677,6 +677,27 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }
 
+    // ---- forward as-of join: first click at-or-after each purchase
+    q("asof_next_click", """SELECT event_id, user_id, click_id FROM (
+        SELECT p.event_id, p.user_id, c.event_id AS click_id,
+          row_number() OVER (PARTITION BY p.event_id
+            ORDER BY c.ts, c.event_id) AS rk
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+      ) t WHERE rk = 1 ORDER BY event_id""") { (s, d) =>
+      val ev = readEvents(s, d)
+      graft.operators.AsOfJoin.forward(
+        left = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("c_event_id")),
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        rightCols = Seq("c_event_id" -> "click_id"))
+        .select("event_id", "user_id", "click_id")
+        .orderBy("event_id")
+    }
+
     // ---- sessionization (gap > 30 min starts a new session)
     q("t2_sessionize", """WITH e AS (
         SELECT user_id, ts, event_id, value,
@@ -974,6 +995,25 @@ object SparkEntry {
     q("dd_minhash_lsh", jaccardPairsSql) { (s, d) =>
       Dedup.minhashLshPairs(s.read.parquet(s"$d/documents.parquet"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    }
+
+    // ---- dedup: the MinHash signature itself, slot by slot (the exact
+    //      hash family h_i(x) = (a_i x + b_i) mod p replayed in SQL)
+    q("dd_minhash_sig", s"""$docPrelude, sh AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+      ), shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      th AS (SELECT doc_id, ${sqlCharFold("shingle")} AS h FROM shd),
+      mh AS (
+        SELECT doc_id, i,
+          min((((2654435761 % 1000000007) * (2 * i + 1)) % 1000000007 * h
+               + (1779033703 * (i + 1)) % 1000000007) % 1000000007) AS mh
+        FROM th, LATERAL (SELECT unnest(generate_series(0, 127)) AS i) g
+        GROUP BY doc_id, i)
+      SELECT doc_id, CAST(i AS INT) AS hi, mh FROM mh
+      ORDER BY doc_id, hi""") { (s, d) =>
+      Dedup.minhashSignatureRows(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text").orderBy("doc_id", "hi")
     }
 
     // ---- dedup: SimHash signature per document

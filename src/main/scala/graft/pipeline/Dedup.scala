@@ -94,6 +94,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash signature rows (doc_id, hi, mh): the `numHashes`-slot signature
+    * exploded to one row per slot — the exact hash family is replayed by the
+    * DuckDB oracle, so the signature itself (not just the final pair set) is
+    * cross-engine checked. Same explode + per-slot min-aggregate shape as
+    * [[minhashLshPairs]] (a single giant array expression would trip the
+    * 64KB codegen limit).
+    */
+  def minhashSignatureRows(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, numHashes: Int = 128): DataFrame = {
+    val elems = docs.select(col(idCol).as("doc_id"),
+      explode(hashAll(shingleSet(col(textCol), n))).as("h"))
+    val minExprs = (0 until numHashes).map { i =>
+      min((lit(coeffA(i)) * col("h") + lit(coeffB(i))) % HashMod).as(s"mh_$i")
+    }
+    elems.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+      .select(col("doc_id"), posexplode(
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*)).as(Seq("hi", "mh")))
+  }
+
   /** Per-document SimHash over the token multiset: token → polynomial hash →
     * per-bit ±1 vote → sign bit. 30 bits (token hashes are < 2^30).
     * One explode + one groupBy with 30 codegen'd conditional sums.

@@ -28,6 +28,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Map("T1" -> 100.0, "T2" -> 101.0, "T3" -> 200.0))
   }
 
+  test("forward as-of picks earliest right row at or after left ts, per key") {
+    import spark.implicits._
+    val purchases = Seq(
+      (1L, t("2024-01-01 10:00:05"), "P1"),
+      (1L, t("2024-01-01 10:00:30"), "P2"), // equal ts → matches C2
+      (2L, t("2024-01-01 10:00:10"), "P3") // after all clicks → dropped (inner)
+    ).toDF("k", "ts", "p")
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:10"), "C1"),
+      (1L, t("2024-01-01 10:00:30"), "C2"),
+      (2L, t("2024-01-01 10:00:00"), "C3")
+    ).toDF("k", "cts", "c")
+    val out = AsOfJoin.forward(purchases, clicks, "k", "ts", "cts",
+      Seq("c" -> "c")).select("p", "c").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("P1" -> "C1", "P2" -> "C2"))
+  }
+
   test("outer variant keeps unmatched left rows with null") {
     import spark.implicits._
     val l = Seq((1L, t("2024-01-01 00:00:00"), "a")).toDF("k", "ts", "v")
