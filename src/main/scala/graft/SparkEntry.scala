@@ -744,6 +744,37 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }
 
+    // ---- cube (full grouping-set lattice; rollup's sibling)
+    q("agg_cube", """SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+
+    // ---- time-based RANGE window frame: trailing-1h per-user value sum at
+    //      each event (the sliding rate-feature shape)
+    q("window_trailing_1h", """SELECT event_id, user_id,
+        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+          AS trailing_1h
+      FROM events WHERE user_id < 50
+      ORDER BY event_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      readEvents(s, d)
+        .where(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(w), 2).as("trailing_1h"))
+        .orderBy("event_id")
+    }
+
     // ---- ranking window: top-3 line items per supplier by price
     q("window_rank_topn", """SELECT * FROM (
         SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
