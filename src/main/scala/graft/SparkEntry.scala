@@ -815,6 +815,35 @@ object SparkEntry {
         .select("p_partkey", "p_name").orderBy("p_partkey")
     }
 
+    // ---- set operations: INTERSECT / EXCEPT (beyond the reference's
+    //      UNION-only surface)
+    q("set_intersect_except", """WITH c96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+      ), c97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+      )
+      SELECT 'both' AS bucket, o_custkey FROM (
+        SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97) a
+      UNION ALL
+      SELECT 'only_96', o_custkey FROM (
+        SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97) b
+      ORDER BY bucket, o_custkey""") { (s, d) =>
+      def yr(from: String, to: String) = s.read.parquet(s"$d/orders.parquet")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(s"$from 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf(s"$to 00:00:00")))
+        .select("o_custkey").distinct()
+      val c96 = yr("1996-01-01", "1997-01-01")
+      val c97 = yr("1997-01-01", "1998-01-01")
+      c96.intersect(c97).select(lit("both").as("bucket"), col("o_custkey"))
+        .unionByName(c96.except(c97)
+          .select(lit("only_96").as("bucket"), col("o_custkey")))
+        .orderBy("bucket", "o_custkey")
+    }
+
     // ---- exact percentiles (interpolated median/p90 over integral values)
     q("agg_percentiles", """SELECT l_returnflag,
         round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
@@ -935,6 +964,28 @@ object SparkEntry {
       FROM m ORDER BY hops, tag, id""") { (s, d) =>
       graft.graph.GraphOps.kHopDf(graphFor(s, d), s,
         start = (3L << 32) + 42L, maxHops = 3)
+        .orderBy("hops", "tag", "id")
+    }
+
+    // reverse k-hop (impact analysis: what can reach def 13's vertex in <=3
+    // hops), via Graph.reverse + Pregel; oracle walks the edges backwards
+    q("g_khop_to", P.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", $kmTagSql,
+      pe AS (SELECT CAST(km2.stag AS BIGINT) * 4294967296 + e.source_id AS src,
+                    CAST(km2.dtag AS BIGINT) * 4294967296 + e.target_id AS dst
+             FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      reach(vid, hops) AS (
+        SELECT CAST(3 AS BIGINT) * 4294967296 + 50000013, 0
+        UNION ALL
+        SELECT pe.src, r.hops + 1 FROM reach r
+        JOIN pe ON pe.dst = r.vid WHERE r.hops < 3
+      ),
+      m AS (SELECT vid, min(hops) AS hops FROM reach GROUP BY vid)
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id, CAST(hops AS INT) AS hops
+      FROM m ORDER BY hops, tag, id""") { (s, d) =>
+      graft.graph.GraphOps.kHopToDf(graphFor(s, d), s,
+        target = (3L << 32) + 50000013L, maxHops = 3)
         .orderBy("hops", "tag", "id")
     }
 

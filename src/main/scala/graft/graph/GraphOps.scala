@@ -129,6 +129,16 @@ object GraphOps {
       .toDF("tag", "id", "rank")
   }
 
+  /** Reverse k-hop: vertices that can REACH `target` within `maxHops`
+    * directed hops — [[kHopDf]] over [[Graph.reverse]] (GraphX's edge-flip
+    * view is metadata-only; no data movement). The impact-analysis query:
+    * "what could be affected by changing this definition".
+    */
+  def kHopToDf(graph: Graph[(String, String), (String, String)],
+               spark: SparkSession, target: VertexId,
+               maxHops: Int): DataFrame =
+    kHopDf(graph.reverse, spark, target, maxHops)
+
   /** Degree distribution per node kind — a bulk-analytics op the reference's
     * per-node Q8 cannot express without N queries.
     */
