@@ -78,6 +78,25 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("partition independence: sampling/packing results don't depend on " +
+    "physical layout") {
+    val docs = (1 to 200).map(i => (i.toLong, s"s${i % 4}", (i % 37).toLong))
+      .toDF("id", "shard", "toks")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    Seq(docs.repartition(1), docs.repartition(13), docs.repartition(32))
+      .foreach { laidOut =>
+        assert(asSet(Sampling.hashPercent(laidOut, $"id", 25)) ===
+          asSet(Sampling.hashPercent(docs, $"id", 25)))
+        assert(asSet(Sampling.stratifiedTopK(laidOut, $"shard", $"id", 9)) ===
+          asSet(Sampling.stratifiedTopK(docs, $"shard", $"id", 9)))
+        assert(asSet(graft.pipeline.Packing.sequentialPacks(
+            laidOut, $"shard", $"id", $"toks", 64)) ===
+          asSet(graft.pipeline.Packing.sequentialPacks(
+            docs, $"shard", $"id", $"toks", 64)))
+      }
+  }
+
   test("Sampling is deterministic and respects stratum bounds") {
     val docs = (1 to 300).map(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
     val s1 = Sampling.hashPercent(docs, $"id", 10).as[(Long, String)].collect().toSet
