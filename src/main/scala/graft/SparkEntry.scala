@@ -1079,6 +1079,29 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
     }
 
+    // ---- dedup clusters: keeper per near-dup group (6-round min-label
+    //      propagation over the jaccard>=0.8 pair graph, unrolled in SQL)
+    val lblIterSql = (1 to 6).map { k =>
+      s"""lp$k AS (SELECT l.doc_id,
+           least(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
+         FROM lp${k - 1} l LEFT JOIN (
+           SELECT sp.u, min(r.lbl) AS nlbl
+           FROM sp JOIN lp${k - 1} r ON sp.v = r.doc_id GROUP BY sp.u
+         ) m ON l.doc_id = m.u)"""
+    }.mkString(",\n      ")
+    q("dd_clusters", jaccardPairsSql.substring(0,
+      jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
+      , jp AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8),
+      sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
+      $lblIterSql
+      SELECT doc_id, lbl AS keeper_id FROM lp6 ORDER BY doc_id""") { (s, d) =>
+      Dedup.clusterKeepers(Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        n = 3, threshold = 0.8))
+        .orderBy("doc_id")
+    }
+
     // ---- dedup: the MinHash signature itself, slot by slot (the exact
     //      hash family h_i(x) = (a_i x + b_i) mod p replayed in SQL)
     q("dd_minhash_sig", s"""$docPrelude, sh AS (

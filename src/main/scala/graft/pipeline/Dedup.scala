@@ -166,6 +166,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Dedup-cluster canonicalization — the step AFTER pair generation: group
+    * near-duplicate pairs into clusters and pick one keeper (minimum id)
+    * per cluster. Semantics = `rounds` iterations of min-label propagation
+    * over the undirected pair graph (exact connected components when every
+    * cluster's diameter <= rounds — true for near-dup clusters, which are
+    * cliques-ish; the bounded recurrence is also what a SQL oracle can
+    * replay exactly). Each round is one shuffle on the node id; lineage is
+    * cut per round. Returns (doc_id, keeper_id) for every doc appearing in
+    * a pair.
+    */
+  def clusterKeepers(pairs: DataFrame, idA: String = "id_a",
+                     idB: String = "id_b", rounds: Int = 6): DataFrame = {
+    val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("u").as("doc_id"))
+      .distinct().withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("v2"), col("lbl").as("vlbl")),
+          col("v") === col("v2"))
+        .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
+      labels = labels
+        .join(neighborMin, col("doc_id") === col("u"), "left_outer")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("doc_id"), col("lbl").as("keeper_id"))
+  }
+
   /** Benchmark-contamination detection: documents sharing at least one word
     * `n`-gram with a (small) benchmark/eval set — the decontamination filter
     * every pretraining pipeline runs before training. Inverted-index

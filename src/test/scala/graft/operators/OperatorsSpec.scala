@@ -133,6 +133,16 @@ class OperatorsSpec extends SparkSpec {
       (4L, 0L, 0L), (5L, 1L, 88L)))
   }
 
+  test("Dedup.clusterKeepers: transitive chains collapse to one keeper") {
+    // chain 1-2-3-4 (diameter 3) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.clusterKeepers(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("Dedup.benchmarkOverlap flags docs sharing an n-gram with the bench set") {
     val mk = (i: Long, t: String) => (i, t)
     val corpus = Seq(
