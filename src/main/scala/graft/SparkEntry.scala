@@ -1081,18 +1081,18 @@ object SparkEntry {
 
     // ---- dedup clusters: keeper per near-dup group (6-round min-label
     //      propagation over the jaccard>=0.8 pair graph, unrolled in SQL)
+    // each level references lp{k-1} exactly ONCE (min over neighbors ∪ self
+    // via self-loops): a twice-referenced CTE would be inlined and the
+    // expensive upstream jaccard chain re-evaluated 2^rounds times
     val lblIterSql = (1 to 6).map { k =>
-      s"""lp$k AS (SELECT l.doc_id,
-           least(l.lbl, COALESCE(m.nlbl, l.lbl)) AS lbl
-         FROM lp${k - 1} l LEFT JOIN (
-           SELECT sp.u, min(r.lbl) AS nlbl
-           FROM sp JOIN lp${k - 1} r ON sp.v = r.doc_id GROUP BY sp.u
-         ) m ON l.doc_id = m.u)"""
+      s"""lp$k AS (SELECT sps.u AS doc_id, min(r.lbl) AS lbl
+         FROM sps JOIN lp${k - 1} r ON sps.v = r.doc_id GROUP BY sps.u)"""
     }.mkString(",\n      ")
     q("dd_clusters", jaccardPairsSql.substring(0,
       jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
       , jp AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8),
       sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      sps AS (SELECT u, v FROM sp UNION SELECT u, u FROM sp),
       lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
       $lblIterSql
       SELECT doc_id, lbl AS keeper_id FROM lp6 ORDER BY doc_id""") { (s, d) =>
