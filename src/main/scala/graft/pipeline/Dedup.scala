@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -26,27 +27,55 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_dups"))
 
-  /** All-pairs n-gram Jaccard over word `n`-gram shingle sets, via an
-    * inverted-index self-join on shingles (never a cross join). Returns
-    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+  /** All-pairs n-gram Jaccard over word `n`-gram shingle sets, via a
+    * PPJoin-style prefix-filtered inverted-index self-join (never a cross
+    * join). Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    *
+    * Prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW'07): order every set by a single global shingle order —
+    * ascending document frequency, shingle as tie-break — and index only the
+    * first |X| - ceil(t * |X|) + 1 elements of each set X. Lossless: if
+    * J(A,B) >= t then |A∩B| >= ceil(t * max(|A|,|B|)), so the intersection
+    * cannot fit entirely in the last ceil(t*|X|) - 1 positions of either
+    * set, and the two prefixes must share an element under the common order.
+    * (Property-tested against the brute-force pair set in PipelineSpec.)
+    *
+    * This is what kills the boilerplate-shingle blowup: a shingle appearing
+    * in k documents sorts LAST in df order, so it falls outside the prefix
+    * of any document that has rarer shingles — the k^2 bucket never forms.
+    * Verification computes exact Jaccard on the FULL sets, candidates only.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val shd = docs.select(col(idCol).as("doc_id"),
-        explode(shingleSet(col(textCol), n)).as("shingle"))
-      .cache() // referenced 4x below (sizes + both join sides)
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = shd.alias("x")
-      .join(shd.alias("y"),
+    val sets = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache() // prefix derivation + both verification join sides
+    val shd = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // 1e-9 nudge: ceil must not round UP on binary-float noise (e.g.
+    // 0.8 * 5 = 4.0000000000000002 -> ceil 5 would shorten the prefix and
+    // break the lossless bound in the unsafe direction)
+    val prefix = shd.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select("doc_id", "shingle")
+    val candidates = prefix.alias("x")
+      .join(prefix.alias("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-    val jac = common
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val verified = candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")))
-    jac.where(col("jaccard") >= threshold)
+        col("c").cast("double") / (size(col("sha")) + size(col("shb")) - col("c")))
+    verified.where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -54,15 +83,36 @@ object Dedup {
     * banded bucket join for candidates → exact-Jaccard verification on the
     * candidate pairs only. With 128 hashes / 32 bands of 4, the probability
     * of missing a pair at jaccard 0.8 is (1-0.8^4)^32 ≈ 5e-8.
+    *
+    * `dfCap`: optional stopword-shingle removal — drop shingles whose
+    * document frequency exceeds the cap from BOTH the signature input and
+    * the verification sets, so the returned jaccard is consistently the
+    * jaccard of the capped shingle space. This is the standard production
+    * dedup practice for boilerplate-heavy corpora (a ubiquitous shingle
+    * with a small hash dominates the min-aggregates of every document that
+    * contains it, collapsing unrelated docs into the same bands). It is a
+    * deliberate SEMANTICS choice, not a lossless optimization — two docs
+    * sharing only boilerplate stop being near-duplicates — which is why it
+    * defaults to off; a df-cap applied to candidates alone (keeping
+    * full-set verification) would silently break the (1-t^r)^b recall bound
+    * because the bands would estimate capped-jaccard while the filter
+    * demands full-jaccard. The lossless candidate-pruning alternative is
+    * [[ngramJaccardPairs]]'s prefix filter.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      dfCap: Option[Long] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = docs
+    val uncapped = docs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache() // signature input + verification join sides
+    val base = dfCap.fold(uncapped) { cap =>
+      val ex = uncapped.select(col("doc_id"), explode(col("sh")).as("s"))
+      ex.join(ex.groupBy("s").agg(count(lit(1)).as("df")), "s")
+        .where(col("df") <= cap)
+        .groupBy("doc_id").agg(array_sort(collect_set(col("s"))).as("sh"))
+    }.cache() // signature input + verification join sides
     // signature via explode + 128 min-aggregates: keeps the whole stage in
     // codegen (a single 128-slot array<transform> expression tree trips the
     // 64KB generated-method limit and falls back to interpretation, ~30x slower)
@@ -217,21 +267,43 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold on exact cosine).
-    * Brute-force blocked self-join; the LSH-bucketed scale path is
-    * [[Similarity.annLsh]].
+  /** Embedding-cosine near-duplicate pairs (threshold on exact cosine),
+    * generated via banded hyperplane-LSH candidates + exact-cosine verify —
+    * the same candidates-then-verify shape as [[minhashLshPairs]]. The
+    * candidate join shuffles on (table, bucket), never all-pairs, and the
+    * cosine filter runs map-side over the join output so the final
+    * `distinct` only shuffles surviving pairs.
+    *
+    * Recall: a pair at cosine c co-buckets per table with probability
+    * (1 - acos(c)/pi)^bits; the defaults (3 bits x 32 tables) put the miss
+    * probability at c = 0.45 below 4e-5 per pair (and the deterministic
+    * plane family is verified to catch every qualifying TESTDATA pair at
+    * both sf0.01 and sf0.1). At production thresholds (c >= 0.9) raise
+    * `bits` with log(corpus) to keep bucket sizes bounded — candidate count
+    * scales as tables * n^2 / 2^bits.
     */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double = 0.45): DataFrame = {
+                           threshold: Double = 0.45, dim: Int = 64,
+                           bits: Int = 3, tables: Int = 32): DataFrame = {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: cosine undefined (NaN sorts high)
-    v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
+    // all table buckets in ONE pass over v (posexplode of the per-table
+    // bucket-id array), rather than a tables-way union re-scanning the input
+    val buckets = v.select(col("vid"), col("vec"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        Similarity.lshBucket(col("vec"), dim, bits, t)): _*)).as(Seq("tbl", "bucket")))
+    buckets.alias("a").join(buckets.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
       .withColumn("cos",
         Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      // verify BEFORE distinct: only pairs passing the threshold reach the
+      // dedup shuffle, and they carry (ids, cosine), not the vectors
       .where(col("cos") >= threshold)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
         round(col("cos"), 4).as("cosine"))
+      .distinct()
   }
 }

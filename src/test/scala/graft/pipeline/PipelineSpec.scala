@@ -37,6 +37,82 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("property: prefix-filtered jaccard pairs equal the brute-force pair set") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny vocabulary so shingles collide across docs; every doc also gets a
+    // ubiquitous boilerplate tail (the exact scenario the prefix filter must
+    // survive: a shingle with df = corpus size may leave every prefix, but no
+    // qualifying pair may be lost)
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(5, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.listOfN(10, docGen)
+    (0 until 5).foreach { i =>
+      val texts = corpusGen.apply(Gen.Parameters.default, Seed(11L + i)).get
+        .map(_ + " common boilerplate trailer shared by every single document")
+      val docs = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val sets = docs.select($"doc_id",
+          graft.functions.TextFunctions.shingleSet($"text", 3).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      Seq(0.3, 0.5, 0.8).foreach { t =>
+        val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val naive = (for {
+          a <- sets.keys; b <- sets.keys if a < b
+          sa = sets(a).toSet; sb = sets(b).toSet
+          if sa.nonEmpty && sb.nonEmpty &&
+            sa.intersect(sb).size.toDouble / sa.union(sb).size >= t
+        } yield (a, b)).toSet
+        assert(got === naive, s"seed ${11 + i} t=$t")
+      }
+    }
+  }
+
+  test("minhash dfCap: huge cap is a no-op; cap drops boilerplate-only pairs") {
+    import spark.implicits._
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    val bigCap = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, threshold = 0.5,
+        dfCap = Some(1000L))
+      .select("id_a", "id_b", "jaccard").collect().toSet
+    assert(bigCap == uncapped)
+    // A,B share ONLY the 4-doc boilerplate; C,D share genuine content (df=2)
+    val boiler = "this footer appears at the end of every generated page today"
+    val corpus = Seq(
+      (0L, s"unique alpha words one two three four five six seven $boiler"),
+      (1L, s"other beta tokens eight nine ten eleven twelve thirteen $boiler"),
+      (2L, s"shared gamma sentence about spark shuffles and joins $boiler"),
+      (3L, s"shared gamma sentence about spark shuffles and joins $boiler")
+    ).toDF("doc_id", "text")
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, threshold = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.contains((0L, 1L))) // boilerplate-only near-dup without cap
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, threshold = 0.25,
+        dfCap = Some(3L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((0L, 1L))) // capped space: only boilerplate shared
+    assert(capped.contains((2L, 3L))) // genuine near-dups survive the cap
+  }
+
+  test("banded embedding-cosine pairs equal the brute-force pairs on real data") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val banded = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val v = embs.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0)
+    val naive = v.alias("a").join(v.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(Similarity.dot(col("a.vec"), col("b.vec")) /
+        (col("a.nrm") * col("b.nrm")) >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    assert(banded === naive)
+  }
+
   test("simhash: identical docs share signature, near-dups are close") {
     val sims = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
