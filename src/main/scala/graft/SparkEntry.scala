@@ -1189,17 +1189,36 @@ object SparkEntry {
         "vec_id", "embedding", k = 5).orderBy("query_id", "rank")
     }
 
-    // hyperplane-LSH ANN (the 100TB scale path; no oracle — recall < 1)
-    qNoOracle("ann_lsh_topk") { (s, d) =>
-      Similarity.annLsh(s.read.parquet(s"$d/embeddings.parquet"),
-        "vec_id", "embedding", dim = 64, k = 5).orderBy("query_id", "rank")
+    // hyperplane-LSH ANN (the 100TB scale path). Approximate results can't
+    // hash-match a SQL oracle row-for-row, so the gate asserts the checkable
+    // bound instead: recall@5 vs the exact brute-force top-5, computed
+    // INSIDE the query, must clear 0.9. The oracle replays the deterministic
+    // query census and the expected boolean — a recall regression flips
+    // recall_ok to false and hash-mismatches. (bits=4 x 24 tables measures
+    // 0.96 @ sf0.01 / 0.978 @ sf0.1 on TESTDATA.)
+    q("ann_lsh_topk", s"""$vnSql
+      SELECT 'lsh' AS algo, CAST(5 AS INT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val approx = Similarity.annLsh(embs, "vec_id", "embedding", dim = 64,
+        k = 5, bits = 4, tables = 24).where(col("query_id") < 100)
+      Similarity.recallGate(embs, approx, "lsh", k = 5, bound = 0.9,
+        queryFilter = col("vec_id") < 100)
     }
 
-    // IVF ANN (coarse-quantized cells, nprobe probing; no oracle — recall < 1)
-    qNoOracle("ann_ivf_topk") { (s, d) =>
-      Similarity.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"),
-        "vec_id", "embedding", k = 5, queryFilter = col("vid") < 10)
-        .orderBy("query_id", "rank")
+    // IVF ANN (coarse-quantized cells, nprobe probing): same recall-bound
+    // gate as ann_lsh_topk. (nprobe=12/nlist=16 measures 0.94 @ sf0.01 /
+    // 0.958 @ sf0.1 on TESTDATA.)
+    q("ann_ivf_topk", s"""$vnSql
+      SELECT 'ivf' AS algo, CAST(5 AS INT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val approx = Similarity.ivfTopK(embs, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 12, queryFilter = col("vid") < 100)
+      Similarity.recallGate(embs, approx, "ivf", k = 5, bound = 0.9,
+        queryFilter = col("vec_id") < 100)
     }
 
     // ---- text analysis: token counting

@@ -126,6 +126,33 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Recall-bound gate row for approximate-NN results. Approximate top-k
+    * output can't hash-match an exact SQL oracle row-for-row, so the
+    * checkable contract is the BOUND: compute recall@k of `approx`
+    * (query_id, neighbor_id rows) against the exact brute-force top-k on
+    * the same query set, inside the query, and emit one deterministic row
+    * (algo, k, n_queries, recall_ok = recall >= bound). A SQL oracle
+    * reproduces the query census and the expected boolean without running
+    * the ANN — any recall regression flips recall_ok and fails the hash
+    * comparison. Micro-averaged: fraction of all (query, true-neighbor)
+    * pairs recovered.
+    */
+  def recallGate(embs: DataFrame, approx: DataFrame, algo: String, k: Int,
+                 bound: Double, queryFilter: Column): DataFrame = {
+    val brute = bruteForceTopK(embs.where(queryFilter), embs,
+        "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+    val hits = brute.join(
+      approx.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1)),
+      Seq("query_id", "neighbor_id"), "left_outer")
+    hits.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        avg(coalesce(col("hit"), lit(0))).as("recall"))
+      .select(lit(algo).as("algo"), lit(k).as("k"), col("n_queries"),
+        (col("recall") >= bound).as("recall_ok"))
+      .orderBy("algo")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * splitmix64 finalizer over the packed (j, i) key, mapped to [-0.5, 0.5).
     * No runtime randomness — signatures are reproducible across runs and
