@@ -1008,8 +1008,28 @@ object SparkEntry {
     }
 
     // ---- full indexing pipeline (S1-S2, E1-E3, A1-A10) on a deterministic
-    //      synthetic Python tree; rows-only (no TESTDATA-relational oracle)
-    qNoOracle("p_index_pipeline") { (s, _) =>
+    //      synthetic Python tree. The oracle replays the ENTIRE derivation —
+    //      SyntheticTree's file/class/method layout, the Python extractor's
+    //      fqn + 0-based extent rules, and A9's dense id assignment over
+    //      (path, position) — as pure SQL over generate_series, so the
+    //      flagship ETL is cross-engine checked end-to-end.
+    q("p_index_pipeline", """WITH f AS (SELECT unnest(generate_series(0, 199)) AS i),
+      cls AS (SELECT i, c FROM f, LATERAL (SELECT unnest(generate_series(0, 2)) AS c) g),
+      mth AS (SELECT i, c, m FROM cls, LATERAL (SELECT unnest(generate_series(0, 3)) AS m) g),
+      defs AS (
+        SELECT i, 'C' || i || '_' || c AS fqn, 'C' || i || '_' || c AS name,
+               'Class' AS definition_type, 3 + c*10 AS sl, 11 + c*10 AS el FROM cls
+        UNION ALL
+        SELECT i, 'C' || i || '_' || c || '.m' || c || '_' || m, 'm' || c || '_' || m,
+               'Method', 4 + c*10 + m*2, 5 + c*10 + m*2 FROM mth
+        UNION ALL
+        SELECT i, 'helper_' || i, 'helper_' || i, 'Function', 33, 34 FROM f
+      ),
+      paths AS (SELECT *, 'pkg' || (i % 50) || '/mod' || i || '.py' AS primary_file_path FROM defs)
+      SELECT CAST(row_number() OVER (ORDER BY primary_file_path, sl) - 1 AS BIGINT) AS id,
+             fqn, name, definition_type, primary_file_path,
+             CAST(sl AS INT) AS start_line, CAST(el AS INT) AS end_line
+      FROM paths ORDER BY id""") { (s, _) =>
       val root = java.nio.file.Files.createTempDirectory("graft-gate-tree")
       graft.extract.SyntheticTree.generate(root, 200)
       val store = graft.analyze.Indexer.indexDirectory(s, root.toString, "gate")
