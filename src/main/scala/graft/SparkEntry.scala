@@ -455,6 +455,31 @@ object SparkEntry {
       LIMIT 100""") { (s, d) =>
       lib(s, d).definitionAt(defFileOf(s, d, 0), 3, 25) }
 
+    // ---- Q16 search + file-content context hydration
+    //      (mcp search_codebase_definitions.rs:167-304). Contents come from
+    //      TpchGraphAdapter.syntheticContents; the oracle reconstructs each
+    //      context window line-by-line with generate_series instead of
+    //      building + splitting the whole file.
+    q("q16_search_context", P + s""", g_ctx AS (
+        SELECT d.id AS def_id, d.name, d.fqn, d.definition_type,
+          d.primary_file_path, d.start_line,
+          CAST(greatest(d.start_line - 3, 0) AS INT) AS ctx_start,
+          cf.c_name, cf.c_mktsegment
+        FROM g_defs d JOIN g_custfile cf ON d.primary_file_path = cf.fpath
+        WHERE contains(lower(d.name), 'order_10') OR contains(lower(d.name), 'order_99'))
+      SELECT def_id, name, fqn, definition_type, primary_file_path, start_line,
+        ctx_start,
+        list_aggregate(list_transform(generate_series(ctx_start + 1, ctx_start + 7),
+          j -> '## ' || c_name || ' line ' || j || ' seg=' || lower(c_mktsegment)),
+          'string_agg', chr(10)) AS context
+      FROM g_ctx
+      ORDER BY name NULLS FIRST, def_id
+      LIMIT 50""") { (s, d) =>
+      lib(s, d).searchDefinitionsWithContext(
+        graft.tpch.TpchGraphAdapter.syntheticContents(s, d),
+        Seq("order_10", "order_99"), limit = 50)
+    }
+
     // ---- Q17 delete_by + DETACH DELETE (query_builder.rs:95-112; SURVEY M2)
     val q17ids: Seq[Any] = ((1L to 30L) ++ (50000001L to 50000003L)).toSeq
     q("q17_detach_delete", P +

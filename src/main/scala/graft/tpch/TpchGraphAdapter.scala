@@ -33,6 +33,36 @@ object TpchGraphAdapter {
 
   final val ModuleIdOffset = 50000000L
 
+  /** Lines per synthetic file: must exceed the max definition start_line
+    * (998 = o_orderkey % 997 + 2) plus the Q16 context window, so every
+    * context slice is fully populated on both engines (an out-of-range
+    * slice would be "" in Spark but NULL via SQL string_agg).
+    */
+  final val ContentLines = 1024
+
+  /** Q16's file-contents table, synthesized deterministically from customer
+    * rows: path = the adapter's file path, content = [[ContentLines]]
+    * formulaic lines. Pure function of the inputs, so the DuckDB oracle
+    * reconstructs any line range with generate_series (reference behavior:
+    * mcp/src/tools/search_codebase_definitions.rs:167-304 reads real files;
+    * here the contents table IS the file system).
+    */
+  def syntheticContents(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nat = broadcast(nation.join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    customer.join(nat, customer("c_nationkey") === nat("n_nationkey"))
+      .select(
+        concat(col("r_name"), lit("/"), col("n_name"), lit("/"),
+          col("c_name"), lit(".py")).as("path"),
+        array_join(transform(sequence(lit(1), lit(ContentLines)), j =>
+          concat(lit("## "), col("c_name"), lit(" line "), j.cast("string"),
+            lit(" seg="), lower(col("c_mktsegment")))), "\n").as("content"))
+  }
+
   def apply(spark: SparkSession, sfDir: String): GraphStore = {
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
