@@ -29,16 +29,18 @@ object Indexer {
       it.map { f =>
         val e: Extracted = Extractors.extract(f)
         (FileMeta(f.path, f.absolutePath, f.repositoryName, f.name,
-          f.extension, f.language), e.definitions, e.imports, e.references)
+          f.extension, f.language), e.definitions, e.imports, e.references,
+          e.typeFacts)
       }
-    }.toDF("file", "definitions", "imports", "references")
+    }.toDF("file", "definitions", "imports", "references", "typeFacts")
       .localCheckpoint(true) // parse once; everything below reuses it
 
     val fileMeta = extracted.select($"file.*")
     val rawDefs = extracted.select(explode($"definitions").as("d")).select($"d.*")
     val rawImps = extracted.select(explode($"imports").as("im")).select($"im.*")
     val rawRefs = extracted.select(explode($"references").as("r")).select($"r.*")
-    fromParsed(spark, fileMeta, rawDefs, rawImps, rawRefs)
+    val rawFacts = extracted.select(explode($"typeFacts").as("tf")).select($"tf.*")
+    fromParsed(spark, fileMeta, rawDefs, rawImps, rawRefs, rawFacts)
   }
 
   /** A2-A10 over PRE-PARSED tables — the first-class ingestion path for
@@ -52,6 +54,19 @@ object Indexer {
     */
   def fromParsed(spark: SparkSession, fileMeta: DataFrame, rawDefs: DataFrame,
                  rawImps: DataFrame, rawRefs: DataFrame): GraphStore = {
+    import spark.implicits._
+    fromParsed(spark, fileMeta, rawDefs, rawImps, rawRefs,
+      spark.emptyDataset[graft.extract.RawTypeFact].toDF())
+  }
+
+  /** As above, plus the extractor's [[graft.extract.RawTypeFact]] stream:
+    * when present, JVM-language (Java/Kotlin) call refs first go through
+    * [[TypedResolver]] (receiver types, inheritance, inference) and only
+    * unresolved sites fall back to the heuristic name-match resolver.
+    */
+  def fromParsed(spark: SparkSession, fileMeta: DataFrame, rawDefs: DataFrame,
+                 rawImps: DataFrame, rawRefs: DataFrame,
+                 rawFacts: DataFrame): GraphStore = {
 
     // ---- A2: directory hierarchy --------------------------------------
     val dirPaths = Analyzer.deriveDirectories(fileMeta)
@@ -149,11 +164,18 @@ object Indexer {
       .join(filesDf.select(col("id").as("if_file"), col("path").as("to_file")),
         col("target_id") === col("if_file"))
       .select("from_file", "to_file").distinct()
-    val callEdges = ReferenceResolver.resolve(rawRefs, definitions,
+
+    // A7+: type-directed resolution for JVM languages; resolved sites take
+    // precedence — the heuristic pass only sees the remainder
+    val (typedEdges, typedSites) = TypedResolver.resolve(spark, fileMeta,
+      rawFacts, rawRefs, definitions, importedSymbols)
+    val remainingRefs = rawRefs.join(typedSites,
+      Seq("filePath", "startByte", "endByte"), "left_anti")
+    val callEdges = ReferenceResolver.resolve(remainingRefs, definitions,
       importedSymbols, Some(importedFiles))
 
     val edges = Seq(dirEdges, fileDefines, fileImports, nestingEdges,
-      importEdges, callEdges).reduce(_.unionByName(_))
+      importEdges, callEdges, typedEdges).reduce(_.unionByName(_))
 
     GraphStore(directories, filesDf, definitions, importedSymbols, edges)
   }

@@ -7,6 +7,13 @@ import scala.util.matching.Regex
   * reference supports (Java, Kotlin, C#, Rust — parsing/processor.rs:183-196
   * lists the full language set). Per-language regex tables; scope nesting by
   * brace depth, like [[TypeScriptExtractor]].
+  *
+  * For the JVM languages (Java/Kotlin) the extractor additionally emits
+  * [[RawTypeFact]] rows — package declarations, variable/field/param types,
+  * supertype lists, return types — which feed the type-directed resolver
+  * ([[graft.analyze.TypedResolver]]), the DataFrame counterpart of the
+  * reference's expression resolvers (kotlin/expression_resolver.rs:103-1757,
+  * java/expression_resolver.rs).
   */
 abstract class BraceExtractor extends Extractor {
 
@@ -19,8 +26,51 @@ abstract class BraceExtractor extends Extractor {
   protected def keywords: Set[String]
   protected def lineComment: String = "//"
 
+  // ---- JVM-language hooks (default off) --------------------------------
+  /** `package a.b.c` declaration → package name. */
+  protected def packageRe: Option[Regex] = None
+  /** Prefix every definition FQN with the file's package (reference FQN
+    * convention for Java/Kotlin: com.example.foo.Foo.foo).
+    */
+  protected def qualifyWithPackage: Boolean = false
+  /** Emit [[RawTypeFact]] rows for the typed resolver. */
+  protected def emitTypeFacts: Boolean = false
+  /** Unnamed scope-opening container (Kotlin `companion object {`). */
+  protected def anonymousContainer(line: String): Option[String] = None
+  /** Parse the supertype names out of a container header line, given the
+    * offset just past the container name.
+    */
+  protected def superTypes(line: String, afterName: Int): Seq[String] = Nil
+  /** Declared/inferred (varName, typeExpr) from a local/field declaration. */
+  protected def varDecl(line: String): Option[(String, String)] = None
+  /** (paramName, typeExpr) pairs from a callable header line. */
+  protected def paramFacts(line: String): Seq[(String, String)] = Nil
+  /** Return type expression from a callable header line ("A|B" = candidate
+    * set to be unified by least-upper-bound at resolution).
+    */
+  protected def returnType(line: String): Option[String] = None
+  /** Var name whose initializer opens a multi-line inferable block
+    * (Kotlin `val x = when (...) {` / `= try {`): constructor names seen
+    * until the block closes become the var's candidate type set.
+    */
+  protected def inferenceStart(line: String): Option[String] = None
+  /** Kotlin extension-property header `val Recv.prop` → (recvType, prop). */
+  protected def extensionPropertyHeader(line: String): Option[(String, String)] = None
+  /** `@Name` annotation-line names (attached to the next definition). */
+  protected def annotationNames(line: String): Seq[String] = Nil
+  /** Kotlin operator desugaring: `(a + b)` → plus-call on `a`. */
+  protected def emitBinaryOperators: Boolean = false
+
   private val callRe: Regex =
-    """(?:([A-Za-z_$][A-Za-z0-9_$.]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
+    """(?:([A-Za-z_$][A-Za-z0-9_$.?]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
+  // `new ArrayList<String>()`: the generic args break the plain call regex
+  private val genericNewRe: Regex =
+    """new\s+(?:([A-Za-z_$][A-Za-z0-9_$.]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*<[^>]*>\s*\(""".r
+  private val chainCallRe: Regex =
+    """([A-Za-z_]\w*)\s*\(([^()]*)\)\s*[?]?\.\s*([A-Za-z_]\w*)\s*\(""".r
+  private val binOpRe: Regex =
+    """\(\s*(\w+)\s*\+\s*(\w+)\s*\)(?:\s*\.\s*(\w+)\s*\()?""".r
+  private val ctorNameRe: Regex = """([A-Z]\w*)\s*\(""".r
 
   override def extract(f: SourceFile): Extracted = {
     val lines = f.content.split("\n", -1)
@@ -32,6 +82,7 @@ abstract class BraceExtractor extends Extractor {
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
     val refs = ArrayBuffer[RawReference]()
+    val facts = ArrayBuffer[RawTypeFact]()
     // (depthAtOpen, name, index into defs — for end-range backfill at pop)
     var containerStack = List.empty[(Int, String, Int)]
     // callables with a brace-opened body: (depthAtOpen, defIdx) — tracked
@@ -39,7 +90,18 @@ abstract class BraceExtractor extends Extractor {
     // resolver's innermost-caller window attributes call sites to the
     // METHOD, not just its enclosing class
     var callableStack = List.empty[(Int, Int)]
+    // containers AND open callables, for type-fact scope attribution
+    var factScopeStack = List.empty[(Int, String)]
     var depth = 0
+    var pkg = ""
+    // (varName, scope, depthAtDecl, collected ctor type names)
+    var pendingInference: Option[(String, String, Int, ArrayBuffer[String])] = None
+    var pendingProp: Option[(String, String)] = None
+    var pendingAnnotations = List.empty[String]
+
+    def pkgPrefix(parts: Seq[String]): String =
+      ((if (qualifyWithPackage && pkg.nonEmpty) Seq(pkg) else Nil) ++ parts)
+        .mkString(".")
 
     for (i <- lines.indices) {
       val raw = lines(i)
@@ -48,29 +110,92 @@ abstract class BraceExtractor extends Extractor {
         case n => raw.substring(0, n)
       }
       def fqnOf(name: String) =
-        (containerStack.reverseIterator.map(_._2).toSeq :+ name).mkString(".")
-      def add(name: String, kind: String, colNo: Int): Unit =
-        defs += RawDefinition(f.path, fqnOf(name), name, kind,
+        pkgPrefix(containerStack.reverseIterator.map(_._2).toSeq :+ name)
+      def factScope: String =
+        pkgPrefix(factScopeStack.reverseIterator.map(_._2).toSeq)
+      def add(name: String, fqn: String, kind: String, colNo: Int): Unit =
+        defs += RawDefinition(f.path, fqn, name, kind,
           lineStart(i) + colNo, lineStart(i) + line.length, i, i, colNo, line.length)
+      def attachAnnotations(): Unit = {
+        // annotation refs bind to the ANNOTATED definition's line so the
+        // caller-containment join attributes them to it (the reference
+        // attributes @A on a method to that method); pseudo-columns beyond
+        // the line end keep the sites distinct from real call refs
+        pendingAnnotations.zipWithIndex.foreach { case (an, k) =>
+          val c = line.length + 1 + k
+          refs += RawReference(f.path, an, "",
+            lineStart(i) + c, lineStart(i) + c + an.length, i, c, c + an.length)
+        }
+        pendingAnnotations = Nil
+      }
+
+      if (emitTypeFacts && pkg.isEmpty) packageRe.foreach { re =>
+        re.findFirstMatchIn(line).foreach { m =>
+          pkg = m.group(1)
+          facts += RawTypeFact(f.path, "package", "", "", pkg, i)
+        }
+      }
+
+      // multi-line initializer inference: collect constructor names until
+      // the opening depth is restored (processed before brace bookkeeping,
+      // finalized after it)
+      pendingInference.foreach { case (_, _, _, acc) =>
+        ctorNameRe.findAllMatchIn(line).foreach { m =>
+          if (!keywords(m.group(1))) acc += m.group(1)
+        }
+      }
 
       var matched = false
       var refScanFrom = 0 // after a def header, only scan the remainder
       containerRes.foreach { case (re, kind) =>
         if (!matched) re.findFirstMatchIn(line).foreach { m =>
-          add(m.group(1), kind, m.start(1))
-          containerStack ::= (depth, m.group(1), defs.length - 1)
+          val fqn = fqnOf(m.group(1))
+          attachAnnotations()
+          add(m.group(1), fqn, kind, m.start(1))
+          if (emitTypeFacts)
+            superTypes(line, m.end(1)).foreach { sup =>
+              facts += RawTypeFact(f.path, "extends", "", fqn, sup, i)
+            }
+          // JVM languages: a body-less declaration (Kotlin
+          // `data class Config(val type: String)`) opens no scope — pushing
+          // it would swallow every later definition in the file. Brace-on-
+          // same-line is the JVM norm; other languages keep the permissive
+          // push (Allman-style next-line braces still pop correctly there).
+          if (!emitTypeFacts || line.indexOf('{', m.end(1)) >= 0) {
+            containerStack ::= (depth, m.group(1), defs.length - 1)
+            factScopeStack ::= (depth, m.group(1))
+          }
           matched = true
           refScanFrom = m.end
         }
+      }
+      if (!matched) anonymousContainer(line).foreach { name =>
+        val fqn = fqnOf(name)
+        add(name, fqn, "Class", 0)
+        containerStack ::= (depth, name, defs.length - 1)
+        factScopeStack ::= (depth, name)
+        matched = true
       }
       if (!matched) callableRes.foreach { case (re, kind) =>
         if (!matched) re.findFirstMatchIn(line).foreach { m =>
           val name = m.group(1)
           if (!keywords(name)) {
             val k = if (kind == "Method" && containerStack.isEmpty) "Function" else kind
-            add(name, k, m.start(1))
-            if (line.indexOf('{', m.end - 1) >= 0)
+            val fqn = fqnOf(name)
+            attachAnnotations()
+            add(name, fqn, k, m.start(1))
+            if (emitTypeFacts) {
+              paramFacts(line).foreach { case (pn, pt) =>
+                facts += RawTypeFact(f.path, "var", fqn, pn, pt, i)
+              }
+              returnType(line).foreach { rt =>
+                facts += RawTypeFact(f.path, "returns", fqn, "", rt, i)
+              }
+            }
+            if (line.indexOf('{', m.end - 1) >= 0) {
               callableStack ::= (depth, defs.length - 1)
+              factScopeStack ::= (depth, name)
+            }
             matched = true
             refScanFrom = m.end
           }
@@ -81,16 +206,91 @@ abstract class BraceExtractor extends Extractor {
           lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
         refScanFrom = line.length
       }
-      if (refScanFrom < line.length)
-        callRe.findAllMatchIn(line.substring(refScanFrom)).foreach { m =>
+
+      if (emitTypeFacts && !matched) {
+        val anns = annotationNames(line)
+        if (anns.nonEmpty) { pendingAnnotations ++= anns; refScanFrom = line.length }
+      }
+
+      if (emitTypeFacts && !matched && pendingInference.isEmpty) {
+        pendingProp match {
+          case Some((recv, prop)) =>
+            // `val Recv.prop` header seen: a `get() = Ctor(...)` body line
+            // types the extension property
+            ctorNameRe.findFirstMatchIn(line).foreach { m =>
+              if (line.contains("get()") && !keywords(m.group(1)))
+                facts += RawTypeFact(f.path, "prop", recv, prop, m.group(1), i)
+            }
+            if (line.trim.nonEmpty) pendingProp = None
+          case None =>
+            extensionPropertyHeader(line) match {
+              case Some((recv, prop)) => pendingProp = Some((recv, prop))
+              case None =>
+                inferenceStart(line) match {
+                  case Some(varName) =>
+                    pendingInference =
+                      Some((varName, factScope, depth, ArrayBuffer[String]()))
+                    ctorNameRe.findAllMatchIn(line).foreach { m =>
+                      if (!keywords(m.group(1)))
+                        pendingInference.get._4 += m.group(1)
+                    }
+                  case None =>
+                    varDecl(line).foreach { case (vn, vt) =>
+                      facts += RawTypeFact(f.path, "var", factScope, vn, vt, i)
+                    }
+                }
+            }
+        }
+      }
+
+      if (refScanFrom < line.length) {
+        val seg = line.substring(refScanFrom)
+        callRe.findAllMatchIn(seg).foreach { m =>
           val name = m.group(2)
           val c0 = refScanFrom + m.start(2)
           val c1 = refScanFrom + m.end(2)
-          // call-form (parens): empty receiver → CALLS classification
-          if (!keywords(name))
+          // call-form (parens): empty receiver → CALLS classification; the
+          // receiver EXPRESSION rides along for the typed resolver only
+          if (!keywords(name)) {
+            val recvExpr = Option(m.group(1)).getOrElse("").replace("?", "")
             refs += RawReference(f.path, name, "",
-              lineStart(i) + c0, lineStart(i) + c1, i, c0, c1)
+              lineStart(i) + c0, lineStart(i) + c1, i, c0, c1, recvExpr)
+          }
         }
+        if (emitTypeFacts)
+          genericNewRe.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(2)
+            val c0 = refScanFrom + m.start(2)
+            val c1 = refScanFrom + m.end(2)
+            if (!keywords(name))
+              refs += RawReference(f.path, name, "",
+                lineStart(i) + c0, lineStart(i) + c1, i, c0, c1,
+                Option(m.group(1)).getOrElse(""))
+          }
+        if (emitTypeFacts)
+          chainCallRe.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(3)
+            val c0 = refScanFrom + m.start(3)
+            val c1 = refScanFrom + m.end(3)
+            if (!keywords(name) && !keywords(m.group(1)))
+              refs += RawReference(f.path, name, "",
+                lineStart(i) + c0, lineStart(i) + c1, i, c0, c1,
+                "CALL:" + m.group(1))
+          }
+        if (emitBinaryOperators)
+          binOpRe.findAllMatchIn(seg).foreach { m =>
+            val c0 = refScanFrom + m.start
+            refs += RawReference(f.path, "plus", "",
+              lineStart(i) + c0, lineStart(i) + c0 + 4, i, c0, c0 + 4,
+              m.group(1))
+            Option(m.group(3)).filterNot(keywords).foreach { chained =>
+              val c3 = refScanFrom + m.start(3)
+              refs += RawReference(f.path, chained, "",
+                lineStart(i) + c3, lineStart(i) + m.end(3), i, c3,
+                refScanFrom + m.end(3), "BINOP:" + m.group(1))
+            }
+          }
+      }
 
       for (c <- line) {
         if (c == '{') depth += 1
@@ -110,10 +310,23 @@ abstract class BraceExtractor extends Extractor {
               endByte = lineStart(i) + line.length, endLine = i)
             callableStack = callableStack.tail
           }
+          while (factScopeStack.nonEmpty && depth <= factScopeStack.head._1)
+            factScopeStack = factScopeStack.tail
+        }
+      }
+
+      pendingInference.foreach { case (vn, scope, d0, acc) =>
+        if (depth <= d0 && !line.trim.endsWith("{") && acc.nonEmpty) {
+          facts += RawTypeFact(f.path, "var", scope, vn, acc.distinct.mkString("|"), i)
+          pendingInference = None
+        } else if (depth <= d0 && !line.trim.endsWith("{") &&
+          line.trim.nonEmpty && !line.trim.startsWith("val") &&
+          !line.trim.startsWith("var")) {
+          pendingInference = None
         }
       }
     }
-    Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq)
+    Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq, facts.toSeq)
   }
 }
 
@@ -124,11 +337,14 @@ object JavaExtractor extends BraceExtractor {
   override val language = "java"
   override val containerRes = Seq(
     """(?:public\s+|private\s+|protected\s+|abstract\s+|final\s+|static\s+)*class\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Class",
+    """(?:public\s+|private\s+|protected\s+)*@interface\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Interface",
     """(?:public\s+|private\s+|protected\s+)*interface\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Interface",
     """(?:public\s+|private\s+|protected\s+)*enum\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Class",
     """(?:public\s+|private\s+|protected\s+)*record\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Class")
   override val callableRes = Seq(
-    """(?:public\s+|private\s+|protected\s+|static\s+|final\s+|synchronized\s+|abstract\s+|native\s+)+[A-Za-z_$][\w$<>\[\],. ]*\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?:throws[\w, .]+)?\{""".r -> "Method")
+    """(?:public\s+|private\s+|protected\s+|static\s+|final\s+|synchronized\s+|abstract\s+|native\s+|default\s+)+[A-Za-z_$][\w$<>\[\],. ]*\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?:throws[\w, .]+)?\{""".r -> "Method",
+    // constructor: modifier + ClassName( ... ) { — no return type
+    """(?:public|private|protected)\s+([A-Z][A-Za-z0-9_$]*)\s*\([^;)]*\)\s*\{""".r -> "Method")
   override val keywords = Set("if", "for", "while", "switch", "catch", "return",
     "new", "super", "this", "assert", "synchronized")
   override def parseImport(line: String) = {
@@ -140,6 +356,43 @@ object JavaExtractor extends BraceExtractor {
         path, if (wildcard) "*" else path.split("\\.").last, null)
     }
   }
+
+  override val packageRe = Some("""^\s*package\s+([\w.]+)\s*;""".r)
+  override val qualifyWithPackage = true
+  override val emitTypeFacts = true
+  override def superTypes(line: String, afterName: Int): Seq[String] = {
+    val rest = line.substring(math.min(afterName, line.length))
+    val ext = """extends\s+([\w.]+)""".r.findFirstMatchIn(rest).map(_.group(1)).toSeq
+    val impl = """implements\s+([\w.,\s]+?)\s*\{""".r.findFirstMatchIn(rest)
+      .map(_.group(1)).toSeq.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    ext ++ impl
+  }
+  private val fieldRe =
+    """([A-Z][\w.]*)(?:<[^>]*>)?\s+(\w+)\s*[=;]""".r
+  private val varKwRe = """\bvar\s+(\w+)\s*=\s*(?:new\s+)?([A-Z][\w.]*)""".r
+  private val instanceOfRe = """instanceof\s+([A-Z][\w.]*)\s+(\w+)""".r
+  override def varDecl(line: String): Option[(String, String)] = {
+    varKwRe.findFirstMatchIn(line).map(m => (m.group(1), m.group(2)))
+      .orElse(instanceOfRe.findFirstMatchIn(line).map(m => (m.group(2), m.group(1))))
+      .orElse(fieldRe.findFirstMatchIn(line).collect {
+        case m if !line.trim.startsWith("return") => (m.group(2), m.group(1))
+      })
+  }
+  override def paramFacts(line: String): Seq[(String, String)] = {
+    val open = line.indexOf('(')
+    val close = line.lastIndexOf(')')
+    if (open < 0 || close <= open) Nil
+    else line.substring(open + 1, close).split(",").toSeq.flatMap { p =>
+      """([A-Z][\w.]*)(?:<[^>]*>)?\s+(\w+)\s*$""".r.findFirstMatchIn(p.trim)
+        .map(m => (m.group(2), m.group(1)))
+    }
+  }
+  override def returnType(line: String): Option[String] =
+    ("""(?:(?:public|private|protected|static|final|synchronized|abstract|native|default)\s+)+""" +
+      """([A-Z][\w.]*)(?:<[^>]*>)?\s+\w+\s*\(""").r
+      .findFirstMatchIn(line).map(_.group(1))
+  override def annotationNames(line: String): Seq[String] =
+    """^\s*@([A-Za-z_]\w*)""".r.findFirstMatchIn(line).map(_.group(1)).toSeq
 }
 
 /** Kotlin (reference fixtures: fixtures/kotlin, resolver
@@ -164,6 +417,76 @@ object KotlinExtractor extends BraceExtractor {
         if (wildcard) "*" else m.group(1).split("\\.").last, m.group(3))
     }
   }
+
+  override val packageRe = Some("""^\s*package\s+([\w.]+)""".r)
+  override val qualifyWithPackage = true
+  override val emitTypeFacts = true
+  override val emitBinaryOperators = true
+  override def anonymousContainer(line: String): Option[String] =
+    if ("""companion\s+object\s*(\{|$)""".r.findFirstIn(line).isDefined)
+      Some("Companion")
+    else None
+  override def superTypes(line: String, afterName: Int): Seq[String] = {
+    // skip the primary constructor's parens before looking for `: Super`
+    var i = math.min(afterName, line.length)
+    while (i < line.length && line(i).isWhitespace) i += 1
+    if (i < line.length && line(i) == '(') {
+      var d = 0
+      while (i < line.length) {
+        if (line(i) == '(') d += 1
+        else if (line(i) == ')') { d -= 1; if (d == 0) { i += 1
+          // done skipping
+          while (i < line.length && line(i).isWhitespace) i += 1
+          return superListFrom(line, i) } }
+        i += 1
+      }
+      Nil
+    } else superListFrom(line, i)
+  }
+  private def superListFrom(line: String, i: Int): Seq[String] =
+    if (i < line.length && line(i) == ':')
+      line.substring(i + 1).takeWhile(_ != '{').split(",").toSeq
+        .map(_.replaceAll("\\(.*?\\)", "").replaceAll("<[^>]*>", "").trim)
+        .filter(s => s.nonEmpty && s.matches("""[\w.]+"""))
+    else Nil
+  private val typedValRe =
+    """\b(?:val|var)\s+(\w+)\s*:\s*([\w.]+)[?]?\s*=""".r
+  private val ctorValRe =
+    """\b(?:val|var)\s+(\w+)\s*=\s*([A-Z][\w.]*)\s*\(""".r
+  private val memberValRe =
+    """\b(?:val|var)\s+(\w+)\s*=\s*([A-Z][\w.]*)\s*$""".r
+  override def varDecl(line: String): Option[(String, String)] =
+    typedValRe.findFirstMatchIn(line).map(m => (m.group(1), m.group(2)))
+      .orElse(ctorValRe.findFirstMatchIn(line).map(m => (m.group(1), m.group(2))))
+      .orElse(memberValRe.findFirstMatchIn(line).map(m => (m.group(1), m.group(2))))
+  override def paramFacts(line: String): Seq[(String, String)] = {
+    val open = line.indexOf('(')
+    val close = line.indexOf(')', math.max(open, 0))
+    if (open < 0 || close <= open) Nil
+    else line.substring(open + 1, close).split(",").toSeq.flatMap { p =>
+      """(\w+)\s*:\s*([\w.]+)[?]?\s*$""".r.findFirstMatchIn(p.trim)
+        .map(m => (m.group(1), m.group(2)))
+    }
+  }
+  override def returnType(line: String): Option[String] = {
+    val declared = """\)\s*:\s*([\w.]+)""".r.findFirstMatchIn(line).map(_.group(1))
+    declared.orElse {
+      """\)\s*=\s*(.+)$""".r.findFirstMatchIn(line).flatMap { m =>
+        val rhs = m.group(1)
+        val ctors = """([A-Z]\w*)\s*\(""".r.findAllMatchIn(rhs)
+          .map(_.group(1)).filterNot(keywords).toSeq.distinct
+        if (ctors.nonEmpty) Some(ctors.mkString("|")) else None
+      }
+    }
+  }
+  override def inferenceStart(line: String): Option[String] =
+    """\b(?:val|var)\s+(\w+)\s*=\s*(?:when\s*\(|try\s*\{|if\s*\()""".r
+      .findFirstMatchIn(line).map(_.group(1))
+  override def extensionPropertyHeader(line: String): Option[(String, String)] =
+    """^\s*val\s+([A-Z][\w.]*)\.(\w+)\s*$""".r.findFirstMatchIn(line)
+      .map(m => (m.group(1), m.group(2)))
+  override def annotationNames(line: String): Seq[String] =
+    """^\s*@([A-Za-z_]\w*)""".r.findFirstMatchIn(line).map(_.group(1)).toSeq
 }
 
 /** C# (reference language set includes CSharp). */

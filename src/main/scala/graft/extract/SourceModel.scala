@@ -54,13 +54,39 @@ final case class RawReference(
     endByte: Long,
     startLine: Int,
     startCol: Int,
-    endCol: Int)
+    endCol: Int,
+    callReceiver: String = "") // receiver EXPRESSION of a call-form ref
+                               // ("x.y", "super", "CALL:f", "BINOP:x") —
+                               // consumed by the type-directed resolver;
+                               // does NOT affect CALLS classification
+
+/** A scope-local typing fact for the type-directed resolver (the DataFrame
+  * face of what the reference's per-language expression resolvers — e.g.
+  * kotlin/expression_resolver.rs:103-1757 — recover from the syntax tree):
+  *
+  *  - "package": detail = the file's package declaration
+  *  - "var":     subject = variable/field/param name, detail = type
+  *                expression ("Foo", "Outer.Inner", or "A|B" when inferred
+  *                from a multi-branch when/if/try), scope = enclosing def FQN
+  *  - "extends": subject = class FQN, detail = one raw supertype name
+  *  - "returns": scope = method FQN, detail = return type expression
+  *  - "prop":    scope = raw receiver type name (Kotlin extension property),
+  *                subject = property name, detail = result type expression
+  */
+final case class RawTypeFact(
+    filePath: String,
+    factKind: String,
+    scope: String,
+    subject: String,
+    detail: String,
+    startLine: Int)
 
 final case class Extracted(
     file: SourceFile,
     definitions: Seq[RawDefinition],
     imports: Seq[RawImport],
-    references: Seq[RawReference])
+    references: Seq[RawReference],
+    typeFacts: Seq[RawTypeFact] = Nil)
 
 /** E1 — extension → language (reference: parsing/processor.rs:183-196). */
 object LanguageDetect {

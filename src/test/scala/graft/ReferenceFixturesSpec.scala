@@ -74,6 +74,112 @@ class ReferenceFixturesSpec extends SparkSpec {
       .count() > 0)
   }
 
+  // ---- Kotlin/Java resolution parity with the reference's own language
+  // tests: every call-edge assertion hardcoded in
+  // crates/indexer/src/analysis/languages/kotlin/tests.rs:96-553 and
+  // java/tests.rs:96-486, expressed as (callee fqn, caller-fqn suffix).
+  // These need type-DIRECTED resolution (receiver var types, inheritance,
+  // LUB inference, companions, extensions) — the TypedResolver's job.
+
+  private val kotlinCallExpectations: Seq[(String, String)] = Seq(
+    ("com.example.foo.Foo", "com.example.main"),
+    ("com.example.foo.Foo.foo", "com.example.main"),
+    ("com.example.foo.Foo.Companion.companionFoo", "com.example.main"),
+    ("com.example.foo.Baz.baz", "com.example.main"),
+    ("com.example.foo.Bar.bar", "com.example.foo.Foo.foo"),
+    ("com.example.foo.Foo.fooInFooBody", "com.example.foo.Foo.foo"),
+    ("com.example.foo.Foo.fooInFooBody", "com.example.foo.Foo.InnerFoo.innerFoo"),
+    ("com.example.entites.Person.getName", "com.example.when.whenTypeInference"),
+    ("com.example.entites.Person.getName", "com.example.if.usageOfIfTypeInference"),
+    ("com.example.entites.Person.getName", "com.example.try.tryTypeInference"),
+    ("com.example.nestedclasses.Parent.Child.GrandChild.greet",
+      "com.example.nestedclasses.Parent.GrandChild.greet"),
+    ("com.example.nestedclasses.Parent.Child.GrandChild.greet", "com.example.main"),
+    ("com.example.nestedclasses.Parent.GrandChild.greet", "com.example.main"),
+    ("com.example.edgecases.filter.Filter.filter",
+      "com.example.edgecases.filter.ServerFilter.filter"),
+    ("com.example.operator.AnimalList.plus", "com.example.operator.AnimalList.Companion.of"),
+    ("com.example.operator.AnimalList.display", "com.example.operator.AnimalList.Companion.of"),
+    ("com.example.enums.Enum.enumMethod", "com.example.main"),
+    ("com.example.enums.Enum.enumMethod2", "com.example.main"),
+    ("com.example.extensions.printValue", "com.example.extensions.callToExtensions"),
+    ("com.example.extensions.utils.reverse", "com.example.extensions.callToImportedExtensions"),
+    ("com.example.extensions.entities.ExtendMeFromProperty.printValue",
+      "com.example.extensions.callToExtensions"),
+    ("com.example.extensions.printValue", "com.example.extensions.callToImportedExtensions"),
+    ("com.example.extensions.imported.print", "com.example.extensions.imported.callToImported"))
+
+  private val kotlinImportExpectations: Seq[(String, String, String)] = Seq(
+    ("org.slf4j", "Logger", "com.example.main"))
+
+  private val javaCallExpectations: Seq[(String, String)] = Seq(
+    ("com.example.app.Traceable", "com.example.app.Main.main"),
+    ("com.example.app.Foo", "com.example.app.Main.Main"),
+    ("com.example.app.Foo.bar", "com.example.app.Main.main"),
+    ("com.example.app.Bar.baz", "com.example.app.Main.main"),
+    ("com.example.app.Executor.execute", "com.example.app.Main.main"),
+    ("com.example.app.Main.await", "com.example.app.Main.main"),
+    ("com.example.app.Application.run", "com.example.app.Main.main"),
+    ("com.example.util.Outer.make", "com.example.app.Main.main"),
+    ("com.example.util.Outer.outerMethod", "com.example.app.Main.main"),
+    ("com.example.util.Outer.Inner", "com.example.app.Main.main"),
+    ("com.example.util.Outer.Inner.innerMethod", "com.example.app.Main.main"),
+    ("com.example.util.Outer.Inner.innerStatic", "com.example.app.Main.main"),
+    ("com.example.app.EnumClass.enumMethod1", "com.example.app.Main.main"),
+    ("com.example.app.EnumClass.enumMethod2", "com.example.app.Main.main"),
+    ("com.example.filter.Filter.apply", "com.example.filter.ServerFilter.Filter.apply"),
+    ("com.example.helpers.Helpers.InnerHelpers.innerDoHelp",
+      "com.example.helpers.Helpers.InnerInnerHelpers.innerInnerDoHelp"))
+
+  private val javaImportExpectations: Seq[(String, String, String)] = Seq(
+    ("java.util", "ArrayList", "com.example.app.Main.main"),
+    ("java.util", "List", "com.example.app.Main.main"),
+    ("java.lang.annotation", "Retention", "com.example.app.Traceable"),
+    ("java.lang.annotation", "Target", "com.example.app.Traceable"))
+
+  Seq(("kotlin", kotlinCallExpectations, kotlinImportExpectations),
+      ("java", javaCallExpectations, javaImportExpectations)).foreach {
+    case (dir, calls, imps) =>
+      test(s"reference $dir fixtures: EXACT call-resolution parity with the " +
+        s"reference's ${dir}/tests.rs expectations (${calls.size + imps.size} edges)") {
+        assume(fixtures.isDirectory, "reference fixtures not present")
+        val store = indexed(dir)
+        val defs = store.definitions.select("id", "fqn")
+        val callPairs = store.edges
+          .where(col("kind") === EdgeKind.DefToDef &&
+            col("type").isin(RelType.Calls, RelType.AmbiguouslyCalls))
+          .join(defs.withColumnRenamed("id", "sid")
+            .withColumnRenamed("fqn", "caller"), col("source_id") === col("sid"))
+          .join(defs.withColumnRenamed("id", "tid")
+            .withColumnRenamed("fqn", "callee"), col("target_id") === col("tid"))
+          .select("caller", "callee").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        val impPairs = store.edges
+          .where(col("kind") === EdgeKind.DefToImp &&
+            col("type").isin(RelType.Calls, RelType.AmbiguouslyCalls))
+          .join(defs.withColumnRenamed("id", "sid")
+            .withColumnRenamed("fqn", "caller"), col("source_id") === col("sid"))
+          .join(store.importedSymbols.select(col("id").as("iid"),
+            col("import_path"), col("name").as("iname")),
+            col("target_id") === col("iid"))
+          .select("caller", "import_path", "iname").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        val callMisses = calls.filterNot { case (callee, callerSuffix) =>
+          callPairs.exists { case (cr, ce) => ce == callee && cr.endsWith(callerSuffix) }
+        }
+        val impMisses = imps.filterNot { case (path, n, callerSuffix) =>
+          impPairs.exists { case (cr, ip, in) =>
+            in == n && (ip == path || ip == s"$path.$n") && cr.endsWith(callerSuffix) }
+        }
+        // Measured census: 44/44 reference assertions resolve (24 kotlin +
+        // 20 java) as of round 3 — the floor is EVERY expectation
+        assert(callMisses.isEmpty && impMisses.isEmpty,
+          s"unresolved reference expectations in $dir: " +
+            (callMisses.map(e => s"${e._1} <- ${e._2}") ++
+              impMisses.map(e => s"import(${e._1},${e._2}) <- ${e._3}")).mkString("; "))
+      }
+  }
+
   test("self-indexing: the engine indexes its own Scala sources") {
     val src = new File("src/main/scala/graft")
     assume(src.isDirectory, "run from the repo root")
