@@ -490,8 +490,17 @@ final class QueryLibrary(store: GraphStore) {
     * "reachability"): definitions reachable from `fqn` over call edges in at
     * most `maxHops` hops. Iterative join with a fixpoint check; each
     * iteration is one shuffle on target_id.
+    *
+    * Join strategy is frontier-size-adaptive: while the reached set stays
+    * under `broadcastThreshold` rows, the frontier and seen sets broadcast
+    * (the cached edge table is never shuffled — map-side hash joins); once
+    * a high-fan-out closure outgrows the threshold the loop switches to
+    * shuffle joins automatically, so callers cannot drive the driver OOM by
+    * reaching for this on a whole-graph source. (GraphOps.kHopDf remains
+    * the Pregel-shaped alternative for all-sources closures.)
     */
-  def callClosure(fqn: String, maxHops: Int = 8): DataFrame = {
+  def callClosure(fqn: String, maxHops: Int = 8,
+                  broadcastThreshold: Long = 1000000L): DataFrame = {
     val callDefEdges = edges
       .where(col("kind") === EdgeKind.DefToDef &&
         col("type").isin(RelType.callTypes: _*))
@@ -501,24 +510,25 @@ final class QueryLibrary(store: GraphStore) {
     var frontier = defs.where(col("fqn") === fqn)
       .select(col("id").as("node_id")).distinct().localCheckpoint(true)
     var reached = frontier.withColumn("hops", lit(0)).localCheckpoint(true)
+    var reachedCount = reached.count()
     var hop = 0
-    var growing = true
+    var growing = reachedCount > 0
     while (growing && hop < maxHops) {
       hop += 1
-      // broadcast the frontier + seen sets: the cached edge table stays
-      // un-shuffled every hop (map-side hash joins). The frontier of a
-      // single-source closure is bounded by the reachable set; for whole-
-      // graph closures use GraphOps.kHopFrom (Pregel) instead.
+      val small = reachedCount <= broadcastThreshold
+      def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       val next = callDefEdges
-        .join(broadcast(frontier), col("source_id") === col("node_id"))
+        .join(side(frontier), col("source_id") === col("node_id"))
         .select(col("target_id").as("node_id")).distinct()
-        .join(broadcast(reached.select(col("node_id").as("seen"))),
+        .join(side(reached.select(col("node_id").as("seen"))),
           col("node_id") === col("seen"), "left_anti")
         .localCheckpoint(true)
-      growing = next.limit(1).count() > 0
+      val nextCount = next.count()
+      growing = nextCount > 0
       if (growing) {
         reached = reached.unionByName(next.withColumn("hops", lit(hop)))
           .localCheckpoint(true)
+        reachedCount += nextCount
         frontier = next
       }
     }

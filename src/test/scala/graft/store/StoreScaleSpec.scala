@@ -83,4 +83,16 @@ class StoreScaleSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(defRanks(99L) > defRanks(0L))
   }
+
+  test("callClosure: shuffle-join path (threshold exceeded) matches broadcast path") {
+    val lib = new graft.query.QueryLibrary(store)
+    // chain graph 0->1->...->99: closure from Def0 within 5 hops
+    val viaBroadcast = lib.callClosure("Def0", maxHops = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    // threshold 0 forces the non-broadcast (shuffle join) path every hop
+    val viaShuffle = lib.callClosure("Def0", maxHops = 5, broadcastThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+    assert(viaBroadcast === viaShuffle)
+    assert(viaBroadcast === (0 to 5).map(i => (i.toLong, i)).toSet)
+  }
 }
