@@ -23,14 +23,38 @@ object FileScanner {
            repositoryName: String): Dataset[SourceFile] = {
     import spark.implicits._
     val root = Paths.get(rootDir).toAbsolutePath.normalize
-    val files = Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(p => p.iterator().asScala.exists(seg => ignoredDirs(seg.toString)))
-      .flatMap(p => readOne(root, p, repositoryName))
-      .toSeq
+    val files = walkDir(root, root, Vector.empty, repositoryName).toSeq
     // distribute: extraction parallelism is per-file
     spark.createDataset(files).repartition(spark.sparkContext.defaultParallelism)
   }
+
+  /** Recursive walk honoring nested .gitignore files ([[GitIgnore]]
+    * semantics: per-directory scope, negation, anchoring, last-match-wins).
+    * Ignored directories are not descended into — which is also how git's
+    * "cannot re-include inside an excluded directory" rule falls out.
+    */
+  private def walkDir(root: Path, dir: Path,
+                      inherited: Vector[(String, Seq[GitIgnore.Rule])],
+                      repo: String): Iterator[SourceFile] = {
+    val gi = dir.resolve(".gitignore")
+    val scopes =
+      if (Files.isRegularFile(gi))
+        inherited :+ (relOf(root, dir) ->
+          GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
+      else inherited
+    Files.list(dir).iterator().asScala.flatMap { p =>
+      val name = p.getFileName.toString
+      val isDir = Files.isDirectory(p)
+      if (isDir && ignoredDirs(name)) Iterator.empty
+      else if (GitIgnore.ignored(relOf(root, p), isDir, scopes)) Iterator.empty
+      else if (isDir) walkDir(root, p, scopes, repo)
+      else if (Files.isRegularFile(p)) readOne(root, p, repo).iterator
+      else Iterator.empty
+    }
+  }
+
+  private def relOf(root: Path, p: Path): String =
+    root.relativize(p).toString.replace('\\', '/')
 
   private def readOne(root: Path, p: Path, repo: String): Option[SourceFile] = {
     val size = Files.size(p)
