@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.query.QueryLibrary
+import graft.store.GraphStore
+
+/** HTTP graph-explorer facade over [[QueryLibrary]] — the serving face of
+  * the reference's `crates/http-server-desktop/src/endpoints/graph/`
+  * (axum REST API consumed by the graph-explorer UI). Four GET endpoints:
+  *
+  *  - `/graph/initial/{workspace}/{project}` — graph_initial.rs:73
+  *    (`?directory_limit&file_limit&definition_limit&imported_symbol_limit`,
+  *    handler defaults 100/200/500/50 — graph_initial.rs:115-118)
+  *  - `/graph/neighbors/{workspace}/{project}/{node_type}/{node_id}` —
+  *    graph_neighbors.rs:72 (`?limit`)
+  *  - `/graph/search/{workspace}/{project}?search_term=&limit=` —
+  *    graph_search.rs:67
+  *  - `/graph/stats/{workspace}/{project}` — graph_stats.rs:75
+  *
+  * Error contract mirrored from the reference handlers: blank decoded path
+  * params → 400 `{"status":"empty_project_path"}` (etc.), unknown project →
+  * 404 `project_not_found`, unknown node type → 400 `invalid_node_type`,
+  * unknown route → 404. Responses carry the reference's field names
+  * (`nodes`, `relationships`, `project_info`, `node_counts`,
+  * `relationship_counts`); node types use the reference's labels
+  * (`DirectoryNode`, …). `total_relationships` deliberately excludes
+  * imported-symbol relationships, replicating graph_stats.rs:204-206.
+  *
+  * Serving shape (same as [[McpServer]]): one long-lived SparkSession over
+  * a cached GraphStore; every request is a bounded QueryLibrary program.
+  * The JDK's built-in `com.sun.net.httpserver` carries the protocol — no
+  * dependencies beyond the JDK.
+  *
+  * Usage: graft.GraphHttpServer <storeDir> [port] [workspace] [project]
+  */
+object GraphHttpServer {
+
+  /** Reference node-type labels ↔ internal node kinds. */
+  val NodeTypes: Map[String, String] = Map(
+    "DirectoryNode" -> "directory", "FileNode" -> "file",
+    "DefinitionNode" -> "definition", "ImportedSymbolNode" -> "imported_symbol")
+  private val KindToType = NodeTypes.map(_.swap)
+
+  def main(args: Array[String]): Unit = {
+    val storeDir = args.headOption.getOrElse(
+      sys.error("usage: graft.GraphHttpServer <storeDir> [port] [workspace] [project]"))
+    val port = args.lift(1).map(_.toInt).getOrElse(27495)
+    val workspace = args.lift(2).getOrElse("workspace")
+    val project = args.lift(3).getOrElse(new java.io.File(storeDir).getName)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-http")
+    val server = new GraphHttpServer(spark, storeDir, workspace, project)
+    server.start(port)
+    println(s"graft-http listening on :$port  ($workspace/$project)")
+    Thread.currentThread.join()
+  }
+}
+
+final class GraphHttpServer(spark: SparkSession, storeDir: String,
+    workspaceFolderPath: String, projectPath: String) {
+  import GraphHttpServer._
+
+  private val lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
+  private var httpServer: com.sun.net.httpserver.HttpServer = _
+
+  def start(port: Int): Int = {
+    httpServer = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    httpServer.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val (status, body) =
+        try route(exchange.getRequestURI.getRawPath,
+          Option(exchange.getRequestURI.getRawQuery).getOrElse(""))
+        catch { case e: Exception =>
+          (500, statusJson(s"internal_error: ${e.getMessage}")) }
+      val bytes = body.getBytes("UTF-8")
+      exchange.getResponseHeaders.set("Content-Type", "application/json")
+      exchange.sendResponseHeaders(status, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    httpServer.start()
+    httpServer.getAddress.getPort
+  }
+
+  def stop(): Unit = if (httpServer != null) httpServer.stop(0)
+
+  /** One request → (status, JSON body). Pure of transport so specs can hit
+    * it directly; the socket handler above is a thin shell.
+    */
+  def route(rawPath: String, rawQuery: String): (Int, String) = {
+    val segs = rawPath.split("/").filter(_.nonEmpty).toSeq
+      .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+    val params = parseQuery(rawQuery)
+    segs match {
+      case Seq("graph", op, ws, proj, rest @ _*) =>
+        if (proj.trim.isEmpty)
+          (400, statusJson("empty_project_path"))
+        else if (ws.trim.isEmpty)
+          (400, statusJson("empty_workspace_folder_path"))
+        else if (ws != workspaceFolderPath || proj != projectPath)
+          (404, statusJson("project_not_found"))
+        else (op, rest) match {
+          case ("initial", Seq()) => initial(params)
+          case ("neighbors", Seq(nodeType, nodeId)) =>
+            neighbors(nodeType, nodeId, params)
+          case ("search", Seq()) => search(params)
+          case ("stats", Seq()) => stats()
+          case _ => (404, statusJson("not_found"))
+        }
+      case _ => (404, statusJson("not_found"))
+    }
+  }
+
+  // ---- endpoints ----------------------------------------------------------
+
+  /** graph_initial.rs:99-230 — the Q7 bounded whole-graph snapshot, limits
+    * from the query string (handler defaults 100/200/500/50).
+    */
+  private def initial(params: Map[String, String]): (Int, String) = {
+    def limit(k: String, d: Int) =
+      params.get(k).flatMap(_.toIntOption).getOrElse(d)
+    val rows = lib.initialProjectGraph(
+      directoryLimit = limit("directory_limit", 100),
+      fileLimit = limit("file_limit", 200),
+      definitionLimit = limit("definition_limit", 500),
+      importedSymbolLimit = limit("imported_symbol_limit", 50)).collect()
+    val nodes = rows.flatMap { r =>
+      Seq((r.getAs[String]("src_kind"), r.getAs[Long]("source_id"),
+            r.getAs[String]("src_label")),
+          (r.getAs[String]("dst_kind"), r.getAs[Long]("target_id"),
+            r.getAs[String]("dst_label")))
+    }.distinct.sortBy(n => (n._1, n._2))
+    (200, JsonMethods.compact(JsonMethods.render(JObject(
+      "nodes" -> JArray(nodes.map((nodeJson _).tupled).toList),
+      "relationships" -> JArray(rows.map(relationshipJson).toList),
+      "project_info" -> projectInfo))))
+  }
+
+  /** graph_neighbors.rs:103-230 — Q8's undirected 1-hop neighborhood. */
+  private def neighbors(nodeType: String, nodeIdRaw: String,
+      params: Map[String, String]): (Int, String) = {
+    if (nodeType.trim.isEmpty) return (400, statusJson("empty_node_type"))
+    val kind = NodeTypes.getOrElse(nodeType,
+      return (400, statusJson("invalid_node_type")))
+    val nodeId = nodeIdRaw.toLongOption.getOrElse(
+      return (400, statusJson("invalid_node_id")))
+    val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100)
+    val rows = lib.nodeNeighbors(kind, nodeId, limit).collect()
+    val selfId = ref(kind, nodeId)
+    val nodes = rows.map { r =>
+      (r.getAs[String]("neighbor_kind"), r.getAs[Long]("neighbor_id"),
+        r.getAs[String]("neighbor_label"))
+    }.distinct.sortBy(n => (n._1, n._2))
+    val rels = rows.map { r =>
+      val other = ref(r.getAs[String]("neighbor_kind"), r.getAs[Long]("neighbor_id"))
+      // dir=out: queried node is the source of the stored edge; dir=in: target.
+      val (src, dst) =
+        if (r.getAs[String]("dir") == "out") (selfId, other) else (other, selfId)
+      val name = r.getAs[String]("rel_type")
+      JObject("id" -> JString(s"$src->$dst:$name"),
+        "source" -> JString(src), "target" -> JString(dst),
+        "relationship_name" -> JString(name),
+        "relationship_type" -> JString(name))
+    }
+    (200, JsonMethods.compact(JsonMethods.render(JObject(
+      "nodes" -> JArray(nodes.map((nodeJson _).tupled).toList),
+      "relationships" -> JArray(rels.toList),
+      "project_info" -> projectInfo))))
+  }
+
+  /** graph_search.rs:94-220 — Q9's 4-table CONTAINS search; nodes only. */
+  private def search(params: Map[String, String]): (Int, String) = {
+    val term = params.getOrElse("search_term", "")
+    if (term.trim.isEmpty) return (400, statusJson("empty_search_term"))
+    val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100)
+    val nodes = lib.searchNodes(term, limit).collect().map { r =>
+      val kind = r.getAs[String]("node_type")
+      JObject("id" -> JString(ref(kind, r.getAs[Long]("node_id"))),
+        "node_id" -> JLong(r.getAs[Long]("node_id")),
+        "node_type" -> JString(KindToType(kind)),
+        "name" -> JString(r.getAs[String]("name")),
+        "detail" -> JString(r.getAs[String]("detail")))
+    }
+    (200, JsonMethods.compact(JsonMethods.render(JObject(
+      "nodes" -> JArray(nodes.toList), "project_info" -> projectInfo))))
+  }
+
+  /** graph_stats.rs:103-228 — Q21's one-row census, bucketed by the
+    * reference's relationship tables (dir/file/def/imp edge families).
+    */
+  private def stats(): (Int, String) = {
+    val r = lib.graphStats().collect().head
+    def c(name: String) = r.getAs[Long](name)
+    val dirRels = c("DIR_TO_DIR") + c("DIR_TO_FILE")
+    val fileRels = c("FILE_TO_DEF") + c("FILE_TO_IMP")
+    val defRels = c("DEF_TO_DEF") + c("DEF_TO_IMP")
+    val totalNodes = c("directory_count") + c("file_count") +
+      c("definition_count") + c("imported_symbol_count")
+    (200, JsonMethods.compact(JsonMethods.render(JObject(
+      "total_nodes" -> JLong(totalNodes),
+      // graph_stats.rs:204-206 sums only these three families.
+      "total_relationships" -> JLong(dirRels + fileRels + defRels),
+      "node_counts" -> JObject(
+        "directory_count" -> JLong(c("directory_count")),
+        "file_count" -> JLong(c("file_count")),
+        "definition_count" -> JLong(c("definition_count")),
+        "imported_symbol_count" -> JLong(c("imported_symbol_count"))),
+      "relationship_counts" -> JObject(
+        "directory_relationships" -> JLong(dirRels),
+        "file_relationships" -> JLong(fileRels),
+        "definition_relationships" -> JLong(defRels)),
+      "project_info" -> projectInfo))))
+  }
+
+  // ---- JSON helpers -------------------------------------------------------
+
+  private def ref(kind: String, id: Long): String = s"$kind:$id"
+
+  private def nodeJson(kind: String, id: Long, label: String): JObject =
+    JObject("id" -> JString(ref(kind, id)), "node_id" -> JLong(id),
+      "node_type" -> JString(KindToType(kind)), "label" -> JString(label))
+
+  private def relationshipJson(r: Row): JObject = {
+    val src = ref(r.getAs[String]("src_kind"), r.getAs[Long]("source_id"))
+    val dst = ref(r.getAs[String]("dst_kind"), r.getAs[Long]("target_id"))
+    val name = r.getAs[String]("rel_type")
+    JObject("id" -> JString(s"$src->$dst:$name"),
+      "source" -> JString(src), "target" -> JString(dst),
+      "relationship_name" -> JString(name),
+      "relationship_type" -> JString(r.getAs[String]("kind")))
+  }
+
+  private lazy val projectInfo: JObject = JObject(
+    "project_path" -> JString(projectPath),
+    "workspace_folder_path" -> JString(workspaceFolderPath),
+    "status" -> JString("indexed"),
+    "database_path" -> JString(storeDir),
+    "parquet_directory" -> JString(storeDir))
+
+  private def parseQuery(raw: String): Map[String, String] =
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val i = kv.indexOf('=')
+      java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+        java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+    }.toMap
+
+  private def statusJson(status: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject("status" -> JString(status))))
+}

@@ -157,13 +157,18 @@ final class QueryLibrary(store: GraphStore) {
     * (dirs 50, files 100, defs 200, imports 50 — library.rs:495-526),
     * schema-aligned and UNION-deduped.
     */
-  def initialProjectGraph(): DataFrame = {
+  def initialProjectGraph(directoryLimit: Int = 50, fileLimit: Int = 100,
+      definitionLimit: Int = 200, importedSymbolLimit: Int = 50): DataFrame = {
+    // Limit class per section priority (library.rs:464-474): dir sections
+    // take directory_limit, dir→file takes file_limit, priority-3 sections
+    // take definition_limit unless the target is an imported symbol, and
+    // all imp-source sections take imported_symbol_limit.
     val sections = Seq(
-      EdgeKind.DirToDir -> 50, EdgeKind.DirToFile -> 100,
-      EdgeKind.FileToDef -> 200, EdgeKind.FileToImp -> 50,
-      EdgeKind.DefToDef -> 200, EdgeKind.DefToImp -> 50,
-      EdgeKind.ImpToImp -> 50, EdgeKind.ImpToDef -> 50,
-      EdgeKind.ImpToFile -> 50)
+      EdgeKind.DirToDir -> directoryLimit, EdgeKind.DirToFile -> fileLimit,
+      EdgeKind.FileToDef -> definitionLimit, EdgeKind.FileToImp -> importedSymbolLimit,
+      EdgeKind.DefToDef -> definitionLimit, EdgeKind.DefToImp -> importedSymbolLimit,
+      EdgeKind.ImpToImp -> importedSymbolLimit, EdgeKind.ImpToDef -> importedSymbolLimit,
+      EdgeKind.ImpToFile -> importedSymbolLimit)
     // 9 per-kind orderBy+limit sections (as in library.rs:495-526): Catalyst
     // plans each as TakeOrderedAndProject — a parallel partial top-k per
     // partition + tiny driver merge. (A single row_number window over
