@@ -45,14 +45,34 @@ object Dedup {
     * in k documents sorts LAST in df order, so it falls outside the prefix
     * of any document that has rarer shingles — the k^2 bucket never forms.
     * Verification computes exact Jaccard on the FULL sets, candidates only.
+    *
+    * Strategy is corpus-size-adaptive (same pattern as
+    * [[graft.query.QueryLibrary.callClosure]]'s frontier switch): below
+    * [[PrefixFilterMinDocs]] documents the quadratic-bucket risk the prefix
+    * filter guards against is bounded by the corpus itself, and the
+    * filter's extra passes (df aggregation, df-order sort, candidate
+    * distinct) cost more wall-clock than they save — so small corpora take
+    * the direct inverted-index count join, large ones the prefix filter.
+    * Both are exact (the filter is lossless), so the choice never changes
+    * the output; the property tests pin `strategy` to exercise each path.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8,
+                        strategy: String = "auto"): DataFrame = {
+    val usePrefix = strategy match {
+      case "prefix" => true
+      case "direct" => false
+      case _ => docs.count() >= PrefixFilterMinDocs
+    }
+    if (!usePrefix) return ngramJaccardPairsDirect(docs, idCol, textCol, n, threshold)
     val sets = docs.select(col(idCol).as("doc_id"),
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .cache() // prefix derivation + both verification join sides
-    val shd = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // n_sh rides along from the cached array size — computing it as a
+    // second window over the exploded rows would cost another sort pass
+    val shd = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
     val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     // 1e-9 nudge: ceil must not round UP on binary-float noise (e.g.
@@ -60,7 +80,6 @@ object Dedup {
     // break the lossless bound in the unsafe direction)
     val prefix = shd.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .where(col("rn") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select("doc_id", "shingle")
@@ -69,13 +88,46 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val verified = candidates
+    // candidates is prefix-pruned small: broadcast it so the verification
+    // joins stay map-side over the cached sets (the full shingle arrays
+    // never shuffle; AQE turns the second join into a broadcast too once it
+    // sees the first join's output size)
+    val verified = broadcast(candidates)
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         col("c").cast("double") / (size(col("sha")) + size(col("shb")) - col("c")))
     verified.where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Corpus-size switch point for [[ngramJaccardPairs]]'s auto strategy. */
+  final val PrefixFilterMinDocs = 100000L
+
+  /** The direct small-corpus path: inverted-index self-join counting shared
+    * shingles per pair in one groupBy (no candidate materialization, no
+    * per-doc sort), then jaccard from the pair's set sizes. Exact; without
+    * prefix filtering a shingle of document frequency k contributes k^2
+    * join rows, which is why large corpora take the prefix path instead.
+    */
+  private def ngramJaccardPairsDirect(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val shd = docs.select(col(idCol).as("doc_id"),
+        explode(shingleSet(col(textCol), n)).as("shingle"))
+      .cache() // referenced 3x below (sizes + both join sides)
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = shd.alias("x")
+      .join(shd.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    jac.where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 

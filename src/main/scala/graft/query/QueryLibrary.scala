@@ -387,10 +387,23 @@ final class QueryLibrary(store: GraphStore) {
     */
   def searchDefinitionsWithContext(contents: DataFrame, terms: Seq[String],
       skip: Int = 0, limit: Int = 50, contextLines: Int = 3): DataFrame = {
-    val hits = searchDefinitions(terms, skip, limit)
-    val lines = contents.select(col("path").as("c_path"),
-      split(col("content"), "\n").as("c_lines"))
-    hits.join(lines, col("primary_file_path") === col("c_path"), "left_outer")
+    // localCheckpoint: hits is read twice below (path pull + final join);
+    // eager materialization of <= `limit` rows beats re-running the search
+    val hits = searchDefinitions(terms, skip, limit).localCheckpoint(true)
+    // Prune contents down to the <= limit hit files BEFORE splitting, as a
+    // LITERAL path filter rather than a join: a filter commutes with the
+    // projection that builds `content`, so for computed contents the
+    // (potentially huge) content expression is never evaluated for non-hit
+    // files, and for stored contents the predicate pushes into the scan.
+    // The driver-side collect is bounded by `limit` rows by construction.
+    val hitPaths = hits.select(col("primary_file_path"))
+      .where(col("primary_file_path").isNotNull).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val lines = contents.where(col("path").isin(hitPaths: _*))
+      .select(col("path").as("c_path"),
+        split(col("content"), "\n").as("c_lines"))
+    hits.join(broadcast(lines),
+        col("primary_file_path") === col("c_path"), "left_outer")
       .withColumn("ctx_start", greatest(col("start_line") - contextLines, lit(0)))
       .withColumn("context", when(col("c_lines").isNotNull, array_join(
         slice(col("c_lines"), col("ctx_start") + 1,

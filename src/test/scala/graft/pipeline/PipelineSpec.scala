@@ -58,15 +58,18 @@ class PipelineSpec extends SparkSpec {
           graft.functions.TextFunctions.shingleSet($"text", 3).as("sh"))
         .as[(Long, Seq[String])].collect().toMap
       Seq(0.3, 0.5, 0.8).foreach { t =>
-        val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
-          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
         val naive = (for {
           a <- sets.keys; b <- sets.keys if a < b
           sa = sets(a).toSet; sb = sets(b).toSet
           if sa.nonEmpty && sb.nonEmpty &&
             sa.intersect(sb).size.toDouble / sa.union(sb).size >= t
         } yield (a, b)).toSet
-        assert(got === naive, s"seed ${11 + i} t=$t")
+        // both strategies of the adaptive switch must match brute force
+        Seq("prefix", "direct").foreach { strat =>
+          val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t, strat)
+            .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+          assert(got === naive, s"seed ${11 + i} t=$t strategy=$strat")
+        }
       }
     }
   }
