@@ -165,17 +165,19 @@ object Indexer {
         col("target_id") === col("if_file"))
       .select("from_file", "to_file").distinct()
 
-    // A7+: type-directed resolution for JVM languages; resolved sites take
-    // precedence — the heuristic pass only sees the remainder
+    // A7+: type-directed resolution for JVM languages and Ruby; resolved
+    // sites take precedence — the heuristic pass only sees the remainder
     val (typedEdges, typedSites) = TypedResolver.resolve(spark, fileMeta,
       rawFacts, rawRefs, definitions, importedSymbols)
-    val remainingRefs = rawRefs.join(typedSites,
+    val (rubyEdges, rubySites) = RubyTypedResolver.resolve(spark, fileMeta,
+      rawFacts, rawRefs, definitions)
+    val remainingRefs = rawRefs.join(typedSites.unionByName(rubySites),
       Seq("filePath", "startByte", "endByte"), "left_anti")
     val callEdges = ReferenceResolver.resolve(remainingRefs, definitions,
       importedSymbols, Some(importedFiles))
 
     val edges = Seq(dirEdges, fileDefines, fileImports, nestingEdges,
-      importEdges, callEdges, typedEdges).reduce(_.unionByName(_))
+      importEdges, callEdges, typedEdges, rubyEdges).reduce(_.unionByName(_))
 
     GraphStore(directories, filesDf, definitions, importedSymbols, edges)
   }

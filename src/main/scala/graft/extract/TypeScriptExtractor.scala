@@ -161,13 +161,31 @@ object RubyExtractor extends Extractor {
   override val language = "ruby"
 
   private val moduleRe: Regex = """^(\s*)module\s+([A-Z][A-Za-z0-9_:]*)""".r
-  private val classRe: Regex = """^(\s*)class\s+([A-Z][A-Za-z0-9_:]*)""".r
+  private val classRe: Regex =
+    """^(\s*)class\s+([A-Z][A-Za-z0-9_:]*)(?:\s*<\s*([A-Za-z0-9_:]+))?""".r
   private val defRe: Regex = """^(\s*)def\s+(self\.)?([A-Za-z_][A-Za-z0-9_?!=]*)""".r
   private val requireRe: Regex = """^\s*require(_relative)?\s+['"]([^'"]+)['"]""".r
   private val blockOpenRe: Regex =
     """^\s*(?:if|unless|while|until|case|begin|do)\b""".r
   private val callRe: Regex =
     """(?:([A-Za-z_@][A-Za-z0-9_.@]*)\.)?([a-z_][A-Za-z0-9_?!]*)\s*\(""".r
+  // assignment: `x = rhs` / `@ivar = rhs` / `x ||= rhs` — feeds the typed
+  // resolver's variable type map (reference: ruby/type_map.rs assignment
+  // tracking). Compound/comparison operators must not match: the charset
+  // before `=` is the variable name itself, and `=` must not be followed by
+  // `=` or `~` (==, =~).
+  private val assignRe: Regex =
+    """^\s*(@{1,2}[a-z_][A-Za-z0-9_]*|[a-z_][A-Za-z0-9_]*)\s*(?:\|\|)?=(?![=~])\s*(.+)$""".r
+  private val newRhsRe: Regex = """^([A-Z][A-Za-z0-9_:]*)\.new\b""".r
+  // a bare identifier in call position (assignment RHS or standalone line):
+  // indistinguishable from a local variable lexically, so these are emitted
+  // with callReceiver=IMPLICIT and resolved (or dropped) ONLY by the typed
+  // resolver's scope rules (reference: scope_resolver.rs resolve_identifier
+  // checks the variable map before method lookup)
+  private val bareIdRe: Regex = """^([a-z_][A-Za-z0-9_]*[?!]?)$""".r
+  private val bareStmtKeywords = Set("end", "else", "begin", "ensure",
+    "retry", "redo", "next", "break", "return", "yield", "super", "nil",
+    "true", "false", "self", "private", "public", "protected", "puts")
   // Ruby calls are usually paren-less; the dotted `receiver.method` form is
   // unambiguous enough to extract without a parser (`instance.save`,
   // `storage.dup`). Bare paren-less identifiers are indistinguishable from
@@ -196,11 +214,19 @@ object RubyExtractor extends Extractor {
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
     val refs = ArrayBuffer[RawReference]()
+    val facts = ArrayBuffer[RawTypeFact]()
     // stack entries: Some(scope) for module/class/def, None for other `end`-blocks
     var stack = List.empty[Option[(RScope, Long)]]
 
     def fqn(name: String) =
       (stack.flatten.reverseIterator.map(_._1.name).toSeq :+ name).mkString(".")
+    // fqn of the innermost open scope (the variable-map scope of this line)
+    def scopeFqn =
+      stack.flatten.reverseIterator.map(_._1.name).mkString(".")
+    // fqn of the innermost enclosing class/module (instance-variable scope)
+    def typeFqn = stack.flatten.toList
+      .dropWhile(s => s._1.kind != "Class" && s._1.kind != "Module")
+      .reverseIterator.map(_._1.name).mkString(".")
 
     for (i <- lines.indices) {
       val raw = lines(i)
@@ -216,6 +242,9 @@ object RubyExtractor extends Extractor {
           case Some(m) =>
             defs += RawDefinition(f.path, fqn(m.group(2)), m.group(2), "Class",
               lineStart(i) + m.start(2), lineStart(i) + line.length, i, i, m.start(2), line.length)
+            if (m.group(3) != null) // `class Foo < Bar` superclass
+              facts += RawTypeFact(f.path, "extends", "", fqn(m.group(2)),
+                m.group(3).replace("::", "."), i)
             stack ::= Some((RScope(m.group(2), "Class", i, m.start(2), defs.length - 1), lineStart(i)))
           case None => defRe.findFirstMatchIn(line) match {
             case Some(m) =>
@@ -235,12 +264,50 @@ object RubyExtractor extends Extractor {
                   m.group(2), m.group(2).split("/").last, null,
                   lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
               }
+              assignRe.findFirstMatchIn(line).foreach { m =>
+                val target = m.group(1)
+                val scope = if (target.startsWith("@")) typeFqn else scopeFqn
+                // only `.new` yields a concrete type (type_map.rs:518-529);
+                // any other RHS still SHADOWS the name ("?") so the typed
+                // resolver never mistakes an assigned local for a method
+                val t = newRhsRe.findFirstMatchIn(m.group(2).trim)
+                  .map(_.group(1).replace("::", ".")).getOrElse("?")
+                facts += RawTypeFact(f.path, "var", scope, target, t, i)
+                // bare-identifier RHS: a call on implicit self (or a local —
+                // the resolver's variable map decides)
+                bareIdRe.findFirstMatchIn(m.group(2).trim).foreach { b =>
+                  val n = b.group(1)
+                  if (!keywords(n) && !bareStmtKeywords(n)) {
+                    val off = line.indexOf(n, m.start(2))
+                    refs += RawReference(f.path, n, "",
+                      lineStart(i) + off, lineStart(i) + off + n.length,
+                      i, off, off + n.length, callReceiver = "IMPLICIT")
+                  }
+                }
+              }
+              if (assignRe.findFirstMatchIn(line).isEmpty)
+                bareIdRe.findFirstMatchIn(trimmed).foreach { b =>
+                  val n = b.group(1)
+                  if (!keywords(n) && !bareStmtKeywords(n)) {
+                    val off = line.indexOf(n)
+                    refs += RawReference(f.path, n, "",
+                      lineStart(i) + off, lineStart(i) + off + n.length,
+                      i, off, off + n.length, callReceiver = "IMPLICIT")
+                  }
+                }
               callRe.findAllMatchIn(line).foreach { m =>
                 val name = m.group(2)
-                // call-form (parens): empty receiver -> CALLS classification
-                if (!keywords(name))
+                // call-form (parens): empty receiver -> CALLS classification;
+                // the receiver EXPRESSION rides in callReceiver for the
+                // typed resolver (does not affect classification).
+                // `X.new(...)` keeps its ref despite `new` being noise-
+                // filtered bare: the reference resolves the constant X to a
+                // CALLS edge on the class itself (ruby tests.rs:421,666
+                // assert callee == "User" for `User.new` / `User.find`)
+                if (!keywords(name) || (name == "new" && m.group(1) != null))
                   refs += RawReference(f.path, name, "",
-                    lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
+                    lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2),
+                    callReceiver = Option(m.group(1)).getOrElse(""))
               }
               dottedCallRe.findAllMatchIn(line).foreach { m =>
                 val name = m.group(2)
@@ -263,6 +330,6 @@ object RubyExtractor extends Extractor {
         }
       }
     }
-    Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq)
+    Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq, facts.toSeq)
   }
 }
