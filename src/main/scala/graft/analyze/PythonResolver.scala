@@ -42,6 +42,60 @@ object PythonResolver {
   }
 
   /** Emits IMP→FILE, IMP→DEF, IMP→IMP edges (ids resolved). */
+  /** `get_possible_symbol_locations` (interfile.rs:18-45) as a DataFrame
+    * program: for each imported symbol, every module file its import path
+    * can denote — the path resolved from the repo root, from each Python
+    * package-root directory (parents of `__init__.py` packages —
+    * types.rs:659-683 compute_root_dirs), and from the importing file's own
+    * directory (interfile.rs:116-121); `.py` and `/__init__.py` variants;
+    * dots-only relative imports (`from .. import x`) denote only the target
+    * package's `__init__.py` (interfile.rs:88-93). Matching against the
+    * file table is case-insensitive and the returned `path` is the real
+    * (denormalized) one, mirroring the reference's normalized-tree lookup;
+    * results are existence-filtered and deduped. Asserted against every
+    * unit expectation in interfile.rs:219-407 by PythonInterfileSpec.
+    *
+    * Returns (imp_id, fid, path).
+    */
+  def possibleSymbolLocations(imps: DataFrame, files: DataFrame): DataFrame = {
+    val fileDir = when(col("file_path").contains("/"),
+      regexp_replace(col("file_path"), "/[^/]*$", "")).otherwise(lit(""))
+    val base = candidateModulePaths(fileDir, col("import_path"))
+    val w = imps.select(col("id").as("imp_id"),
+      base.as("b_root"), fileDir.as("fdir"),
+      col("import_path").startsWith(".").as("rel"),
+      (regexp_replace(col("import_path"), "^\\.+", "") === "").as("dots_only"))
+    // package-root dirs: parent of any dir holding an __init__.py (the
+    // repo root itself is the b_root base); tiny, broadcast into the
+    // candidate explode
+    val rootDirs = files
+      .where(col("path").endsWith("/__init__.py") &&
+        size(split(col("path"), "/")) >= 3)
+      .select(regexp_replace(col("path"), "/[^/]+/__init__\\.py$", "").as("rd"))
+      .distinct()
+    val absOnly = w.where(!col("rel") && length(col("b_root")) > 0)
+    val bases = w.select(col("imp_id"), col("dots_only"), col("b_root").as("b"))
+      .unionByName(absOnly.where(length(col("fdir")) > 0)
+        .select(col("imp_id"), col("dots_only"),
+          concat(col("fdir"), lit("/"), col("b_root")).as("b")))
+      .unionByName(absOnly.crossJoin(broadcast(rootDirs))
+        .select(col("imp_id"), col("dots_only"),
+          concat(col("rd"), lit("/"), col("b_root")).as("b")))
+    val cands = bases.where(length(col("b")) > 0 || col("dots_only"))
+      .select(col("imp_id"), explode(when(col("dots_only"),
+          array(concat(col("b"),
+            when(length(col("b")) > 0, lit("/")).otherwise(lit("")),
+            lit("__init__.py"))))
+        .otherwise(array(concat(col("b"), lit(".py")),
+          concat(col("b"), lit("/__init__.py"))))).as("cand"))
+    cands.join(files.select(col("id").as("fid"), col("path")),
+        lower(col("cand")) === lower(col("path")))
+      // one row per (import, path) even if the file table carries duplicate
+      // path rows — the reference's normalized tree is a map keyed by path
+      .groupBy(col("imp_id"), col("path")).agg(min(col("fid")).as("fid"))
+      .select("imp_id", "fid", "path")
+  }
+
   def resolveImports(imps: DataFrame, files: DataFrame,
                      defs: DataFrame): DataFrame = {
     val fileDir = when(col("file_path").contains("/"),
@@ -60,6 +114,13 @@ object PythonResolver {
       .when(col("import_type") === "from_import", col("name"))
       .otherwise(col("modbase"))
 
+    // reference candidate generation for the python import path itself
+    // (root dirs + importing dir, case-insensitive): module files the
+    // imported symbol may live in
+    val pyLocs = possibleSymbolLocations(
+      imps.where(col("import_type").isin("import", "from_import",
+        "wildcard_import")), files)
+
     // ruby require_relative resolves against the requiring file's directory
     val relRb = when(col("import_type") === "require_relative" &&
         length(col("fdir")) > 0,
@@ -71,19 +132,25 @@ object PythonResolver {
       concat(col("modbase"), lit(".rb")),
       relRb,
       concat(col("modbase"), lit(".ts")))).as("cand"))
+    // whole-module imports also take the reference candidate set (the
+    // analyzer maps `import X` to its possible file — analyzer.rs:668-676)
     val fileTargets = fileCands
-      .join(files.select(col("id").as("fid"), col("path")), col("cand") === col("path"))
-      .select(col("imp_id"), col("fid")).distinct()
+      .join(files.select(col("id").as("fid"), col("path")),
+        lower(col("cand")) === lower(col("path")))
+      .select(col("imp_id"), col("fid"))
+      .unionByName(withCand.where(col("import_type").isin("import", "wildcard_import"))
+        .join(pyLocs, "imp_id").select(col("imp_id"), col("fid")))
+      .distinct()
     val impToFile = fileTargets.select(
       lit(EdgeKind.ImpToFile).as("kind"), lit(RelType.ImpToFile).as("type"),
       col("imp_id").as("source_id"), col("fid").as("target_id"))
 
-    // symbol candidates: definition / re-export named `name` in the module file
+    // symbol candidates: definition / re-export named `name` in any of the
+    // import path's possible module files
     val symCands = withCand
       .where(col("import_type") === "from_import")
-      .select(col("imp_id"), col("name").as("sym"), explode(array(
-        concat(col("modbase"), lit(".py")),
-        concat(col("modbase"), lit("/__init__.py")))).as("cand"))
+      .join(pyLocs, "imp_id")
+      .select(col("imp_id"), col("name").as("sym"), col("path").as("cand"))
     val impToDef = symCands
       .join(defs.select(col("id").as("did"), col("name").as("dname"),
           col("primary_file_path")),
