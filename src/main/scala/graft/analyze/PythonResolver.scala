@@ -102,11 +102,25 @@ object PythonResolver {
       regexp_replace(col("file_path"), "/[^/]*$", "")).otherwise(lit(""))
     val base = candidateModulePaths(fileDir, col("import_path"))
 
+    // TS/JS module specifiers are slash paths: './x' / '../x' resolve
+    // against the importing file's directory (the reference's TS analyzer
+    // delegates to the parser's module resolution); bare specifiers are
+    // package imports with no repo file. Collapse ./ and ../ segments
+    // textually (bounded depth, same trick as the python relative base).
+    val tsJoined = when(col("import_path").startsWith("."),
+      concat(fileDir, lit("/"), col("import_path"))).otherwise(lit(null))
+    val tsFull = (1 to 4).foldLeft(
+        regexp_replace(tsJoined, "/\\./", "/")) { (c, _) =>
+      regexp_replace(c, "(^|/)[^/.][^/]*/\\.\\./", "$1")
+    }
+
     val withCand = imps
       .where(col("import_type").isin("import", "from_import", "wildcard_import",
-        "require", "require_relative"))
+        "require", "require_relative", "named_import", "namespace_import",
+        "default_import", "side_effect_import"))
       .select(col("id").as("imp_id"), col("import_type"), col("name"),
-        base.as("modbase"), fileDir.as("fdir"))
+        base.as("modbase"), fileDir.as("fdir"),
+        regexp_replace(tsFull, "^(\\./|/)", "").as("tsfull"))
 
     // candidate module files for the *name* (from X import name → X/name.py)
     val nameModule = when(col("import_type") === "from_import" && length(col("modbase")) > 0,
@@ -131,7 +145,10 @@ object PythonResolver {
       concat(nameModule, lit("/__init__.py")),
       concat(col("modbase"), lit(".rb")),
       relRb,
-      concat(col("modbase"), lit(".ts")))).as("cand"))
+      concat(col("tsfull"), lit(".ts")),
+      concat(col("tsfull"), lit(".tsx")),
+      concat(col("tsfull"), lit(".js")),
+      concat(col("tsfull"), lit("/index.ts")))).as("cand"))
     // whole-module imports also take the reference candidate set (the
     // analyzer maps `import X` to its possible file — analyzer.rs:668-676)
     val fileTargets = fileCands
@@ -146,11 +163,19 @@ object PythonResolver {
       col("imp_id").as("source_id"), col("fid").as("target_id"))
 
     // symbol candidates: definition / re-export named `name` in any of the
-    // import path's possible module files
+    // import path's possible module files (python from-imports and TS named
+    // imports alike)
+    val tsSymCands = withCand
+      .where(col("import_type") === "named_import" && col("tsfull").isNotNull)
+      .select(col("imp_id"), col("name").as("sym"), explode(array(
+        concat(col("tsfull"), lit(".ts")),
+        concat(col("tsfull"), lit(".tsx")),
+        concat(col("tsfull"), lit(".js")))).as("cand"))
     val symCands = withCand
       .where(col("import_type") === "from_import")
       .join(pyLocs, "imp_id")
       .select(col("imp_id"), col("name").as("sym"), col("path").as("cand"))
+      .unionByName(tsSymCands)
     val impToDef = symCands
       .join(defs.select(col("id").as("did"), col("name").as("dname"),
           col("primary_file_path")),

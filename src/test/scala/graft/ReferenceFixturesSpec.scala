@@ -252,6 +252,32 @@ class ReferenceFixturesSpec extends SparkSpec {
         misses.map(e => s"${e._1} <- ${e._2}").mkString("; "))
   }
 
+  test("reference typescript fixtures: the call edges the reference's own " +
+    "e2e asserts (indexer/src/tests.rs:454-520) resolve") {
+    assume(fixtures.isDirectory, "reference fixtures not present")
+    val store = indexed("typescript")
+    val defs = store.definitions.select("id", "fqn")
+    val callPairs = store.edges
+      .where(col("kind") === EdgeKind.DefToDef &&
+        col("type").isin(RelType.Calls, RelType.AmbiguouslyCalls))
+      .join(defs.withColumnRenamed("id", "sid")
+        .withColumnRenamed("fqn", "caller"), col("source_id") === col("sid"))
+      .join(defs.withColumnRenamed("id", "tid")
+        .withColumnRenamed("fqn", "callee"), col("target_id") === col("tid"))
+      .select("caller", "callee").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // tests.rs:492-495: Application::run -> Application::testAuthenticationProviders
+    assert(callPairs.exists { case (cr, ce) =>
+      cr.endsWith("Application.run") &&
+        ce.endsWith("Application.testAuthenticationProviders") },
+      s"missing run->testAuthenticationProviders in ${callPairs.size} pairs")
+    // tests.rs:490: Authentication.createSession called in testTokenManagement
+    assert(callPairs.exists { case (cr, ce) =>
+      cr.endsWith("Application.testTokenManagement") &&
+        ce.endsWith("createSession") },
+      "missing testTokenManagement->createSession")
+  }
+
   test("self-indexing: the engine indexes its own Scala sources") {
     val src = new File("src/main/scala/graft")
     assume(src.isDirectory, "run from the repo root")
