@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CharFold(exprs(0), exprs(1)))
     inject(VectorExpressions.ShinglesName, classOf[ShingleSet],
       exprs => ShingleSet(exprs(0), exprs(1)))
+    inject(VectorExpressions.MinHashSigName, classOf[MinHashSig],
+      exprs => MinHashSig(exprs(0), exprs(1)))
   }
 }

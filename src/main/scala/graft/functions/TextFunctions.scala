@@ -70,10 +70,24 @@ object TextFunctions {
   def coeffA(i: Int): Long = ((2654435761L % HashMod) * (2L * i + 1)) % HashMod
   def coeffB(i: Int): Long = (1779033703L * (i + 1)) % HashMod
 
-  // NOTE: the signature itself is computed in Dedup.minhashLshPairs as
-  // explode + per-slot min-aggregates (a single `numHashes`-slot array
-  // expression trips the 64KB codegen limit); coeffA/coeffB here are the
-  // single source of the hash family.
+  /** Whole MinHash signature of a shingle array in one map-side pass
+    * ([[VectorExpressions.MinHashSig]] — a generated LOOP over slots, so it
+    * cannot trip the 64KB codegen limit the way a `numHashes`-slot
+    * expression tree does). coeffA/coeffB are the single source of the
+    * hash family; the sessionless fallback replays them as an (interpreted)
+    * per-slot expression tree.
+    */
+  def minhashSig(arr: Column, numHashes: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        VectorExpressions.register(s)
+        VectorExpressions.minHashSig(arr, numHashes)
+      case None =>
+        array((0 until numHashes).map { i =>
+          array_min(transform(arr, s =>
+            (lit(coeffA(i)) * charFold(s) + lit(coeffB(i))) % HashMod))
+        }: _*)
+    }
 
   /** LSH band keys: split the signature into `bands` bands of
     * `signatureLen / bands` rows each; key = comma-joined slice.

@@ -174,10 +174,102 @@ case class ShingleSet(child: Expression, nExpr: Expression)
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** Whole MinHash signature in one map-side pass: for each shingle,
+  * x = charfold31(shingle); slot i of the result is
+  * min over shingles of (a_i * x + b_i) % 1e9+7 — the family in
+  * [[graft.functions.TextFunctions.coeffA]]/coeffB (single source: the
+  * coefficient formulas are replayed by the DuckDB oracle of the
+  * `dd_minhash_sig` gate). Replaces the explode + numHashes-way
+  * min-aggregate plan: the signature never shuffles doc×shingle rows, only
+  * (doc_id, array<long>) — at corpus scale that removes the largest
+  * shuffle of the MinHash pipeline. Generated code is a LOOP over slots,
+  * so unlike a numHashes-slot expression tree it cannot trip the 64KB
+  * generated-method limit.
+  */
+case class MinHashSig(child: Expression, nExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "graft_minhash_sig"
+
+  private lazy val numHashes: Int =
+    nExpr.eval(null).asInstanceOf[Number].intValue()
+  private lazy val coeffA: Array[Long] =
+    Array.tabulate(numHashes)(TextFunctions.coeffA)
+  private lazy val coeffB: Array[Long] =
+    Array.tabulate(numHashes)(TextFunctions.coeffB)
+
+  override def nullSafeEval(a: Any, nv: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < arr.numElements()) {
+      val s = arr.getUTF8String(j).toString
+      var x = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        x = (x * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      var k = 0
+      while (k < numHashes) {
+        val h = (coeffA(k) * x + coeffB(k)) % 1000000007L
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashCoeffA", coeffA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashCoeffB", coeffB, "long[]")
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val mins = ctx.freshName("mins")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  java.lang.String $s = $arr.getUTF8String($j).toString();
+         |  long $x = 0L;
+         |  int $i = 0;
+         |  while ($i < $s.length()) {
+         |    int $cp = $s.codePointAt($i);
+         |    $x = ($x * 31L + $cp) % 1000000007L;
+         |    $i += java.lang.Character.charCount($cp);
+         |  }
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $h = ($aRef[$k] * $x + $bRef[$k]) % 1000000007L;
+         |    if ($h < $mins[$k]) $mins[$k] = $h;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, nExpr = newRight)
+}
+
 object VectorExpressions {
   val DotName = "graft_dot"
   val CharFoldName = "graft_charfold"
   val ShinglesName = "graft_shingles"
+  val MinHashSigName = "graft_minhash_sig"
 
   /** Register the expressions in the session's function registry (idempotent);
     * needed because Column construction from a raw Expression is not part of
@@ -190,6 +282,8 @@ object VectorExpressions {
       CharFoldName, exprs => CharFold(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, exprs => ShingleSet(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashSigName, exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot(a, b); requires [[register]] on the active session. */
@@ -202,4 +296,8 @@ object VectorExpressions {
   /** Native shingle set; requires [[register]]. */
   def shingleSet(c: Column, n: Int): Column =
     call_function(ShinglesName, c, org.apache.spark.sql.functions.lit(n))
+
+  /** Whole MinHash signature, map-side; requires [[register]]. */
+  def minHashSig(c: Column, numHashes: Int): Column =
+    call_function(MinHashSigName, c, org.apache.spark.sql.functions.lit(numHashes))
 }

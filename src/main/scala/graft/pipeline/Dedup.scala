@@ -165,17 +165,11 @@ object Dedup {
         .where(col("df") <= cap)
         .groupBy("doc_id").agg(array_sort(collect_set(col("s"))).as("sh"))
     }.cache() // signature input + verification join sides
-    // signature via explode + 128 min-aggregates: keeps the whole stage in
-    // codegen (a single 128-slot array<transform> expression tree trips the
-    // 64KB generated-method limit and falls back to interpretation, ~30x slower)
-    val elems = base.select(col("doc_id"), explode(hashAll(col("sh"))).as("h"))
-    val minExprs = (0 until numHashes).map { i =>
-      min((lit(coeffA(i)) * col("h") + lit(coeffB(i))) % HashMod).as(s"mh_$i")
-    }
-    val sig = elems.groupBy("doc_id")
-      .agg(minExprs.head, minExprs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("mh"))
+    // signature in ONE map-side pass (MinHashSig custom Expression — a
+    // generated loop over slots): no doc×shingle explode, no numHashes-way
+    // min-aggregate shuffle; the signature stage shuffles nothing at all
+    val sig = base.select(col("doc_id"),
+      minhashSig(col("sh"), numHashes).as("mh"))
     val bandRows = sig.select(col("doc_id"),
       posexplode(bandKeys(col("mh"), bands, rowsPerBand)).as(Seq("band", "key")))
     val candidates = bandRows.alias("x")
@@ -199,20 +193,16 @@ object Dedup {
   /** MinHash signature rows (doc_id, hi, mh): the `numHashes`-slot signature
     * exploded to one row per slot — the exact hash family is replayed by the
     * DuckDB oracle, so the signature itself (not just the final pair set) is
-    * cross-engine checked. Same explode + per-slot min-aggregate shape as
-    * [[minhashLshPairs]] (a single giant array expression would trip the
-    * 64KB codegen limit).
+    * cross-engine checked. Computed map-side by the same MinHashSig
+    * Expression as [[minhashLshPairs]].
     */
   def minhashSignatureRows(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, numHashes: Int = 128): DataFrame = {
-    val elems = docs.select(col(idCol).as("doc_id"),
-      explode(hashAll(shingleSet(col(textCol), n))).as("h"))
-    val minExprs = (0 until numHashes).map { i =>
-      min((lit(coeffA(i)) * col("h") + lit(coeffB(i))) % HashMod).as(s"mh_$i")
-    }
-    elems.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
-      .select(col("doc_id"), posexplode(
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*)).as(Seq("hi", "mh")))
+    docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0) // empty sets have no signature row
+      .select(col("doc_id"),
+        posexplode(minhashSig(col("sh"), numHashes)).as(Seq("hi", "mh")))
   }
 
   /** Per-document SimHash over the token multiset: token → polynomial hash →

@@ -165,9 +165,36 @@ class OperatorsSpec extends SparkSpec {
     val s2 = spark.newSession()
     val r = s2.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-                graft_charfold('ab', 31) AS h""").head()
+                graft_charfold('ab', 31) AS h,
+                graft_minhash_sig(array('x'), 4) AS mh""").head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 97L * 31 + 98) // fold of 'a','b'
+    assert(r.getSeq[Long](2).length === 4)
+  }
+
+  test("MinHashSig: codegen equals interpreted equals the per-slot formula") {
+    import graft.functions.TextFunctions
+    val shingles = Seq("alpha beta", "gamma delta", "zeta")
+    val df = Seq(Tuple1(shingles)).toDF("sh")
+    val viaExpr = df.select(
+        graft.functions.VectorExpressions.minHashSig($"sh", 8).as("mh"))
+      .head().getSeq[Long](0)
+    // reference computation: min over shingles of (a_i*charfold31(s)+b_i)%M
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val expect = (0 until 8).map { i =>
+      shingles.map(s => (TextFunctions.coeffA(i) * fold(s) +
+        TextFunctions.coeffB(i)) % 1000000007L).min
+    }
+    assert(viaExpr.toSeq === expect)
+    // interpreted path (direct eval, no codegen) agrees
+    val interp = graft.functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        shingles, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(8))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray.toSeq
+    assert(interp === expect)
   }
 
   test("Embeddings: l2Normalize yields unit vectors, quantizeInt8 stays in " +
