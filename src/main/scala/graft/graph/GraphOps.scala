@@ -58,11 +58,23 @@ object GraphOps {
   /** Vertices reachable from `start` within `maxHops` (directed), via Pregel.
     * Returns (vertexId, hops). The Pregel superstep count is bounded by
     * maxHops — each superstep is one join-shaped message exchange.
+    *
+    * DRIVER-SIDE CONVENIENCE FACE: the result is collected, so it is capped
+    * at `maxVertices` rows (take, not collect — a high-fan-out closure
+    * cannot OOM the driver; it throws past the cap instead of silently
+    * truncating). The distributed face for unbounded results is
+    * [[kHopDf]] — that is what the gates use.
     */
   def kHopFrom(graph: Graph[(String, String), (String, String)],
-               start: VertexId, maxHops: Int): Map[VertexId, Int] =
-    kHopVertices(graph, start, maxHops).filter(_._2 != Int.MaxValue)
-      .collect().toMap
+               start: VertexId, maxHops: Int,
+               maxVertices: Int = 100000): Map[VertexId, Int] = {
+    val capped = kHopVertices(graph, start, maxHops)
+      .filter(_._2 != Int.MaxValue).take(maxVertices + 1)
+    require(capped.length <= maxVertices,
+      s"kHopFrom result exceeds $maxVertices vertices; use kHopDf for " +
+        "unbounded closures")
+    capped.toMap
+  }
 
   private def kHopVertices(graph: Graph[(String, String), (String, String)],
       start: VertexId, maxHops: Int) = {
