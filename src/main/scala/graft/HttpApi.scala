@@ -80,6 +80,10 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
       exchange.getResponseBody.write(bytes)
       exchange.close()
     })
+    // without an executor the JDK server dispatches on a single thread;
+    // SparkSession is thread-safe, so concurrent requests can run as
+    // concurrent Spark jobs (scheduled FIFO by the DAG scheduler)
+    httpServer.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     httpServer.start()
     httpServer.getAddress.getPort
   }
