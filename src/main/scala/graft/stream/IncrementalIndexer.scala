@@ -90,6 +90,26 @@ object IncrementalIndexer {
   def applyReindexBatch(store: GraphStore, changedPaths: DataFrame,
                         fresh: GraphStore): GraphStore = {
     val deleted = applyCascadingDeletes(store, changedPaths)
+    // Call edges from SURVIVING callers into changed-file definitions are
+    // cascade-deleted with their targets, but the caller's source code did
+    // not change — its call still targets the NAME. Re-link those edges to
+    // the rebuilt definitions by (file, fqn), which is unique post-A3-dedup
+    // (byte offsets shift on every edit, so the full natural key cannot
+    // match). Re-linking is exactly what the from-scratch index would have
+    // derived for the unchanged caller; edges whose target fqn no longer
+    // exists stay deleted.
+    val cp0 = changedPaths.select(col("changed_path"))
+    val defK = store.definitions.select(col("id").as("dk_id"),
+      col("primary_file_path").as("dk_file"), col("fqn").as("dk_fqn"))
+    val relinkKeyed = store.edges
+      .where(col("kind") === EdgeKind.DefToDef)
+      .join(defK.select(col("dk_id").as("s_id"), col("dk_file").as("src_file"),
+        col("dk_fqn").as("src_fqn")), col("source_id") === col("s_id"))
+      .join(cp0, col("src_file") === col("changed_path"), "left_anti")
+      .join(defK.select(col("dk_id").as("t_id"), col("dk_file").as("dst_file"),
+        col("dk_fqn").as("dst_fqn")), col("target_id") === col("t_id"))
+      .join(cp0, col("dst_file") === col("changed_path"), "left_semi")
+      .drop("s_id", "t_id", "source_id", "target_id")
     // Cross-file edges (import resolution, IMP_TO_*) depend on files OUTSIDE
     // the changed set — a fresh per-file analysis can't see resolution
     // targets in unchanged files, and unchanged imports may now resolve into
@@ -108,7 +128,18 @@ object IncrementalIndexer {
     val importEdges = graft.analyze.PythonResolver.resolveImports(
         merged.importedSymbols, merged.files, merged.definitions)
       .select(col("*") +: nulls: _*)
-    merged.copy(edges = merged.edges.unionByName(importEdges))
+    val mergedK = merged.definitions.select(col("id").as("m_id"),
+      col("primary_file_path").as("m_file"), col("fqn").as("m_fqn"))
+    val relinked = relinkKeyed
+      .join(mergedK.select(col("m_id").as("source_id"), col("m_file").as("sf"),
+        col("m_fqn").as("sq")), col("src_file") === col("sf") &&
+          col("src_fqn") === col("sq"))
+      .join(mergedK.select(col("m_id").as("target_id"), col("m_file").as("tf"),
+        col("m_fqn").as("tq")), col("dst_file") === col("tf") &&
+          col("dst_fqn") === col("tq"))
+      .select(graft.model.Schemas.edges.fieldNames.map(col).toIndexedSeq: _*)
+    merged.copy(edges = merged.edges.unionByName(relinked)
+      .unionByName(importEdges).distinct())
   }
 
   /** M3 at scale — persist a reindex batch by rewriting ONLY the partitions

@@ -278,6 +278,90 @@ class ReferenceFixturesSpec extends SparkSpec {
       "missing testTokenManagement->createSession")
   }
 
+  test("reference reindex scenario: the modify/add/delete script of " +
+    "tests.rs:48-120 through the incremental path equals a from-scratch index") {
+    assume(fixtures.isDirectory, "reference fixtures not present")
+    import java.nio.file.{Files, Path}
+    // copy test-repo to a scratch dir (the reference mutates a git clone)
+    val src = new File(fixtures, "test-repo").toPath
+    val repo = Files.createTempDirectory("graft-reindex")
+    Files.walk(src).forEach { p =>
+      val t = repo.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t)
+    }
+    def rw(rel: String)(f: String => String): Unit = {
+      val p = repo.resolve(rel)
+      Files.writeString(p, f(Files.readString(p)))
+    }
+    val before = Indexer.indexDirectory(spark, repo.toString, "test-repo")
+    val defsBefore = before.definitions.count()
+
+    // 1. base_model.rb: add a class method + leading whitespace
+    rw("app/models/base_model.rb") { c =>
+      "\n\n" + c.replace(
+        "  def self.create(attributes)\n    instance = new(attributes)\n    instance.save\n    instance\n  end",
+        "  def self.create(attributes)\n    instance = new(attributes)\n    instance.save\n    instance\n  end\n\n  def self.find_by_attributes(attrs)\n    where(attrs)\n  end")
+    }
+    // 2. new utility file with an external require
+    Files.createDirectories(repo.resolve("app/utils"))
+    Files.writeString(repo.resolve("app/utils/string_utils.rb"),
+      "\n    require 'string_toolkit'\n    module StringUtils\n  def self.sanitize(str)\n    str.strip.downcase\n  end\n\n  def self.titleize(str)\n    str.split(' ').map(&:capitalize).join(' ')\n  end\nend")
+    // 3. user_model.rb uses the new utils
+    rw("app/models/user_model.rb") { c =>
+      "require_relative '../utils/string_utils'\n\n" + c +
+        "\n  # Add name formatting\n  def format_name\n    StringUtils.titleize(name)\n  end"
+    }
+    // 4. delete a method
+    rw("app/models/base_model.rb") { c =>
+      c.replace("  def to_h\n    instance_variables.each_with_object({}) do |var, hash|\n      key = var.to_s.delete('@').to_sym\n      hash[key] = instance_variable_get(var)\n    end\n  end\n\n", "")
+    }
+
+    import spark.implicits._
+    val changed = Seq("app/models/base_model.rb", "app/utils/string_utils.rb",
+      "app/models/user_model.rb").toDF("changed_path")
+    val freshFiles = graft.extract.FileScanner
+      .scan(spark, repo.toString, "test-repo")
+      .filter(f => Seq("app/models/base_model.rb", "app/utils/string_utils.rb",
+        "app/models/user_model.rb").contains(f.path))
+    val fresh = Indexer.index(spark, freshFiles)
+    val merged = graft.stream.IncrementalIndexer
+      .applyReindexBatch(before, changed, fresh)
+
+    // script deltas: +find_by_attributes +StringUtils(3) +format_name -to_h
+    assert(merged.definitions.count() === defsBefore + 4)
+    val fqns = merged.definitions.select("fqn").as[String].collect().toSet
+    assert(fqns.contains("BaseModel.find_by_attributes"))
+    assert(fqns.contains("StringUtils.titleize"))
+    assert(fqns.contains("StringUtils.sanitize"))
+    // the script appends format_name AFTER the class's closing `end`
+    // (tests.rs:93-96 does the same), so it is a top-level function
+    assert(fqns.contains("format_name"))
+    assert(merged.definitions.where(col("name") === "to_h" &&
+      col("primary_file_path") === "app/models/base_model.rb").count() === 0)
+    // the typed resolver sees the new cross-file call within the batch
+    val defs = merged.definitions.select("id", "fqn")
+    val calls = merged.edges
+      .where(col("kind") === EdgeKind.DefToDef && col("type") === RelType.Calls)
+      .join(defs.withColumnRenamed("id", "sid")
+        .withColumnRenamed("fqn", "caller"), col("source_id") === col("sid"))
+      .join(defs.withColumnRenamed("id", "tid")
+        .withColumnRenamed("fqn", "callee"), col("target_id") === col("tid"))
+      .select("caller", "callee").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(calls.contains(("format_name", "StringUtils.titleize")))
+    // the strongest invariant: incremental == from-scratch on every table
+    val scratch = Indexer.indexDirectory(spark, repo.toString, "test-repo")
+    assert(merged.files.count() === scratch.files.count())
+    assert(merged.directories.count() === scratch.directories.count())
+    assert(merged.importedSymbols.count() === scratch.importedSymbols.count())
+    assert(merged.definitions.count() === scratch.definitions.count())
+    assert(merged.edges.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      scratch.edges.groupBy("kind").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
   test("self-indexing: the engine indexes its own Scala sources") {
     val src = new File("src/main/scala/graft")
     assume(src.isDirectory, "run from the repo root")
