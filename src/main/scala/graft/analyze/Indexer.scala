@@ -22,9 +22,20 @@ object Indexer {
       repositoryName: String, name: String, extension: String, language: String)
 
   def index(spark: SparkSession, files: Dataset[SourceFile]): GraphStore = {
-    import spark.implicits._
+    val (fileMeta, rawDefs, rawImps, rawRefs, rawFacts) =
+      extractTables(spark, files)
+    fromParsed(spark, fileMeta, rawDefs, rawImps, rawRefs, rawFacts)
+  }
 
-    // ---- E1-E3: per-file extraction (pure map; content never shuffled) ----
+  /** E1-E3 alone: per-file extraction (pure map; content never shuffled) to
+    * the five parsed tables (fileMeta, defs, imports, references, type
+    * facts) — the [[fromParsed]] input contract. Exposed so the incremental
+    * path can re-extract a change batch and resolve its references against
+    * the MERGED graph rather than the batch alone.
+    */
+  def extractTables(spark: SparkSession, files: Dataset[SourceFile])
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
     val extracted = files.mapPartitions { it =>
       it.map { f =>
         val e: Extracted = Extractors.extract(f)
@@ -35,12 +46,11 @@ object Indexer {
     }.toDF("file", "definitions", "imports", "references", "typeFacts")
       .localCheckpoint(true) // parse once; everything below reuses it
 
-    val fileMeta = extracted.select($"file.*")
-    val rawDefs = extracted.select(explode($"definitions").as("d")).select($"d.*")
-    val rawImps = extracted.select(explode($"imports").as("im")).select($"im.*")
-    val rawRefs = extracted.select(explode($"references").as("r")).select($"r.*")
-    val rawFacts = extracted.select(explode($"typeFacts").as("tf")).select($"tf.*")
-    fromParsed(spark, fileMeta, rawDefs, rawImps, rawRefs, rawFacts)
+    (extracted.select($"file.*"),
+      extracted.select(explode($"definitions").as("d")).select($"d.*"),
+      extracted.select(explode($"imports").as("im")).select($"im.*"),
+      extracted.select(explode($"references").as("r")).select($"r.*"),
+      extracted.select(explode($"typeFacts").as("tf")).select($"tf.*"))
   }
 
   /** A2-A10 over PRE-PARSED tables — the first-class ingestion path for
@@ -156,6 +166,30 @@ object Indexer {
       importedSymbols, filesDf, definitions).select(col("*") +: nulls: _*)
 
     // ---- A7: reference (call) resolution -------------------------------
+    val callEdges = resolveCallEdges(spark, fileMeta, rawRefs, rawFacts,
+      definitions, importedSymbols, filesDf, importEdges)
+
+    val edges = Seq(dirEdges, fileDefines, fileImports, nestingEdges,
+      importEdges, callEdges).reduce(_.unionByName(_))
+
+    GraphStore(directories, filesDf, definitions, importedSymbols, edges)
+  }
+
+  /** A7 as a standalone stage: resolve `rawRefs` (with their `rawFacts`)
+    * against node tables that may span MORE files than the refs do — the
+    * contract the incremental path needs, where only the changed files'
+    * refs exist but resolution must see the whole merged graph (a call in a
+    * changed file targeting an unchanged file's definition resolves exactly
+    * as a from-scratch index would). Typed (JVM + Ruby) resolution takes
+    * per-site precedence; the heuristic name-match pass gets the remainder
+    * with import-scoped cross-file candidates.
+    *
+    * Returns the unioned call-edge set (typed + heuristic), edge schema.
+    */
+  def resolveCallEdges(spark: SparkSession, fileMeta: DataFrame,
+      rawRefs: DataFrame, rawFacts: DataFrame, definitions: DataFrame,
+      importedSymbols: DataFrame, filesDf: DataFrame,
+      importEdges: DataFrame): DataFrame = {
     // (from_file, to_file) via resolved IMP_TO_FILE edges: enables the
     // import-scoped cross-file candidate lookup
     val importedFiles = importEdges.where(col("kind") === EdgeKind.ImpToFile)
@@ -175,11 +209,7 @@ object Indexer {
       Seq("filePath", "startByte", "endByte"), "left_anti")
     val callEdges = ReferenceResolver.resolve(remainingRefs, definitions,
       importedSymbols, Some(importedFiles))
-
-    val edges = Seq(dirEdges, fileDefines, fileImports, nestingEdges,
-      importEdges, callEdges, typedEdges, rubyEdges).reduce(_.unionByName(_))
-
-    GraphStore(directories, filesDf, definitions, importedSymbols, edges)
+    Seq(callEdges, typedEdges, rubyEdges).reduce(_.unionByName(_))
   }
 
   /** Convenience: scan a local directory and index it. */

@@ -3,7 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.model.EdgeKind
+import graft.model.{EdgeKind, RelType}
 import graft.store.GraphStore
 
 /** Incremental maintenance (SURVEY §2.5 M1-M3, §2.6 T1-T2).
@@ -140,6 +140,54 @@ object IncrementalIndexer {
       .select(graft.model.Schemas.edges.fieldNames.map(col).toIndexedSeq: _*)
     merged.copy(edges = merged.edges.unionByName(relinked)
       .unionByName(importEdges).distinct())
+  }
+
+  /** M3, file-based face — the complete incremental contract: re-extract
+    * the changed files and resolve their references against the MERGED
+    * graph, not the batch alone. The store-based overload above can only
+    * resolve batch refs within the batch (a GraphStore carries no raw
+    * refs), so a call from a changed file into an UNCHANGED file's
+    * definition — `main.rb` newly calling `UserModel.create` — would be
+    * lost there; here it resolves exactly as a from-scratch index would.
+    *
+    * Shape: extract batch → batch-local index WITHOUT its call edges →
+    * node-table merge + caller re-link + import recompute (the overload
+    * above) → one [[graft.analyze.Indexer.resolveCallEdges]] pass of the
+    * batch refs over the merged tables (typed JVM/Ruby + heuristic, with
+    * import-scoped cross-file candidates). JVM type FACTS of unchanged
+    * files are not persisted, so inheritance chains rooted in unchanged
+    * classes degrade to the defs-derived catalog — everything else is
+    * scratch-equal.
+    */
+  def applyReindexBatch(spark: org.apache.spark.sql.SparkSession,
+      store: GraphStore, changedPaths: DataFrame,
+      freshFiles: org.apache.spark.sql.Dataset[graft.extract.SourceFile])
+      : GraphStore = {
+    val (fm, rawDefs, rawImps, rawRefs, rawFacts) =
+      graft.analyze.Indexer.extractTables(spark, freshFiles)
+    val freshFull = graft.analyze.Indexer.fromParsed(
+      spark, fm, rawDefs, rawImps, rawRefs, rawFacts)
+    // drop the batch-local call resolution: it is recomputed below against
+    // the merged world (batch-local answers can differ — a name unique in
+    // the batch may be ambiguous globally). Nesting DEF_TO_DEF edges stay.
+    val callTypes = Seq(RelType.Calls, RelType.AmbiguouslyCalls,
+      RelType.PropertyReference)
+    val fresh = freshFull.copy(edges = freshFull.edges.where(
+      !(col("kind") === EdgeKind.DefToDef && col("type").isin(callTypes: _*)) &&
+        col("kind") =!= EdgeKind.DefToImp))
+    val merged = applyReindexBatch(store, changedPaths, fresh)
+    val mergedFileMeta = merged.files.select(col("path"),
+      col("absolute_path").as("absolutePath"),
+      col("repository_name").as("repositoryName"),
+      col("name"), col("extension"), col("language"))
+    val callEdges = graft.analyze.Indexer.resolveCallEdges(spark,
+      mergedFileMeta, rawRefs, rawFacts, merged.definitions,
+      merged.importedSymbols, merged.files,
+      merged.edges.where(col("kind").isin(
+        EdgeKind.ImpToImp, EdgeKind.ImpToDef, EdgeKind.ImpToFile)))
+    merged.copy(edges =
+      merged.edges.unionByName(callEdges, allowMissingColumns = true)
+        .distinct())
   }
 
   /** M3 at scale — persist a reindex batch by rewriting ONLY the partitions

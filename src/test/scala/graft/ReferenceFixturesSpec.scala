@@ -324,9 +324,9 @@ class ReferenceFixturesSpec extends SparkSpec {
       .scan(spark, repo.toString, "test-repo")
       .filter(f => Seq("app/models/base_model.rb", "app/utils/string_utils.rb",
         "app/models/user_model.rb").contains(f.path))
-    val fresh = Indexer.index(spark, freshFiles)
+    // the file-based face: batch refs re-resolved against the MERGED graph
     val merged = graft.stream.IncrementalIndexer
-      .applyReindexBatch(before, changed, fresh)
+      .applyReindexBatch(spark, before, changed, freshFiles)
 
     // script deltas: +find_by_attributes +StringUtils(3) +format_name -to_h
     assert(merged.definitions.count() === defsBefore + 4)
