@@ -75,14 +75,26 @@ object Bench {
     val results = qs0.map { case (name, _) =>
       name -> passes.map(_.toMap.apply(name)).min
     }
-    // 3-decimal rounding keeps the whole line ~1.7KB: the driver captures
-    // only the tail of stdout, and round 1's full-precision line (~3.7KB)
-    // overflowed that window and failed to parse.
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only a ~2KB tail of stdout; with 80+ queries the
+    // per-query map alone exceeds that, so the head of a single long line
+    // (including "metric"/"value") gets truncated and nothing parses. Print
+    // the detailed line first, then a short summary line LAST — the tail
+    // always retains the final line intact, so the driver's parser gets a
+    // complete JSON object. Per-query detail also lands in BENCH_FULL.json.
+    println(fullLine)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

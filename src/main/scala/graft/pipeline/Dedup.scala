@@ -113,15 +113,21 @@ object Dedup {
     */
   private def ngramJaccardPairsDirect(docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
-    val shd = docs.select(col(idCol).as("doc_id"),
-        explode(shingleSet(col(textCol), n)).as("shingle"))
-      .cache() // referenced 3x below (sizes + both join sides)
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // cache the COMPACT per-doc arrays (one row per doc), not the exploded
+    // shingle rows: the explode below replays map-side from this cache, set
+    // sizes come free from size(sh) (no groupBy-count shuffle), and the
+    // cached bytes are ~n× smaller than the exploded string table
+    val sets = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
+    val shd = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val common = shd.alias("x")
       .join(shd.alias("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val jac = common
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
@@ -270,22 +276,38 @@ object Dedup {
     */
   def clusterKeepers(pairs: DataFrame, idA: String = "id_a",
                      idB: String = "id_b", rounds: Int = 6): DataFrame = {
-    val sym = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+    // both edge orientations from ONE pass over `pairs`: a two-branch union
+    // would execute the (potentially expensive) upstream pair-generation
+    // chain twice — measured 2× the whole jaccard pipeline at sf0.1
+    val sym = pairs.select(explode(array(
+        struct(col(idA).as("u"), col(idB).as("v")),
+        struct(col(idB).as("u"), col(idA).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("u").as("doc_id"))
       .distinct().withColumn("lbl", col("doc_id"))
       .localCheckpoint(true)
-    (1 to rounds).foreach { _ =>
+    // early exit: min-label propagation is monotone, so a round that changes
+    // zero labels means the fixpoint is reached and every remaining round is
+    // a no-op — identical output, fewer jobs (near-dup clusters converge in
+    // 2-3 rounds; `rounds` stays the hard bound so a fixed-round SQL
+    // recurrence replays the same answer). The change probe is a limit-1
+    // scan over the just-checkpointed round output, not a recompute.
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       val neighborMin = sym
         .join(labels.select(col("doc_id").as("v2"), col("lbl").as("vlbl")),
           col("v") === col("v2"))
         .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
-      labels = labels
+      val next = labels
         .join(neighborMin, col("doc_id") === col("u"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
+      converged = next.where(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select(col("doc_id"), col("lbl"))
+      round += 1
     }
     labels.select(col("doc_id"), col("lbl").as("keeper_id"))
   }
