@@ -7,9 +7,10 @@ import graft.query.QueryLibrary
 import graft.store.GraphStore
 
 /** HTTP graph-explorer facade over [[QueryLibrary]] — the serving face of
-  * the reference's `crates/http-server-desktop/src/endpoints/graph/`
-  * (axum REST API consumed by the graph-explorer UI). Four GET endpoints:
+  * the reference's `crates/http-server-desktop/src/endpoints/`
+  * (axum REST API consumed by the graph-explorer UI).
   *
+  * Graph routes (endpoints/graph/):
   *  - `/graph/initial/{workspace}/{project}` — graph_initial.rs:73
   *    (`?directory_limit&file_limit&definition_limit&imported_symbol_limit`,
   *    handler defaults 100/200/500/50 — graph_initial.rs:115-118)
@@ -18,6 +19,20 @@ import graft.store.GraphStore
   *  - `/graph/search/{workspace}/{project}?search_term=&limit=` —
   *    graph_search.rs:67
   *  - `/graph/stats/{workspace}/{project}` — graph_stats.rs:75
+  *
+  * Server/workspace routes:
+  *  - `GET /health` — health.rs:7 (bare 200)
+  *  - `GET /info` — info.rs:45 (`{"port":…,"version":…}`)
+  *  - `GET /events` — events.rs:45 (SSE: one `gkg-connection` event, then
+  *    `gkg-event` frames from the [[graft.serve.EventPublisher]] bus, which
+  *    carries workspace-indexing lifecycle events and bridged Structured
+  *    Streaming lifecycle events)
+  *  - `POST /workspace/index` — workspace_index.rs:70 (register + queue an
+  *    indexing job; 400 `invalid_workspace_path` /
+  *    `no_projects_found_in_workspace`)
+  *  - `GET /workspace/list` — workspace_list.rs (workspaces + projects)
+  *  - `DELETE /workspace/delete` — workspace_delete.rs:74 (400
+  *    `empty_workspace_path`, 404 `workspace_not_found`)
   *
   * Error contract mirrored from the reference handlers: blank decoded path
   * params → 400 `{"status":"empty_project_path"}` (etc.), unknown project →
@@ -36,6 +51,9 @@ import graft.store.GraphStore
   * Usage: graft.GraphHttpServer <storeDir> [port] [workspace] [project]
   */
 object GraphHttpServer {
+
+  /** Reported by `/info` (the reference ships CARGO_PKG_VERSION — 0.19.0). */
+  val Version = "0.19.0-spark"
 
   /** Reference node-type labels ↔ internal node kinds. */
   val NodeTypes: Map[String, String] = Map(
@@ -59,46 +77,111 @@ object GraphHttpServer {
 }
 
 final class GraphHttpServer(spark: SparkSession, storeDir: String,
-    workspaceFolderPath: String, projectPath: String) {
+    workspaceFolderPath: String, projectPath: String,
+    dataDir: String = java.nio.file.Files
+      .createTempDirectory("graft-ws-data").toString) {
   import GraphHttpServer._
 
   private val lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
   private var httpServer: com.sun.net.httpserver.HttpServer = _
+  private var boundPort: Int = 0
+  private val closing = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private var streamListener: org.apache.spark.sql.streaming.StreamingQueryListener = _
+
+  /** Serving-layer event bus + workspace registry (reference: AppState's
+    * event_bus + workspace_manager shared across endpoints).
+    */
+  val events = new graft.serve.EventPublisher
+  val workspaceManager = new graft.serve.WorkspaceManager(spark, dataDir, events)
 
   def start(port: Int): Int = {
+    streamListener = events.attachStreamListener(spark)
     httpServer = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     httpServer.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
-      val (status, body) =
-        try route(exchange.getRequestURI.getRawPath,
-          Option(exchange.getRequestURI.getRawQuery).getOrElse(""))
-        catch { case e: Exception =>
-          (500, statusJson(s"internal_error: ${e.getMessage}")) }
-      val bytes = body.getBytes("UTF-8")
-      exchange.getResponseHeaders.set("Content-Type", "application/json")
-      exchange.sendResponseHeaders(status, bytes.length.toLong)
-      exchange.getResponseBody.write(bytes)
-      exchange.close()
+      if (exchange.getRequestURI.getRawPath == "/events") serveSse(exchange)
+      else {
+        val reqBody = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
+        val (status, body) =
+          try route(exchange.getRequestMethod, exchange.getRequestURI.getRawPath,
+            Option(exchange.getRequestURI.getRawQuery).getOrElse(""), reqBody)
+          catch { case e: Exception =>
+            (500, statusJson(s"internal_error: ${e.getMessage}")) }
+        val bytes = body.getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.sendResponseHeaders(status,
+          if (bytes.isEmpty) -1L else bytes.length.toLong)
+        if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
+        exchange.close()
+      }
     })
     // without an executor the JDK server dispatches on a single thread;
     // SparkSession is thread-safe, so concurrent requests can run as
     // concurrent Spark jobs (scheduled FIFO by the DAG scheduler)
     httpServer.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     httpServer.start()
-    httpServer.getAddress.getPort
+    boundPort = httpServer.getAddress.getPort
+    boundPort
   }
 
-  def stop(): Unit = if (httpServer != null) httpServer.stop(0)
+  def stop(): Unit = {
+    closing.set(true)
+    workspaceManager.shutdown()
+    if (streamListener != null) spark.streams.removeListener(streamListener)
+    if (httpServer != null) httpServer.stop(0)
+  }
+
+  /** `GET /events` — the SSE push channel (events.rs:45-84): an immediate
+    * `gkg-connection` frame, then one `gkg-event` frame per published bus
+    * event, until the client disconnects or the server stops.
+    */
+  private def serveSse(exchange: com.sun.net.httpserver.HttpExchange): Unit = {
+    val (subId, queue) = events.subscribe()
+    try {
+      exchange.getResponseHeaders.set("Content-Type", "text/event-stream")
+      exchange.getResponseHeaders.set("Cache-Control", "no-cache")
+      exchange.sendResponseHeaders(200, 0) // chunked: stream until close
+      val out = exchange.getResponseBody
+      val hello = JsonMethods.compact(JsonMethods.render(JObject(
+        "type" -> JString("connection-established"),
+        "timestamp" -> JString(java.time.Instant.now.toString),
+        "message" -> JString("SSE connection established"))))
+      out.write(s"event: gkg-connection\ndata: $hello\n\n".getBytes("UTF-8"))
+      out.flush()
+      while (!closing.get()) {
+        val line = queue.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (line != null) {
+          out.write(s"event: gkg-event\ndata: $line\n\n".getBytes("UTF-8"))
+          out.flush()
+        }
+      }
+    } catch {
+      case _: java.io.IOException => () // client went away
+      case _: InterruptedException => ()
+    } finally {
+      events.unsubscribe(subId)
+      exchange.close()
+    }
+  }
 
   /** One request → (status, JSON body). Pure of transport so specs can hit
-    * it directly; the socket handler above is a thin shell.
+    * it directly; the socket handler above is a thin shell. (SSE is the one
+    * route that bypasses this — it streams.)
     */
-  def route(rawPath: String, rawQuery: String): (Int, String) = {
+  def route(method: String, rawPath: String, rawQuery: String,
+            body: String): (Int, String) = {
     val segs = rawPath.split("/").filter(_.nonEmpty).toSeq
       .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
     val params = parseQuery(rawQuery)
-    segs match {
-      case Seq("graph", op, ws, proj, rest @ _*) =>
+    (method, segs) match {
+      case ("GET", Seq("health")) => (200, "") // health.rs: bare 200
+      case ("GET", Seq("info")) =>
+        (200, JsonMethods.compact(JsonMethods.render(JObject(
+          "port" -> JInt(boundPort), "version" -> JString(Version)))))
+      case ("POST", Seq("workspace", "index")) => workspaceIndex(body)
+      case ("GET", Seq("workspace", "list")) => workspaceList()
+      case ("DELETE", Seq("workspace", "delete")) => workspaceDelete(body)
+      case ("GET", Seq("graph", op, ws, proj, rest @ _*)) =>
         if (proj.trim.isEmpty)
           (400, statusJson("empty_project_path"))
         else if (ws.trim.isEmpty)
@@ -117,14 +200,72 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
     }
   }
 
+  /** Back-compat shim for GET-only callers. */
+  def route(rawPath: String, rawQuery: String): (Int, String) =
+    route("GET", rawPath, rawQuery, "")
+
+  // ---- workspace endpoints ------------------------------------------------
+
+  private def bodyField(body: String, k: String): Option[String] =
+    try (JsonMethods.parse(body) \ k) match {
+      case JString(s) => Some(s)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** workspace_index.rs:70-137: validate path, register, queue the job. */
+  private def workspaceIndex(body: String): (Int, String) = {
+    val path = bodyField(body, "workspace_folder_path").getOrElse("")
+    workspaceManager.getOrRegister(path) match {
+      case None => (400, statusJson("invalid_workspace_path"))
+      case Some(ws) if ws.projects.isEmpty =>
+        (400, statusJson("no_projects_found_in_workspace"))
+      case Some(ws) =>
+        workspaceManager.dispatchIndex(ws)
+        (200, JsonMethods.compact(JsonMethods.render(
+          workspaceManager.workspaceJson(ws))))
+    }
+  }
+
+  /** workspace_list.rs: every workspace with its projects. */
+  private def workspaceList(): (Int, String) = {
+    val wss = workspaceManager.list().map { ws =>
+      JObject(
+        "workspace_info" -> workspaceManager.workspaceJson(ws),
+        "projects" -> JArray(
+          ws.projects.map(p => workspaceManager.projectJson(ws, p)).toList))
+    }
+    (200, JsonMethods.compact(JsonMethods.render(
+      JObject("workspaces" -> JArray(wss.toList)))))
+  }
+
+  /** workspace_delete.rs:74-131: drop stores, remove the registration. */
+  private def workspaceDelete(body: String): (Int, String) = {
+    val path = bodyField(body, "workspace_folder_path").getOrElse("")
+    if (path.trim.isEmpty) return (400, statusJson("empty_workspace_path"))
+    if (workspaceManager.get(path).isEmpty)
+      return (404, statusJson("workspace_not_found"))
+    val removed = workspaceManager.delete(path)
+    (200, JsonMethods.compact(JsonMethods.render(JObject(
+      "workspace_folder_path" -> JString(path),
+      "removed" -> JBool(removed)))))
+  }
+
   // ---- endpoints ----------------------------------------------------------
+
+  /** Client-supplied limits are clamped to [0, MaxLimit]: every endpoint
+    * assembles its response by collecting the (limit-bounded) result on the
+    * long-lived server process, so a huge or negative query-string limit
+    * must never reach the query layer as-is.
+    */
+  private val MaxLimit = 10000
+  private def clampLimit(params: Map[String, String], k: String, d: Int): Int =
+    math.min(math.max(params.get(k).flatMap(_.toIntOption).getOrElse(d), 0), MaxLimit)
 
   /** graph_initial.rs:99-230 — the Q7 bounded whole-graph snapshot, limits
     * from the query string (handler defaults 100/200/500/50).
     */
   private def initial(params: Map[String, String]): (Int, String) = {
-    def limit(k: String, d: Int) =
-      params.get(k).flatMap(_.toIntOption).getOrElse(d)
+    def limit(k: String, d: Int) = clampLimit(params, k, d)
     val rows = lib.initialProjectGraph(
       directoryLimit = limit("directory_limit", 100),
       fileLimit = limit("file_limit", 200),
@@ -150,7 +291,7 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
       return (400, statusJson("invalid_node_type")))
     val nodeId = nodeIdRaw.toLongOption.getOrElse(
       return (400, statusJson("invalid_node_id")))
-    val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100)
+    val limit = clampLimit(params, "limit", 100)
     val rows = lib.nodeNeighbors(kind, nodeId, limit).collect()
     val selfId = ref(kind, nodeId)
     val nodes = rows.map { r =>
@@ -178,7 +319,7 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
   private def search(params: Map[String, String]): (Int, String) = {
     val term = params.getOrElse("search_term", "")
     if (term.trim.isEmpty) return (400, statusJson("empty_search_term"))
-    val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100)
+    val limit = clampLimit(params, "limit", 100)
     val nodes = lib.searchNodes(term, limit).collect().map { r =>
       val kind = r.getAs[String]("node_type")
       JObject("id" -> JString(ref(kind, r.getAs[Long]("node_id"))),

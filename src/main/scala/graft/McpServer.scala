@@ -19,6 +19,14 @@ import graft.store.GraphStore
   * Serving shape: one long-lived SparkSession + cached GraphStore; every
   * request is a bounded query (explicit LIMITs) against the cached store —
   * the MIGRATION.md `gkg server` row made concrete.
+  *
+  * Trust boundary: the transport is LOCAL STDIO, the same trust model as
+  * the reference's rmcp stdio server — the client already runs as this
+  * user, so `index_project`/`list_projects` accepting arbitrary local paths
+  * grants nothing the client lacks. If the transport is ever widened beyond
+  * stdio, set `GRAFT_MCP_ROOT` (or pass `rootConfinement`): every
+  * caller-supplied path is then normalized and prefix-checked against that
+  * root before any filesystem access.
   */
 object McpServer {
 
@@ -60,7 +68,21 @@ object McpServer {
       Seq("workspace_dir" -> "string"), Nil))
 }
 
-final class McpServer(spark: SparkSession, storeDir: String) {
+final class McpServer(spark: SparkSession, storeDir: String,
+    rootConfinement: Option[String] = sys.env.get("GRAFT_MCP_ROOT")) {
+
+  /** Normalize + prefix-check a caller-supplied path when a confinement
+    * root is configured (see the trust-boundary note above).
+    */
+  private def confined(p: String): String = rootConfinement match {
+    case None => p
+    case Some(root) =>
+      val rootN = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+      val pN = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      if (!pN.startsWith(rootN))
+        sys.error(s"path outside configured workspace root: $p")
+      pN.toString
+  }
   import McpServer._
   implicit private val formats: Formats = DefaultFormats
 
@@ -131,8 +153,8 @@ final class McpServer(spark: SparkSession, storeDir: String) {
         lib.importUsage(arr("paths").map(_.toLowerCase),
           str("name"), str("alias"))
       case "index_project" =>
-        val repoDir = str("repo_dir").getOrElse(sys.error("repo_dir required"))
-        val out = str("store_dir").getOrElse(sys.error("store_dir required"))
+        val repoDir = confined(str("repo_dir").getOrElse(sys.error("repo_dir required")))
+        val out = confined(str("store_dir").getOrElse(sys.error("store_dir required")))
         val store = graft.analyze.Indexer.indexDirectory(spark, repoDir,
           new java.io.File(repoDir).getName)
         store.write(out)
@@ -140,7 +162,7 @@ final class McpServer(spark: SparkSession, storeDir: String) {
           lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
         new QueryLibrary(store).graphStats()
       case "list_projects" =>
-        val ws = str("workspace_dir").getOrElse(sys.error("workspace_dir required"))
+        val ws = confined(str("workspace_dir").getOrElse(sys.error("workspace_dir required")))
         import spark.implicits._
         Cli.listProjects(ws).toDF("project")
       case other => sys.error(s"unknown tool: $other")

@@ -39,11 +39,13 @@ import graft.model.{EdgeKind, RelType}
   * are lexically indistinguishable from local variable reads and must never
   * reach the name-match resolver.
   *
-  * Scale shape: identical to [[TypedResolver]] — the per-repo type catalog
-  * (classes, methods, var facts) is collected and broadcast; refs (the
-  * volume) stream through mapPartitions against it.
+  * Scale shape: identical to [[TypedResolver]] — catalog inputs and refs
+  * are tagged rows grouped by `repository_name`; one executor task per repo
+  * builds that repo's catalog (classes, methods, var facts) in memory and
+  * streams the repo's refs through it. Nothing is collected to the driver.
   */
 object RubyTypedResolver {
+  import CatRow.{TagDef, TagFact, TagRef}
 
   /** expression_resolver.rs:426-460 — Rails/ActiveRecord noise. */
   private val FrameworkMethods = Set(
@@ -131,48 +133,39 @@ object RubyTypedResolver {
               rawRefs: DataFrame, definitions: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
 
-    val rubyPaths = fileMeta.where(col("language") === "ruby")
-      .select(col("path").as("rb_path"))
-    if (rubyPaths.isEmpty) {
+    val rubyFiles = fileMeta.where(col("language") === "ruby")
+      .select(col("path").as("rb_path"), col("repositoryName").as("repo"))
+    if (rubyFiles.isEmpty) {
       return (spark.emptyDataset[EdgeRow].toDF(),
         spark.emptyDataset[SiteRow].toDF())
     }
-
-    // ---- catalog (driver-side over the Ruby slice; kilobytes per repo) ----
-    val defRows = definitions.join(broadcast(rubyPaths),
-        col("primary_file_path") === col("rb_path"))
-      .select("id", "fqn", "name", "definition_type").collect()
-    val factRows = rawFacts.join(broadcast(rubyPaths),
-        col("filePath") === col("rb_path"))
-      .select("filePath", "factKind", "scope", "subject", "detail").collect()
-
-    val typeKinds = Set("Class", "Module")
-    val extendsFacts = factRows.filter(_.getString(1) == "extends")
-      .map(r => r.getString(3) -> r.getString(4)).toMap
-    val methodKindRows = defRows.filter(r => !typeKinds(r.getString(3)))
-    val methodsByParent = methodKindRows.groupBy { r =>
-      val f = r.getString(1); f.take(math.max(f.lastIndexOf('.'), 0))
+    // schema tolerance for pre-parsed tables from older producers
+    val refsIn = Seq("receiver", "callReceiver").foldLeft(rawRefs) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
     }
-    val types = defRows.filter(r => typeKinds(r.getString(3))).map { r =>
-      val fqn = r.getString(1)
-      fqn -> RType(fqn, r.getLong(0),
-        methodsByParent.getOrElse(fqn, Array.empty)
-          .map(m => m.getString(2) -> m.getLong(0)).toMap,
-        extendsFacts.get(fqn))
-    }.toMap
-    // simple name → fqn; ties broken by lowest def id (deterministic, the
-    // reference's interned definition map keeps one winner too)
-    val bySimple = types.values.groupBy(_.fqn.split("\\.").last)
-      .map { case (n, ts) => n -> ts.minBy(_.defId).fqn }
-    val vars = factRows.filter(_.getString(1) == "var")
-      .map(r => (r.getString(0), r.getString(2), r.getString(3)) -> r.getString(4))
-      .toMap
-    val bc = spark.sparkContext.broadcast(Catalog(types, bySimple, vars))
+
+    val pad = Seq(lit("").as("s5"), lit(0L).as("sb"), lit(0L).as("eb"),
+      lit(0).as("line"), lit(0).as("sc"), lit(0).as("ec"))
+    // ---- tagged catalog rows (defs / facts), keyed by repo ----
+    val defRows = definitions.join(broadcast(rubyFiles),
+        col("primary_file_path") === col("rb_path"))
+      .select(Seq(col("repo"), lit(TagDef).as("tag"), col("id"),
+        col("fqn").as("s1"), col("name").as("s2"),
+        col("definition_type").as("s3"), lit("").as("s4")) ++ pad: _*)
+    val factRows = rawFacts.join(broadcast(rubyFiles),
+        col("filePath") === col("rb_path"))
+      .select(Seq(col("repo"), lit(TagFact).as("tag"), lit(0L).as("id"),
+        col("filePath").as("s1"), col("factKind").as("s2"),
+        col("scope").as("s3"), col("subject").as("s4"),
+        col("detail").as("s5"), lit(0L).as("sb"), lit(0L).as("eb"),
+        lit(0).as("line"), lit(0).as("sc"), lit(0).as("ec")): _*)
 
     // ---- caller attribution: innermost enclosing Method/Function ----
-    val refs = rawRefs.join(broadcast(rubyPaths), col("filePath") === col("rb_path"))
-      .select(col("filePath").as("r_file"), col("name").as("r_name"),
-        col("receiver").as("r_prop_recv"), col("callReceiver").as("r_call_recv"),
+    val refs = refsIn.join(broadcast(rubyFiles), col("filePath") === col("rb_path"))
+      .select(col("repo"), col("filePath").as("r_file"), col("name").as("r_name"),
+        // call-form receiver wins over the property-access receiver
+        when(col("callReceiver") =!= "", col("callReceiver"))
+          .otherwise(col("receiver")).as("r_recv"),
         col("startByte").as("r_sb"), col("endByte").as("r_eb"),
         col("startLine").as("r_line"), col("startCol").as("r_sc"),
         col("endCol").as("r_ec"))
@@ -189,23 +182,36 @@ object RubyTypedResolver {
           col("r_line") >= col("d_sl") && col("r_line") <= col("d_el"))
       .withColumn("rk", row_number().over(innermost))
       .where(col("rk") === 1 && col("caller_type").isin("Method", "Function"))
-      .select("r_file", "r_name", "r_prop_recv", "r_call_recv", "r_sb",
-        "r_eb", "r_line", "r_sc", "r_ec", "caller_id", "caller_fqn")
+    val refRows = withCaller.select(col("repo"), lit(TagRef).as("tag"),
+      col("caller_id").as("id"), col("r_file").as("s1"),
+      col("r_name").as("s2"), col("r_recv").as("s3"),
+      col("caller_fqn").as("s4"), lit("").as("s5"), col("r_sb").as("sb"),
+      col("r_eb").as("eb"), col("r_line").as("line"), col("r_sc").as("sc"),
+      col("r_ec").as("ec"))
 
-    val resolved = withCaller
-      .as[(String, String, String, String, Long, Long, Int, Int, Int, Long, String)]
-      .mapPartitions { it =>
-        val cat = bc.value
-        it.flatMap { case (file, name, propRecv, callRecv, sb, eb, line, sc, ec,
-            callerId, callerFqn) =>
-          val recv = if (callRecv.nonEmpty) callRecv else propRecv
-          val (targets, consumed) = resolveOne(cat, file, callerFqn, name, recv)
-          if (targets.isEmpty && consumed)
-            // site consumed with no edge (e.g. shadowed local): a single
-            // marker row keeps it out of the heuristic pass
-            Seq(Resolved(file, sb, eb, line, sc, ec, callerId, -1L, consumed = true))
-          else targets.map(t =>
-            Resolved(file, sb, eb, line, sc, ec, callerId, t, consumed))
+    // ---- per-repo grouped resolution (see TypedResolver for the shape) ----
+    val resolved = Seq(defRows, factRows, refRows)
+      .reduce(_.unionByName(_)).as[CatRow]
+      .groupByKey(_.repo)
+      .flatMapSortedGroups(col("tag")) { (_: String, it: Iterator[CatRow]) =>
+        val defs = scala.collection.mutable.ArrayBuffer[(Long, String, String, String)]()
+        val facts = scala.collection.mutable.ArrayBuffer[(String, String, String, String, String)]()
+        var cat: Catalog = null
+        it.flatMap { r =>
+          r.tag match {
+            case TagDef => defs += ((r.id, r.s1, r.s2, r.s3)); Iterator.empty
+            case TagFact => facts += ((r.s1, r.s2, r.s3, r.s4, r.s5)); Iterator.empty
+            case _ =>
+              if (cat == null) cat = buildCatalog(defs.toSeq, facts.toSeq)
+              val (targets, consumed) = resolveOne(cat, r.s1, r.s4, r.s2, r.s3)
+              if (targets.isEmpty && consumed)
+                // site consumed with no edge (e.g. shadowed local): a single
+                // marker row keeps it out of the heuristic pass
+                Iterator.single(Resolved(r.s1, r.sb, r.eb, r.line, r.sc, r.ec,
+                  r.id, -1L, consumed = true))
+              else targets.iterator.map(t =>
+                Resolved(r.s1, r.sb, r.eb, r.line, r.sc, r.ec, r.id, t, consumed))
+          }
         }
       }.toDF()
 
@@ -221,6 +227,31 @@ object RubyTypedResolver {
       .select(col("file").as("filePath"), col("sb").as("startByte"),
         col("eb").as("endByte")).distinct()
     (edges, sites)
+  }
+
+  /** One repo's catalog from its (id, fqn, name, defType) defs and
+    * (file, kind, scope, subject, detail) facts, built task-side.
+    */
+  private def buildCatalog(defRows: Seq[(Long, String, String, String)],
+      factRows: Seq[(String, String, String, String, String)]): Catalog = {
+    val typeKinds = Set("Class", "Module")
+    val extendsFacts = factRows.filter(_._2 == "extends")
+      .map(f => f._4 -> f._5).toMap
+    val methodsByParent = defRows.filterNot(d => typeKinds(d._4))
+      .groupBy { d => val f = d._2; f.take(math.max(f.lastIndexOf('.'), 0)) }
+    val types = defRows.filter(d => typeKinds(d._4)).map { d =>
+      val fqn = d._2
+      fqn -> RType(fqn, d._1,
+        methodsByParent.getOrElse(fqn, Nil).map(m => m._3 -> m._1).toMap,
+        extendsFacts.get(fqn))
+    }.toMap
+    // simple name → fqn; ties broken by lowest def id (deterministic, the
+    // reference's interned definition map keeps one winner too)
+    val bySimple = types.values.groupBy(_.fqn.split("\\.").last)
+      .map { case (n, ts) => n -> ts.minBy(_.defId).fqn }
+    val vars = factRows.filter(_._2 == "var")
+      .map(f => (f._1, f._3, f._4) -> f._5).toMap
+    Catalog(types, bySimple, vars)
   }
 
   /** One ref → (target def ids, consume site?). Mirrors

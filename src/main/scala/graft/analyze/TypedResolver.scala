@@ -27,14 +27,18 @@ import graft.model.{EdgeKind, RelType}
   *    (`logger.info(...)` with `import org.slf4j.Logger` → the Logger
   *    imported symbol, the reference's find_calls_to_imported_symbol face)
   *
-  * Scale shape: the type catalog (types, members, per-file scopes) is
-  * collected and broadcast — O(class + import + fact count of the JVM
-  * slice), the same per-repo state the reference keeps in memory for its
-  * whole analysis; refs (the volume) stream through a mapPartitions against
-  * the broadcast. A trillion-row corpus would partition the catalog by
-  * package; the fixture-scale catalogs here are kilobytes.
+  * Scale shape: catalog inputs (definitions, type facts, imports) and refs
+  * are tagged rows grouped by `repository_name` and processed with
+  * `flatMapSortedGroups` — the tag sorts catalog rows ahead of refs inside
+  * each group, so one executor task builds THAT repo's catalog in memory
+  * (the reference's own per-repo registry model,
+  * kotlin/expression_resolver.rs:89-101) and then streams the repo's refs
+  * through it lazily. Nothing is collected to the driver; memory per task
+  * is one repo's catalog (O(classes + imports + facts), kilobytes to a few
+  * MB for a monorepo), never the ref volume, and repos resolve in parallel.
   */
 object TypedResolver {
+  import CatRow.{TagDef, TagFact, TagImp, TagRef}
 
   private val JvmLanguages = Set("java", "kotlin")
 
@@ -178,100 +182,45 @@ object TypedResolver {
               importedSymbols: DataFrame): (DataFrame, DataFrame) = {
     import spark.implicits._
 
-    val jvmPaths = fileMeta.where(col("language").isin(JvmLanguages.toSeq: _*))
-      .select(col("path").as("jvm_path"))
-    if (jvmPaths.isEmpty) {
+    val jvmFiles = fileMeta.where(col("language").isin(JvmLanguages.toSeq: _*))
+      .select(col("path").as("jvm_path"), col("repositoryName").as("repo"))
+    if (jvmFiles.isEmpty) {
       val emptyEdges = spark.emptyDataset[EdgeRow].toDF()
       val emptySites = spark.emptyDataset[SiteRow].toDF()
       return (emptyEdges, emptySites)
     }
+    // pre-parsed tables from older producers lack the chain pre-pass's
+    // callReceiver column — default it so the 5-arg fromParsed path keeps
+    // accepting the previous schema (refs then resolve as bare calls)
+    val refsIn =
+      if (rawRefs.columns.contains("callReceiver")) rawRefs
+      else rawRefs.withColumn("callReceiver", lit(""))
 
-    // ---- catalog build (driver-side over the JVM slice; see scaladoc) ----
-    val defRows = definitions.join(broadcast(jvmPaths),
+    val pad = Seq(lit("").as("s5"), lit(0L).as("sb"), lit(0L).as("eb"),
+      lit(0).as("line"), lit(0).as("sc"), lit(0).as("ec"))
+    // ---- tagged catalog rows (defs / facts / imports), keyed by repo ----
+    val defRows = definitions.join(broadcast(jvmFiles),
         col("primary_file_path") === col("jvm_path"))
-      .select("id", "fqn", "name", "definition_type", "primary_file_path")
-      .collect()
-    val factRows = rawFacts
-      .select("filePath", "factKind", "scope", "subject", "detail").collect()
-    val impRows = importedSymbols.join(broadcast(jvmPaths),
+      .select(Seq(col("repo"), lit(TagDef).as("tag"), col("id"),
+        col("fqn").as("s1"), col("name").as("s2"),
+        col("definition_type").as("s3"),
+        col("primary_file_path").as("s4")) ++ pad: _*)
+    val factRows = rawFacts.join(broadcast(jvmFiles),
+        col("filePath") === col("jvm_path"))
+      .select(Seq(col("repo"), lit(TagFact).as("tag"), lit(0L).as("id"),
+        col("filePath").as("s1"), col("factKind").as("s2"),
+        col("scope").as("s3"), col("subject").as("s4"),
+        col("detail").as("s5"), lit(0L).as("sb"), lit(0L).as("eb"),
+        lit(0).as("line"), lit(0).as("sc"), lit(0).as("ec")): _*)
+    val impRows = importedSymbols.join(broadcast(jvmFiles),
         col("file_path") === col("jvm_path"))
-      .select("id", "import_type", "import_path", "name", "alias", "file_path")
-      .collect()
-
-    val pkgByFile = factRows.filter(_.getString(1) == "package")
-      .map(r => r.getString(0) -> r.getString(4)).toMap
-    val fieldFacts = factRows.filter(_.getString(1) == "var")
-      .map(r => (r.getString(0), r.getString(2), r.getString(3)) -> r.getString(4))
-      .toMap
-    val extendsFacts = factRows.filter(_.getString(1) == "extends")
-      .groupBy(_.getString(3)).map { case (fqn, rows) =>
-        fqn -> rows.map(_.getString(4)).toSeq }
-    val propFacts = factRows.filter(_.getString(1) == "prop")
-      .map(r => (r.getString(2), r.getString(3)) -> r.getString(4)).toMap
-    val returnFacts = factRows.filter(_.getString(1) == "returns")
-      .map(r => (r.getString(0), r.getString(2)) -> r.getString(4)).toMap
-
-    val typeKinds = Set("Class", "Interface", "Module")
-    val typeDefs = defRows.filter(r => typeKinds(r.getString(3)))
-    val typeFqns = typeDefs.map(_.getString(1)).toSet
-    val methodsByParent = defRows.filter(r => !typeKinds(r.getString(3)))
-      .groupBy { r => val f = r.getString(1); f.take(math.max(f.lastIndexOf('.'), 0)) }
-    val nestedByParent = typeDefs
-      .groupBy { r => val f = r.getString(1); f.take(math.max(f.lastIndexOf('.'), 0)) }
-
-    val types = typeDefs.map { r =>
-      val fqn = r.getString(1); val file = r.getString(4)
-      val pkg = pkgByFile.getOrElse(file, "")
-      val methods = methodsByParent.getOrElse(fqn, Array.empty)
-        .map(m => m.getString(2) -> m.getLong(0)).toMap
-      val nested = nestedByParent.getOrElse(fqn, Array.empty)
-        .map(n => n.getString(2) -> n.getString(1)).toMap
-      val fields = fieldFacts.collect {
-        case ((f, scope, n), t) if f == file && scope == fqn => n -> t
-      }.toMap
-      fqn -> TypeInfo(fqn, r.getString(2), pkg, file, r.getLong(0),
-        methods, nested, fields, extendsFacts.getOrElse(fqn, Nil))
-    }.toMap
-
-    val byPkgName = types.values
-      .filter(ti => ti.fqn == (if (ti.pkg.isEmpty) ti.name else s"${ti.pkg}.${ti.name}"))
-      .map(ti => (ti.pkg, ti.name) -> ti.fqn).toMap
-    // top-level functions: fqn = pkg.name and not inside a type
-    val funcDefs = defRows.filter { r =>
-      !typeKinds(r.getString(3)) && {
-        val fqn = r.getString(1); val file = r.getString(4)
-        val pkg = pkgByFile.getOrElse(file, "")
-        fqn == (if (pkg.isEmpty) r.getString(2) else s"$pkg.${r.getString(2)}")
-      }
-    }
-    val pkgFuncs = funcDefs.map { r =>
-      (pkgByFile.getOrElse(r.getString(4), ""), r.getString(2)) -> r.getLong(0)
-    }.toMap
-    val funcFqn = funcDefs.map(r => r.getLong(0) -> r.getString(1)).toMap
-
-    val scopes = impRows.groupBy(_.getString(5)).map { case (file, rows) =>
-      val named = rows.filter(_.getString(3) != "*").flatMap { r =>
-        val key = Option(r.getString(4)).getOrElse(r.getString(3))
-        Seq(key -> (r.getString(2), r.getLong(0)))
-      }.toMap
-      val wild = rows.filter(_.getString(3) == "*").map(_.getString(2)).toSeq
-      file -> FileScope(pkgByFile.getOrElse(file, ""), named, wild,
-        funcDefs.filter(_.getString(4) == file)
-          .map(r => r.getString(2) -> r.getLong(0)).toMap)
-    } ++ pkgByFile.keys.filterNot(impRows.map(_.getString(5)).contains).map { f =>
-      f -> FileScope(pkgByFile.getOrElse(f, ""), Map.empty, Nil,
-        funcDefs.filter(_.getString(4) == f)
-          .map(r => r.getString(2) -> r.getLong(0)).toMap)
-    }
-
-    val catalog = Catalog(types, byPkgName, pkgFuncs, funcFqn, scopes.toMap,
-      fieldFacts.map { case ((f, s, n), t) => (f, s, n) -> t },
-      propFacts, returnFacts.map { case ((f, m), t) => (f, m) -> t })
-    val bc = spark.sparkContext.broadcast(catalog)
+      .select(Seq(col("repo"), lit(TagImp).as("tag"), col("id"),
+        col("import_path").as("s1"), col("name").as("s2"),
+        col("alias").as("s3"), col("file_path").as("s4")) ++ pad: _*)
 
     // ---- caller attribution: innermost enclosing definition ----
-    val refs = rawRefs.join(broadcast(jvmPaths), col("filePath") === col("jvm_path"))
-      .select(col("filePath").as("r_file"), col("name").as("r_name"),
+    val refs = refsIn.join(broadcast(jvmFiles), col("filePath") === col("jvm_path"))
+      .select(col("repo"), col("filePath").as("r_file"), col("name").as("r_name"),
         col("callReceiver").as("r_recv"), col("startByte").as("r_sb"),
         col("endByte").as("r_eb"), col("startLine").as("r_line"),
         col("startCol").as("r_sc"), col("endCol").as("r_ec"))
@@ -289,22 +238,39 @@ object TypedResolver {
           col("r_line") >= col("d_sl") && col("r_line") <= col("d_el"))
       .withColumn("rk", row_number().over(innermost))
       .where(col("rk") === 1)
-      .select("r_file", "r_name", "r_recv", "r_sb", "r_eb", "r_line",
-        "r_sc", "r_ec", "caller_id", "caller_fqn")
+    val refRows = withCaller.select(col("repo"), lit(TagRef).as("tag"),
+      col("caller_id").as("id"), col("r_file").as("s1"),
+      col("r_name").as("s2"), col("r_recv").as("s3"),
+      col("caller_fqn").as("s4"), lit("").as("s5"), col("r_sb").as("sb"),
+      col("r_eb").as("eb"), col("r_line").as("line"), col("r_sc").as("sc"),
+      col("r_ec").as("ec"))
 
-    // ---- the resolution map (pure function of broadcast catalog) ----
-    val resolved = withCaller
-      .as[(String, String, String, Long, Long, Int, Int, Int, Long, String)]
-      .mapPartitions { it =>
-        val cat = bc.value
-        it.flatMap { case (file, name, recv, sb, eb, line, sc, ec, callerId, callerFqn) =>
-          val targets = resolveOne(cat, file, callerFqn, name, recv)
-          val n = targets.size
-          targets.map {
-            case Left(defId) =>
-              Resolved(file, sb, eb, line, sc, ec, callerId, EdgeKind.DefToDef, defId, n)
-            case Right(impId) =>
-              Resolved(file, sb, eb, line, sc, ec, callerId, EdgeKind.DefToImp, impId, n)
+    // ---- per-repo grouped resolution: catalog rows sort ahead of refs,
+    // one task builds its repo's catalog then streams the refs through ----
+    val resolved = Seq(defRows, factRows, impRows, refRows)
+      .reduce(_.unionByName(_)).as[CatRow]
+      .groupByKey(_.repo)
+      .flatMapSortedGroups(col("tag")) { (_: String, it: Iterator[CatRow]) =>
+        val defs = scala.collection.mutable.ArrayBuffer[DefIn]()
+        val facts = scala.collection.mutable.ArrayBuffer[FactIn]()
+        val imps = scala.collection.mutable.ArrayBuffer[ImpIn]()
+        var cat: Catalog = null
+        it.flatMap { r =>
+          r.tag match {
+            case TagDef => defs += DefIn(r.id, r.s1, r.s2, r.s3, r.s4); Iterator.empty
+            case TagFact => facts += FactIn(r.s1, r.s2, r.s3, r.s4, r.s5); Iterator.empty
+            case TagImp => imps += ImpIn(r.id, r.s1, r.s2, r.s3, r.s4); Iterator.empty
+            case _ =>
+              if (cat == null)
+                cat = buildCatalog(defs.toSeq, facts.toSeq, imps.toSeq)
+              val targets = resolveOne(cat, r.s1, r.s4, r.s2, r.s3)
+              val n = targets.size
+              targets.iterator.map {
+                case Left(defId) => Resolved(r.s1, r.sb, r.eb, r.line, r.sc,
+                  r.ec, r.id, EdgeKind.DefToDef, defId, n)
+                case Right(impId) => Resolved(r.s1, r.sb, r.eb, r.line, r.sc,
+                  r.ec, r.id, EdgeKind.DefToImp, impId, n)
+              }
           }
         }
       }.toDF()
@@ -330,6 +296,81 @@ object TypedResolver {
       source_end_line: java.lang.Integer, source_start_col: java.lang.Integer,
       source_end_col: java.lang.Integer)
   private final case class SiteRow(filePath: String, startByte: Long, endByte: Long)
+
+  private final case class DefIn(id: Long, fqn: String, name: String,
+      defType: String, file: String)
+  private final case class FactIn(file: String, kind: String, scope: String,
+      subject: String, detail: String)
+  private final case class ImpIn(id: Long, path: String, name: String,
+      alias: String, file: String)
+
+  /** One repo's catalog, built task-side from the group's sorted prefix. */
+  private def buildCatalog(defRows: Seq[DefIn], factRows: Seq[FactIn],
+                           impRows: Seq[ImpIn]): Catalog = {
+    val pkgByFile = factRows.filter(_.kind == "package")
+      .map(f => f.file -> f.detail).toMap
+    val fieldFacts = factRows.filter(_.kind == "var")
+      .map(f => (f.file, f.scope, f.subject) -> f.detail).toMap
+    val extendsFacts = factRows.filter(_.kind == "extends")
+      .groupBy(_.subject).map { case (fqn, rows) =>
+        fqn -> rows.map(_.detail).toSeq }
+    val propFacts = factRows.filter(_.kind == "prop")
+      .map(f => (f.scope, f.subject) -> f.detail).toMap
+    val returnFacts = factRows.filter(_.kind == "returns")
+      .map(f => (f.file, f.scope) -> f.detail).toMap
+
+    val typeKinds = Set("Class", "Interface", "Module")
+    val typeDefs = defRows.filter(d => typeKinds(d.defType))
+    val methodsByParent = defRows.filterNot(d => typeKinds(d.defType))
+      .groupBy(d => d.fqn.take(math.max(d.fqn.lastIndexOf('.'), 0)))
+    val nestedByParent = typeDefs
+      .groupBy(d => d.fqn.take(math.max(d.fqn.lastIndexOf('.'), 0)))
+
+    val types = typeDefs.map { d =>
+      val pkg = pkgByFile.getOrElse(d.file, "")
+      val methods = methodsByParent.getOrElse(d.fqn, Nil)
+        .map(m => m.name -> m.id).toMap
+      val nested = nestedByParent.getOrElse(d.fqn, Nil)
+        .map(n => n.name -> n.fqn).toMap
+      val fields = fieldFacts.collect {
+        case ((f, scope, n), t) if f == d.file && scope == d.fqn => n -> t
+      }.toMap
+      d.fqn -> TypeInfo(d.fqn, d.name, pkg, d.file, d.id,
+        methods, nested, fields, extendsFacts.getOrElse(d.fqn, Nil))
+    }.toMap
+
+    val byPkgName = types.values
+      .filter(ti => ti.fqn == (if (ti.pkg.isEmpty) ti.name else s"${ti.pkg}.${ti.name}"))
+      .map(ti => (ti.pkg, ti.name) -> ti.fqn).toMap
+    // top-level functions: fqn = pkg.name and not inside a type
+    val funcDefs = defRows.filter { d =>
+      !typeKinds(d.defType) && {
+        val pkg = pkgByFile.getOrElse(d.file, "")
+        d.fqn == (if (pkg.isEmpty) d.name else s"$pkg.${d.name}")
+      }
+    }
+    val pkgFuncs = funcDefs.map { d =>
+      (pkgByFile.getOrElse(d.file, ""), d.name) -> d.id
+    }.toMap
+    val funcFqn = funcDefs.map(d => d.id -> d.fqn).toMap
+
+    val impFiles = impRows.map(_.file).toSet
+    val scopes = impRows.groupBy(_.file).map { case (file, rows) =>
+      val named = rows.filter(_.name != "*").map { r =>
+        val key = Option(r.alias).getOrElse(r.name)
+        key -> (r.path, r.id)
+      }.toMap
+      val wild = rows.filter(_.name == "*").map(_.path).toSeq
+      file -> FileScope(pkgByFile.getOrElse(file, ""), named, wild,
+        funcDefs.filter(_.file == file).map(d => d.name -> d.id).toMap)
+    } ++ pkgByFile.keys.filterNot(impFiles).map { f =>
+      f -> FileScope(pkgByFile.getOrElse(f, ""), Map.empty, Nil,
+        funcDefs.filter(_.file == f).map(d => d.name -> d.id).toMap)
+    }
+
+    Catalog(types, byPkgName, pkgFuncs, funcFqn, scopes.toMap,
+      fieldFacts, propFacts, returnFacts)
+  }
 
   // ------------------------------------------------------------ resolution
   private def resolveOne(cat: Catalog, file: String, callerFqn: String,
@@ -556,3 +597,20 @@ object TypedResolver {
 final case class Resolved(
     file: String, sb: Long, eb: Long, line: Int, sc: Int, ec: Int,
     callerId: Long, kind: String, targetId: Long, nCands: Int)
+
+/** Tagged union row for the per-repo grouped catalog+ref stream shared by
+  * [[TypedResolver]] and [[RubyTypedResolver]]: `tag` sorts catalog rows
+  * (defs, facts, imports) ahead of refs within each repo group so the
+  * catalog is complete before the first ref streams through. Top-level for
+  * the same encoder-codegen reason as [[Resolved]].
+  */
+private[analyze] final case class CatRow(repo: String, tag: String, id: Long,
+    s1: String, s2: String, s3: String, s4: String, s5: String,
+    sb: Long, eb: Long, line: Int, sc: Int, ec: Int)
+
+private[analyze] object CatRow {
+  final val TagDef = "0d"
+  final val TagFact = "1f"
+  final val TagImp = "2i"
+  final val TagRef = "3r"
+}

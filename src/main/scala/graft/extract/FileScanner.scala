@@ -32,6 +32,12 @@ object FileScanner {
     * semantics: per-directory scope, negation, anchoring, last-match-wins).
     * Ignored directories are not descended into — which is also how git's
     * "cannot re-include inside an excluded directory" rule falls out.
+    *
+    * Directory symlinks are not followed (NOFOLLOW type checks): a link
+    * pointing at an ancestor would otherwise recurse unboundedly, and git
+    * itself treats symlinks as entries, not trees. Each directory's listing
+    * is materialized and the stream closed before recursing, so the walk
+    * holds one open descriptor at a time instead of one per tree level.
     */
   private def walkDir(root: Path, dir: Path,
                       inherited: Vector[(String, Seq[GitIgnore.Rule])],
@@ -42,13 +48,18 @@ object FileScanner {
         inherited :+ (relOf(root, dir) ->
           GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
       else inherited
-    Files.list(dir).iterator().asScala.flatMap { p =>
+    val entries = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
+    entries.iterator.flatMap { p =>
       val name = p.getFileName.toString
-      val isDir = Files.isDirectory(p)
+      val isDir = Files.isDirectory(p, nofollow)
       if (isDir && ignoredDirs(name)) Iterator.empty
       else if (GitIgnore.ignored(relOf(root, p), isDir, scopes)) Iterator.empty
       else if (isDir) walkDir(root, p, scopes, repo)
-      else if (Files.isRegularFile(p)) readOne(root, p, repo).iterator
+      else if (Files.isRegularFile(p, nofollow)) readOne(root, p, repo).iterator
       else Iterator.empty
     }
   }

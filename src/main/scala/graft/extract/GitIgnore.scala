@@ -52,7 +52,20 @@ object GitIgnore {
         case '[' =>
           val j = pat.indexOf(']', i + 1)
           if (j < 0) { sb ++= "\\["; i += 1 }
-          else { sb ++= pat.substring(i, j + 1); i = j + 1 }
+          else {
+            // glob class → regex class: `[!...]` negates (regex `[^...]`),
+            // and regex metacharacters inside the class are escaped so a
+            // literal `\` or `[` in the class can't change the pattern
+            val body0 = pat.substring(i + 1, j)
+            val (neg, body) =
+              if (body0.startsWith("!")) (true, body0.substring(1)) else (false, body0)
+            val escaped = body.flatMap {
+              case c @ ('\\' | '[' | ']' | '^') => s"\\$c"
+              case c => c.toString
+            }
+            sb ++= (if (neg) s"[^$escaped]" else s"[$escaped]")
+            i = j + 1
+          }
         case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb += '\\' += c; i += 1
         case c => sb += c; i += 1
       }

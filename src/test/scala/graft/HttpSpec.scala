@@ -100,6 +100,108 @@ class HttpSpec extends SparkSpec {
     assert(s5 == 404)
   }
 
+  private def send(method: String, path: String, body: String): (Int, String) = {
+    val url = java.net.URI.create(s"http://127.0.0.1:$port$path").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body.nonEmpty) {
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+    }
+    val status = conn.getResponseCode
+    val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+    val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (status, text)
+  }
+
+  test("health and info: reference server plumbing") {
+    assert(send("GET", "/health", "")._1 == 200)
+    val (st, info) = send("GET", "/info", "")
+    assert(st == 200)
+    val j = JsonMethods.parse(info)
+    assert((j \ "port").extract[Int] == port)
+    assert((j \ "version").extract[String].nonEmpty)
+  }
+
+  test("workspace lifecycle over the wire: index -> events -> list -> delete") {
+    // a workspace folder containing one git project
+    val ws = Files.createTempDirectory("graft-ws")
+    val proj = ws.resolve("projA")
+    Files.createDirectories(proj.resolve(".git"))
+    Files.writeString(proj.resolve("m.py"), "def go():\n    return 1\n")
+
+    // subscribe to SSE first so the indexing lifecycle is observed
+    val url = java.net.URI.create(s"http://127.0.0.1:$port/events").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val sse = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+    def readEvent(): (String, String) = { // (event name, data json)
+      var name = ""; var data = ""
+      var line = sse.readLine()
+      while (line != null && (name.isEmpty || data.isEmpty)) {
+        if (line.startsWith("event: ")) name = line.drop(7)
+        if (line.startsWith("data: ")) data = line.drop(6)
+        line = if (name.nonEmpty && data.nonEmpty) null else sse.readLine()
+      }
+      (name, data)
+    }
+    assert(readEvent()._1 == "gkg-connection")
+
+    // POST /workspace/index registers + queues the job
+    val (st1, b1) = send("POST", "/workspace/index",
+      s"""{"workspace_folder_path":"${ws.toString}"}""")
+    assert(st1 == 200, b1)
+    val info1 = JsonMethods.parse(b1)
+    assert((info1 \ "project_count").extract[Int] == 1)
+
+    // lifecycle events arrive on the bus: Started, then Completed
+    val (n1, d1) = readEvent()
+    assert(n1 == "gkg-event")
+    assert((JsonMethods.parse(d1) \ "type").extract[String] ==
+      "WorkspaceIndexingStarted")
+    val (n2, d2) = readEvent()
+    assert(n2 == "gkg-event")
+    val done = JsonMethods.parse(d2)
+    assert((done \ "type").extract[String] == "WorkspaceIndexingCompleted")
+    assert((done \ "projects_indexed").extract[Seq[String]] ==
+      Seq(proj.toString))
+    conn.disconnect()
+
+    // list shows the workspace Indexed with its project store
+    val (st2, b2) = send("GET", "/workspace/list", "")
+    assert(st2 == 200)
+    val entry = (JsonMethods.parse(b2) \ "workspaces").asInstanceOf[JArray]
+      .arr.find(w => (w \ "workspace_info" \ "workspace_folder_path")
+        .extract[String] == ws.toString)
+      .getOrElse(fail("indexed workspace missing from list"))
+    assert((entry \ "workspace_info" \ "status").extract[String] == "Indexed")
+    val projects = (entry \ "projects").asInstanceOf[JArray].arr
+    assert(projects.size == 1)
+    val storeDir = (projects.head \ "parquet_directory").extract[String]
+    assert((projects.head \ "status").extract[String] == "Indexed")
+    // the store really exists and holds the indexed definition
+    val defs = graft.store.GraphStore.read(spark, storeDir).definitions
+    assert(defs.where(org.apache.spark.sql.functions.col("name") === "go")
+      .count() == 1)
+
+    // delete removes registration + stores
+    val (st3, b3) = send("DELETE", "/workspace/delete",
+      s"""{"workspace_folder_path":"${ws.toString}"}""")
+    assert(st3 == 200 && (JsonMethods.parse(b3) \ "removed").extract[Boolean])
+    assert(!Files.exists(java.nio.file.Paths.get(storeDir)))
+    val (st4, b4) = send("DELETE", "/workspace/delete",
+      s"""{"workspace_folder_path":"${ws.toString}"}""")
+    assert(st4 == 404 &&
+      (JsonMethods.parse(b4) \ "status").extract[String] == "workspace_not_found")
+    // error contract: nonexistent path
+    val (st5, b5) = send("POST", "/workspace/index",
+      """{"workspace_folder_path":"/nonexistent/nope"}""")
+    assert(st5 == 400 &&
+      (JsonMethods.parse(b5) \ "status").extract[String] == "invalid_workspace_path")
+  }
+
   override def afterAll(): Unit = {
     server.stop()
     super.afterAll()

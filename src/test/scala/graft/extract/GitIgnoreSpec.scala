@@ -52,4 +52,17 @@ class GitIgnoreSpec extends SparkSpec {
     assert(GitIgnore.ignored("cache1", isDir = true, scopes))
     assert(!GitIgnore.ignored("cache1", isDir = false, scopes)) // dir-only
   }
+
+  test("GitIgnore character classes: ranges, negation, metacharacter safety") {
+    val rules = GitIgnore.parse(Seq("tmp[0-9].log", "v[!0].txt", "a[[]b.txt"))
+    val scopes = Seq("" -> rules)
+    assert(GitIgnore.ignored("tmp3.log", isDir = false, scopes))
+    assert(!GitIgnore.ignored("tmpx.log", isDir = false, scopes))
+    // [!0] negates: matches any char EXCEPT '0' (and not a literal '!')
+    assert(GitIgnore.ignored("v1.txt", isDir = false, scopes))
+    assert(!GitIgnore.ignored("v0.txt", isDir = false, scopes))
+    assert(GitIgnore.ignored("v!.txt", isDir = false, scopes))
+    // regex metacharacter inside the class stays a literal glob char
+    assert(GitIgnore.ignored("a[b.txt", isDir = false, scopes))
+  }
 }
