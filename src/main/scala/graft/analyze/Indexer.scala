@@ -144,6 +144,12 @@ object Indexer {
       .select(col("*") +: nulls: _*)
 
     // ---- A5: typed nesting edges (same-file parent FQN join) -----------
+    // the (parentType, childType) -> relationship mapping is language-aware
+    // where the reference's analyzer is: rust.rs:276-326 routes EVERY Rust
+    // module child to MODULE_TO_SINGLETON_METHOD, every member-of-type pair
+    // to CLASS_TO_METHOD, and emits nothing for other pairs; all other
+    // languages use the generic <PARENT>_TO_<CHILD> table
+    // (relationship.rs:19-98, matching csharp.rs:168-245's pairs).
     val nestingEdges = {
       val d = definitions.select(col("id"), col("fqn"),
         col("definition_type"), col("primary_file_path"))
@@ -151,13 +157,24 @@ object Indexer {
         .select(col("id").as("cid"), col("definition_type").as("ctype"),
           col("primary_file_path").as("cfile"),
           regexp_replace(col("fqn"), "\\.[^.]*$", "").as("parent_fqn"))
+      val langByPath = filesDf
+        .select(col("path").as("n_path"), col("language").as("n_lang"))
+      val generic = concat(upper(col("definition_type")), lit("_TO_"),
+        upper(col("ctype")))
+      val relType = when(col("n_lang") === "rust",
+          when(col("definition_type") === "Module",
+            lit(RelType.ModuleToSingletonMethod))
+          .when(col("ctype").isin("Method", "Function"),
+            lit(RelType.ClassToMethod))
+          .otherwise(lit(null)))
+        .otherwise(generic)
       children.join(d,
           col("parent_fqn") === col("fqn") &&
             col("cfile") === col("primary_file_path"))
-        .select(lit(EdgeKind.DefToDef).as("kind"),
-          concat(upper(col("definition_type")), lit("_TO_"),
-            upper(col("ctype"))).as("type"),
+        .join(broadcast(langByPath), col("cfile") === col("n_path"), "left_outer")
+        .select(lit(EdgeKind.DefToDef).as("kind"), relType.as("type"),
           col("id").as("source_id"), col("cid").as("target_id"))
+        .where(col("type").isNotNull)
         .select(col("*") +: nulls: _*)
     }
 

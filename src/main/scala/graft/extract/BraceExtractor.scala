@@ -60,6 +60,11 @@ abstract class BraceExtractor extends Extractor {
   protected def annotationNames(line: String): Seq[String] = Nil
   /** Kotlin operator desugaring: `(a + b)` → plus-call on `a`. */
   protected def emitBinaryOperators: Boolean = false
+  /** Language-specific callable-kind refinement given the enclosing
+    * container name (C#: a Method named like its class is a Constructor).
+    */
+  protected def refineCallableKind(name: String, enclosing: Option[String],
+      kind: String): String = kind
 
   private val callRe: Regex =
     """(?:([A-Za-z_$][A-Za-z0-9_$.?]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
@@ -180,7 +185,8 @@ abstract class BraceExtractor extends Extractor {
         if (!matched) re.findFirstMatchIn(line).foreach { m =>
           val name = m.group(1)
           if (!keywords(name)) {
-            val k = if (kind == "Method" && containerStack.isEmpty) "Function" else kind
+            val k0 = if (kind == "Method" && containerStack.isEmpty) "Function" else kind
+            val k = refineCallableKind(name, containerStack.headOption.map(_._2), k0)
             val fqn = fqnOf(name)
             attachAnnotations()
             add(name, fqn, k, m.start(1))
@@ -489,18 +495,43 @@ object KotlinExtractor extends BraceExtractor {
     """^\s*@([A-Za-z_]\w*)""".r.findFirstMatchIn(line).map(_.group(1)).toSeq
 }
 
-/** C# (reference language set includes CSharp). */
+/** C# (reference language set includes CSharp). Definition-kind mapping
+  * mirrors csharp.rs:248-320's `simplify_definition_type`: struct, record,
+  * enum and delegate collapse into Class; constructors, properties and
+  * interface members are first-class kinds so the nesting edges carry the
+  * reference's relationship table (csharp.rs:168-245: CLASS_TO_CONSTRUCTOR,
+  * CLASS_TO_PROPERTY, INTERFACE_TO_METHOD, …). One documented divergence:
+  * a `namespace` becomes a Module definition here (the reference keeps
+  * namespaces only as FQN parts — csharp.rs:322-325), which yields richer
+  * MODULE_TO_* containment without changing any member pair's type.
+  */
 object CSharpExtractor extends BraceExtractor {
   override val language = "csharp"
   override val containerRes = Seq(
     """(?:public\s+|private\s+|internal\s+|protected\s+|abstract\s+|sealed\s+|static\s+|partial\s+)*class\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
     """(?:public\s+|internal\s+)*interface\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Interface",
-    """(?:public\s+|internal\s+)*struct\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
+    """(?:public\s+|internal\s+|readonly\s+|ref\s+)*struct\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
+    // record / record struct / record class → Class (csharp.rs:254-259)
+    """(?:public\s+|internal\s+|sealed\s+)*record\s+(?:struct\s+|class\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
+    // enum → Class (csharp.rs:260-262); members are values, not defs
+    """(?:public\s+|internal\s+)*enum\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
     """namespace\s+([A-Za-z_][A-Za-z0-9_.]*)""".r -> "Module")
   override val callableRes = Seq(
-    """(?:public\s+|private\s+|internal\s+|protected\s+|static\s+|virtual\s+|override\s+|async\s+|sealed\s+)+[A-Za-z_][\w<>\[\],. ?]*\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^;]*\)\s*\{?""".r -> "Method")
+    """(?:public\s+|private\s+|internal\s+|protected\s+|static\s+|virtual\s+|override\s+|async\s+|sealed\s+)+[A-Za-z_][\w<>\[\],. ?]*\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^;]*\)\s*\{?""".r -> "Method",
+    // constructor: modifiers + ClassName( — refined below against the
+    // enclosing container's name (csharp.rs CSharpDefinitionType::Constructor)
+    """(?:public\s+|private\s+|internal\s+|protected\s+)+([A-Z]\w*)\s*\([^;]*\)\s*(?::\s*(?:base|this)\s*\([^)]*\)\s*)?\{?\s*$""".r -> "Method",
+    // property with an accessor block: `public int Size { get; set; }`;
+    // modifiers optional (interface properties carry none), anchored so a
+    // mid-line `{ get` can't fabricate one
+    """^\s*(?:public\s+|private\s+|internal\s+|protected\s+|static\s+|virtual\s+|override\s+)*[A-Za-z_][\w<>\[\],. ?]*\s+([A-Za-z_][A-Za-z0-9_]*)\s*\{\s*(?:get|set|init)""".r -> "Property",
+    // body-less interface member: `int M(string s);`
+    """^\s*(?:[A-Za-z_][\w<>\[\],?]*)\s+([A-Za-z_]\w*)\s*\([^)]*\)\s*;\s*$""".r -> "Method")
   override val keywords = Set("if", "for", "while", "switch", "catch", "return",
     "new", "base", "this", "using", "foreach", "lock")
+  override def refineCallableKind(name: String, enclosing: Option[String],
+      kind: String): String =
+    if (kind == "Method" && enclosing.contains(name)) "Constructor" else kind
   override def parseImport(line: String) = {
     val re = """^\s*using\s+(static\s+)?([\w.]+)\s*;""".r
     re.findFirstMatchIn(line).map { m =>

@@ -135,6 +135,12 @@ object RelType {
   val referenceTypes: Seq[String] = Seq(Calls, AmbiguouslyCalls, PropertyReference)
   val callTypes: Seq[String] = Seq(Calls, AmbiguouslyCalls)
 
+  // nesting kinds with language-specific mappings (rust.rs:276-326 routes
+  // every Rust module child here, and every member-of-type pair to
+  // CLASS_TO_METHOD)
+  val ClassToMethod = "CLASS_TO_METHOD"
+  val ModuleToSingletonMethod = "MODULE_TO_SINGLETON_METHOD"
+
   /** Typed nesting edge for a (parentType, childType) definition pair —
     * reference: database/src/graph/relationship.rs:19-98 (30 combinations
     * MODULE_TO_*, CLASS_TO_*, FUNCTION_TO_*, LAMBDA_TO_*, METHOD_TO_*,

@@ -378,6 +378,189 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(store.edges.where(col("kind") === EdgeKind.DefToDef).count() > 100)
   }
 
+  // ---- C#/Rust analyzer parity ------------------------------------------
+  // The reference ships no C#/Rust fixtures; the analyzers' testable
+  // behavior is their relationship tables and definition-kind
+  // simplifications (csharp.rs:148-320, rust.rs:276-326). These fixtures
+  // exercise every table row the heuristic extractor can reach; rows that
+  // genuinely need tree-sitter (Rust struct fields / enum variants, C#
+  // delegates/events/indexers, `impl Trait for Type` receiver splitting)
+  // are the measured delta, noted in COVERAGE.md.
+
+  private def indexInline(files: (String, String)*): graft.store.GraphStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-parity")
+    files.foreach { case (name, content) =>
+      val p = dir.resolve(name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    Indexer.indexDirectory(spark, dir.toString, "parity")
+  }
+
+  private def nestingEdges(store: graft.store.GraphStore): Set[(String, String, String)] = {
+    val defs = store.definitions.select(col("id"), col("fqn"))
+    store.edges.where(col("kind") === EdgeKind.DefToDef &&
+        !col("type").isin(RelType.Calls, RelType.AmbiguouslyCalls,
+          RelType.PropertyReference))
+      .join(defs.select(col("id").as("sid"), col("fqn").as("pfqn")),
+        col("source_id") === col("sid"))
+      .join(defs.select(col("id").as("tid"), col("fqn").as("cfqn")),
+        col("target_id") === col("tid"))
+      .select("pfqn", "cfqn", "type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("C# analyzer parity: csharp.rs definition kinds and relationship table") {
+    val store = indexInline("svc/Service.cs" ->
+      """using System;
+        |using System.Collections.Generic;
+        |
+        |namespace App.Services {
+        |    public interface IHandler {
+        |        int Handle(string input);
+        |        string Name { get; }
+        |    }
+        |
+        |    public class Service : IHandler {
+        |        public int Count { get; set; }
+        |
+        |        public Service(int count) {
+        |            Count = count;
+        |        }
+        |
+        |        public int Handle(string input) {
+        |            return Helper(input.Length);
+        |        }
+        |
+        |        private static int Helper(int n) {
+        |            return n + 1;
+        |        }
+        |
+        |        public class Inner {
+        |            public void Run() { }
+        |        }
+        |    }
+        |
+        |    public enum Mode {
+        |        Fast,
+        |        Slow
+        |    }
+        |
+        |    public struct Point {
+        |        public int X { get; set; }
+        |    }
+        |
+        |    public record Result {
+        |        public int Code { get; set; }
+        |    }
+        |}
+        |""".stripMargin)
+    val types = store.definitions.select("fqn", "definition_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // simplify_definition_type (csharp.rs:248-320): struct/record/enum →
+    // Class; ctor/property first-class; namespace → Module (divergence note
+    // in the extractor scaladoc)
+    assert(types("App.Services") === "Module")
+    assert(types("App.Services.IHandler") === "Interface")
+    assert(types("App.Services.Service") === "Class")
+    assert(types("App.Services.Mode") === "Class") // enum → Class
+    assert(types("App.Services.Point") === "Class") // struct → Class
+    assert(types("App.Services.Result") === "Class") // record → Class
+    assert(types("App.Services.Service.Service") === "Constructor")
+    assert(types("App.Services.Service.Count") === "Property")
+    assert(types("App.Services.IHandler.Name") === "Property")
+    assert(types("App.Services.Service.Handle") === "Method")
+    assert(types("App.Services.Service.Helper") === "Method")
+    assert(types("App.Services.IHandler.Handle") === "Method") // body-less
+    assert(types("App.Services.Service.Inner") === "Class")
+
+    val edges = nestingEdges(store)
+    // csharp.rs:168-245's (parent, child) → relationship rows
+    val expected = Set(
+      ("App.Services.Service", "App.Services.Service.Count", "CLASS_TO_PROPERTY"),
+      ("App.Services.Service", "App.Services.Service.Service", "CLASS_TO_CONSTRUCTOR"),
+      ("App.Services.Service", "App.Services.Service.Handle", "CLASS_TO_METHOD"),
+      ("App.Services.Service", "App.Services.Service.Helper", "CLASS_TO_METHOD"),
+      ("App.Services.Service", "App.Services.Service.Inner", "CLASS_TO_CLASS"),
+      ("App.Services.Service.Inner", "App.Services.Service.Inner.Run", "CLASS_TO_METHOD"),
+      ("App.Services.IHandler", "App.Services.IHandler.Handle", "INTERFACE_TO_METHOD"),
+      ("App.Services.IHandler", "App.Services.IHandler.Name", "INTERFACE_TO_PROPERTY"),
+      ("App.Services.Point", "App.Services.Point.X", "CLASS_TO_PROPERTY"),
+      ("App.Services.Result", "App.Services.Result.Code", "CLASS_TO_PROPERTY"))
+    expected.foreach(e => assert(edges.contains(e), s"missing $e in $edges"))
+    // enum members are values, not definitions (csharp.rs extracts none)
+    assert(!types.contains("App.Services.Mode.Fast"))
+    // supertype headers never create nesting rows (the table has no
+    // class→interface row for `Service : IHandler` — that's not nesting)
+    assert(!edges.exists(e => e._1.endsWith("IHandler") && e._2.endsWith("Service")))
+  }
+
+  test("Rust analyzer parity: rust.rs relationship table (module + member rules)") {
+    val store = indexInline("src/lib.rs" ->
+      """use std::collections::HashMap;
+        |
+        |pub mod engine {
+        |    pub struct Core {
+        |        size: usize,
+        |    }
+        |
+        |    impl Core {
+        |        pub fn new() -> Core {
+        |            Core { size: 0 }
+        |        }
+        |
+        |        pub fn run(&self) -> usize {
+        |            self.size
+        |        }
+        |    }
+        |
+        |    pub trait Runner {
+        |        fn start(&self);
+        |    }
+        |
+        |    pub enum State {
+        |        Idle,
+        |        Busy,
+        |    }
+        |
+        |    pub fn helper() -> usize {
+        |        1
+        |    }
+        |}
+        |
+        |pub fn top_level() -> usize {
+        |    2
+        |}
+        |""".stripMargin)
+    val types = store.definitions.select("fqn", "definition_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types("engine") === "Module")
+    assert(types("engine.Core") === "Class") // struct (and its impl block)
+    assert(types("engine.Runner") === "Interface") // trait
+    assert(types("engine.State") === "Class") // enum
+    assert(types("top_level") === "Function")
+    assert(types.contains("engine.Core.new") && types.contains("engine.Core.run"))
+    assert(types.contains("engine.Runner.start")) // body-less trait method
+    // enum variants need tree-sitter (measured delta)
+    assert(!types.contains("engine.State.Idle"))
+
+    val edges = nestingEdges(store)
+    // rust.rs:284-287: (Module, _) → MODULE_TO_SINGLETON_METHOD, for EVERY
+    // module child kind
+    for (child <- Seq("engine.Core", "engine.Runner", "engine.State", "engine.helper"))
+      assert(edges.contains(("engine", child, "MODULE_TO_SINGLETON_METHOD")),
+        s"module child $child: $edges")
+    // rust.rs:288-326: member-of-type pairs all map to CLASS_TO_METHOD
+    // (impl→method, trait→method)
+    assert(edges.contains(("engine.Core", "engine.Core.new", "CLASS_TO_METHOD")))
+    assert(edges.contains(("engine.Core", "engine.Core.run", "CLASS_TO_METHOD")))
+    assert(edges.contains(("engine.Runner", "engine.Runner.start", "CLASS_TO_METHOD")))
+    // rust.rs:327: any other pair emits NO nesting edge
+    val allowed = Set("MODULE_TO_SINGLETON_METHOD", "CLASS_TO_METHOD")
+    assert(edges.filter(_._1.startsWith("engine")).forall(e => allowed(e._3)),
+      s"unexpected rust nesting kinds: $edges")
+  }
+
   test("reference Ruby test-repo: defs carry plausible positions and FQNs") {
     assume(fixtures.isDirectory, "reference fixtures not present")
     val store = indexed("test-repo")
