@@ -67,6 +67,40 @@ object FileScanner {
   private def relOf(root: Path, p: Path): String =
     root.relativize(p).toString.replace('\\', '/')
 
+  /** Light listing for the filesystem watcher: (relative path, size, mtime)
+    * of every candidate file under `rootDir`, honoring the same nested
+    * .gitignore + ignored-dir semantics as [[scan]] but reading no content.
+    */
+  def listPaths(rootDir: String): Seq[(String, Long, Long)] = {
+    val root = Paths.get(rootDir).toAbsolutePath.normalize
+    def walk(dir: Path,
+             inherited: Vector[(String, Seq[GitIgnore.Rule])]): Iterator[(String, Long, Long)] = {
+      val gi = dir.resolve(".gitignore")
+      val scopes =
+        if (Files.isRegularFile(gi))
+          inherited :+ (relOf(root, dir) ->
+            GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
+        else inherited
+      val entries = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.toVector finally s.close()
+      }
+      val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
+      entries.iterator.flatMap { p =>
+        val name = p.getFileName.toString
+        val isDir = Files.isDirectory(p, nofollow)
+        if (isDir && ignoredDirs(name)) Iterator.empty
+        else if (GitIgnore.ignored(relOf(root, p), isDir, scopes)) Iterator.empty
+        else if (isDir) walk(p, scopes)
+        else if (Files.isRegularFile(p, nofollow))
+          Iterator.single((relOf(root, p), Files.size(p),
+            Files.getLastModifiedTime(p).toMillis))
+        else Iterator.empty
+      }
+    }
+    if (!Files.isDirectory(root)) Nil else walk(root, Vector.empty).toSeq
+  }
+
   private def readOne(root: Path, p: Path, repo: String): Option[SourceFile] = {
     val size = Files.size(p)
     if (size > MaxFileBytes) return None // oversized → Skipped record

@@ -37,6 +37,63 @@ class StreamingSpec extends SparkSpec {
     assert(seen.size == 2) // one batch per debounce window, not per file
   }
 
+  test("FileWatcher: touching a file in a real tree fires incremental reindex " +
+    "with no manual feed writes") {
+    val repo = Files.createTempDirectory("graft-watch-repo")
+    Files.writeString(repo.resolve("a.py"),
+      "def alpha():\n    return 1\n")
+    Files.writeString(repo.resolve("b.py"),
+      "def beta():\n    return 2\n")
+    Files.writeString(repo.resolve(".gitignore"), "*.log\n")
+    Files.writeString(repo.resolve("noise.log"), "ignored\n")
+
+    // initial index = the watcher's baseline (watcher.rs watches post-index)
+    var store = graft.analyze.Indexer.indexDirectory(
+      spark, repo.toString, "watch-repo")
+    assert(store.definitions.where(col("name") === "alpha").count() == 1)
+
+    val feed = Files.createTempDirectory("graft-watch-feed").toString
+    val watcher = new FileWatcher(repo.toString, feed, pollMs = 3600000L)
+    watcher.start() // baseline snapshot; long poll — windows driven by tick()
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(String, String)]]()
+    val query = IncrementalIndexer.start(spark, feed, triggerMs = 100) {
+      (batch, _) =>
+        val rows = batch.select("changed_path", "change_type").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        if (rows.nonEmpty) batches.synchronized { batches += rows }
+    }
+    try {
+      // edit one file, add one, drop one, touch only ignored noise
+      Files.writeString(repo.resolve("a.py"),
+        "def alpha():\n    return 10\n\ndef alpha_new():\n    return 11\n")
+      Files.writeString(repo.resolve("c.py"), "def gamma():\n    return 3\n")
+      Files.delete(repo.resolve("b.py"))
+      Files.writeString(repo.resolve("debug.log"), "still ignored\n")
+      assert(watcher.tick() == 3) // one debounce window, gitignore honored
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+      watcher.stop()
+    }
+    val window = batches.synchronized(batches.toSeq)
+    assert(window.size == 1, s"expected one debounced batch, got $window")
+    assert(window.head.toSet === Set(
+      "a.py" -> "modified", "c.py" -> "added", "b.py" -> "deleted"))
+    // the window drives the real M1-M3 path: the merged graph reflects the edit
+    val changed = spark.createDataFrame(
+      window.head.map { case (p, t) => (p, t) }).toDF("changed_path", "change_type")
+    val survivingPaths = window.head.collect {
+      case (p, t) if t != "deleted" => p
+    }.toSet
+    val freshFiles = graft.extract.FileScanner
+      .scan(spark, repo.toString, "watch-repo")
+      .filter(f => survivingPaths.contains(f.path))
+    store = IncrementalIndexer.applyReindexBatch(spark, store, changed, freshFiles)
+    val names = store.definitions.select("name").collect().map(_.getString(0)).toSet
+    assert(names.contains("alpha_new") && names.contains("gamma"))
+    assert(!names.contains("beta"))
+  }
+
   test("EventBus listener observes stream lifecycle + batch progress") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
