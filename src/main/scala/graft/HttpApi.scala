@@ -79,8 +79,16 @@ object GraphHttpServer {
 final class GraphHttpServer(spark: SparkSession, storeDir: String,
     workspaceFolderPath: String, projectPath: String,
     dataDir: String = java.nio.file.Files
-      .createTempDirectory("graft-ws-data").toString) {
+      .createTempDirectory("graft-ws-data").toString,
+    // deployed-mode bearer auth (http-server-deployed): when a secret file
+    // is configured, every route except /health and /metrics requires a
+    // valid HS256 JWT. Default: desktop mode, no auth (the reference's
+    // desktop server has none either).
+    jwtSecretPath: Option[String] = sys.env.get("GRAFT_JWT_SECRET_FILE")) {
   import GraphHttpServer._
+
+  private val auth: Option[graft.serve.JwtAuth] =
+    jwtSecretPath.map(new graft.serve.JwtAuth(_))
 
   private val lib = new QueryLibrary(GraphStore.read(spark, storeDir).cacheAll())
   private var httpServer: com.sun.net.httpserver.HttpServer = _
@@ -99,14 +107,18 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
     httpServer = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     httpServer.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
-      if (exchange.getRequestURI.getRawPath == "/events") serveSse(exchange)
+      val denied = authorize(exchange.getRequestURI.getRawPath,
+        Option(exchange.getRequestHeaders.getFirst("Authorization")))
+      if (denied.isEmpty && exchange.getRequestURI.getRawPath == "/events")
+        serveSse(exchange)
       else {
-        val reqBody = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
-        val (status, body) =
+        val (status, body) = denied.getOrElse {
+          val reqBody = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
           try route(exchange.getRequestMethod, exchange.getRequestURI.getRawPath,
             Option(exchange.getRequestURI.getRawQuery).getOrElse(""), reqBody)
           catch { case e: Exception =>
             (500, statusJson(s"internal_error: ${e.getMessage}")) }
+        }
         val bytes = body.getBytes("UTF-8")
         exchange.getResponseHeaders.set("Content-Type", "application/json")
         exchange.sendResponseHeaders(status,
@@ -203,6 +215,26 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
   /** Back-compat shim for GET-only callers. */
   def route(rawPath: String, rawQuery: String): (Int, String) =
     route("GET", rawPath, rawQuery, "")
+
+  /** Deployed-mode auth gate (authentication.rs:90-121): None = allowed;
+    * Some((401, body)) with the reference's `{"error": …}` shape otherwise.
+    * No-op in desktop mode (no secret configured) and for public endpoints.
+    */
+  def authorize(rawPath: String, authHeader: Option[String]): Option[(Int, String)] =
+    auth match {
+      case None => None
+      case Some(_) if graft.serve.JwtAuth.PublicEndpoints(rawPath) => None
+      case Some(a) =>
+        authHeader match {
+          case None => Some((401, JsonMethods.compact(JsonMethods.render(
+            JObject("error" -> JString("Missing Authorization header"))))))
+          case Some(h) => a.verifyBearer(h) match {
+            case Right(_) => None
+            case Left(err) => Some((401, JsonMethods.compact(JsonMethods.render(
+              JObject("error" -> JString(err))))))
+          }
+        }
+    }
 
   // ---- workspace endpoints ------------------------------------------------
 

@@ -354,10 +354,14 @@ object Dedup {
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: cosine undefined (NaN sorts high)
     // all table buckets in ONE pass over v (posexplode of the per-table
-    // bucket-id array), rather than a tables-way union re-scanning the input
+    // bucket-id array), rather than a tables-way union re-scanning the input.
+    // cache: the self-join's two sides would otherwise EACH evaluate the
+    // tables×bits hyperplane dot products (a broadcast exchange can't reuse
+    // a shuffle exchange — same reason simhashPairs caches its band table)
     val buckets = v.select(col("vid"), col("vec"), col("nrm"),
       posexplode(array((0 until tables).map(t =>
         Similarity.lshBucket(col("vec"), dim, bits, t)): _*)).as(Seq("tbl", "bucket")))
+      .cache()
     buckets.alias("a").join(buckets.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vid") < col("b.vid"))

@@ -13,18 +13,18 @@ import org.json4s.jackson.JsonMethods
 class HttpSpec extends SparkSpec {
   implicit private val formats: Formats = DefaultFormats
 
-  private lazy val (server, port) = {
+  private lazy val (server, port, storeDir) = {
     val repo = Files.createTempDirectory("graft-http-repo")
     Files.writeString(repo.resolve("lib.py"),
       "def helper(x):\n    return x\n\nclass Tool:\n    def run(self):\n        return helper(1)\n")
     Files.writeString(repo.resolve("app.py"),
       "from lib import helper\n\ndef main():\n    return helper(2)\n")
-    val storeDir = Files.createTempDirectory("graft-http-store").toString
+    val store = Files.createTempDirectory("graft-http-store").toString
     graft.analyze.Indexer.indexDirectory(spark, repo.toString, "http-repo")
-      .write(storeDir)
-    val s = new GraphHttpServer(spark, storeDir, "ws", "proj")
+      .write(store)
+    val s = new GraphHttpServer(spark, store, "ws", "proj")
     val p = s.start(0) // ephemeral port
-    (s, p)
+    (s, p, store)
   }
 
   private def get(path: String): (Int, JValue) = {
@@ -200,6 +200,48 @@ class HttpSpec extends SparkSpec {
       """{"workspace_folder_path":"/nonexistent/nope"}""")
     assert(st5 == 400 &&
       (JsonMethods.parse(b5) \ "status").extract[String] == "invalid_workspace_path")
+  }
+
+  test("deployed-mode JWT auth: the jwt_authentication.rs contract") {
+    val secret = Files.createTempFile("graft-jwt", ".secret")
+    Files.writeString(secret, "test-secret-for-jwt-tests\n") // trimmed on read
+    val s2 = new GraphHttpServer(spark, storeDir, "ws", "proj",
+      jwtSecretPath = Some(secret.toString))
+    val p2 = s2.start(0)
+    def getAuth(path: String, token: Option[String]): (Int, String) = {
+      val url = java.net.URI.create(s"http://127.0.0.1:$p2$path").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      token.foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      val status = conn.getResponseCode
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      (status, text)
+    }
+    try {
+      // health stays public (endpoints.rs:10)
+      assert(getAuth("/health", None)._1 == 200)
+      // protected endpoints: 401 without auth, with the {"error": …} shape
+      val (s401, b401) = getAuth("/graph/stats/ws/proj", None)
+      assert(s401 == 401)
+      assert((JsonMethods.parse(b401) \ "error").extract[String]
+        .contains("Missing Authorization header"))
+      // 401 with an invalid token
+      assert(getAuth("/graph/stats/ws/proj", Some("invalid-token"))._1 == 401)
+      // 200 with a valid token
+      val auth = new graft.serve.JwtAuth(secret.toString)
+      val (okS, okB) = getAuth("/graph/stats/ws/proj",
+        Some(auth.generateToken(3600)))
+      assert(okS == 200, okB)
+      assert((JsonMethods.parse(okB) \ "total_nodes").extract[Long] > 0)
+      // 401 with an expired token
+      val (expS, expB) = getAuth("/graph/stats/ws/proj",
+        Some(auth.generateToken(-60)))
+      assert(expS == 401)
+      assert((JsonMethods.parse(expB) \ "error").extract[String]
+        .contains("Expired"))
+    } finally s2.stop()
   }
 
   override def afterAll(): Unit = {

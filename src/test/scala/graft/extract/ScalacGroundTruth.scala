@@ -81,18 +81,26 @@ object ScalacGroundTruth {
           if (identChain.matches(s)) s else ""
         }
 
+        // anonymous classes (`new T { … }` parses as a ClassDef named
+        // "$anon") are not definitions under either extractor's convention:
+        // skip the def AND the container push, so members inside keep the
+        // enclosing named-container chain — the heuristic's convention
+        private def named(n: String): Boolean =
+          identChain.matches(n) && !n.startsWith("$")
+
         override def traverse(t: g.Tree): Unit = t match {
-          case md: g.ModuleDef =>
+          case md: g.ModuleDef if named(md.name.decoded) =>
             emitDef(md, md.name.decoded, "Class")
             containers ::= md.name.decoded
             super.traverse(t)
             containers = containers.tail
-          case cd: g.ClassDef =>
+          case cd: g.ClassDef if named(cd.name.decoded) =>
             emitDef(cd, cd.name.decoded,
               if (cd.mods.isTrait) "Interface" else "Class")
             containers ::= cd.name.decoded
             super.traverse(t)
             containers = containers.tail
+          case (_: g.ModuleDef) | (_: g.ClassDef) => super.traverse(t)
           case dd: g.DefDef =>
             val n = dd.name.decoded
             if (n != "<init>" && !dd.mods.isSynthetic &&
