@@ -83,7 +83,10 @@ final class EventPublisher {
   * scale-correct unit.
   */
 final class WorkspaceManager(spark: SparkSession, val dataDir: String,
-    bus: EventPublisher) {
+    bus: EventPublisher,
+    // start the filesystem watch → incremental-reindex loop automatically
+    // after each successful index, as the reference's desktop server does
+    autoWatch: Boolean = false) {
 
   final case class ProjectState(projectPath: String, hash: String,
       var status: String, var lastIndexedAt: Option[String],
@@ -163,6 +166,7 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
             "workspace_folder_info" -> workspaceJson(ws),
             "projects_indexed" -> JArray(
               ws.projects.map(p => JString(p.projectPath)).toList))
+          if (autoWatch) watchWorkspace(ws)
         } catch {
           case e: Exception =>
             ws.status = "Error"
@@ -178,10 +182,75 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
     ()
   }
 
+  /** Per-project live-watch state started by [[watchWorkspace]]. */
+  private val watchers = new ConcurrentHashMap[String,
+    (graft.stream.FileWatcher, org.apache.spark.sql.streaming.StreamingQuery)]()
+
+  /** Start the watch → debounce → incremental-reindex loop for every
+    * indexed project of a workspace — the reference's desktop server does
+    * this automatically after indexing (watcher.rs:440-600). Each project
+    * gets a [[graft.stream.FileWatcher]] writing its change feed under the
+    * project's data directory and a Structured Streaming query applying
+    * the merged-graph reindex and rewriting the store; a
+    * `WorkspaceReindexed` event lands on the bus per processed batch.
+    */
+  def watchWorkspace(ws: WorkspaceState, pollMs: Long = 1000L): Unit =
+    ws.projects.filter(_.status == "Indexed").foreach { p =>
+      watchers.computeIfAbsent(storeDirFor(ws, p), storeDir => {
+        val feedDir = Paths.get(storeDir + "_feed")
+        Files.createDirectories(feedDir)
+        val watcher = new graft.stream.FileWatcher(
+          p.projectPath, feedDir.toString, pollMs)
+        watcher.start()
+        val repoName = Paths.get(p.projectPath).getFileName.toString
+        val query = graft.stream.IncrementalIndexer.start(
+          spark, feedDir.toString, pollMs) { (batch, _) =>
+          val rows = batch.select("changed_path", "change_type").collect()
+          if (rows.nonEmpty) {
+            val surviving = rows.collect {
+              case r if r.getString(1) != "deleted" => r.getString(0)
+            }.toSet
+            val store = graft.store.GraphStore.read(spark, storeDir)
+            val freshFiles = graft.extract.FileScanner
+              .scan(spark, p.projectPath, repoName)
+              .filter(f => surviving.contains(f.path))
+            val merged = graft.stream.IncrementalIndexer
+              .applyReindexBatch(spark, store, batch, freshFiles)
+            // cut lineage back to the store being overwritten before the
+            // overwrite (localCheckpoint materializes each table)
+            val pinned = merged.copy(
+              directories = merged.directories.localCheckpoint(true),
+              files = merged.files.localCheckpoint(true),
+              definitions = merged.definitions.localCheckpoint(true),
+              importedSymbols = merged.importedSymbols.localCheckpoint(true),
+              edges = merged.edges.localCheckpoint(true))
+            pinned.write(storeDir)
+            p.lastIndexedAt = Some(Instant.now.toString)
+            bus.publish("WorkspaceReindexed",
+              "workspace_folder_path" -> JString(ws.path),
+              "project_path" -> JString(p.projectPath),
+              "changed" -> JArray(rows.map(r =>
+                JString(r.getString(0))).toList))
+          }
+        }
+        (watcher, query)
+      })
+      ()
+    }
+
+  /** Stop watchers/queries for one workspace (delete calls this). */
+  private def unwatch(ws: WorkspaceState): Unit =
+    ws.projects.foreach { p =>
+      Option(watchers.remove(storeDirFor(ws, p))).foreach { case (w, q) =>
+        w.stop(); try q.stop() catch { case _: Exception => () }
+      }
+    }
+
   /** Remove a workspace and its stores; false if it wasn't registered. */
   def delete(path: String): Boolean = {
     val ws = workspaces.remove(path)
     if (ws == null) return false
+    unwatch(ws)
     val root = Paths.get(dataDir, ws.dataDirectoryName)
     if (Files.exists(root)) {
       val s = Files.walk(root)
@@ -192,7 +261,10 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
     true
   }
 
-  def shutdown(): Unit = jobs.shutdownNow()
+  def shutdown(): Unit = {
+    workspaces.values.asScala.foreach(unwatch)
+    jobs.shutdownNow()
+  }
 
   // ---- JSON shapes (field names from the reference's TS exports) ---------
 

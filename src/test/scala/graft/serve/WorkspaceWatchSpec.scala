@@ -1,0 +1,51 @@
+package graft.serve
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The desktop server's watch-after-index loop end-to-end at the
+  * WorkspaceManager level (the HTTP face is covered by HttpSpec): index a
+  * workspace, start the watch, edit a project file on disk, and observe the
+  * STORE update and the `WorkspaceReindexed` bus event with no manual feed
+  * writes — the behavior of watcher.rs + the indexing queue combined.
+  */
+class WorkspaceWatchSpec extends SparkSpec {
+
+  test("watchWorkspace: an on-disk edit reindexes the project store") {
+    val ws = Files.createTempDirectory("graft-ww")
+    val proj = ws.resolve("svc")
+    Files.createDirectories(proj.resolve(".git"))
+    Files.writeString(proj.resolve("m.py"), "def first():\n    return 1\n")
+
+    val bus = new EventPublisher
+    val (_, events) = bus.subscribe()
+    val mgr = new WorkspaceManager(spark,
+      Files.createTempDirectory("graft-ww-data").toString, bus,
+      autoWatch = true)
+    val state = mgr.getOrRegister(ws.toString).getOrElse(fail("register failed"))
+    mgr.dispatchIndex(state)
+    try {
+      def drainUntil(tpe: String, deadlineMs: Long = 60000): String = {
+        val deadline = System.currentTimeMillis() + deadlineMs
+        while (System.currentTimeMillis() < deadline) {
+          val e = events.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (e != null && e.contains(s""""type":"$tpe"""")) return e
+        }
+        fail(s"no $tpe event within ${deadlineMs}ms")
+      }
+      drainUntil("WorkspaceIndexingCompleted")
+      val storeDir = mgr.storeDirFor(state, state.projects.head)
+      assert(graft.store.GraphStore.read(spark, storeDir).definitions
+        .where(col("name") === "first").count() == 1)
+
+      // edit on disk; the watcher + streaming query must pick it up
+      Files.writeString(proj.resolve("m.py"),
+        "def first():\n    return 1\n\ndef second():\n    return 2\n")
+      drainUntil("WorkspaceReindexed")
+      val names = graft.store.GraphStore.read(spark, storeDir).definitions
+        .select("name").collect().map(_.getString(0)).toSet
+      assert(names.contains("second"), s"store not reindexed: $names")
+    } finally mgr.shutdown()
+  }
+}
