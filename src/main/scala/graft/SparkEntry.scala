@@ -1330,6 +1330,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- text analysis: Gopher-style repetition filter (Rae et al. 2021
+    //      A1.1 — top-2-gram share + duplicate-3-gram share, keep verdict)
+    q("td_repetition", docPrelude +
+      s""", reps AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks), 1)),
+          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      FROM d_toks),
+      top2 AS (SELECT doc_id, max(c) AS best, sum(c) AS total FROM (
+          SELECT doc_id, gram, count(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS gram FROM reps) GROUP BY 1, 2)
+        GROUP BY 1),
+      d3 AS (SELECT doc_id, len(g3) AS n3, len(list_distinct(g3)) AS u3
+        FROM reps)
+      SELECT r.doc_id,
+        coalesce(round(CAST(best AS DOUBLE) / total, 4), 0.0) AS top_2gram_frac,
+        CASE WHEN n3 > 0
+          THEN round(CAST(n3 - u3 AS DOUBLE) / n3, 4) ELSE 0.0
+        END AS dup_3gram_frac,
+        (coalesce(round(CAST(best AS DOUBLE) / total, 4), 0.0) <= 0.20 AND
+         (CASE WHEN n3 > 0 THEN round(CAST(n3 - u3 AS DOUBLE) / n3, 4)
+               ELSE 0.0 END) <= 0.50) AS repetition_keep
+      FROM reps r LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+      ORDER BY doc_id""") { (s, d) =>
+      TextAnalysis.withRepetition(s.read.parquet(s"$d/documents.parquet"), "text")
+        .select("doc_id", "top_2gram_frac", "dup_3gram_frac", "repetition_keep")
+        .orderBy("doc_id")
+    }
+
+    // ---- dedup: cross-document duplicated n-gram spans (exact-substring
+    //      census at 6-gram anchors; inverted index, no pairwise join)
+    q("dd_shared_ngrams", docPrelude +
+      s""", sh AS (SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, greatest(len(toks) - 4, 1)),
+          i -> array_to_string(toks[i:i+5], ' ')))) AS gram
+      FROM d_toks WHERE len(toks) >= 6),
+      df AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM sh GROUP BY 1),
+      st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans
+        FROM sh JOIN df USING (gram) GROUP BY 1)
+      SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+        coalesce(shared_spans, 0) AS shared_spans,
+        coalesce(round(CAST(shared_spans AS DOUBLE) / n_spans, 4), 0.0) AS shared_frac
+      FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+      Dedup.sharedNgramStats(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 6).orderBy("doc_id")
+    }
+
     // ---- deterministic hash sampling (reproducible across runs + engines)
     val idFold = sqlCharFold("CAST(doc_id AS VARCHAR)")
     q("samp_hash_pct",

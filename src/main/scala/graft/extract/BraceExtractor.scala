@@ -65,6 +65,20 @@ abstract class BraceExtractor extends Extractor {
     */
   protected def refineCallableKind(name: String, enclosing: Option[String],
       kind: String): String = kind
+  /** Multi-line string delimiter whose contents are blanked before scanning
+    * (Scala/Kotlin triple quotes) — a tree-sitter parser never sees string
+    * bodies as code; neither should the heuristic.
+    */
+  protected def multilineStringDelim: Option[String] = None
+  /** Close expression-body callables by indentation (Scala
+    * `def f: T = expr` has no brace to pop; the body ends where the
+    * indentation returns to the header's level).
+    */
+  protected def indentExtents: Boolean = false
+  /** Emit call refs for block application `name { ... }` /
+    * `recv.name { ... }` (Scala's other call syntax).
+    */
+  protected def emitBraceCalls: Boolean = false
 
   private val callRe: Regex =
     """(?:([A-Za-z_$][A-Za-z0-9_$.?]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
@@ -76,12 +90,75 @@ abstract class BraceExtractor extends Extractor {
   private val binOpRe: Regex =
     """\(\s*(\w+)\s*\+\s*(\w+)\s*\)(?:\s*\.\s*(\w+)\s*\()?""".r
   private val ctorNameRe: Regex = """([A-Z]\w*)\s*\(""".r
+  private val braceCallRe: Regex =
+    """(?:([A-Za-z_][\w.]*)\s*\.\s*)?([A-Za-z_]\w*)\s*\{""".r
+  private val prevWordRe: Regex = """([A-Za-z_]\w*)[^\w]*$""".r
+  private val braceCallStop: Set[String] = Set("match", "try", "catch",
+    "finally", "else", "do", "yield", "new", "extends", "with", "throw",
+    "return", "if", "for", "while", "then", "object", "class", "trait",
+    "def", "val", "var", "type", "case", "import", "package", "given",
+    "sealed", "final", "lazy", "implicit", "override", "private",
+    "protected", "abstract", "super", "this")
+  // `=` that starts an expression body — not `==`, `=>`, `<=`, `+=`, …
+  private val exprEqRe: Regex = """(?<![=<>!+\-*/:&|])=(?![=>])""".r
+
+  /** Blank string-literal contents, char literals and block comments with
+    * spaces (length-preserving, so columns stay aligned) — code-shaped text
+    * inside literals must not fabricate definitions or call sites. `//`
+    * line comments are left for the caller's existing truncation (they
+    * can no longer hide inside a string once contents are blanked).
+    */
+  private def blankNoise(raw: Array[String]): Array[String] = {
+    val out = new Array[String](raw.length)
+    val triple = multilineStringDelim
+    var inBlock = false
+    var inTriple = false
+    for (i <- raw.indices) {
+      val s = raw(i)
+      val b = s.toCharArray
+      var j = 0
+      var done = false
+      while (j < b.length && !done) {
+        if (inBlock) {
+          if (s.startsWith("*/", j)) { b(j) = ' '; b(j + 1) = ' '; inBlock = false; j += 2 }
+          else { b(j) = ' '; j += 1 }
+        } else if (inTriple) {
+          if (s.startsWith(triple.get, j)) { inTriple = false; j += triple.get.length }
+          else { b(j) = ' '; j += 1 }
+        } else if (triple.isDefined && s.startsWith(triple.get, j)) {
+          inTriple = true; j += triple.get.length
+        } else if (b(j) == '"') {
+          j += 1
+          var closed = false
+          while (j < b.length && !closed) {
+            if (b(j) == '\\' && j + 1 < b.length) { b(j) = ' '; b(j + 1) = ' '; j += 2 }
+            else if (b(j) == '"') { closed = true; j += 1 }
+            else { b(j) = ' '; j += 1 }
+          }
+        } else if (b(j) == '\'' && j + 2 < b.length &&
+            (b(j + 2) == '\'' ||
+              (b(j + 1) == '\\' && j + 3 < b.length && b(j + 3) == '\''))) {
+          // 'x' / '\x' only — lookahead-guarded so Rust lifetimes (&'a) and
+          // Scala symbols pass through untouched
+          if (b(j + 1) == '\\') { b(j + 1) = ' '; b(j + 2) = ' '; j += 4 }
+          else { b(j + 1) = ' '; j += 3 }
+        } else if (s.startsWith("/*", j)) {
+          b(j) = ' '; b(j + 1) = ' '; inBlock = true; j += 2
+        } else if (s.startsWith(lineComment, j)) {
+          done = true // caller truncates from here
+        } else j += 1
+      }
+      out(i) = new String(b)
+    }
+    out
+  }
 
   override def extract(f: SourceFile): Extracted = {
-    val lines = f.content.split("\n", -1)
+    val rawLines = f.content.split("\n", -1)
+    val lines = blankNoise(rawLines)
     val lineStart = new Array[Long](lines.length + 1)
     var off = 0L
-    for (i <- lines.indices) { lineStart(i) = off; off += lines(i).getBytes("UTF-8").length + 1 }
+    for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
     lineStart(lines.length) = off
 
     val defs = ArrayBuffer[RawDefinition]()
@@ -103,16 +180,145 @@ abstract class BraceExtractor extends Extractor {
     var pendingInference: Option[(String, String, Int, ArrayBuffer[String])] = None
     var pendingProp: Option[(String, String)] = None
     var pendingAnnotations = List.empty[String]
+    // a definition header that has not yet opened its body brace (or proven
+    // itself body-less): multiline `class Foo(\n …) extends Bar {` headers
+    // and body-less `case class X(a: Int)` both land here — the former
+    // opens its scope when the `{` arrives, the latter never corrupts the
+    // sibling FQN chain with a phantom scope
+    var pendHeader: StringBuilder = null
+    var pendIsContainer = false
+    var pendDepth = 0
+    var pendIdx = -1
+    var pendAfterName = 0
+    var pendParens = 0
+    var pendIndent = 0
+    // expression-body callables closed by indentation (indentExtents):
+    // (headerIndent, defIdx)
+    var indentStack = List.empty[(Int, Int)]
+    var lastContent = -1
 
     def pkgPrefix(parts: Seq[String]): String =
       ((if (qualifyWithPackage && pkg.nonEmpty) Seq(pkg) else Nil) ++ parts)
         .mkString(".")
 
+    // net paren balance from `from` to EOL, and the index just past the
+    // last balanced param group (exprEq search starts there, so `=` inside
+    // default-argument lists can't masquerade as the body's `=`)
+    def headerSplit(line: String, from: Int): (Int, Int) = {
+      var bal = 0; var pos = from; var close = from; var opened = false
+      while (pos < line.length) {
+        val c = line.charAt(pos)
+        if (c == '(') { bal += 1; opened = true }
+        else if (c == ')') { bal -= 1; if (bal == 0 && opened) close = pos + 1 }
+        pos += 1
+      }
+      (bal, close)
+    }
+
+    /** Resolve the pending header: open its scope, or (body-less) emit its
+      * deferred type facts and, for expression-body callables, hand the
+      * extent to the indentation tracker.
+      */
+    def finishPending(open: Boolean): Unit = {
+      val header = pendHeader.toString
+      pendHeader = null
+      if (emitTypeFacts) {
+        val fqn = defs(pendIdx).fqn
+        val ln = defs(pendIdx).startLine
+        if (pendIsContainer)
+          superTypes(header, pendAfterName).foreach { sup =>
+            facts += RawTypeFact(f.path, "extends", "", fqn, sup, ln)
+          }
+        else {
+          paramFacts(header).foreach { case (pn, pt) =>
+            facts += RawTypeFact(f.path, "var", fqn, pn, pt, ln)
+          }
+          returnType(header).foreach { rt =>
+            facts += RawTypeFact(f.path, "returns", fqn, "", rt, ln)
+          }
+        }
+      }
+      if (open) {
+        val name = defs(pendIdx).name
+        if (pendIsContainer) containerStack ::= (pendDepth, name, pendIdx)
+        else callableStack ::= (pendDepth, pendIdx)
+        factScopeStack ::= (pendDepth, name)
+      } else if (!pendIsContainer && indentExtents)
+        indentStack ::= (pendIndent, pendIdx)
+    }
+
+    /** Advance the pending header through one line. Returns -1 when the
+      * line is consumed (still in the header), else the offset from which
+      * normal processing should resume.
+      */
+    def advancePending(line: String): Int = {
+      var k = 0
+      if (pendParens > 0) {
+        while (k < line.length && pendParens > 0) {
+          val c = line.charAt(k)
+          if (c == '(') pendParens += 1 else if (c == ')') pendParens -= 1
+          k += 1
+        }
+        if (pendParens > 0) { pendHeader.append(' ').append(line); return -1 }
+      }
+      val rest = line.substring(k)
+      val t = rest.trim
+      if (t.isEmpty) {
+        if (k > 0) pendHeader.append(' ').append(line.substring(0, k))
+        return -1
+      }
+      val isCont = k > 0 || t.startsWith("extends") || t.startsWith("with") ||
+        t.startsWith(":") || t.startsWith("=") || t.startsWith("{")
+      if (!isCont) { finishPending(open = false); return 0 }
+      val bracePos = rest.indexOf('{')
+      val semiPos = rest.indexOf(';')
+      if (bracePos >= 0 && (semiPos < 0 || bracePos < semiPos)) {
+        pendHeader.append(' ').append(line.substring(0, k + bracePos))
+        finishPending(open = true)
+        return k + bracePos
+      }
+      if (semiPos >= 0) {
+        pendHeader.append(' ').append(line.substring(0, k + semiPos))
+        finishPending(open = false)
+        return k + semiPos
+      }
+      if (!pendIsContainer) {
+        exprEqRe.findFirstMatchIn(rest) match {
+          case Some(m) =>
+            pendHeader.append(' ').append(rest.substring(0, m.start))
+            finishPending(open = false)
+            return k + m.end
+          case None =>
+            pendHeader.append(' ').append(line); return -1
+        }
+      }
+      pendHeader.append(' ').append(line)
+      -1
+    }
+
     for (i <- lines.indices) {
       val raw = lines(i)
-      val line = raw.indexOf(lineComment) match {
+      var line = raw.indexOf(lineComment) match {
         case -1 => raw
         case n => raw.substring(0, n)
+      }
+      var skipLine = false
+      if (pendHeader != null) {
+        val from = advancePending(line)
+        if (from < 0) skipLine = true
+        else if (from > 0) line = (" " * from) + line.substring(from)
+      }
+      if (!skipLine) {
+      val lineIndent = line.indexWhere(c => !c.isWhitespace)
+      if (indentExtents && lineIndent >= 0) {
+        while (indentStack.nonEmpty && lineIndent <= indentStack.head._1) {
+          val idx = indentStack.head._2
+          val el = if (lastContent >= defs(idx).startLine) lastContent
+                   else defs(idx).startLine
+          defs(idx) = defs(idx).copy(
+            endByte = lineStart(el + 1) - 1, endLine = el)
+          indentStack = indentStack.tail
+        }
       }
       def fqnOf(name: String) =
         pkgPrefix(containerStack.reverseIterator.map(_._2).toSeq :+ name)
@@ -157,18 +363,28 @@ abstract class BraceExtractor extends Extractor {
           val fqn = fqnOf(m.group(1))
           attachAnnotations()
           add(m.group(1), fqn, kind, m.start(1))
-          if (emitTypeFacts)
-            superTypes(line, m.end(1)).foreach { sup =>
-              facts += RawTypeFact(f.path, "extends", "", fqn, sup, i)
-            }
-          // JVM languages: a body-less declaration (Kotlin
-          // `data class Config(val type: String)`) opens no scope — pushing
-          // it would swallow every later definition in the file. Brace-on-
-          // same-line is the JVM norm; other languages keep the permissive
-          // push (Allman-style next-line braces still pop correctly there).
-          if (!emitTypeFacts || line.indexOf('{', m.end(1)) >= 0) {
+          val (pBal, _) = headerSplit(line, m.end(1))
+          // a body-less declaration (`case class X(a: Int)`, `struct Foo;`)
+          // opens no scope — pushing it would nest every later sibling
+          // under a phantom FQN. Same-line `{` opens immediately; anything
+          // else (multiline params, next-line extends clause, Allman brace)
+          // goes through the pending-header machinery, which opens the
+          // scope when the `{` arrives and stays silent when it never does.
+          if (pBal == 0 && line.indexOf('{', m.end(1)) >= 0) {
+            if (emitTypeFacts)
+              superTypes(line, m.end(1)).foreach { sup =>
+                facts += RawTypeFact(f.path, "extends", "", fqn, sup, i)
+              }
             containerStack ::= (depth, m.group(1), defs.length - 1)
             factScopeStack ::= (depth, m.group(1))
+          } else {
+            pendHeader = new StringBuilder(line)
+            pendIsContainer = true
+            pendDepth = depth
+            pendIdx = defs.length - 1
+            pendAfterName = m.end(1)
+            pendParens = math.max(pBal, 0)
+            pendIndent = if (lineIndent >= 0) lineIndent else 0
           }
           matched = true
           refScanFrom = m.end
@@ -190,7 +406,8 @@ abstract class BraceExtractor extends Extractor {
             val fqn = fqnOf(name)
             attachAnnotations()
             add(name, fqn, k, m.start(1))
-            if (emitTypeFacts) {
+            val (pBal, pClose) = headerSplit(line, m.start(1))
+            def emitHeaderFacts(): Unit = if (emitTypeFacts) {
               paramFacts(line).foreach { case (pn, pt) =>
                 facts += RawTypeFact(f.path, "var", fqn, pn, pt, i)
               }
@@ -198,9 +415,26 @@ abstract class BraceExtractor extends Extractor {
                 facts += RawTypeFact(f.path, "returns", fqn, "", rt, i)
               }
             }
-            if (line.indexOf('{', m.end - 1) >= 0) {
+            if (pBal == 0 && line.indexOf('{', m.end - 1) >= 0) {
+              emitHeaderFacts()
               callableStack ::= (depth, defs.length - 1)
               factScopeStack ::= (depth, name)
+            } else if (pBal == 0 && exprEqRe
+                .findFirstMatchIn(line.substring(pClose)).isDefined) {
+              // complete single-line expression-body header `def f(…): T = …`
+              emitHeaderFacts()
+              if (indentExtents)
+                indentStack ::=
+                  ((if (lineIndent >= 0) lineIndent else 0, defs.length - 1))
+            } else {
+              // unfinished header (open params / no body token yet): defer
+              pendHeader = new StringBuilder(line)
+              pendIsContainer = false
+              pendDepth = depth
+              pendIdx = defs.length - 1
+              pendAfterName = m.start(1)
+              pendParens = math.max(pBal, 0)
+              pendIndent = if (lineIndent >= 0) lineIndent else 0
             }
             matched = true
             refScanFrom = m.end
@@ -263,6 +497,26 @@ abstract class BraceExtractor extends Extractor {
               lineStart(i) + c0, lineStart(i) + c1, i, c0, c1, recvExpr)
           }
         }
+        if (emitBraceCalls)
+          braceCallRe.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(2)
+            val prevWord = prevWordRe
+              .findFirstMatchIn(line.substring(0, refScanFrom + m.start))
+              .map(_.group(1)).getOrElse("")
+            // block application `xs.foreach { … }` — a call under Scala's
+            // other application syntax; keyword heads (`match {`) and
+            // non-application contexts (`new Foo {`, `extends Bar {`) are
+            // filtered by the stop list on both the name and the word
+            // preceding the whole match
+            if (!keywords(name) && !braceCallStop(name) &&
+                !braceCallStop(prevWord)) {
+              val c0 = refScanFrom + m.start(2)
+              val c1 = refScanFrom + m.end(2)
+              refs += RawReference(f.path, name, "",
+                lineStart(i) + c0, lineStart(i) + c1, i, c0, c1,
+                Option(m.group(1)).getOrElse(""))
+            }
+          }
         if (emitTypeFacts)
           genericNewRe.findAllMatchIn(seg).foreach { m =>
             val name = m.group(2)
@@ -331,7 +585,16 @@ abstract class BraceExtractor extends Extractor {
           pendingInference = None
         }
       }
+      } // !skipLine
+      if (line.exists(c => !c.isWhitespace)) lastContent = i
     }
+    if (pendHeader != null) finishPending(open = false)
+    if (indentExtents && lastContent >= 0)
+      indentStack.foreach { case (_, idx) =>
+        if (lastContent >= defs(idx).startLine)
+          defs(idx) = defs(idx).copy(
+            endByte = lineStart(lastContent + 1) - 1, endLine = lastContent)
+      }
     Extracted(f, defs.toSeq, imports.toSeq, refs.toSeq, facts.toSeq)
   }
 }
@@ -428,6 +691,7 @@ object KotlinExtractor extends BraceExtractor {
   override val qualifyWithPackage = true
   override val emitTypeFacts = true
   override val emitBinaryOperators = true
+  override val multilineStringDelim = Some("\"\"\"")
   override def anonymousContainer(line: String): Option[String] =
     if ("""companion\s+object\s*(\{|$)""".r.findFirstIn(line).isDefined)
       Some("Companion")
@@ -553,7 +817,11 @@ object ScalaExtractor extends BraceExtractor {
   override val callableRes = Seq(
     """(?:override\s+|private(?:\[\w+\])?\s+|protected\s+|final\s+|implicit\s+|lazy\s+)*def\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Method")
   override val keywords = Set("if", "for", "while", "match", "return", "Seq",
-    "Map", "Set", "List", "Array", "Some", "println", "assert", "require")
+    "Map", "Set", "List", "Array", "Some", "println", "assert", "require",
+    "this")
+  override val multilineStringDelim = Some("\"\"\"")
+  override val indentExtents = true
+  override val emitBraceCalls = true
   override def parseImport(line: String) = {
     val re = """^\s*import\s+(\w+(?:\.\w+)*)(?:\.(_|\{[^}]*\}|\w+))?\s*$""".r
     re.findFirstMatchIn(line.takeWhile(_ != '/')).flatMap { m =>

@@ -320,6 +320,33 @@ object Dedup {
     * is one map-side join + aggregation, no all-pairs work.
     * Returns (doc_id, n_shared = distinct shared shingles).
     */
+  /** Cross-document duplicated-span statistics — exact-substring dedup at
+    * word-n-gram anchor granularity (the memorization-scrub / boilerplate
+    * census shape): for every document, how many of its distinct n-gram
+    * spans also occur in at least one other document. Inverted-index
+    * equi-join: one shuffle keyed on the gram to compute document
+    * frequency, one aggregation back to the document — no pairwise join
+    * anywhere, so cost is O(total spans), not O(docs²).
+    */
+  def sharedNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 6): DataFrame = {
+    val spans = docs.select(col(idCol).as("sg_id"),
+      explode(shingleSet(col(textCol), n)).as("gram"))
+    val gramDocs = spans.groupBy("gram")
+      .agg(countDistinct("sg_id").as("gram_docs"))
+    val stats = spans.join(gramDocs, "gram")
+      .groupBy("sg_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("gram_docs") >= 2, 1L).otherwise(0L)).as("shared_spans"))
+      .withColumn("shared_frac",
+        round(col("shared_spans").cast("double") / col("n_spans"), 4))
+    docs.select(col(idCol)).join(stats, col(idCol) === col("sg_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("shared_spans"), lit(0L)).as("shared_spans"),
+        coalesce(col("shared_frac"), lit(0.0)).as("shared_frac"))
+  }
+
   def benchmarkOverlap(docs: DataFrame, idCol: String, textCol: String,
                        bench: DataFrame, benchTextCol: String,
                        n: Int = 8): DataFrame = {

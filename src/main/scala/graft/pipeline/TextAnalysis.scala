@@ -79,4 +79,41 @@ object TextAnalysis {
 
   /** Document fingerprint: polynomial rolling hash of the normalized text. */
   def fingerprint(text: Column): Column = charFold(normText(text))
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1): the most-frequent word
+    * 2-gram's share of all 2-gram occurrences, and the duplicate share of
+    * word-3-gram occurrences, plus the keep/drop verdict at the given
+    * thresholds. Entirely map-side column expressions: the max-frequency
+    * count is a run-length scan over the SORTED per-document gram array
+    * (longest run == highest frequency), so no explode→groupBy shuffle
+    * exists anywhere — per-document work at any corpus scale.
+    */
+  def withRepetition(docs: DataFrame, textCol: String,
+      topFracMax: Double = 0.20, dupFracMax: Double = 0.50): DataFrame = {
+    val toks = tokens(col(textCol))
+    val g2 = shingles(toks, 2)
+    val g3 = shingles(toks, 3)
+    val maxFreq = aggregate(
+      array_sort(g2),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val n2 = size(g2).cast("double")
+    val n3 = size(g3).cast("double")
+    docs
+      .withColumn("top_2gram_frac",
+        when(n2 > 0, round(maxFreq.cast("double") / n2, 4)).otherwise(0.0))
+      .withColumn("dup_3gram_frac",
+        when(n3 > 0,
+          round((n3 - size(array_distinct(g3)).cast("double")) / n3, 4))
+          .otherwise(0.0))
+      .withColumn("repetition_keep",
+        col("top_2gram_frac") <= topFracMax &&
+          col("dup_3gram_frac") <= dupFracMax)
+  }
 }

@@ -83,7 +83,11 @@ class ExtractorFidelitySpec extends SparkSpec {
     println(s"FIDELITY_MISSING $missing")
 
     // conservative floors: the measurement must not silently degrade
-    assert(defRecall > 0.60, f"definition recall collapsed: $defRecall%.3f")
-    assert(defPrecision > 0.60, f"definition precision collapsed: $defPrecision%.3f")
+    // (round-4 measured: defs 99.8/100.0, calls 88.8/92.5 — floors sit a
+    // band below so ordinary codebase growth doesn't flake the suite)
+    assert(defRecall > 0.90, f"definition recall collapsed: $defRecall%.3f")
+    assert(defPrecision > 0.90, f"definition precision collapsed: $defPrecision%.3f")
+    assert(callRecall > 0.70, f"call-edge recall collapsed: $callRecall%.3f")
+    assert(callPrecision > 0.75, f"call-edge precision collapsed: $callPrecision%.3f")
   }
 }

@@ -192,6 +192,60 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0L) != fps(1L))
   }
 
+  test("repetition metrics match a brute-force count") {
+    import spark.implicits._
+    val reps = Seq(
+      (10L, "spam spam spam spam spam spam"),        // one 2-gram repeated 5x
+      (11L, "all words here are fully distinct now"),
+      (12L, "a b a b a b c d c d")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.withRepetition(reps, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("top_2gram_frac"), r.getAs[Double]("dup_3gram_frac"),
+          r.getAs[Boolean]("repetition_keep")))).toMap
+    // doc 10: 5 x "spam spam" → top frac 1.0; all 4 3-grams identical → dup 0.75
+    assert(m(10L) == ((1.0, 0.75, false)))
+    // doc 11: 6 distinct 2-grams → 1/6; no duplicate 3-grams
+    assert(m(11L) == ((0.1667, 0.0, true)))
+    // doc 12: "a b" x3 + "b a" x2 + ... top = 3/9; 3-grams: aba x2, bab x2 of 8
+    assert(m(12L)._1 == 0.3333 && m(12L)._2 == 0.25)
+    // brute-force cross-check on the corpus fixture docs
+    val brute = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty)
+      val g2 = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = if (g2.isEmpty) 0.0
+        else math.round(g2.groupBy(identity).values.map(_.size).max.toDouble /
+          g2.size * 10000) / 10000.0
+      r.getLong(0) -> top
+    }.toMap
+    TextAnalysis.withRepetition(docs, "text").collect().foreach { r =>
+      assert(r.getAs[Double]("top_2gram_frac") == brute(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("shared n-gram spans: inverted index equals brute force") {
+    val st = Dedup.sharedNgramStats(docs, "doc_id", "text", n = 6).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("shared_spans")))).toMap
+    // brute force over distinct 6-gram sets
+    val sets = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty)
+      r.getLong(0) -> toks.sliding(6).filter(_.length == 6)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    sets.foreach { case (id, g) =>
+      val shared = g.count(s => sets.exists { case (o, og) => o != id && og(s) })
+      assert(st(id) == ((g.size.toLong, shared.toLong)),
+        s"doc $id: ${st(id)} vs (${g.size}, $shared)")
+    }
+    // docs 0 and 3 are identical, 1 differs in the last word: doc 0's spans
+    // are all shared; doc 2 shares nothing
+    assert(st(0L)._1 == st(0L)._2 && st(0L)._1 > 0)
+    assert(st(2L)._2 == 0L)
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
