@@ -29,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => ShingleSet(exprs(0), exprs(1)))
     inject(VectorExpressions.MinHashSigName, classOf[MinHashSig],
       exprs => MinHashSig(exprs(0), exprs(1)))
+    inject(VectorExpressions.NgramStatsName, classOf[NgramStats],
+      exprs => NgramStats(exprs(0), exprs(1)))
   }
 }

@@ -174,6 +174,78 @@ case class ShingleSet(child: Expression, nExpr: Expression)
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** Per-document word-n-gram occurrence statistics in one JVM pass:
+  * struct(total, distinct, max_freq) over the document's word n-grams,
+  * with [[ShingleSet]]'s exact normalization/tokenization (and the DuckDB
+  * oracle's). Powers the Gopher-style repetition signals
+  * ([[graft.pipeline.TextAnalysis.withRepetition]]): the declarative
+  * construction — shingles via interpreted transform+slice, max frequency
+  * via an interpreted array-aggregate run-length scan — is O(tokens²) per
+  * document with per-element struct boxing, and measured 30 ms/doc; this
+  * is one hash-map pass.
+  */
+case class NgramStats(child: Expression, nExpr: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("total",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("distinct",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_freq",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_ngram_stats"
+
+  override def nullSafeEval(a: Any, nv: Any): Any = {
+    val n = nv.asInstanceOf[Number].intValue()
+    val raw = a.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else sb.append(' ')
+      i += 1
+    }
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = -1
+    val t = sb.toString
+    i = 0
+    while (i <= t.length) {
+      if (i < t.length && t.charAt(i) != ' ') { if (start < 0) start = i }
+      else if (start >= 0) { toks += t.substring(start, i); start = -1 }
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Long]()
+    var total = 0L
+    var maxFreq = 0L
+    var j = 0
+    while (j + n <= toks.length) {
+      val g = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) g.append(' ')
+        g.append(toks(j + k))
+        k += 1
+      }
+      val key = g.toString
+      val c = counts.getOrDefault(key, 0L) + 1L
+      counts.put(key, c)
+      if (c > maxFreq) maxFreq = c
+      total += 1
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, counts.size().toLong, maxFreq))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, nExpr = newRight)
+}
+
 /** Whole MinHash signature in one map-side pass: for each shingle,
   * x = charfold31(shingle); slot i of the result is
   * min over shingles of (a_i * x + b_i) % 1e9+7 — the family in
@@ -270,6 +342,7 @@ object VectorExpressions {
   val CharFoldName = "graft_charfold"
   val ShinglesName = "graft_shingles"
   val MinHashSigName = "graft_minhash_sig"
+  val NgramStatsName = "graft_ngram_stats"
 
   /** Register the expressions in the session's function registry (idempotent);
     * needed because Column construction from a raw Expression is not part of
@@ -284,6 +357,8 @@ object VectorExpressions {
       ShinglesName, exprs => ShingleSet(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinHashSigName, exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NgramStatsName, exprs => NgramStats(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot(a, b); requires [[register]] on the active session. */
@@ -300,4 +375,8 @@ object VectorExpressions {
   /** Whole MinHash signature, map-side; requires [[register]]. */
   def minHashSig(c: Column, numHashes: Int): Column =
     call_function(MinHashSigName, c, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Per-doc n-gram struct(total, distinct, max_freq); requires [[register]]. */
+  def ngramStats(c: Column, n: Int): Column =
+    call_function(NgramStatsName, c, org.apache.spark.sql.functions.lit(n))
 }

@@ -198,10 +198,15 @@ object Similarity {
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: NaN cosine would rank first
-    val buckets = (0 until tables).map { t =>
-      v.select(col("vid"), col("vec"), col("nrm"),
-        lit(t).as("tbl"), lshBucket(col("vec"), dim, bits, t).as("bucket"))
-    }.reduce(_.unionByName(_))
+    // all `tables` bucket ids in ONE projection + explode — a per-table
+    // union would rescan the corpus `tables` times (one stage per branch);
+    // this is a single scan with map-side expansion
+    val buckets = v.select(col("vid"), col("vec"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("vec"), dim, bits, t).as("bucket"))): _*)).as("tb"))
+      .select(col("vid"), col("vec"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // score before dedup: the cosine is map-side codegen over the bucket
     // join output, so the dropDuplicates shuffle carries (ids, cosine) rows
     // instead of both 64-dim vectors (~15x narrower)

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.VectorExpressions
 
 /** Text-analysis operators for training-data pipelines: language ID
   * (stopword-hit heuristic), quality scoring, token counting, document
@@ -84,34 +85,40 @@ object TextAnalysis {
     * "Scaling Language Models", appendix A1.1): the most-frequent word
     * 2-gram's share of all 2-gram occurrences, and the duplicate share of
     * word-3-gram occurrences, plus the keep/drop verdict at the given
-    * thresholds. Entirely map-side column expressions: the max-frequency
-    * count is a run-length scan over the SORTED per-document gram array
-    * (longest run == highest frequency), so no explode→groupBy shuffle
-    * exists anywhere — per-document work at any corpus scale.
+    * thresholds. Entirely map-side — the per-document gram statistics come
+    * from the native one-pass [[graft.functions.NgramStats]] expression
+    * (struct(total, distinct, max_freq)), so no explode→groupBy shuffle
+    * exists anywhere — per-document work at any corpus scale. (A first cut
+    * computed max frequency as an interpreted array-aggregate run-length
+    * scan over the sorted gram array: correct, but Spark evaluates
+    * higher-order lambdas interpreted per element — 30 ms/doc.)
     */
   def withRepetition(docs: DataFrame, textCol: String,
       topFracMax: Double = 0.20, dupFracMax: Double = 0.50): DataFrame = {
-    val toks = tokens(col(textCol))
-    val g2 = shingles(toks, 2)
-    val g3 = shingles(toks, 3)
-    val maxFreq = aggregate(
-      array_sort(g2),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    val n2 = size(g2).cast("double")
-    val n3 = size(g3).cast("double")
+    def stats(n: Int): Column =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) => // native one-pass stats (fast path)
+          VectorExpressions.register(s)
+          VectorExpressions.ngramStats(col(textCol), n)
+        case None => // declarative fallback, same values
+          val g = shingles(tokens(col(textCol)), n)
+          struct(size(g).cast("long").as("total"),
+            size(array_distinct(g)).cast("long").as("distinct"),
+            coalesce(array_max(transform(array_distinct(g),
+              x => size(filter(g, y => y === x)).cast("long"))), lit(0L))
+              .as("max_freq"))
+      }
+    val s2 = stats(2)
+    val s3 = stats(3)
     docs
       .withColumn("top_2gram_frac",
-        when(n2 > 0, round(maxFreq.cast("double") / n2, 4)).otherwise(0.0))
+        when(s2.getField("total") > 0,
+          round(s2.getField("max_freq").cast("double") /
+            s2.getField("total"), 4)).otherwise(0.0))
       .withColumn("dup_3gram_frac",
-        when(n3 > 0,
-          round((n3 - size(array_distinct(g3)).cast("double")) / n3, 4))
-          .otherwise(0.0))
+        when(s3.getField("total") > 0,
+          round((s3.getField("total") - s3.getField("distinct"))
+            .cast("double") / s3.getField("total"), 4)).otherwise(0.0))
       .withColumn("repetition_keep",
         col("top_2gram_frac") <= topFracMax &&
           col("dup_3gram_frac") <= dupFracMax)
