@@ -164,7 +164,9 @@ object Indexer {
       val relType = when(col("n_lang") === "rust",
           when(col("definition_type") === "Module",
             lit(RelType.ModuleToSingletonMethod))
-          .when(col("ctype").isin("Method", "Function"),
+          // member-of-type pairs all collapse to CLASS_TO_METHOD
+          // (rust.rs:288-326: impl/trait→method, struct→field, enum→variant)
+          .when(col("ctype").isin("Method", "Function", "Field", "Variant"),
             lit(RelType.ClassToMethod))
           .otherwise(lit(null)))
         .otherwise(generic)

@@ -79,6 +79,12 @@ abstract class BraceExtractor extends Extractor {
     * `recv.name { ... }` (Scala's other call syntax).
     */
   protected def emitBraceCalls: Boolean = false
+  /** Non-scope member definitions inside a container body, dispatched on
+    * the container's declaring keyword ("flavor") — Rust struct fields /
+    * enum variants (rust.rs:288-299 treats both as definitions with
+    * CLASS_TO_METHOD containment). Returns (name, kind).
+    */
+  protected def memberRule(line: String, flavor: String): Option[(String, String)] = None
 
   private val callRe: Regex =
     """(?:([A-Za-z_$][A-Za-z0-9_$.?]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
@@ -101,61 +107,15 @@ abstract class BraceExtractor extends Extractor {
     "protected", "abstract", "super", "this")
   // `=` that starts an expression body — not `==`, `=>`, `<=`, `+=`, …
   private val exprEqRe: Regex = """(?<![=<>!+\-*/:&|])=(?![=>])""".r
-
-  /** Blank string-literal contents, char literals and block comments with
-    * spaces (length-preserving, so columns stay aligned) — code-shaped text
-    * inside literals must not fabricate definitions or call sites. `//`
-    * line comments are left for the caller's existing truncation (they
-    * can no longer hide inside a string once contents are blanked).
-    */
-  private def blankNoise(raw: Array[String]): Array[String] = {
-    val out = new Array[String](raw.length)
-    val triple = multilineStringDelim
-    var inBlock = false
-    var inTriple = false
-    for (i <- raw.indices) {
-      val s = raw(i)
-      val b = s.toCharArray
-      var j = 0
-      var done = false
-      while (j < b.length && !done) {
-        if (inBlock) {
-          if (s.startsWith("*/", j)) { b(j) = ' '; b(j + 1) = ' '; inBlock = false; j += 2 }
-          else { b(j) = ' '; j += 1 }
-        } else if (inTriple) {
-          if (s.startsWith(triple.get, j)) { inTriple = false; j += triple.get.length }
-          else { b(j) = ' '; j += 1 }
-        } else if (triple.isDefined && s.startsWith(triple.get, j)) {
-          inTriple = true; j += triple.get.length
-        } else if (b(j) == '"') {
-          j += 1
-          var closed = false
-          while (j < b.length && !closed) {
-            if (b(j) == '\\' && j + 1 < b.length) { b(j) = ' '; b(j + 1) = ' '; j += 2 }
-            else if (b(j) == '"') { closed = true; j += 1 }
-            else { b(j) = ' '; j += 1 }
-          }
-        } else if (b(j) == '\'' && j + 2 < b.length &&
-            (b(j + 2) == '\'' ||
-              (b(j + 1) == '\\' && j + 3 < b.length && b(j + 3) == '\''))) {
-          // 'x' / '\x' only — lookahead-guarded so Rust lifetimes (&'a) and
-          // Scala symbols pass through untouched
-          if (b(j + 1) == '\\') { b(j + 1) = ' '; b(j + 2) = ' '; j += 4 }
-          else { b(j + 1) = ' '; j += 3 }
-        } else if (s.startsWith("/*", j)) {
-          b(j) = ' '; b(j + 1) = ' '; inBlock = true; j += 2
-        } else if (s.startsWith(lineComment, j)) {
-          done = true // caller truncates from here
-        } else j += 1
-      }
-      out(i) = new String(b)
-    }
-    out
-  }
+  // the container's declaring keyword, for memberRule dispatch
+  private val flavorRe: Regex =
+    """\b(struct|enum|union|trait|impl|mod|class|interface|object|record|namespace|delegate)\b""".r
 
   override def extract(f: SourceFile): Extracted = {
     val rawLines = f.content.split("\n", -1)
-    val lines = blankNoise(rawLines)
+    // strings/chars/block comments blanked (length-preserving): code-shaped
+    // text inside literals must not fabricate definitions or call sites
+    val lines = NoiseBlanker.blank(rawLines, lineComment, multilineStringDelim)
     val lineStart = new Array[Long](lines.length + 1)
     var off = 0L
     for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
@@ -165,8 +125,9 @@ abstract class BraceExtractor extends Extractor {
     val imports = ArrayBuffer[RawImport]()
     val refs = ArrayBuffer[RawReference]()
     val facts = ArrayBuffer[RawTypeFact]()
-    // (depthAtOpen, name, index into defs — for end-range backfill at pop)
-    var containerStack = List.empty[(Int, String, Int)]
+    // (depthAtOpen, name, index into defs — for end-range backfill at pop,
+    //  declaring keyword for memberRule dispatch)
+    var containerStack = List.empty[(Int, String, Int, String)]
     // callables with a brace-opened body: (depthAtOpen, defIdx) — tracked
     // only for end-range backfill (they never contribute to FQNs), so the
     // resolver's innermost-caller window attributes call sites to the
@@ -192,6 +153,7 @@ abstract class BraceExtractor extends Extractor {
     var pendAfterName = 0
     var pendParens = 0
     var pendIndent = 0
+    var pendFlavor = ""
     // expression-body callables closed by indentation (indentExtents):
     // (headerIndent, defIdx)
     var indentStack = List.empty[(Int, Int)]
@@ -240,7 +202,8 @@ abstract class BraceExtractor extends Extractor {
       }
       if (open) {
         val name = defs(pendIdx).name
-        if (pendIsContainer) containerStack ::= (pendDepth, name, pendIdx)
+        if (pendIsContainer)
+          containerStack ::= (pendDepth, name, pendIdx, pendFlavor)
         else callableStack ::= (pendDepth, pendIdx)
         factScopeStack ::= (pendDepth, name)
       } else if (!pendIsContainer && indentExtents)
@@ -370,12 +333,14 @@ abstract class BraceExtractor extends Extractor {
           // else (multiline params, next-line extends clause, Allman brace)
           // goes through the pending-header machinery, which opens the
           // scope when the `{` arrives and stays silent when it never does.
+          val flavor = flavorRe.findFirstMatchIn(line.substring(0, m.start(1)))
+            .map(_.group(1)).getOrElse(kind.toLowerCase)
           if (pBal == 0 && line.indexOf('{', m.end(1)) >= 0) {
             if (emitTypeFacts)
               superTypes(line, m.end(1)).foreach { sup =>
                 facts += RawTypeFact(f.path, "extends", "", fqn, sup, i)
               }
-            containerStack ::= (depth, m.group(1), defs.length - 1)
+            containerStack ::= (depth, m.group(1), defs.length - 1, flavor)
             factScopeStack ::= (depth, m.group(1))
           } else {
             pendHeader = new StringBuilder(line)
@@ -385,6 +350,7 @@ abstract class BraceExtractor extends Extractor {
             pendAfterName = m.end(1)
             pendParens = math.max(pBal, 0)
             pendIndent = if (lineIndent >= 0) lineIndent else 0
+            pendFlavor = flavor
           }
           matched = true
           refScanFrom = m.end
@@ -393,7 +359,7 @@ abstract class BraceExtractor extends Extractor {
       if (!matched) anonymousContainer(line).foreach { name =>
         val fqn = fqnOf(name)
         add(name, fqn, "Class", 0)
-        containerStack ::= (depth, name, defs.length - 1)
+        containerStack ::= (depth, name, defs.length - 1, "object")
         factScopeStack ::= (depth, name)
         matched = true
       }
@@ -439,6 +405,18 @@ abstract class BraceExtractor extends Extractor {
             matched = true
             refScanFrom = m.end
           }
+        }
+      }
+      // non-scope members of the immediately-enclosing container body
+      // (Rust struct fields / enum variants): dispatch on the container's
+      // declaring keyword, only at its direct body depth
+      if (!matched && containerStack.nonEmpty &&
+          depth == containerStack.head._1 + 1) {
+        memberRule(line, containerStack.head._4).foreach { case (name, kind) =>
+          val c = math.max(line.indexOf(name), 0)
+          add(name, fqnOf(name), kind, c)
+          matched = true
+          refScanFrom = c + name.length
         }
       }
       if (!matched) parseImport(line).foreach { case (it, path, name, alias) =>
@@ -779,6 +757,10 @@ object CSharpExtractor extends BraceExtractor {
     """(?:public\s+|internal\s+|sealed\s+)*record\s+(?:struct\s+|class\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
     // enum → Class (csharp.rs:260-262); members are values, not defs
     """(?:public\s+|internal\s+)*enum\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
+    // delegate → Class (csharp.rs:280-282); body-less, so the pending
+    // machinery never opens a scope for it. Fields/events stay dropped
+    // (csharp.rs:279,292 map both to None)
+    """(?:public\s+|internal\s+|private\s+|protected\s+)*delegate\s+[\w<>\[\],. ?]+\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r -> "Class",
     """namespace\s+([A-Za-z_][A-Za-z0-9_.]*)""".r -> "Module")
   override val callableRes = Seq(
     """(?:public\s+|private\s+|internal\s+|protected\s+|static\s+|virtual\s+|override\s+|async\s+|sealed\s+)+[A-Za-z_][\w<>\[\],. ?]*\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^;]*\)\s*\{?""".r -> "Method",
@@ -858,4 +840,19 @@ object RustExtractor extends BraceExtractor {
         m.group(1).split("::").last, m.group(2))
     }
   }
+  // struct fields and enum variants are definitions in the reference's
+  // analyzer (rust.rs:288-299: Struct→Field and Enum→Variant both carry
+  // CLASS_TO_METHOD containment); only the direct body depth of a
+  // struct/union/enum is dispatched here, so struct-literal expressions
+  // inside fn bodies (flavor "impl"/"mod") never match
+  private val fieldRe = """^\s*(?:pub(?:\([^)]*\))?\s+)?([a-z_]\w*)\s*:\s*\S""".r
+  private val variantRe = """^\s*([A-Z]\w*)\s*(?:\(|\{|,|=|$)""".r
+  override def memberRule(line: String, flavor: String): Option[(String, String)] =
+    flavor match {
+      case "struct" | "union" =>
+        fieldRe.findFirstMatchIn(line).map(m => (m.group(1), "Field"))
+      case "enum" =>
+        variantRe.findFirstMatchIn(line).map(m => (m.group(1), "Variant"))
+      case _ => None
+    }
 }

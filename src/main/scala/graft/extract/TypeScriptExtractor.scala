@@ -32,11 +32,16 @@ object TypeScriptExtractor extends Extractor {
     "function", "constructor", "super", "typeof", "new", "import", "require")
 
   override def extract(f: SourceFile): Extracted = {
-    val lines = f.content.split("\n", -1)
-    val lineStart = new Array[Long](lines.length + 1)
+    val rawLines = f.content.split("\n", -1)
+    // blank '...'/"..."/`...` string bodies and /* */ comments so quoted
+    // code can't fabricate defs/refs or corrupt brace depth; imports parse
+    // from the RAW line below (their module paths are quoted)
+    val lines = NoiseBlanker.blank(rawLines, "//", Some("`"),
+      singleQuoteStrings = true)
+    val lineStart = new Array[Long](rawLines.length + 1)
     var off = 0L
-    for (i <- lines.indices) { lineStart(i) = off; off += lines(i).getBytes("UTF-8").length + 1 }
-    lineStart(lines.length) = off
+    for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
+    lineStart(rawLines.length) = off
 
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
@@ -51,6 +56,8 @@ object TypeScriptExtractor extends Extractor {
     for (i <- lines.indices) {
       val raw = lines(i)
       val line = raw.indexOf("//") match { case -1 => raw; case n => raw.substring(0, n) }
+      // import/require module paths live inside the blanked quotes
+      val importLine = rawLines(i)
 
       def fqnOf(name: String) =
         (classStack.reverseIterator.map(_._2).toSeq :+ name).mkString(".")
@@ -86,7 +93,7 @@ object TypeScriptExtractor extends Extractor {
           }
         }
 
-      importFromRe.findFirstMatchIn(line) match {
+      importFromRe.findFirstMatchIn(importLine) match {
         case Some(m) =>
           val clause = m.group(1).trim
           val module = m.group(2)
@@ -108,11 +115,11 @@ object TypeScriptExtractor extends Extractor {
               lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
           }
         case None =>
-          importBareRe.findFirstMatchIn(line).foreach { m =>
+          importBareRe.findFirstMatchIn(importLine).foreach { m =>
             imports += RawImport(f.path, "side_effect_import", m.group(1), "", null,
               lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
           }
-          requireRe.findFirstMatchIn(line).foreach { m =>
+          requireRe.findFirstMatchIn(importLine).foreach { m =>
             imports += RawImport(f.path, "require", m.group(2),
               m.group(1).replaceAll("[{} ]", ""), null,
               lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
@@ -205,11 +212,16 @@ object RubyExtractor extends Extractor {
                                   col: Int, defIdx: Int)
 
   override def extract(f: SourceFile): Extracted = {
-    val lines = f.content.split("\n", -1)
-    val lineStart = new Array[Long](lines.length + 1)
+    val rawLines = f.content.split("\n", -1)
+    // blank '...'/"..." string bodies so quoted code can't fabricate
+    // defs/refs; requires parse from the RAW line (quoted paths); `#`
+    // comments are truncated below, string-safely once contents are blank
+    val lines = NoiseBlanker.blank(rawLines, "#", None,
+      singleQuoteStrings = true, blockComments = false)
+    val lineStart = new Array[Long](rawLines.length + 1)
     var off = 0L
-    for (i <- lines.indices) { lineStart(i) = off; off += lines(i).getBytes("UTF-8").length + 1 }
-    lineStart(lines.length) = off
+    for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
+    lineStart(rawLines.length) = off
 
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
@@ -231,6 +243,7 @@ object RubyExtractor extends Extractor {
     for (i <- lines.indices) {
       val raw = lines(i)
       val line = raw.indexOf('#') match { case -1 => raw; case n => raw.substring(0, n) }
+      val importLine = rawLines(i) // quoted require paths live here
       val trimmed = line.trim
 
       moduleRe.findFirstMatchIn(line) match {
@@ -258,7 +271,7 @@ object RubyExtractor extends Extractor {
               val trailingDo = trimmed.matches(""".*\bdo\s*(\|[^|]*\|)?\s*$""")
               if ((blockOpenRe.findFirstIn(trimmed).isDefined || trailingDo) &&
                   !trimmed.contains(" end")) stack ::= None
-              requireRe.findFirstMatchIn(line).foreach { m =>
+              requireRe.findFirstMatchIn(importLine).foreach { m =>
                 imports += RawImport(f.path,
                   if (m.group(1) != null) "require_relative" else "require",
                   m.group(2), m.group(2).split("/").last, null,

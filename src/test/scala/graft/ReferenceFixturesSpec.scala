@@ -382,10 +382,12 @@ class ReferenceFixturesSpec extends SparkSpec {
   // The reference ships no C#/Rust fixtures; the analyzers' testable
   // behavior is their relationship tables and definition-kind
   // simplifications (csharp.rs:148-320, rust.rs:276-326). These fixtures
-  // exercise every table row the heuristic extractor can reach; rows that
-  // genuinely need tree-sitter (Rust struct fields / enum variants, C#
-  // delegates/events/indexers, `impl Trait for Type` receiver splitting)
-  // are the measured delta, noted in COVERAGE.md.
+  // exercise every table row the heuristic extractor can reach — including
+  // Rust struct fields / enum variants and C# delegates (round 4); rows
+  // that genuinely need tree-sitter (C# indexers/operators/finalizers,
+  // `impl Trait for Type` receiver splitting) are the measured delta,
+  // noted in COVERAGE.md. C# fields/events are dropped by the reference
+  // itself (csharp.rs:279,292 → None).
 
   private def indexInline(files: (String, String)*): graft.store.GraphStore = {
     val dir = java.nio.file.Files.createTempDirectory("graft-parity")
@@ -453,6 +455,8 @@ class ReferenceFixturesSpec extends SparkSpec {
         |    public record Result {
         |        public int Code { get; set; }
         |    }
+        |
+        |    public delegate int Transform(string input);
         |}
         |""".stripMargin)
     val types = store.definitions.select("fqn", "definition_type").collect()
@@ -466,6 +470,7 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(types("App.Services.Mode") === "Class") // enum → Class
     assert(types("App.Services.Point") === "Class") // struct → Class
     assert(types("App.Services.Result") === "Class") // record → Class
+    assert(types("App.Services.Transform") === "Class") // delegate → Class (csharp.rs:280)
     assert(types("App.Services.Service.Service") === "Constructor")
     assert(types("App.Services.Service.Count") === "Property")
     assert(types("App.Services.IHandler.Name") === "Property")
@@ -541,8 +546,12 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(types("top_level") === "Function")
     assert(types.contains("engine.Core.new") && types.contains("engine.Core.run"))
     assert(types.contains("engine.Runner.start")) // body-less trait method
-    // enum variants need tree-sitter (measured delta)
-    assert(!types.contains("engine.State.Idle"))
+    // struct fields and enum variants are definitions (rust.rs:288-299)
+    assert(types("engine.Core.size") === "Field")
+    assert(types("engine.State.Idle") === "Variant")
+    assert(types("engine.State.Busy") === "Variant")
+    // struct-literal expressions inside fn bodies are NOT fields
+    assert(!types.keySet.exists(_.endsWith("new.size")))
 
     val edges = nestingEdges(store)
     // rust.rs:284-287: (Module, _) → MODULE_TO_SINGLETON_METHOD, for EVERY
@@ -551,10 +560,12 @@ class ReferenceFixturesSpec extends SparkSpec {
       assert(edges.contains(("engine", child, "MODULE_TO_SINGLETON_METHOD")),
         s"module child $child: $edges")
     // rust.rs:288-326: member-of-type pairs all map to CLASS_TO_METHOD
-    // (impl→method, trait→method)
+    // (impl→method, trait→method, struct→field, enum→variant)
     assert(edges.contains(("engine.Core", "engine.Core.new", "CLASS_TO_METHOD")))
     assert(edges.contains(("engine.Core", "engine.Core.run", "CLASS_TO_METHOD")))
     assert(edges.contains(("engine.Runner", "engine.Runner.start", "CLASS_TO_METHOD")))
+    assert(edges.contains(("engine.Core", "engine.Core.size", "CLASS_TO_METHOD")))
+    assert(edges.contains(("engine.State", "engine.State.Idle", "CLASS_TO_METHOD")))
     // rust.rs:327: any other pair emits NO nesting edge
     val allowed = Set("MODULE_TO_SINGLETON_METHOD", "CLASS_TO_METHOD")
     assert(edges.filter(_._1.startsWith("engine")).forall(e => allowed(e._3)),

@@ -213,4 +213,99 @@ class OtherExtractorsSpec extends AnyFunSuite {
     assert(e.imports.size == 2)
     assert(e.references.exists(_.name == "format_name"))
   }
+
+  test("scala: body-less case classes stay siblings; strings/comments are inert") {
+    val q3 = "\"\"\"" // a literal triple quote, embedded via interpolation
+    val e = ScalaExtractor.extract(SourceFile("M.scala", "/M.scala", "r",
+      "M.scala", "scala", "scala",
+      s"""object Model {
+        |  case class RawDef(path: String, fqn: String)
+        |  case class RawImport(path: String)
+        |  /* block comment: class Phantom { def ghost() = 1 } */
+        |  val re = ${q3}class InString(x: Int)$q3.r
+        |  val s = "def alsoNot(y: Int)" // trailing: def norThis()
+        |  def build(): RawDef = make(parse())
+        |}
+        |""".stripMargin))
+    val fqns = e.definitions.map(_.fqn).toSet
+    // RawImport must NOT nest under RawDef (body-less header opens no scope)
+    assert(fqns == Set("Model", "Model.RawDef", "Model.RawImport", "Model.build"),
+      s"got $fqns")
+    assert(e.references.exists(_.name == "make"))
+    assert(!e.references.exists(_.name == "ghost"))
+  }
+
+  test("scala: multiline headers, expression-body extents, block-arg calls") {
+    val e = ScalaExtractor.extract(SourceFile("W.scala", "/W.scala", "r",
+      "W.scala", "scala", "scala",
+      """class Wide(
+        |    val a: Int,
+        |    val b: String)
+        |  extends Base
+        |  with Marker {
+        |  def inner(): Int = compute(a)
+        |}
+        |
+        |object Ops {
+        |  def exprBody(x: Int): Int =
+        |    helper(x) +
+        |      more(x)
+        |  def sibling(): Unit = {
+        |    items.foreach { it => use(it) }
+        |  }
+        |}
+        |""".stripMargin))
+    val byFqn = e.definitions.map(d => d.fqn -> d).toMap
+    // multiline header still opens the scope at its `{`
+    assert(byFqn.contains("Wide.inner"), s"got ${byFqn.keySet}")
+    // expression-body extent spans the indented continuation lines, so the
+    // refs in `more(x)` attribute to exprBody, not to Ops
+    val eb = byFqn("Ops.exprBody")
+    assert(eb.endLine >= eb.startLine + 2, s"extent $eb")
+    val moreRef = e.references.find(_.name == "more").get
+    assert(moreRef.startLine <= eb.endLine && moreRef.startLine >= eb.startLine)
+    // block application is a call ref
+    assert(e.references.exists(_.name == "foreach"))
+    assert(e.references.exists(_.name == "use"))
+  }
+
+  test("csharp allman braces and kotlin multiline headers open their scopes") {
+    val cs = CSharpExtractor.extract(SourceFile("A.cs", "/A.cs", "r", "A.cs",
+      "cs", "csharp",
+      """namespace App
+        |{
+        |    public class Widget
+        |    {
+        |        public int Size { get; set; }
+        |        public void Render() { Draw(); }
+        |    }
+        |}
+        |""".stripMargin))
+    val cfqns = cs.definitions.map(_.fqn).toSet
+    assert(cfqns == Set("App", "App.Widget", "App.Widget.Size",
+      "App.Widget.Render"), s"got $cfqns")
+
+    val kt = KotlinExtractor.extract(SourceFile("K2.kt", "/K2.kt", "r",
+      "K2.kt", "kt", "kotlin",
+      """package com.ex
+        |class Config(
+        |    val host: String,
+        |    val port: Int
+        |) : Base(), Marker {
+        |    fun url(): String { return render(host) }
+        |}
+        |data class Plain(val x: Int)
+        |class After {
+        |    fun touch() { }
+        |}
+        |""".stripMargin))
+    val kfqns = kt.definitions.map(_.fqn).toSet
+    // members of the multiline-header class nest under it; the body-less
+    // data class does not swallow the class that follows it
+    assert(kfqns.contains("com.ex.Config.url"), s"got $kfqns")
+    assert(kfqns.contains("com.ex.After.touch"), s"got $kfqns")
+    // the supertype list on the continuation line still yields extends facts
+    assert(kt.typeFacts.exists(f =>
+      f.factKind == "extends" && f.detail == "Base"), kt.typeFacts.toString)
+  }
 }
