@@ -828,6 +828,10 @@ object RustExtractor extends BraceExtractor {
     """(?:pub(?:\([^)]*\))?\s+)?struct\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
     """(?:pub(?:\([^)]*\))?\s+)?enum\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
     """(?:pub(?:\([^)]*\))?\s+)?trait\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Interface",
+    // `impl Trait for Type` scopes members under the RECEIVING type —
+    // rust.rs resolves the impl's self type, not the trait; tried before
+    // the plain-impl rule so `for` wins when present
+    """impl(?:\s*<[^>]*>)?\s+[A-Za-z_][\w:<>, ]*?\s+for\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
     """impl(?:\s*<[^>]*>)?\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class")
   override val callableRes = Seq(
     """(?:pub(?:\([^)]*\))?\s+)?(?:async\s+|unsafe\s+|const\s+|extern\s+)*fn\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Method")

@@ -528,6 +528,10 @@ class ReferenceFixturesSpec extends SparkSpec {
         |        Busy,
         |    }
         |
+        |    impl Runner for Core {
+        |        fn start(&self) { }
+        |    }
+        |
         |    pub fn helper() -> usize {
         |        1
         |    }
@@ -546,6 +550,9 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(types("top_level") === "Function")
     assert(types.contains("engine.Core.new") && types.contains("engine.Core.run"))
     assert(types.contains("engine.Runner.start")) // body-less trait method
+    // `impl Trait for Type` scopes members under the RECEIVING type: the
+    // trait-impl'd start lands on Core, not on the Runner trait
+    assert(types.contains("engine.Core.start"), s"impl-for receiver: $types")
     // struct fields and enum variants are definitions (rust.rs:288-299)
     assert(types("engine.Core.size") === "Field")
     assert(types("engine.State.Idle") === "Variant")
@@ -566,6 +573,7 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(edges.contains(("engine.Runner", "engine.Runner.start", "CLASS_TO_METHOD")))
     assert(edges.contains(("engine.Core", "engine.Core.size", "CLASS_TO_METHOD")))
     assert(edges.contains(("engine.State", "engine.State.Idle", "CLASS_TO_METHOD")))
+    assert(edges.contains(("engine.Core", "engine.Core.start", "CLASS_TO_METHOD")))
     // rust.rs:327: any other pair emits NO nesting edge
     val allowed = Set("MODULE_TO_SINGLETON_METHOD", "CLASS_TO_METHOD")
     assert(edges.filter(_._1.startsWith("engine")).forall(e => allowed(e._3)),
