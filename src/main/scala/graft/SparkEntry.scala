@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{EdgeKind, RelType}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
 import graft.query.QueryLibrary
 import graft.store.GraphStore
 import graft.tpch.TpchGraphAdapter
@@ -1377,6 +1377,44 @@ object SparkEntry {
       FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""") { (s, d) =>
       Dedup.sharedNgramStats(s.read.parquet(s"$d/documents.parquet"),
         "doc_id", "text", n = 6).orderBy("doc_id")
+    }
+
+    // ---- corpus search: Okapi BM25 top-k (inverted-index shape; scores
+    //      rounded BEFORE ranking so the top-k is hash-stable cross-engine)
+    q("srch_bm25_topk", docPrelude +
+      s""", base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d_toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+      hits AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains(['spark','join','window','fast'], t))) AS term
+          FROM base)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM hits GROUP BY 1),
+      sc AS (SELECT doc_id, round(sum(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM hits JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1)
+      SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT doc_id, score,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+      WHERE rank <= 20 ORDER BY rank""") { (s, d) =>
+      Search.bm25TopK(s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        Seq("spark", "join", "window", "fast"), k = 20).orderBy("rank")
+    }
+
+    // ---- statistical-LM quality: per-doc cross-entropy under the corpus
+    //      unigram distribution (CCNet-style filter signal)
+    q("td_unigram_xent", docPrelude +
+      s""", tk AS (SELECT doc_id, unnest(toks) AS term FROM d_toks),
+      cnt AS (SELECT term, CAST(count(*) AS DOUBLE) AS tc FROM tk GROUP BY 1),
+      tot AS (SELECT sum(tc) AS total FROM cnt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        round(avg(-ln(tc / total)), 4) AS unigram_xent
+      FROM tk JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      Search.withUnigramXent(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text").orderBy("doc_id")
     }
 
     // ---- deterministic hash sampling (reproducible across runs + engines)

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus search / statistical-LM scoring over the documents table — the
+  * retrieval and quality-filter faces of a training-data pipeline.
+  *
+  * Everything is deterministic and engine-replayable: scores round to 4
+  * decimals BEFORE ranking (a raw double's last ulp may differ between
+  * engines' `ln`; ranking on the rounded value with a doc-id tiebreak keeps
+  * the top-k hash-stable), and every aggregate is an equi-shuffle on the
+  * term or the document id — the inverted-index shape, no pairwise joins.
+  */
+object Search {
+
+  /** Okapi BM25 top-k for a bag-of-words query.
+    *
+    * Plan shape: tokenize map-side → explode only the tokens that match a
+    * broadcast query-term array → tf = one shuffle on (doc, term) → df =
+    * one aggregation on term (vocabulary-sized, broadcast back) → score
+    * map-side → TopK window. At 100 TB the only corpus-sized shuffle is
+    * the (doc, term) tf aggregation, keyed fine-grained; df and the
+    * (n_docs, avgdl) scalars are broadcast.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qArr = array(queryTerms.distinct.map(lit): _*)
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // corpus scalars ride along via a broadcast 1-row cross join (stays in
+    // the plan; no driver-side collect)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val hits = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => array_contains(qArr, t))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = hits.groupBy("term")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val scored = hits.join(broadcast(df), "term")
+      .join(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+    // TakeOrderedAndProject first (distributed top-k — never a global
+    // single-partition rank over every matching doc), then number the k
+    // survivors
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("doc_id", "score", "rank")
+  }
+
+  /** Per-document cross-entropy under the corpus unigram LM (the CCNet-ish
+    * statistical quality signal: boilerplate-heavy or vocabulary-degenerate
+    * documents score low, -log p mass concentrated on frequent terms):
+    * xent(D) = mean over tokens t of -ln(count(t) / total_tokens).
+    *
+    * One corpus aggregation on the term (vocabulary-sized result), one
+    * shuffle joining tokens to their counts, one per-document mean.
+    */
+  def withUnigramXent(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).cast("double").as("tc"))
+    val total = counts.agg(sum("tc").as("total"))
+    toks.join(broadcast(counts), "term")
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tc") / col("total"))), 4).as("unigram_xent"))
+  }
+}

@@ -246,6 +246,52 @@ class PipelineSpec extends SparkSpec {
     assert(st(2L)._2 == 0L)
   }
 
+  test("bm25 and unigram cross-entropy match scala brute force") {
+    val corpus = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).toSeq).toMap
+    val query = Seq("quick", "spark", "dog")
+
+    // brute-force BM25 (k1=1.2, b=0.75) over the 5-doc fixture
+    val nDocs = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / nDocs
+    def bruteScore(id: Long): Double = {
+      val toks = corpus(id)
+      val s = query.distinct.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0 else {
+          val df = corpus.values.count(_.contains(t)).toDouble
+          val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+          idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl))
+        }
+      }.sum
+      math.round(s * 10000) / 10000.0
+    }
+    val got = Search.bm25TopK(docs, "doc_id", "text", query, k = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    got.foreach { case (id, score) =>
+      assert(math.abs(score - bruteScore(id)) < 1e-9, s"doc $id: $score vs ${bruteScore(id)}")
+    }
+    assert(got.keySet == corpus.keySet.filter(id => bruteScore(id) > 0))
+
+    // brute-force unigram cross-entropy
+    val counts = corpus.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+    val total = counts.values.sum
+    val xe = Search.withUnigramXent(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("unigram_xent"))).toSeq
+    xe.foreach { case (id, n, x) =>
+      assert(n == corpus(id).size)
+      val brute = corpus(id).map(t => -math.log(counts(t) / total)).sum / n
+      assert(math.abs(x - math.round(brute * 10000) / 10000.0) < 1e-9,
+        s"doc $id: $x vs $brute")
+    }
+    // the near-identical docs 0/1/3 share xent to the rounding digit; the
+    // vocabulary-distinct doc 2 is more surprising under the corpus LM
+    val byId = xe.map(t => t._1 -> t._3).toMap
+    assert(byId(2L) > byId(0L))
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
