@@ -1427,6 +1427,30 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }
 
+    // ---- deterministic mixture sampling (data mixing): largest corpus
+    //      hitting the target lang proportions exactly, bounded by
+    //      availability; weights are binary-exact (0.5/0.25/0.25) so the
+    //      floor boundaries are bit-identical cross-engine
+    q("samp_mixture",
+      s"""WITH wt AS (SELECT 'en' AS grp, 0.5 AS p
+          UNION ALL SELECT 'es', 0.25 UNION ALL SELECT 'zh', 0.25),
+      cnts AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY 1),
+      j AS (SELECT cnts.grp, n, p FROM cnts JOIN wt ON cnts.grp = wt.grp),
+      cap AS (SELECT floor(min(n / p)) AS c FROM j),
+      takes AS (SELECT grp, floor(c * p) AS tk FROM j CROSS JOIN cap),
+      ranked AS (SELECT d.doc_id, d.lang, t.tk,
+          row_number() OVER (PARTITION BY d.lang
+            ORDER BY $idFold, d.doc_id) AS rn
+        FROM documents d JOIN takes t ON d.lang = t.grp)
+      SELECT doc_id, lang FROM ranked WHERE rn <= tk ORDER BY doc_id""") {
+      (s, d) =>
+      graft.pipeline.Sampling.mixture(s.read.parquet(s"$d/documents.parquet"),
+          col("lang"), col("doc_id"),
+          Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }
+
     q("samp_stratified",
       s"""SELECT doc_id, lang FROM (
         SELECT doc_id, lang,

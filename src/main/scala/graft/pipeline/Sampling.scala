@@ -42,4 +42,42 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic mixture sampling — the data-mixing step of a training
+    * pipeline: draw the LARGEST corpus that hits the target group
+    * proportions exactly, bounded by per-group availability.
+    *
+    * With target weight p_g per group (normalized) and n_g rows available,
+    * the achievable total is T = floor(min over g of n_g / p_g) and each
+    * group contributes take_g = floor(T * p_g) rows, selected in id-hash
+    * order (reproducible; ties by id). All derivation happens in-plan: the
+    * per-group counts aggregate is group-cardinality-sized and broadcast
+    * back; selection is one row_number window per group. Groups absent
+    * from `weights` are dropped.
+    */
+  def mixture(df: DataFrame, groupCol: Column, idCol: Column,
+              weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val total = weights.values.sum
+    val wTable = weights.toSeq.sortBy(_._1)
+      .map { case (g, p) => (g, p / total) }
+      .foldLeft(Option.empty[DataFrame]) { case (acc, (g, p)) =>
+        val row = df.sparkSession.range(1).select(
+          lit(g).as("__grp"), lit(p).as("__p"))
+        Some(acc.fold(row)(_.unionByName(row)))
+      }.get
+    val counts = df.select(groupCol.as("__grp"))
+      .groupBy("__grp").agg(count(lit(1)).cast("double").as("__n"))
+      .join(wTable, "__grp")
+    val capacity = counts.agg(
+      floor(min(col("__n") / col("__p"))).cast("double").as("__cap"))
+    val takes = counts.join(broadcast(capacity))
+      .select(col("__grp"), floor(col("__cap") * col("__p")).as("__take"))
+    val w = Window.partitionBy(col("__grp")).orderBy(idHash(idCol), idCol)
+    df.withColumn("__grp", groupCol)
+      .join(broadcast(takes), "__grp")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__take"))
+      .drop("__grp", "__take", "__rn")
+  }
 }

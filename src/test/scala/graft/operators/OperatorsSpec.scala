@@ -117,6 +117,29 @@ class OperatorsSpec extends SparkSpec {
     assert(st1 === st2)
   }
 
+  test("Sampling.mixture hits target proportions bounded by availability") {
+    // 100 lang0, 100 lang1, 100 lang2 available
+    val docs = (1 to 300).map(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
+    // lang0 is the binding constraint: T = min(100/0.5, 100/0.25) = 200
+    // -> take 100 lang0, 50 lang1; lang2 has no weight -> dropped
+    val m = Sampling.mixture(docs, $"lang", $"id",
+        Map("lang0" -> 0.5, "lang1" -> 0.25))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // weights renormalize to 2/3, 1/3: T = min(100/(2/3), 100/(1/3)) = 150
+    // -> lang0 floor(150*2/3)=100, lang1 floor(150*1/3)=50
+    assert(m === Map("lang0" -> 100L, "lang1" -> 50L), m.toString)
+    // deterministic across runs
+    val r1 = Sampling.mixture(docs, $"lang", $"id", Map("lang0" -> 0.5, "lang1" -> 0.25))
+      .as[(Long, String)].collect().toSet
+    val r2 = Sampling.mixture(docs, $"lang", $"id", Map("lang0" -> 0.5, "lang1" -> 0.25))
+      .as[(Long, String)].collect().toSet
+    assert(r1 === r2 && r1.size === 150)
+    // equal weights, equal availability: everything kept
+    val all = Sampling.mixture(docs, $"lang", $"id",
+      Map("lang0" -> 1.0, "lang1" -> 1.0, "lang2" -> 1.0))
+    assert(all.count() === 300)
+  }
+
   test("Packing.sequentialPacks: boundary-aligned packs per shard") {
     val docs = Seq(
       // shard a: tokens 300, 300, 100 -> starts 0, 300, 600
