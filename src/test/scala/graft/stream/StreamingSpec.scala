@@ -188,6 +188,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 4), (3L, 3), (5L, 4)))
   }
 
+  test("streaming corpus filter: dedup + repetition verdict in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // the whole batch filter chain is map-side column work, so it rides a
+    // streaming query unchanged: first-seen dedup, then the Gopher
+    // repetition verdict gates what reaches the sink
+    val filtered = graft.pipeline.TextAnalysis.withRepetition(
+        graft.stream.StreamingDedup.dedupStream(docs, "text", "ts",
+          watermarkDelay = "1 hour"), "text")
+      .where(col("repetition_keep"))
+      .select("doc_id", "top_2gram_frac")
+    val q = filtered.writeStream.format("memory").queryName("corpusfilter")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a varied document with mostly distinct words inside", t("2024-01-01 00:00:00")),
+        (2L, "spam spam spam spam spam spam spam", t("2024-01-01 00:01:00")), // repetitive
+        (3L, "A VARIED document with mostly distinct words inside", t("2024-01-01 00:02:00"))) // dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT doc_id FROM corpusfilter ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L)) // dup dropped by dedup, spam dropped by verdict
+  }
+
   test("watermarked tumbling window over an event stream matches batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
