@@ -100,7 +100,10 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
     * event_bus + workspace_manager shared across endpoints).
     */
   val events = new graft.serve.EventPublisher
-  val workspaceManager = new graft.serve.WorkspaceManager(spark, dataDir, events)
+  // autoWatch: the serving face starts the watch → reindex loop after each
+  // successful index, the reference desktop server's behavior
+  val workspaceManager =
+    new graft.serve.WorkspaceManager(spark, dataDir, events, autoWatch = true)
 
   def start(port: Int): Int = {
     streamListener = events.attachStreamListener(spark)
@@ -160,11 +163,21 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
         "message" -> JString("SSE connection established"))))
       out.write(s"event: gkg-connection\ndata: $hello\n\n".getBytes("UTF-8"))
       out.flush()
+      var lastWrite = System.nanoTime()
       while (!closing.get()) {
         val line = queue.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (line != null) {
           out.write(s"event: gkg-event\ndata: $line\n\n".getBytes("UTF-8"))
           out.flush()
+          lastWrite = System.nanoTime()
+        } else if (System.nanoTime() - lastWrite > 15L * 1000 * 1000 * 1000) {
+          // idle heartbeat (SSE comment frame): a silently-disconnected
+          // client otherwise never triggers a write, and its handler would
+          // hold one of the 8 pool threads forever — the write to a dead
+          // socket raises the IOException that frees the thread
+          out.write(": keepalive\n\n".getBytes("UTF-8"))
+          out.flush()
+          lastWrite = System.nanoTime()
         }
       }
     } catch {

@@ -173,7 +173,10 @@ object Indexer {
       children.join(d,
           col("parent_fqn") === col("fqn") &&
             col("cfile") === col("primary_file_path"))
-        .join(broadcast(langByPath), col("cfile") === col("n_path"), "left_outer")
+        // no broadcast hint: (path, language) is corpus-proportional — one
+        // row per file — so forcing it onto the driver/executors breaks at
+        // the 10M-file scale; AQE broadcasts it only while it is small
+        .join(langByPath, col("cfile") === col("n_path"), "left_outer")
         .select(lit(EdgeKind.DefToDef).as("kind"), relType.as("type"),
           col("id").as("source_id"), col("cid").as("target_id"))
         .where(col("type").isNotNull)

@@ -248,7 +248,10 @@ abstract class BraceExtractor extends Extractor {
       if (!pendIsContainer) {
         exprEqRe.findFirstMatchIn(rest) match {
           case Some(m) =>
-            pendHeader.append(' ').append(rest.substring(0, m.start))
+            // include the params consumed on THIS line (line[0..k)) — the
+            // assembled header must keep the closing ')' or paramFacts /
+            // returnType see an unterminated param list and emit nothing
+            pendHeader.append(' ').append(line.substring(0, k + m.start))
             finishPending(open = false)
             return k + m.end
           case None =>

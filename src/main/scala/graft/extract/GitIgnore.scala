@@ -53,12 +53,15 @@ object GitIgnore {
           val j = pat.indexOf(']', i + 1)
           if (j < 0) { sb ++= "\\["; i += 1 }
           else {
-            // glob class → regex class: `[!...]` negates (regex `[^...]`),
-            // and regex metacharacters inside the class are escaped so a
-            // literal `\` or `[` in the class can't change the pattern
+            // glob class → regex class: both `[!...]` and `[^...]` negate
+            // (git's wildmatch accepts either), and regex metacharacters
+            // inside the class are escaped so a literal `\` or `[` in the
+            // class can't change the pattern
             val body0 = pat.substring(i + 1, j)
             val (neg, body) =
-              if (body0.startsWith("!")) (true, body0.substring(1)) else (false, body0)
+              if (body0.startsWith("!") || body0.startsWith("^"))
+                (true, body0.substring(1))
+              else (false, body0)
             val escaped = body.flatMap {
               case c @ ('\\' | '[' | ']' | '^') => s"\\$c"
               case c => c.toString

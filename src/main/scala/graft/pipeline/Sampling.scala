@@ -66,9 +66,14 @@ object Sampling {
           lit(g).as("__grp"), lit(p).as("__p"))
         Some(acc.fold(row)(_.unionByName(row)))
       }.get
-    val counts = df.select(groupCol.as("__grp"))
-      .groupBy("__grp").agg(count(lit(1)).cast("double").as("__n"))
-      .join(wTable, "__grp")
+    // LEFT join from the weight table: a weighted group with ZERO available
+    // rows must drive capacity to 0 (the proportions are unreachable), not
+    // silently vanish from the min and skew the mixture mono-group
+    val counts = wTable.join(
+        df.select(groupCol.as("__grp"))
+          .groupBy("__grp").agg(count(lit(1)).cast("double").as("__n")),
+        Seq("__grp"), "left_outer")
+      .withColumn("__n", coalesce(col("__n"), lit(0.0)))
     val capacity = counts.agg(
       floor(min(col("__n") / col("__p"))).cast("double").as("__cap"))
     val takes = counts.join(broadcast(capacity))

@@ -88,12 +88,16 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
     // after each successful index, as the reference's desktop server does
     autoWatch: Boolean = false) {
 
+  // status fields are written on the job thread and read from HTTP pool
+  // threads: volatile gives the happens-before edge (the ConcurrentHashMap
+  // entry itself is never re-put, so it provides none)
   final case class ProjectState(projectPath: String, hash: String,
-      var status: String, var lastIndexedAt: Option[String],
-      var errorMessage: Option[String])
+      @volatile var status: String,
+      @volatile var lastIndexedAt: Option[String],
+      @volatile var errorMessage: Option[String])
   final case class WorkspaceState(path: String, dataDirectoryName: String,
-      projects: Seq[ProjectState], var status: String,
-      var lastIndexedAt: Option[String])
+      projects: Seq[ProjectState], @volatile var status: String,
+      @volatile var lastIndexedAt: Option[String])
 
   private val workspaces = new ConcurrentHashMap[String, WorkspaceState]()
   private val jobs = java.util.concurrent.Executors.newSingleThreadExecutor(
@@ -150,23 +154,35 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
           "workspace_folder_info" -> workspaceJson(ws),
           "projects_to_process" -> JArray(
             ws.projects.map(p => JString(p.projectPath)).toList))
+        // a concurrent DELETE /workspace/delete deregisters the workspace:
+        // the job must not resurrect its store or publish for a ghost
+        def live: Boolean = workspaces.containsKey(ws.path)
         try {
           ws.projects.foreach { p =>
-            val store = graft.analyze.Indexer.indexDirectory(
-              spark, p.projectPath,
-              Paths.get(p.projectPath).getFileName.toString)
-            store.write(storeDirFor(ws, p))
-            p.status = "Indexed"
-            p.lastIndexedAt = Some(Instant.now.toString)
-            p.errorMessage = None
+            if (live) {
+              val store = graft.analyze.Indexer.indexDirectory(
+                spark, p.projectPath,
+                Paths.get(p.projectPath).getFileName.toString)
+              store.write(storeDirFor(ws, p))
+              if (!live) deleteDir(Paths.get(dataDir, ws.dataDirectoryName))
+              p.status = "Indexed"
+              p.lastIndexedAt = Some(Instant.now.toString)
+              p.errorMessage = None
+            }
           }
           ws.status = "Indexed"
           ws.lastIndexedAt = Some(Instant.now.toString)
-          bus.publish("WorkspaceIndexingCompleted",
-            "workspace_folder_info" -> workspaceJson(ws),
-            "projects_indexed" -> JArray(
-              ws.projects.map(p => JString(p.projectPath)).toList))
-          if (autoWatch) watchWorkspace(ws)
+          if (live) {
+            // start the watch (baseline snapshot) BEFORE announcing
+            // completion — an edit made the instant a client sees
+            // Completed must land after the watcher's baseline, or the
+            // snapshot diff never reports it
+            if (autoWatch) watchWorkspace(ws)
+            bus.publish("WorkspaceIndexingCompleted",
+              "workspace_folder_info" -> workspaceJson(ws),
+              "projects_indexed" -> JArray(
+                ws.projects.map(p => JString(p.projectPath)).toList))
+          }
         } catch {
           case e: Exception =>
             ws.status = "Error"
@@ -247,17 +263,19 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
     }
 
   /** Remove a workspace and its stores; false if it wasn't registered. */
-  def delete(path: String): Boolean = {
-    val ws = workspaces.remove(path)
-    if (ws == null) return false
-    unwatch(ws)
-    val root = Paths.get(dataDir, ws.dataDirectoryName)
+  private def deleteDir(root: Path): Unit =
     if (Files.exists(root)) {
       val s = Files.walk(root)
       try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.deleteIfExists(_))
       finally s.close()
     }
+
+  def delete(path: String): Boolean = {
+    val ws = workspaces.remove(path)
+    if (ws == null) return false
+    unwatch(ws)
+    deleteDir(Paths.get(dataDir, ws.dataDirectoryName))
     true
   }
 

@@ -50,8 +50,21 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
     snapshot = now
     val changes = added ++ modified ++ deleted
     if (changes.nonEmpty) {
+      // full JSON string escaping: a control character in a file name
+      // (newline is legal on POSIX) must not split the line — the streaming
+      // source would mark both fragments _corrupt_record and silently drop
+      // the change from the reindex batch
+      def esc(s: String): String = s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val lines = changes.map { case (p, t) =>
-        s"""{"changed_path":"${p.replace("\\", "\\\\").replace("\"", "\\\"")}","change_type":"$t"}"""
+        s"""{"changed_path":"${esc(p)}","change_type":"$t"}"""
       }.mkString("", "\n", "\n")
       val out = java.nio.file.Paths.get(changeFeedDir)
       Files.createDirectories(out)

@@ -156,15 +156,21 @@ class HttpSpec extends SparkSpec {
     val info1 = JsonMethods.parse(b1)
     assert((info1 \ "project_count").extract[Int] == 1)
 
-    // lifecycle events arrive on the bus: Started, then Completed
+    // lifecycle events arrive on the bus: Started, then (after the
+    // auto-watch stream's own lifecycle frames, which may interleave)
+    // Completed
     val (n1, d1) = readEvent()
     assert(n1 == "gkg-event")
     assert((JsonMethods.parse(d1) \ "type").extract[String] ==
       "WorkspaceIndexingStarted")
-    val (n2, d2) = readEvent()
-    assert(n2 == "gkg-event")
-    val done = JsonMethods.parse(d2)
-    assert((done \ "type").extract[String] == "WorkspaceIndexingCompleted")
+    def nextOfType(t: String, tries: Int = 20): org.json4s.JValue = {
+      val (n, d) = readEvent()
+      assert(n == "gkg-event")
+      val j = JsonMethods.parse(d)
+      if ((j \ "type").extract[String] == t) j
+      else { assert(tries > 0, s"never saw $t"); nextOfType(t, tries - 1) }
+    }
+    val done = nextOfType("WorkspaceIndexingCompleted")
     assert((done \ "projects_indexed").extract[Seq[String]] ==
       Seq(proj.toString))
     conn.disconnect()

@@ -61,4 +61,40 @@ class RealCodeRobustnessSpec extends AnyFunSuite {
     assert(kinds.getOrElse("Module", 0) > 10, s"few modules: $kinds")
     assert(nImports > 300, s"few imports: $nImports")
   }
+
+  test("typescript extractor is robust over the reference's real frontend") {
+    val root = Paths.get("/root/reference/packages")
+    assume(Files.isDirectory(root), "reference packages not present")
+    val tsFiles = {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".ts") && Files.isRegularFile(p) &&
+          !p.toString.contains("node_modules"))
+        .toVector
+      finally s.close()
+    }
+    assume(tsFiles.size > 20, s"unexpectedly few TS files: ${tsFiles.size}")
+
+    var nDefs = 0
+    var nImports = 0
+    tsFiles.foreach { p =>
+      val content = Files.readString(p)
+      val nLines = content.count(_ == '\n') + 1
+      val e = TypeScriptExtractor.extract(SourceFile(
+        root.relativize(p).toString, p.toString, "reference-frontend",
+        p.getFileName.toString, "ts", "typescript", content))
+      e.definitions.foreach { d =>
+        assert(d.name.nonEmpty && d.fqn.nonEmpty && !d.fqn.contains(".."),
+          s"bad def in $p: $d")
+        assert(d.startLine >= 0 && d.endLine >= d.startLine && d.endLine < nLines,
+          s"bad extent in $p: $d")
+      }
+      nDefs += e.definitions.size
+      nImports += e.imports.size
+    }
+    info(s"files=${tsFiles.size} defs=$nDefs imports=$nImports")
+    println(s"ROBUSTNESS typescript files=${tsFiles.size} defs=$nDefs imports=$nImports")
+    assert(nDefs > 50, s"implausibly few definitions: $nDefs")
+    assert(nImports > 50, s"implausibly few imports: $nImports")
+  }
 }

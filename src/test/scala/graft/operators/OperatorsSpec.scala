@@ -138,6 +138,11 @@ class OperatorsSpec extends SparkSpec {
     val all = Sampling.mixture(docs, $"lang", $"id",
       Map("lang0" -> 1.0, "lang1" -> 1.0, "lang2" -> 1.0))
     assert(all.count() === 300)
+    // a weighted group with nothing available makes the target proportions
+    // unreachable: capacity 0, empty draw — never a silently skewed mixture
+    val unreachable = Sampling.mixture(docs, $"lang", $"id",
+      Map("lang0" -> 0.5, "langMissing" -> 0.5))
+    assert(unreachable.count() === 0)
   }
 
   test("Packing.sequentialPacks: boundary-aligned packs per shard") {
