@@ -1124,6 +1124,31 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
     }
 
+    // ---- dedup: MinHash Jaccard estimate next to the exact value for each
+    //      qualifying pair (estimator face of the signature; slot agreement
+    //      fraction is k/128 — binary-exact, so the rounding is stable)
+    q("dd_minhash_estimate", jaccardPairsSql.substring(0,
+      jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
+      , th2 AS (SELECT doc_id, ${sqlCharFold("shingle")} AS h FROM shd),
+      mh2 AS (
+        SELECT doc_id, i,
+          min((((2654435761 % 1000000007) * (2 * i + 1)) % 1000000007 * h
+               + (1779033703 * (i + 1)) % 1000000007) % 1000000007) AS mh
+        FROM th2, LATERAL (SELECT unnest(generate_series(0, 127)) AS i) g
+        GROUP BY doc_id, i),
+      est AS (SELECT j.ida, j.idb, j.j,
+          CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 128 AS est
+        FROM jac j
+        JOIN mh2 a ON a.doc_id = j.ida
+        JOIN mh2 b ON b.doc_id = j.idb AND a.i = b.i
+        WHERE j.j >= 0.8 GROUP BY 1, 2, 3)
+      SELECT ida AS id_a, idb AS id_b, round(est, 4) AS est_jaccard,
+        round(j, 4) AS jaccard
+      FROM est ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.minhashEstimatePairs(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    }
+
     // ---- dedup clusters: keeper per near-dup group (6-round min-label
     //      propagation over the jaccard>=0.8 pair graph, unrolled in SQL)
     // each level references lp{k-1} exactly ONCE (min over neighbors ∪ self

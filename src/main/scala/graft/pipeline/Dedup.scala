@@ -211,6 +211,34 @@ object Dedup {
         posexplode(minhashSig(col("sh"), numHashes)).as(Seq("hi", "mh")))
   }
 
+  /** MinHash Jaccard ESTIMATE next to the exact value for every qualifying
+    * near-dup pair — the estimator face of the signature: est = agreeing
+    * signature slots / numHashes (an unbiased estimator of Jaccard with
+    * sd ≈ sqrt(j(1-j)/k) ≈ 0.035 at j=0.8, k=128). At corpus scale the
+    * signatures come from the map-side [[graft.functions.MinHashSig]]
+    * expression and the slot comparison runs only on the (few) surviving
+    * pairs, so the estimator costs nothing beyond the pair generator.
+    */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           numHashes: Int = 128): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    val sigs = docs.select(col(idCol).as("sid"),
+      minhashSig(shingleSet(col(textCol), n), numHashes).as("sig"))
+    pairs
+      .join(sigs.select(col("sid").as("__a"), col("sig").as("sa")),
+        col("id_a") === col("__a"))
+      .join(sigs.select(col("sid").as("__b"), col("sig").as("sb")),
+        col("id_b") === col("__b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(
+          zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 4)
+          .as("est_jaccard"),
+        col("jaccard"))
+  }
+
   /** Per-document SimHash over the token multiset: token → polynomial hash →
     * per-bit ±1 vote → sign bit. 30 bits (token hashes are < 2^30).
     * One explode + one groupBy with 30 codegen'd conditional sums.

@@ -246,6 +246,24 @@ class PipelineSpec extends SparkSpec {
     assert(st(2L)._2 == 0L)
   }
 
+  test("minhash estimate tracks exact jaccard on qualifying pairs") {
+    val est = Dedup.minhashEstimatePairs(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      val j = r.getAs[Double]("jaccard")
+      // 128-slot estimator: sd = sqrt(j(1-j)/128) < 0.05 for j in [0.5, 1];
+      // 4 sigma keeps the assertion deterministic for this fixed corpus
+      assert(math.abs(e - j) < 0.2, s"estimate $e far from exact $j")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    // identical docs 0 and 3: signatures agree on every slot
+    val exact = est.find(r => r.getAs[Long]("id_a") == 0L &&
+      r.getAs[Long]("id_b") == 3L).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
   test("bm25 and unigram cross-entropy match scala brute force") {
     val corpus = docs.collect().map(r => r.getLong(0) ->
       r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
