@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt's default logged output strategy decorates forked-run stdout
+// with an "[info] " prefix and appends its own "[success]" line, which left
+// BENCH_r{2,3,4}.json `parsed: null`. StdoutOutput passes the child's
+// stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
+// ...and the JSON must also be the LAST line: drop sbt's trailing
+// "[success] Total time: ..." message.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1461,7 +1461,8 @@ object SparkEntry {
           UNION ALL SELECT 'es', 0.25 UNION ALL SELECT 'zh', 0.25),
       cnts AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
         FROM documents GROUP BY 1),
-      j AS (SELECT cnts.grp, n, p FROM cnts JOIN wt ON cnts.grp = wt.grp),
+      j AS (SELECT wt.grp, coalesce(n, 0) AS n, p
+        FROM wt LEFT JOIN cnts ON cnts.grp = wt.grp),
       cap AS (SELECT floor(min(n / p)) AS c FROM j),
       takes AS (SELECT grp, floor(c * p) AS tk FROM j CROSS JOIN cap),
       ranked AS (SELECT d.doc_id, d.lang, t.tk,

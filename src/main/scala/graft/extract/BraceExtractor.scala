@@ -85,6 +85,13 @@ abstract class BraceExtractor extends Extractor {
     * CLASS_TO_METHOD containment). Returns (name, kind).
     */
   protected def memberRule(line: String, flavor: String): Option[(String, String)] = None
+  /** First-word tokens that CONTINUE a pending multi-line declaration
+    * header beyond the universal extends/with/:/=/{ set — Rust/Kotlin/C#
+    * `where` clauses, Java `implements`/`throws`/`permits`. Without these a
+    * line like `where T: Clone` between a generic header and its `{` would
+    * close the pending header body-less and the scope would never open.
+    */
+  protected def continuationTokens: Set[String] = Set.empty
 
   private val callRe: Regex =
     """(?:([A-Za-z_$][A-Za-z0-9_$.?]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
@@ -154,6 +161,12 @@ abstract class BraceExtractor extends Extractor {
     var pendParens = 0
     var pendIndent = 0
     var pendFlavor = ""
+    // inside a multi-line constraint/supertype clause opened by one of the
+    // language's continuationTokens (`where` / `implements` / …): every
+    // following line continues the header until its `{`, `;` or `=` — the
+    // clause's member lines (`T: Clone,`) carry no continuation keyword of
+    // their own
+    var pendContClause = false
     // expression-body callables closed by indentation (indentExtents):
     // (headerIndent, defIdx)
     var indentStack = List.empty[(Int, Int)]
@@ -184,6 +197,7 @@ abstract class BraceExtractor extends Extractor {
     def finishPending(open: Boolean): Unit = {
       val header = pendHeader.toString
       pendHeader = null
+      pendContClause = false
       if (emitTypeFacts) {
         val fqn = defs(pendIdx).fqn
         val ln = defs(pendIdx).startLine
@@ -230,9 +244,12 @@ abstract class BraceExtractor extends Extractor {
         if (k > 0) pendHeader.append(' ').append(line.substring(0, k))
         return -1
       }
-      val isCont = k > 0 || t.startsWith("extends") || t.startsWith("with") ||
+      val startsContClause = continuationTokens(t.takeWhile(_.isLetter))
+      val isCont = k > 0 || pendContClause || startsContClause ||
+        t.startsWith("extends") || t.startsWith("with") ||
         t.startsWith(":") || t.startsWith("=") || t.startsWith("{")
       if (!isCont) { finishPending(open = false); return 0 }
+      if (startsContClause) pendContClause = true
       val bracePos = rest.indexOf('{')
       val semiPos = rest.indexOf(';')
       if (bracePos >= 0 && (semiPos < 0 || bracePos < semiPos)) {
@@ -366,6 +383,24 @@ abstract class BraceExtractor extends Extractor {
         factScopeStack ::= (depth, name)
         matched = true
       }
+      // non-scope members of the immediately-enclosing container body
+      // (Rust struct fields / enum variants; C# indexers / operator
+      // overloads / finalizers): dispatch on the container's declaring
+      // keyword, only at its direct body depth. Tried BEFORE callableRes —
+      // a C# conversion operator (`public static implicit operator Foo(`)
+      // would otherwise be mis-captured by the generic Method regex as a
+      // method named after the target type (and then refined into a
+      // phantom Constructor when the type is the enclosing class).
+      if (!matched && containerStack.nonEmpty &&
+          depth == containerStack.head._1 + 1) {
+        memberRule(line, containerStack.head._4).foreach { case (name, kind) =>
+          val c = math.max(line.indexOf(name), 0)
+          attachAnnotations()
+          add(name, fqnOf(name), kind, c)
+          matched = true
+          refScanFrom = c + name.length
+        }
+      }
       if (!matched) callableRes.foreach { case (re, kind) =>
         if (!matched) re.findFirstMatchIn(line).foreach { m =>
           val name = m.group(1)
@@ -408,18 +443,6 @@ abstract class BraceExtractor extends Extractor {
             matched = true
             refScanFrom = m.end
           }
-        }
-      }
-      // non-scope members of the immediately-enclosing container body
-      // (Rust struct fields / enum variants): dispatch on the container's
-      // declaring keyword, only at its direct body depth
-      if (!matched && containerStack.nonEmpty &&
-          depth == containerStack.head._1 + 1) {
-        memberRule(line, containerStack.head._4).foreach { case (name, kind) =>
-          val c = math.max(line.indexOf(name), 0)
-          add(name, fqnOf(name), kind, c)
-          matched = true
-          refScanFrom = c + name.length
         }
       }
       if (!matched) parseImport(line).foreach { case (it, path, name, alias) =>
@@ -592,9 +615,14 @@ object JavaExtractor extends BraceExtractor {
     """(?:public\s+|private\s+|protected\s+)*enum\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Class",
     """(?:public\s+|private\s+|protected\s+)*record\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r -> "Class")
   override val callableRes = Seq(
-    """(?:public\s+|private\s+|protected\s+|static\s+|final\s+|synchronized\s+|abstract\s+|native\s+|default\s+)+[A-Za-z_$][\w$<>\[\],. ]*\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?:throws[\w, .]+)?\{""".r -> "Method",
-    // constructor: modifier + ClassName( ... ) { — no return type
-    """(?:public|private|protected)\s+([A-Z][A-Za-z0-9_$]*)\s*\([^;)]*\)\s*\{""".r -> "Method")
+    // the body `{` is OPTIONAL: a multi-line header (`void f()\n  throws E {`,
+    // Allman brace) goes through the pending-header machinery, which opens
+    // the scope when the brace arrives and stays body-less when it never
+    // does (abstract/interface methods). The `=`-free type charset keeps
+    // field initializers (`int x = f(y);`) from matching.
+    """(?:public\s+|private\s+|protected\s+|static\s+|final\s+|synchronized\s+|abstract\s+|native\s+|default\s+)+[A-Za-z_$][\w$<>\[\],. ]*\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?:throws[\w, .]+)?\{?""".r -> "Method",
+    // constructor: modifier + ClassName( ... ) — no return type
+    """(?:public|private|protected)\s+([A-Z][A-Za-z0-9_$]*)\s*\([^;)]*\)\s*\{?""".r -> "Method")
   override val keywords = Set("if", "for", "while", "switch", "catch", "return",
     "new", "super", "this", "assert", "synchronized")
   override def parseImport(line: String) = {
@@ -613,7 +641,10 @@ object JavaExtractor extends BraceExtractor {
   override def superTypes(line: String, afterName: Int): Seq[String] = {
     val rest = line.substring(math.min(afterName, line.length))
     val ext = """extends\s+([\w.]+)""".r.findFirstMatchIn(rest).map(_.group(1)).toSeq
-    val impl = """implements\s+([\w.,\s]+?)\s*\{""".r.findFirstMatchIn(rest)
+    // `(?:\{|$)`: an assembled multi-line header ends BEFORE its `{` (the
+    // pending machinery appends only up to the brace), so the implements
+    // list may run to end-of-string
+    val impl = """implements\s+([\w.,\s]+?)\s*(?:\{|$)""".r.findFirstMatchIn(rest)
       .map(_.group(1)).toSeq.flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
     ext ++ impl
   }
@@ -643,6 +674,9 @@ object JavaExtractor extends BraceExtractor {
       .findFirstMatchIn(line).map(_.group(1))
   override def annotationNames(line: String): Seq[String] =
     """^\s*@([A-Za-z_]\w*)""".r.findFirstMatchIn(line).map(_.group(1)).toSeq
+  // `class Foo extends Bar\n    implements Baz {` / `void f()\n throws E {`
+  // / sealed `permits` — all continue a pending multi-line header
+  override val continuationTokens = Set("implements", "throws", "permits")
 }
 
 /** Kotlin (reference fixtures: fixtures/kotlin, resolver
@@ -738,6 +772,8 @@ object KotlinExtractor extends BraceExtractor {
       .map(m => (m.group(1), m.group(2)))
   override def annotationNames(line: String): Seq[String] =
     """^\s*@([A-Za-z_]\w*)""".r.findFirstMatchIn(line).map(_.group(1)).toSeq
+  // Kotlin generic-constraint clause: `class C<T> where T : Comparable<T>`
+  override val continuationTokens = Set("where")
 }
 
 /** C# (reference language set includes CSharp). Definition-kind mapping
@@ -788,6 +824,32 @@ object CSharpExtractor extends BraceExtractor {
         m.group(2).split("\\.").last, null)
     }
   }
+  // generic-constraint clause between a generic header and its `{`:
+  // `class Cache<T> where T : IComparable<T>` — continues the pending header
+  override val continuationTokens = Set("where")
+  // Indexers, operator overloads and finalizers (csharp.rs:281-291
+  // simplify_definition_type: Indexer→Property, Operator→StaticMethod,
+  // Finalizer→InstanceMethod — i.e. the kinds below keep the reference's
+  // CLASS_TO_PROPERTY / CLASS_TO_METHOD relationship routing). Names follow
+  // the written form: an indexer is "this[]", an operator is
+  // "operator<token>" (`operator+`, `operator==`, conversion operators
+  // `operatorTargetType`), a finalizer is "~ClassName" — distinct from the
+  // constructor's name by the tilde.
+  private val indexerRe =
+    """^\s*(?:public\s+|private\s+|internal\s+|protected\s+|virtual\s+|override\s+)*[A-Za-z_][\w<>\[\],. ?]*\s+this\s*\[""".r
+  private val operatorRe =
+    """^\s*(?:public\s+|private\s+|internal\s+|protected\s+|static\s+)+(?:[A-Za-z_][\w<>\[\],. ?]*\s+)?(?:implicit\s+|explicit\s+)?operator\s*([^\s(]+)\s*\(""".r
+  private val finalizerRe = """^\s*~([A-Za-z_]\w*)\s*\(\s*\)""".r
+  override def memberRule(line: String, flavor: String): Option[(String, String)] =
+    flavor match {
+      case "class" | "struct" | "record" | "interface" =>
+        if (indexerRe.findFirstIn(line).isDefined) Some(("this[]", "Property"))
+        else operatorRe.findFirstMatchIn(line)
+          .map(m => ("operator" + m.group(1), "Method"))
+          .orElse(finalizerRe.findFirstMatchIn(line)
+            .map(m => ("~" + m.group(1), "Method")))
+      case _ => None
+    }
 }
 
 /** Scala — beyond the reference's language set, so this engine can index
@@ -847,6 +909,10 @@ object RustExtractor extends BraceExtractor {
         m.group(1).split("::").last, m.group(2))
     }
   }
+  // `where` clauses between a generic header and its `{` are common in
+  // generic-heavy Rust (`impl<T> Cache<T>\nwhere\n    T: Clone\n{`) — they
+  // continue the pending header rather than closing it body-less
+  override val continuationTokens = Set("where")
   // struct fields and enum variants are definitions in the reference's
   // analyzer (rust.rs:288-299: Struct→Field and Enum→Variant both carry
   // CLASS_TO_METHOD containment); only the direct body depth of a

@@ -10,7 +10,9 @@ package graft.extract
   * contents are gone — a `//` inside a URL literal no longer truncates).
   *
   * Import/require lines that carry quoted module paths (TypeScript, Ruby)
-  * must be parsed from the RAW line — blanking erases the path.
+  * should MATCH on the blanked line (so commented-out imports are ignored)
+  * and recover the path text from the identical character span of the raw
+  * line — blanking is length-preserving, so spans line up.
   */
 private[extract] object NoiseBlanker {
 

@@ -34,8 +34,9 @@ object TypeScriptExtractor extends Extractor {
   override def extract(f: SourceFile): Extracted = {
     val rawLines = f.content.split("\n", -1)
     // blank '...'/"..."/`...` string bodies and /* */ comments so quoted
-    // code can't fabricate defs/refs or corrupt brace depth; imports parse
-    // from the RAW line below (their module paths are quoted)
+    // code can't fabricate defs/refs or corrupt brace depth; imports match
+    // on the blanked line too (so commented-out imports are ignored) with
+    // module paths recovered from the raw line's identical span
     val lines = NoiseBlanker.blank(rawLines, "//", Some("`"),
       singleQuoteStrings = true)
     val lineStart = new Array[Long](rawLines.length + 1)
@@ -56,8 +57,12 @@ object TypeScriptExtractor extends Extractor {
     for (i <- lines.indices) {
       val raw = lines(i)
       val line = raw.indexOf("//") match { case -1 => raw; case n => raw.substring(0, n) }
-      // import/require module paths live inside the blanked quotes
-      val importLine = rawLines(i)
+      // Imports are matched on the comment-truncated BLANKED line (so
+      // `// import x from 'y'` and `/* require('b') */` can't fabricate
+      // rows), and the module path — whose characters blanking erased — is
+      // recovered from the identical span of the raw line (NoiseBlanker is
+      // length-preserving)
+      def rawSpan(start: Int, end: Int): String = rawLines(i).substring(start, end)
 
       def fqnOf(name: String) =
         (classStack.reverseIterator.map(_._2).toSeq :+ name).mkString(".")
@@ -93,10 +98,10 @@ object TypeScriptExtractor extends Extractor {
           }
         }
 
-      importFromRe.findFirstMatchIn(importLine) match {
+      importFromRe.findFirstMatchIn(line) match {
         case Some(m) =>
           val clause = m.group(1).trim
-          val module = m.group(2)
+          val module = rawSpan(m.start(2), m.end(2))
           if (clause.startsWith("{")) {
             clause.stripPrefix("{").stripSuffix("}").split(",").map(_.trim)
               .filter(_.nonEmpty).foreach { item =>
@@ -115,12 +120,13 @@ object TypeScriptExtractor extends Extractor {
               lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
           }
         case None =>
-          importBareRe.findFirstMatchIn(importLine).foreach { m =>
-            imports += RawImport(f.path, "side_effect_import", m.group(1), "", null,
+          importBareRe.findFirstMatchIn(line).foreach { m =>
+            imports += RawImport(f.path, "side_effect_import",
+              rawSpan(m.start(1), m.end(1)), "", null,
               lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
           }
-          requireRe.findFirstMatchIn(importLine).foreach { m =>
-            imports += RawImport(f.path, "require", m.group(2),
+          requireRe.findFirstMatchIn(line).foreach { m =>
+            imports += RawImport(f.path, "require", rawSpan(m.start(2), m.end(2)),
               m.group(1).replaceAll("[{} ]", ""), null,
               lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
           }
@@ -243,7 +249,6 @@ object RubyExtractor extends Extractor {
     for (i <- lines.indices) {
       val raw = lines(i)
       val line = raw.indexOf('#') match { case -1 => raw; case n => raw.substring(0, n) }
-      val importLine = rawLines(i) // quoted require paths live here
       val trimmed = line.trim
 
       moduleRe.findFirstMatchIn(line) match {
@@ -271,10 +276,13 @@ object RubyExtractor extends Extractor {
               val trailingDo = trimmed.matches(""".*\bdo\s*(\|[^|]*\|)?\s*$""")
               if ((blockOpenRe.findFirstIn(trimmed).isDefined || trailingDo) &&
                   !trimmed.contains(" end")) stack ::= None
-              requireRe.findFirstMatchIn(importLine).foreach { m =>
+              requireRe.findFirstMatchIn(line).foreach { m =>
+                // match on the blanked line (^-anchored, but consistent with
+                // TypeScript); path recovered from the raw line's span
+                val path = rawLines(i).substring(m.start(2), m.end(2))
                 imports += RawImport(f.path,
                   if (m.group(1) != null) "require_relative" else "require",
-                  m.group(2), m.group(2).split("/").last, null,
+                  path, path.split("/").last, null,
                   lineStart(i), lineStart(i) + line.length, i, i, 0, line.length)
               }
               assignRe.findFirstMatchIn(line).foreach { m =>

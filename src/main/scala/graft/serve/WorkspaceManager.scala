@@ -164,15 +164,20 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
                 spark, p.projectPath,
                 Paths.get(p.projectPath).getFileName.toString)
               store.write(storeDirFor(ws, p))
-              if (!live) deleteDir(Paths.get(dataDir, ws.dataDirectoryName))
-              p.status = "Indexed"
-              p.lastIndexedAt = Some(Instant.now.toString)
-              p.errorMessage = None
+              if (live) {
+                p.status = "Indexed"
+                p.lastIndexedAt = Some(Instant.now.toString)
+                p.errorMessage = None
+              }
             }
           }
-          ws.status = "Indexed"
-          ws.lastIndexedAt = Some(Instant.now.toString)
+          // a delete can land between any `live` check above and the store
+          // write that follows it (check-then-act): re-check once after the
+          // loop — a deregistered workspace gets no status writes and any
+          // store directory the race recreated is removed
           if (live) {
+            ws.status = "Indexed"
+            ws.lastIndexedAt = Some(Instant.now.toString)
             // start the watch (baseline snapshot) BEFORE announcing
             // completion — an edit made the instant a client sees
             // Completed must land after the watcher's baseline, or the
@@ -182,7 +187,7 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
               "workspace_folder_info" -> workspaceJson(ws),
               "projects_indexed" -> JArray(
                 ws.projects.map(p => JString(p.projectPath)).toList))
-          }
+          } else deleteDir(Paths.get(dataDir, ws.dataDirectoryName))
         } catch {
           case e: Exception =>
             ws.status = "Error"

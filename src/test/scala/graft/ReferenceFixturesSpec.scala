@@ -383,11 +383,9 @@ class ReferenceFixturesSpec extends SparkSpec {
   // behavior is their relationship tables and definition-kind
   // simplifications (csharp.rs:148-320, rust.rs:276-326). These fixtures
   // exercise every table row the heuristic extractor can reach — including
-  // Rust struct fields / enum variants and C# delegates (round 4); rows
-  // that genuinely need tree-sitter (C# indexers/operators/finalizers,
-  // `impl Trait for Type` receiver splitting) are the measured delta,
-  // noted in COVERAGE.md. C# fields/events are dropped by the reference
-  // itself (csharp.rs:279,292 → None).
+  // Rust struct fields / enum variants and C# delegates (round 4) and C#
+  // indexers / operator overloads / finalizers (round 5). C# fields/events
+  // are dropped by the reference itself (csharp.rs:279,292 → None).
 
   private def indexInline(files: (String, String)*): graft.store.GraphStore = {
     val dir = java.nio.file.Files.createTempDirectory("graft-parity")
@@ -438,6 +436,21 @@ class ReferenceFixturesSpec extends SparkSpec {
         |            return n + 1;
         |        }
         |
+        |        public int this[int i] { get { return i; } set { } }
+        |
+        |        public static Service operator +(Service a, Service b) {
+        |            return a;
+        |        }
+        |
+        |        public static bool operator ==(Service a, Service b) { return true; }
+        |        public static bool operator !=(Service a, Service b) { return false; }
+        |
+        |        public static implicit operator Point(Service s) {
+        |            return new Point();
+        |        }
+        |
+        |        ~Service() { }
+        |
         |        public class Inner {
         |            public void Run() { }
         |        }
@@ -478,6 +491,18 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(types("App.Services.Service.Helper") === "Method")
     assert(types("App.Services.IHandler.Handle") === "Method") // body-less
     assert(types("App.Services.Service.Inner") === "Class")
+    // round-5: the formerly tree-sitter-only rows (csharp.rs:281-291
+    // simplify_definition_type) — Indexer→Property, Operator→StaticMethod,
+    // Finalizer→InstanceMethod; names follow the written form
+    assert(types("App.Services.Service.this[]") === "Property")
+    assert(types("App.Services.Service.operator+") === "Method")
+    assert(types("App.Services.Service.operator==") === "Method")
+    assert(types("App.Services.Service.operator!=") === "Method")
+    assert(types("App.Services.Service.operatorPoint") === "Method") // conversion
+    assert(types("App.Services.Service.~Service") === "Method") // finalizer
+    // the tilde keeps the finalizer distinct from the constructor — the
+    // conversion operator must NOT have been mis-refined into one either
+    assert(types("App.Services.Service.Service") === "Constructor")
 
     val edges = nestingEdges(store)
     // csharp.rs:168-245's (parent, child) → relationship rows
@@ -491,7 +516,10 @@ class ReferenceFixturesSpec extends SparkSpec {
       ("App.Services.IHandler", "App.Services.IHandler.Handle", "INTERFACE_TO_METHOD"),
       ("App.Services.IHandler", "App.Services.IHandler.Name", "INTERFACE_TO_PROPERTY"),
       ("App.Services.Point", "App.Services.Point.X", "CLASS_TO_PROPERTY"),
-      ("App.Services.Result", "App.Services.Result.Code", "CLASS_TO_PROPERTY"))
+      ("App.Services.Result", "App.Services.Result.Code", "CLASS_TO_PROPERTY"),
+      ("App.Services.Service", "App.Services.Service.this[]", "CLASS_TO_PROPERTY"),
+      ("App.Services.Service", "App.Services.Service.operator+", "CLASS_TO_METHOD"),
+      ("App.Services.Service", "App.Services.Service.~Service", "CLASS_TO_METHOD"))
     expected.foreach(e => assert(edges.contains(e), s"missing $e in $edges"))
     // enum members are values, not definitions (csharp.rs extracts none)
     assert(!types.contains("App.Services.Mode.Fast"))
