@@ -73,32 +73,114 @@ object FileScanner {
     */
   def listPaths(rootDir: String): Seq[(String, Long, Long)] = {
     val root = Paths.get(rootDir).toAbsolutePath.normalize
-    def walk(dir: Path,
-             inherited: Vector[(String, Seq[GitIgnore.Rule])]): Iterator[(String, Long, Long)] = {
-      val gi = dir.resolve(".gitignore")
-      val scopes =
-        if (Files.isRegularFile(gi))
-          inherited :+ (relOf(root, dir) ->
-            GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
-        else inherited
-      val entries = {
-        val s = Files.list(dir)
-        try s.iterator().asScala.toVector finally s.close()
-      }
-      val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
-      entries.iterator.flatMap { p =>
-        val name = p.getFileName.toString
-        val isDir = Files.isDirectory(p, nofollow)
-        if (isDir && ignoredDirs(name)) Iterator.empty
-        else if (GitIgnore.ignored(relOf(root, p), isDir, scopes)) Iterator.empty
-        else if (isDir) walk(p, scopes)
-        else if (Files.isRegularFile(p, nofollow))
-          Iterator.single((relOf(root, p), Files.size(p),
-            Files.getLastModifiedTime(p).toMillis))
-        else Iterator.empty
+    if (!Files.isDirectory(root)) Nil
+    else walkLight(root, root, Vector.empty, null).toSeq
+  }
+
+  /** [[listPaths]] restricted to the subtree at `subDir`, honoring the FULL
+    * ancestor .gitignore chain from the root down. Empty when `subDir` is
+    * itself inside an ignored directory. (Watcher support: a newly created
+    * directory's contents are listed without re-walking the whole tree.)
+    */
+  def listPathsUnder(rootDir: String, subDir: Path): Seq[(String, Long, Long)] = {
+    val root = Paths.get(rootDir).toAbsolutePath.normalize
+    val sub = subDir.toAbsolutePath.normalize
+    if (!Files.isDirectory(sub) || !sub.startsWith(root)) Nil
+    else scopesTo(root, sub) match {
+      case None => Nil
+      case Some(scopes) => walkLight(root, sub, scopes, null).toSeq
+    }
+  }
+
+  /** Candidate directories under `rootDir` (root first), honoring the same
+    * ignore semantics — what a recursive WatchService registration covers.
+    */
+  def listDirs(rootDir: String): Seq[Path] = {
+    val root = Paths.get(rootDir).toAbsolutePath.normalize
+    if (!Files.isDirectory(root)) Nil
+    else {
+      val acc = Vector.newBuilder[Path]
+      acc += root
+      walkLight(root, root, Vector.empty, acc).foreach(_ => ())
+      acc.result()
+    }
+  }
+
+  /** Is the entry at `p` ignored (ignored-dirs or nested .gitignore chain)?
+    * For paths outside `rootDir`: true.
+    */
+  def isIgnored(rootDir: String, p: Path, isDir: Boolean): Boolean = {
+    val root = Paths.get(rootDir).toAbsolutePath.normalize
+    val abs = p.toAbsolutePath.normalize
+    if (abs == root) return false
+    if (!abs.startsWith(root)) return true
+    if (isDir && ignoredDirs(abs.getFileName.toString)) return true
+    scopesTo(root, abs.getParent) match {
+      case None => true
+      case Some(scopes) => GitIgnore.ignored(relOf(root, abs), isDir, scopes)
+    }
+  }
+
+  /** The .gitignore scope chain from `root` down to `dir` inclusive, or
+    * None when `dir` lives inside an ignored directory.
+    */
+  private def scopesTo(root: Path,
+      dir: Path): Option[Vector[(String, Seq[GitIgnore.Rule])]] = {
+    var scopes = Vector.empty[(String, Seq[GitIgnore.Rule])]
+    def addGi(d: Path): Unit = {
+      val gi = d.resolve(".gitignore")
+      if (Files.isRegularFile(gi))
+        scopes :+= (relOf(root, d) ->
+          GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
+    }
+    addGi(root)
+    if (dir != root) {
+      val rel = root.relativize(dir)
+      var cur = root
+      var i = 0
+      while (i < rel.getNameCount) {
+        cur = cur.resolve(rel.getName(i).toString)
+        if (ignoredDirs(cur.getFileName.toString)) return None
+        if (GitIgnore.ignored(relOf(root, cur), isDir = true, scopes)) return None
+        addGi(cur)
+        i += 1
       }
     }
-    if (!Files.isDirectory(root)) Nil else walk(root, Vector.empty).toSeq
+    Some(scopes)
+  }
+
+  /** Shared walker behind [[listPaths]]/[[listPathsUnder]]/[[listDirs]]:
+    * yields (rel, size, mtime) file tuples; when `dirAcc` is non-null, every
+    * candidate directory is also appended to it.
+    */
+  private def walkLight(root: Path, dir: Path,
+      inherited: Vector[(String, Seq[GitIgnore.Rule])],
+      dirAcc: scala.collection.mutable.Builder[Path, Vector[Path]]): Iterator[(String, Long, Long)] = {
+    val gi = dir.resolve(".gitignore")
+    val scopes =
+      if (Files.isRegularFile(gi))
+        inherited :+ (relOf(root, dir) ->
+          GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
+      else inherited
+    val entries = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
+    entries.iterator.flatMap { p =>
+      val name = p.getFileName.toString
+      val isDir = Files.isDirectory(p, nofollow)
+      if (isDir && ignoredDirs(name)) Iterator.empty
+      else if (GitIgnore.ignored(relOf(root, p), isDir, scopes)) Iterator.empty
+      else if (isDir) {
+        if (dirAcc != null) dirAcc += p
+        walkLight(root, p, scopes, dirAcc)
+      }
+      else if (Files.isRegularFile(p, nofollow))
+        Iterator.single((relOf(root, p), Files.size(p),
+          Files.getLastModifiedTime(p).toMillis))
+      else Iterator.empty
+    }
   }
 
   private def readOne(root: Path, p: Path, repo: String): Option[SourceFile] = {

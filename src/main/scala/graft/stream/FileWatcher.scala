@@ -1,8 +1,13 @@
 package graft.stream
 
-import java.nio.file.{Files, Path}
+import java.io.IOException
 import java.nio.charset.StandardCharsets
+import java.nio.file.{ClosedWatchServiceException, Files, Path, Paths,
+  StandardWatchEventKinds, WatchEvent, WatchKey, WatchService}
+import java.nio.file.StandardWatchEventKinds._
+import java.util.concurrent.TimeUnit
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.collection.mutable.ArrayBuffer
 
 /** T1 — a real filesystem watcher closing the loop the reference's
   * watchexec-based project watcher provides
@@ -19,13 +24,22 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
   * stays a distributed Structured Streaming job; the watcher replaces only
   * the reference's watchexec event source.
   *
-  * Detection is snapshot-diff polling over [[graft.extract.FileScanner]]'s
-  * gitignore-honoring listing (watcher.rs filters through the project's
-  * ignore files the same way — resolve_ignore_filter). The poll interval IS
-  * the debounce window (DEBOUNCE_DURATION in watcher.rs): every edit inside
-  * one interval lands in one feed file, hence one micro-batch. Added and
+  * Detection is EVENT-DRIVEN (java.nio WatchService = inotify on Linux,
+  * like watchexec's backend): every candidate directory is registered
+  * recursively, raw events are debounced for `pollMs` (DEBOUNCE_DURATION in
+  * watcher.rs) and reconciled against the last snapshot, so one window =
+  * one feed file = one micro-batch, and a quiet tree costs nothing — the
+  * former 500 ms full-tree snapshot poll paid O(tree) per tick regardless
+  * of activity. Events are filtered through the same nested-.gitignore +
+  * ignored-dir semantics as the indexer's scan (watcher.rs
+  * resolve_ignore_filter); a `.gitignore` edit or an event-queue overflow
+  * falls back to one full snapshot diff, which also re-baselines. Added and
   * modified files emit `added`/`modified`; removed files emit `deleted` —
   * the vocabulary of mutation/changes.rs.
+  *
+  * [[tick]] remains the deterministic full-scan window for tests and the
+  * manual-trigger face; it shares the snapshot with the event path, so a
+  * change consumed by either side is never double-emitted.
   */
 final class FileWatcher(projectDir: String, changeFeedDir: String,
     pollMs: Long = 500L) {
@@ -33,13 +47,24 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
   private val running = new AtomicBoolean(false)
   private val batchNo = new AtomicLong(0)
   @volatile private var thread: Thread = _
-  @volatile private var snapshot: Map[String, (Long, Long)] = Map.empty
+  @volatile private var service: WatchService = _
+  private val root = Paths.get(projectDir).toAbsolutePath.normalize
+  private val keyDirs = new java.util.concurrent.ConcurrentHashMap[WatchKey, Path]()
+  // snapshot + feed emission are guarded by `lock`: the event loop and a
+  // manual tick() must never interleave a diff
+  private val lock = new Object
+  private var snapshot: Map[String, (Long, Long)] = Map.empty
 
-  /** One poll tick: diff the tree against the last snapshot and append a
-    * feed file if anything changed. Public so tests (and a manual trigger
-    * face) can drive a deterministic window without sleeping.
+  private def relOf(p: Path): String =
+    root.relativize(p.toAbsolutePath.normalize).toString.replace('\\', '/')
+
+  /** One full-scan window: diff the tree against the last snapshot and
+    * append a feed file if anything changed. Public so tests (and a manual
+    * trigger face) can drive a deterministic window without sleeping.
     */
-  def tick(): Int = {
+  def tick(): Int = lock.synchronized(fullDiffLocked())
+
+  private def fullDiffLocked(): Int = {
     val now = graft.extract.FileScanner.listPaths(projectDir)
       .map { case (p, size, mtime) => p -> (size, mtime) }.toMap
     val prev = snapshot
@@ -49,32 +74,34 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
       .filter(p => now(p) != prev(p)).map(_ -> "modified")
     snapshot = now
     val changes = added ++ modified ++ deleted
-    if (changes.nonEmpty) {
-      // full JSON string escaping: a control character in a file name
-      // (newline is legal on POSIX) must not split the line — the streaming
-      // source would mark both fragments _corrupt_record and silently drop
-      // the change from the reindex batch
-      def esc(s: String): String = s.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      val lines = changes.map { case (p, t) =>
-        s"""{"changed_path":"${esc(p)}","change_type":"$t"}"""
-      }.mkString("", "\n", "\n")
-      val out = java.nio.file.Paths.get(changeFeedDir)
-      Files.createDirectories(out)
-      // write-then-rename: the streaming source must never see a partial file
-      val tmp = out.resolve(s".batch-${batchNo.get}.json.tmp")
-      Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, out.resolve(s"batch-${batchNo.getAndIncrement()}.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+    if (changes.nonEmpty) emitLocked(changes)
     changes.size
+  }
+
+  private def emitLocked(changes: Seq[(String, String)]): Unit = {
+    // full JSON string escaping: a control character in a file name
+    // (newline is legal on POSIX) must not split the line — the streaming
+    // source would mark both fragments _corrupt_record and silently drop
+    // the change from the reindex batch
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val lines = changes.map { case (p, t) =>
+      s"""{"changed_path":"${esc(p)}","change_type":"$t"}"""
+    }.mkString("", "\n", "\n")
+    val out = java.nio.file.Paths.get(changeFeedDir)
+    Files.createDirectories(out)
+    // write-then-rename: the streaming source must never see a partial file
+    val tmp = out.resolve(s".batch-${batchNo.get}.json.tmp")
+    Files.write(tmp, lines.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, out.resolve(s"batch-${batchNo.getAndIncrement()}.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Start watching. The first snapshot is taken WITHOUT emitting changes
@@ -82,20 +109,139 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
     */
   def start(): Unit = {
     if (!running.compareAndSet(false, true)) return
-    snapshot = graft.extract.FileScanner.listPaths(projectDir)
-      .map { case (p, size, mtime) => p -> (size, mtime) }.toMap
-    thread = new Thread(() => {
-      while (running.get()) {
-        try tick() catch { case _: java.io.IOException => () }
-        try Thread.sleep(pollMs) catch { case _: InterruptedException => () }
-      }
-    }, s"graft-watcher-${Path.of(projectDir).getFileName}")
+    lock.synchronized {
+      snapshot = graft.extract.FileScanner.listPaths(projectDir)
+        .map { case (p, size, mtime) => p -> (size, mtime) }.toMap
+    }
+    service = root.getFileSystem.newWatchService()
+    graft.extract.FileScanner.listDirs(projectDir).foreach(register)
+    thread = new Thread(() => eventLoop(),
+      s"graft-watcher-${root.getFileName}")
     thread.setDaemon(true)
     thread.start()
   }
 
+  private def register(d: Path): Unit =
+    try keyDirs.put(
+      d.register(service, ENTRY_CREATE, ENTRY_MODIFY, ENTRY_DELETE), d)
+    catch { case _: IOException => () } // dir vanished mid-registration
+
+  /** Register every candidate directory of a NEW subtree (ignored dirs and
+    * gitignored paths skipped with full ancestor-chain semantics).
+    */
+  private def registerSubtree(d: Path): Unit = {
+    register(d)
+    val entries =
+      try { val s = Files.list(d); try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toVector } finally s.close() }
+      catch { case _: IOException => Vector.empty }
+    val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
+    entries.foreach { p =>
+      if (Files.isDirectory(p, nofollow) &&
+          !graft.extract.FileScanner.isIgnored(projectDir, p, isDir = true))
+        registerSubtree(p)
+    }
+  }
+
+  private def eventLoop(): Unit = {
+    while (running.get()) {
+      val first =
+        try service.poll(250, TimeUnit.MILLISECONDS)
+        catch { case _: ClosedWatchServiceException => return }
+      if (first != null) {
+        val pending = ArrayBuffer[(Path, Path)]() // (watched dir, entry name)
+        var overflow = false
+        def drain(k: WatchKey): Unit = {
+          val d = keyDirs.get(k)
+          k.pollEvents().forEach { ev =>
+            if (ev.kind() == StandardWatchEventKinds.OVERFLOW) overflow = true
+            else if (d != null)
+              pending += ((d, ev.asInstanceOf[WatchEvent[Path]].context()))
+          }
+          if (!k.reset()) keyDirs.remove(k) // dir gone or inaccessible
+        }
+        drain(first)
+        // debounce: every event inside one window lands in one feed file,
+        // hence one micro-batch (watcher.rs DEBOUNCE_DURATION)
+        val deadline = System.nanoTime + pollMs * 1000000L
+        var remainingMs = pollMs
+        while (running.get() && remainingMs > 0) {
+          val k =
+            try service.poll(math.min(remainingMs, 250L), TimeUnit.MILLISECONDS)
+            catch { case _: ClosedWatchServiceException => return }
+          if (k != null) drain(k)
+          remainingMs = (deadline - System.nanoTime) / 1000000L
+        }
+        if (running.get())
+          try processWindow(pending.toSeq, overflow)
+          catch { case _: IOException => () }
+      }
+    }
+  }
+
+  /** Reconcile one debounce window of raw events against the snapshot and
+    * emit at most one feed file. A `.gitignore` change re-filters the whole
+    * tree, and an inotify overflow may have dropped arbitrary events — both
+    * fall back to the full snapshot diff.
+    */
+  private def processWindow(events: Seq[(Path, Path)],
+      overflow: Boolean): Unit = lock.synchronized {
+    val fullRescan = overflow ||
+      events.exists(_._2.getFileName.toString == ".gitignore")
+    if (fullRescan) { fullDiffLocked(); return }
+    val scanner = graft.extract.FileScanner
+    val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
+    val added = scala.collection.mutable.SortedMap.empty[String, (Long, Long)]
+    val modified = scala.collection.mutable.SortedMap.empty[String, (Long, Long)]
+    val deleted = scala.collection.mutable.SortedSet.empty[String]
+    events.map { case (dir, name) => dir.resolve(name) }.distinct.foreach { p =>
+      val rel = relOf(p)
+      if (Files.isDirectory(p, nofollow)) {
+        if (!scanner.isIgnored(projectDir, p, isDir = true)) {
+          // a directory appeared (or churned): files may have landed inside
+          // before its registration — register the subtree and sweep it
+          registerSubtree(p)
+          scanner.listPathsUnder(projectDir, p).foreach {
+            case (r, size, mtime) =>
+              snapshot.get(r) match {
+                case None => added.update(r, (size, mtime))
+                case Some(prev) if prev != ((size, mtime)) =>
+                  modified.update(r, (size, mtime))
+                case _ => ()
+              }
+          }
+        }
+      } else if (Files.isRegularFile(p, nofollow)) {
+        if (!scanner.isIgnored(projectDir, p, isDir = false)) {
+          val st = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+          snapshot.get(rel) match {
+            case None => added.update(rel, st)
+            case Some(prev) if prev != st => modified.update(rel, st)
+            case _ => ()
+          }
+        }
+      } else {
+        // gone: a tracked file, or a whole tracked directory's subtree.
+        // Ignored paths were never in the snapshot, so they no-op here —
+        // and a create+delete inside one window nets to zero rows.
+        if (snapshot.contains(rel)) deleted += rel
+        val prefix = rel + "/"
+        snapshot.keysIterator.filter(_.startsWith(prefix)).foreach(deleted += _)
+      }
+    }
+    if (added.nonEmpty || modified.nonEmpty || deleted.nonEmpty) {
+      snapshot = snapshot -- deleted ++ added ++ modified
+      emitLocked(added.keys.map(_ -> "added").toSeq ++
+        modified.keys.map(_ -> "modified").toSeq ++
+        deleted.toSeq.map(_ -> "deleted"))
+    }
+  }
+
   def stop(): Unit = {
     running.set(false)
+    if (service != null)
+      try service.close() catch { case _: IOException => () }
     if (thread != null) { thread.interrupt(); thread.join(2000) }
   }
 }
