@@ -34,6 +34,51 @@ class CliSpec extends SparkSpec {
     assert(beta.files.where(col("path") === "app.py").count() === 1)
   }
 
+  test("server/clean round-trip: index, serve, query over HTTP, stop, clean") {
+    val repo = Files.createTempDirectory("graft-cli-srv-repo")
+    Files.writeString(repo.resolve("m.py"),
+      "class A:\n    def f(self):\n        return 1\n")
+    val store = Files.createTempDirectory("graft-cli-srv-store").toString
+    Cli.run(spark, List("index", repo.toString, store, "srvrepo"))
+
+    val dataDir = store + "/.graft-data"
+    // the `server start` wiring minus the blocking loop (main blocks until
+    // the lock disappears; specs own the lifecycle directly)
+    val (srv, lockPath) = Cli.startServer(spark, store, port = 0,
+      workspace = "ws", project = "proj",
+      dataDir = dataDir, jwtSecretPath = None)
+    try {
+      // lock carries this JVM's pid and the bound port (server.rs:119-125)
+      val lock = Cli.readLock(dataDir)
+      assert(lock.exists(_._2 === java.lang.ProcessHandle.current.pid))
+      val port = lock.get._1
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try (conn.getResponseCode,
+          new String(conn.getInputStream.readAllBytes(), "UTF-8"))
+        finally conn.disconnect()
+      }
+      assert(get("/health")._1 === 200) // health.rs: bare 200
+      assert(get("/info")._2.contains(s""""port":$port"""))
+      // a real graph query over the wire
+      val stats = get("/graph/stats/ws/proj")._2
+      assert(stats.contains(""""definition_count":2"""), stats)
+
+      // clean refuses while the lock names this live server (clean.rs:11-14)
+      val refused = intercept[IllegalStateException] {
+        Cli.run(spark, List("clean", dataDir))
+      }
+      assert(refused.getMessage.contains("stop it before running clean"))
+    } finally {
+      srv.stop()
+      Files.deleteIfExists(java.nio.file.Paths.get(lockPath))
+    }
+    // server gone + lock removed: clean wipes the data dir
+    Cli.run(spark, List("clean", dataDir))
+    assert(!new java.io.File(dataDir).exists())
+  }
+
   test("index --stats writes the reference-style stats JSON") {
     val ws = Files.createTempDirectory("graft-stats-repo")
     Files.writeString(ws.resolve("m.py"),
