@@ -42,18 +42,18 @@ object TypedResolver {
 
   private val JvmLanguages = Set("java", "kotlin")
 
-  private final case class TypeInfo(
+  private[analyze] final case class TypeInfo(
       fqn: String, name: String, pkg: String, file: String, defId: Long,
       methods: Map[String, Long], nested: Map[String, String],
       fields: Map[String, String], supers: Seq[String])
 
-  private final case class FileScope(
+  private[analyze] final case class FileScope(
       pkg: String,
       imports: Map[String, (String, Long)], // name/alias -> (path, imp id)
       wildcardPkgs: Seq[String],
       funcs: Map[String, Long]) // top-level function name -> def id
 
-  private final case class Catalog(
+  private[analyze] final case class Catalog(
       types: Map[String, TypeInfo],
       byPkgName: Map[(String, String), String], // (pkg, simple) -> type fqn
       pkgFuncs: Map[(String, String), Long], // (pkg, name) -> func def id
@@ -82,27 +82,41 @@ object TypedResolver {
       * nested Filter extends ServerFilter: javac resolves the header to the
       * top-level interface; taking the nested member would make the
       * hierarchy cyclic).
+      *
+      * `inheritedNested = false`: supertype-name resolution must never
+      * consult the supertype closure it is itself the step function of —
+      * the mutual recursion (resolveSuper → nestedOf → superClosureLinear
+      * → resolveSuper, each with a fresh cycle guard) overflowed the stack
+      * on adversarial hierarchies, found by TypedResolverPropertySpec. The
+      * cost is one rare javac corner dropped conservatively: an `extends
+      * Outer.Inner` where Inner is a member type Outer only INHERITS now
+      * resolves to nothing instead of the inherited member.
       */
     def resolveSuper(sub: TypeInfo, raw: String): Option[String] = {
-      val cands = resolveTypePath(sub.file, sub.fqn, raw)
+      val cands = resolveTypePath(sub.file, sub.fqn, raw, inheritedNested = false)
       cands.find(c => c != sub.fqn && !c.startsWith(sub.fqn + "."))
     }
 
     /** All candidate type FQNs for a (possibly dotted) type path, seen from
       * `scopeFqn` inside `file`, in lookup-precedence order.
       */
-    def resolveTypePath(file: String, scopeFqn: String, path: String): Seq[String] = {
+    def resolveTypePath(file: String, scopeFqn: String, path: String,
+        inheritedNested: Boolean = true): Seq[String] = {
       val parts = path.split("\\.").toSeq.filter(_.nonEmpty)
       if (parts.isEmpty) return Nil
       val heads = resolveHeadType(file, scopeFqn, parts.head)
       parts.tail.foldLeft(heads) { (acc, p) =>
-        acc.flatMap(t => nestedOf(t, p))
+        acc.flatMap(t => if (inheritedNested) nestedOf(t, p)
+                         else nestedOfDirect(t, p))
       }
     }
 
     private def nestedOf(fqn: String, n: String): Seq[String] =
       // nested member of the type or anywhere up its supertype closure
       superClosureLinear(fqn).flatMap(t => types.get(t).flatMap(_.nested.get(n)))
+
+    private def nestedOfDirect(fqn: String, n: String): Seq[String] =
+      types.get(fqn).flatMap(_.nested.get(n)).toSeq
 
     private def superClosureLinear(fqn: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -297,15 +311,15 @@ object TypedResolver {
       source_end_col: java.lang.Integer)
   private final case class SiteRow(filePath: String, startByte: Long, endByte: Long)
 
-  private final case class DefIn(id: Long, fqn: String, name: String,
+  private[analyze] final case class DefIn(id: Long, fqn: String, name: String,
       defType: String, file: String)
-  private final case class FactIn(file: String, kind: String, scope: String,
+  private[analyze] final case class FactIn(file: String, kind: String, scope: String,
       subject: String, detail: String)
-  private final case class ImpIn(id: Long, path: String, name: String,
+  private[analyze] final case class ImpIn(id: Long, path: String, name: String,
       alias: String, file: String)
 
   /** One repo's catalog, built task-side from the group's sorted prefix. */
-  private def buildCatalog(defRows: Seq[DefIn], factRows: Seq[FactIn],
+  private[analyze] def buildCatalog(defRows: Seq[DefIn], factRows: Seq[FactIn],
                            impRows: Seq[ImpIn]): Catalog = {
     val pkgByFile = factRows.filter(_.kind == "package")
       .map(f => f.file -> f.detail).toMap
