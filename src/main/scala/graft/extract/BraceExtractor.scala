@@ -677,6 +677,26 @@ object JavaExtractor extends BraceExtractor {
   // `class Foo extends Bar\n    implements Baz {` / `void f()\n throws E {`
   // / sealed `permits` — all continue a pending multi-line header
   override val continuationTokens = Set("implements", "throws", "permits")
+  // Modifier-LESS member methods at a container's direct body depth:
+  // implicitly-public interface methods (`int size();`), package-private
+  // class methods (`void grow(int n) {`), annotation members. Safe at this
+  // depth because Java class bodies hold only declarations — statements
+  // live inside method bodies two levels down. Lines carrying a modifier
+  // are left to callableRes, whose path also emits param/return type facts
+  // and tracks body extents.
+  private val modifierStartRe =
+    """^\s*(?:public|private|protected|static|final|synchronized|abstract|native|default|class|interface|enum|record)\b""".r
+  private val bareMemberRe =
+    """^\s*(?:<[^>]*>\s*)?[A-Za-z_$][\w$<>\[\],. ]*\s+([A-Za-z_$][\w$]*)\s*\([^;{]*\)\s*(?:throws[\w, .]+)?[;{]""".r
+  override def memberRule(line: String, flavor: String): Option[(String, String)] =
+    flavor match {
+      case "class" | "interface" | "enum" | "record" =>
+        if (modifierStartRe.findFirstIn(line).isDefined) None
+        else bareMemberRe.findFirstMatchIn(line).collect {
+          case m if !keywords(m.group(1)) => (m.group(1), "Method")
+        }
+      case _ => None
+    }
 }
 
 /** Kotlin (reference fixtures: fixtures/kotlin, resolver
