@@ -73,6 +73,19 @@ class HeaderContinuationSpec extends AnyFunSuite {
     assert(sups === Set("Base", "Runnable", "Cloneable"))
   }
 
+  test("kotlin: generic constraint `where` before the brace keeps the scope") {
+    val e = KotlinExtractor.extract(src("kotlin", "kt",
+      """package app
+        |class Repo<T>(private val items: List<T>)
+        |    where T : Comparable<T> {
+        |    fun best(): T = items.max()
+        |}
+        |""".stripMargin))
+    val fqns = e.definitions.map(d => d.fqn -> d.definitionType).toMap
+    assert(fqns("app.Repo") === "Class")
+    assert(fqns("app.Repo.best") === "Method")
+  }
+
   test("csharp: generic constraint `where` before the brace keeps the scope") {
     val e = CSharpExtractor.extract(src("csharp", "cs",
       """namespace App {
