@@ -1442,6 +1442,40 @@ object SparkEntry {
         "doc_id", "text").orderBy("doc_id")
     }
 
+    // ---- TF-IDF keyword extraction: top-3 terms per doc, scores rounded
+    //      BEFORE ranking (cross-engine hash-stable), term tiebreak
+    q("td_tfidf_topk", docPrelude +
+      s""", tk AS (SELECT doc_id, unnest(toks) AS term FROM d_toks),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tk GROUP BY 1, 2),
+      dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfv FROM tf GROUP BY 1),
+      nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, term, round(tf * ln(n_docs / dfv), 4) AS score
+        FROM tf JOIN dfx USING (term) CROSS JOIN nd)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM (
+        SELECT doc_id, term, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rank FROM sc)
+      WHERE rank <= 3 ORDER BY doc_id, rank""") { (s, d) =>
+      Search.tfidfTopK(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", 3).orderBy("doc_id", "rank")
+    }
+
+    // ---- RAG/pretraining chunking: 32-token windows every 8 tokens,
+    //      chunk content carried as md5 so the gate output stays bounded
+    q("td_chunk_windows", docPrelude +
+      s""", tk AS (SELECT doc_id, toks, len(toks) AS n FROM d_toks
+        WHERE len(toks) > 0)
+      SELECT doc_id, CAST(g.s AS BIGINT) AS start_idx,
+        CAST(least(32, n - g.s) AS BIGINT) AS n_tokens,
+        md5(array_to_string(list_slice(toks, g.s + 1, least(g.s + 32, n)), ' ')) AS chunk_md5
+      FROM tk, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS BIGINT), 8)) AS s) g
+      ORDER BY doc_id, start_idx""") { (s, d) =>
+      graft.pipeline.TextAnalysis.chunkWindows(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        windowTokens = 32, strideTokens = 8).orderBy("doc_id", "start_idx")
+    }
+
     // ---- deterministic hash sampling (reproducible across runs + engines)
     val idFold = sqlCharFold("CAST(doc_id AS VARCHAR)")
     q("samp_hash_pct",

@@ -59,6 +59,35 @@ object Search {
       .select("doc_id", "score", "rank")
   }
 
+  /** Top-k TF-IDF keyword extraction per document — the classic corpus
+    * signal behind keyword indexing and topic-drift monitoring in a
+    * training-data pipeline. score(d, t) = tf(d, t) · ln(N / df(t)),
+    * rounded BEFORE ranking (see the object scaladoc), ties broken by term.
+    *
+    * Plan shape: one (doc, term) tf shuffle; df is a vocabulary-sized
+    * aggregation OF tf (not a second corpus scan) broadcast back; the
+    * per-document rank window re-shuffles on doc_id only. No corpus-sized
+    * join, no second tokenize pass.
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df")) // rows of tf = docs w/ term
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), "term")
+      .join(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "score")
+  }
+
   /** Per-document cross-entropy under the corpus unigram LM (the CCNet-ish
     * statistical quality signal: boilerplate-heavy or vocabulary-degenerate
     * documents score low, -log p mass concentrated on frequent terms):

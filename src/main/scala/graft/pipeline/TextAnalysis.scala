@@ -123,4 +123,34 @@ object TextAnalysis {
         col("top_2gram_frac") <= topFracMax &&
           col("dup_3gram_frac") <= dupFracMax)
   }
+
+  /** Fixed-size token chunking with overlap — the RAG / pretraining
+    * sequence-prep operator: every document is cut into `windowTokens`-token
+    * chunks starting every `strideTokens` tokens (the trailing chunk may be
+    * short; a stride smaller than the window produces overlapping chunks).
+    * Output rows are (doc_id, start_idx, n_tokens, chunk_md5) — the hash
+    * stands in for the chunk text so the gate output stays bounded; callers
+    * wanting the text use the same slice expression.
+    *
+    * Entirely map-side: tokenize, generate window starts with `sequence`,
+    * explode, slice — zero shuffles at any corpus size.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0,
+      s"window/stride must be positive: $windowTokens/$strideTokens")
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(strideTokens))).as("s"))
+      .select(
+        col("doc_id"),
+        col("s").cast("long").as("start_idx"),
+        least(lit(windowTokens), col("n") - col("s")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("s") + 1,
+            least(lit(windowTokens), col("n") - col("s"))))).as("chunk_md5"))
+  }
 }

@@ -310,6 +310,52 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("tfidf top-k and chunk windows match scala brute force") {
+    val corpus = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).toSeq).toMap
+    val nDocs = corpus.size.toDouble
+
+    // brute-force TF-IDF top-3 (score rounded before ranking, term tiebreak)
+    val dfOf = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toDouble }
+    def bruteTop(id: Long): Seq[(String, Double)] =
+      corpus(id).groupBy(identity).map { case (t, o) =>
+        t -> math.round(o.size * math.log(nDocs / dfOf(t)) * 10000) / 10000.0
+      }.toSeq.sortBy { case (t, s) => (-s, t) }.take(3)
+    val got = Search.tfidfTopK(docs, "doc_id", "text", 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[String]("term"), r.getAs[Double]("score")))
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val expect = bruteTop(id)
+      val actual = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(actual == expect, s"doc $id: $actual vs $expect")
+    }
+
+    // chunk windows: coverage + overlap + hash determinism
+    val chunks = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+      windowTokens = 4, strideTokens = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_idx"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_md5")))
+    corpus.foreach { case (id, toks) =>
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      // one window per stride position
+      assert(mine.map(_._2).toSeq ==
+        (0L until toks.size.toLong by 2L).toSeq, s"doc $id starts")
+      mine.foreach { case (_, s, n, h) =>
+        assert(n == math.min(4L, toks.size - s), s"doc $id chunk at $s")
+        val expected = toks.slice(s.toInt, s.toInt + 4).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(h == md, s"doc $id chunk at $s hash")
+      }
+    }
+    // identical docs 0 and 3 produce identical chunk hash sequences
+    val h0 = chunks.filter(_._1 == 0L).sortBy(_._2).map(_._4).toSeq
+    val h3 = chunks.filter(_._1 == 3L).sortBy(_._2).map(_._4).toSeq
+    assert(h0 == h3 && h0.nonEmpty)
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
