@@ -356,6 +356,23 @@ class PipelineSpec extends SparkSpec {
     assert(h0 == h3 && h0.nonEmpty)
   }
 
+  test("plan shapes: chunkWindows runs shuffle-free; tfidf broadcasts df") {
+    // the zero-shuffle claim is the operator's scale contract — assert it
+    // on the executed plan, not just in scaladoc
+    val chunks = TextAnalysis.chunkWindows(docs, "doc_id", "text", 4, 2)
+    chunks.collect()
+    val cPlan = chunks.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange"), s"chunkWindows shuffled:\n$cPlan")
+
+    // tfidf: the df + n_docs sides must ride as broadcasts, never a
+    // corpus-sized shuffle join
+    val tfidf = Search.tfidfTopK(docs, "doc_id", "text", 3)
+    tfidf.collect()
+    val tPlan = tfidf.queryExecution.executedPlan.toString
+    assert(tPlan.contains("BroadcastExchange"),
+      s"tfidf df/n_docs should broadcast:\n$tPlan")
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
