@@ -38,7 +38,10 @@ object Cli {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-cli")
     try run(spark, args.toList)
     catch {
-      case e: IllegalStateException =>
+      // usage-level errors (refused clean, unknown flag, bad --port=…)
+      // surface as one-line messages + exit 1, not stack traces
+      case e @ (_: IllegalStateException | _: IllegalArgumentException |
+                _: NumberFormatException) =>
         System.err.println(s"Error: ${e.getMessage}")
         sys.exit(1)
     }
@@ -152,7 +155,9 @@ object Cli {
           throw new IllegalStateException(
             s"server is running on port $port (pid $pid); stop it before running clean")
         case _ =>
-          deleteRecursively(new java.io.File(dataDir))
+          // link-safe shared implementation: a symlink inside the data dir
+          // must be removed as a link, never followed into its target
+          GraphStore.deleteRecursively(java.nio.file.Paths.get(dataDir))
           println("Clean completed")
       }
 
@@ -211,12 +216,6 @@ object Cli {
         throw new IllegalArgumentException(s"unknown flag: $f (use --key=value)")
     }.toMap
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
 
   /** Project names with a complete store under `storeDir`. */
   private[graft] def listProjects(storeDir: String): Seq[String] =

@@ -86,14 +86,15 @@ object FileScanner {
     val root = Paths.get(rootDir).toAbsolutePath.normalize
     val sub = subDir.toAbsolutePath.normalize
     if (!Files.isDirectory(sub) || !sub.startsWith(root)) Nil
-    else scopesTo(root, sub) match {
+    else new IgnoreChecker(rootDir).scopeChain(sub) match {
       case None => Nil
       case Some(scopes) => walkLight(root, sub, scopes, null).toSeq
     }
   }
 
-  /** Candidate directories under `rootDir` (root first), honoring the same
-    * ignore semantics — what a recursive WatchService registration covers.
+  /** Candidate directories under `rootDir` (root first, pre-order —
+    * parents before children), honoring the same ignore semantics — what a
+    * recursive WatchService registration covers.
     */
   def listDirs(rootDir: String): Seq[Path] = {
     val root = Paths.get(rootDir).toAbsolutePath.normalize
@@ -101,61 +102,93 @@ object FileScanner {
     else {
       val acc = Vector.newBuilder[Path]
       acc += root
-      walkLight(root, root, Vector.empty, acc).foreach(_ => ())
+      walkLight(root, root, Vector.empty, acc += _).foreach(_ => ())
       acc.result()
     }
   }
 
-  /** Is the entry at `p` ignored (ignored-dirs or nested .gitignore chain)?
-    * For paths outside `rootDir`: true.
+  /** [[listPaths]] that also invokes `onDir` for every candidate directory
+    * (root first, pre-order, BEFORE that directory's contents are listed).
+    * The filesystem watcher registers each directory from the callback, so
+    * a single tree walk both takes the baseline snapshot and arms the
+    * watch — and because registration precedes the listing of a
+    * directory's contents, any change landing after registration is
+    * queued as an event and reconciled against the snapshot (no
+    * registration/snapshot race, no second walk).
     */
-  def isIgnored(rootDir: String, p: Path, isDir: Boolean): Boolean = {
+  def listPathsRegistering(rootDir: String,
+      onDir: Path => Unit): Seq[(String, Long, Long)] = {
     val root = Paths.get(rootDir).toAbsolutePath.normalize
-    val abs = p.toAbsolutePath.normalize
-    if (abs == root) return false
-    if (!abs.startsWith(root)) return true
-    if (isDir && ignoredDirs(abs.getFileName.toString)) return true
-    scopesTo(root, abs.getParent) match {
-      case None => true
-      case Some(scopes) => GitIgnore.ignored(relOf(root, abs), isDir, scopes)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      onDir(root)
+      walkLight(root, root, Vector.empty, onDir).toSeq
     }
   }
 
-  /** The .gitignore scope chain from `root` down to `dir` inclusive, or
-    * None when `dir` lives inside an ignored directory.
+  /** Is the entry at `p` ignored (ignored-dirs or nested .gitignore chain)?
+    * For paths outside `rootDir`: true. One-shot face of [[IgnoreChecker]];
+    * callers testing many paths should hold a checker instead.
     */
-  private def scopesTo(root: Path,
-      dir: Path): Option[Vector[(String, Seq[GitIgnore.Rule])]] = {
-    var scopes = Vector.empty[(String, Seq[GitIgnore.Rule])]
-    def addGi(d: Path): Unit = {
+  def isIgnored(rootDir: String, p: Path, isDir: Boolean): Boolean =
+    new IgnoreChecker(rootDir).isIgnored(p, isDir)
+
+  /** Memoizing ignore-checker for event-path queries: every directory's
+    * .gitignore scope chain is computed (and its .gitignore read + parsed)
+    * at most once per checker lifetime, built incrementally from the
+    * parent's chain. Create one per debounce window — `.gitignore` edits
+    * trigger a full rescan anyway, so a window-scoped memo can never serve
+    * stale rules beyond the window that saw the edit.
+    */
+  final class IgnoreChecker(rootDir: String) {
+    private val root = Paths.get(rootDir).toAbsolutePath.normalize
+    // dir -> Some(scope chain) | None when the dir is itself ignored
+    private val memo = scala.collection.mutable.Map[
+      Path, Option[Vector[(String, Seq[GitIgnore.Rule])]]]()
+
+    private def giOf(d: Path): Option[(String, Seq[GitIgnore.Rule])] = {
       val gi = d.resolve(".gitignore")
       if (Files.isRegularFile(gi))
-        scopes :+= (relOf(root, d) ->
-          GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
+        Some(relOf(root, d) -> GitIgnore.parse(Files.readAllLines(gi).asScala.toSeq))
+      else None
     }
-    addGi(root)
-    if (dir != root) {
-      val rel = root.relativize(dir)
-      var cur = root
-      var i = 0
-      while (i < rel.getNameCount) {
-        cur = cur.resolve(rel.getName(i).toString)
-        if (ignoredDirs(cur.getFileName.toString)) return None
-        if (GitIgnore.ignored(relOf(root, cur), isDir = true, scopes)) return None
-        addGi(cur)
-        i += 1
+
+    private def scopes(dir: Path): Option[Vector[(String, Seq[GitIgnore.Rule])]] =
+      memo.getOrElseUpdate(dir,
+        if (dir == root) Some(Vector.empty ++ giOf(root))
+        else if (!dir.startsWith(root)) None
+        else scopes(dir.getParent).flatMap { parent =>
+          if (ignoredDirs(dir.getFileName.toString)) None
+          else if (GitIgnore.ignored(relOf(root, dir), isDir = true, parent)) None
+          else Some(parent ++ giOf(dir))
+        })
+
+    def isIgnored(p: Path, isDir: Boolean): Boolean = {
+      val abs = p.toAbsolutePath.normalize
+      if (abs == root) return false
+      if (!abs.startsWith(root)) return true
+      if (isDir && ignoredDirs(abs.getFileName.toString)) return true
+      scopes(abs.getParent) match {
+        case None => true
+        case Some(sc) => GitIgnore.ignored(relOf(root, abs), isDir, sc)
       }
     }
-    Some(scopes)
+
+    /** Scope chain of `dir` (None when `dir` is inside an ignored path) —
+      * for walkers resuming from a subtree root. */
+    private[extract] def scopeChain(
+        dir: Path): Option[Vector[(String, Seq[GitIgnore.Rule])]] =
+      scopes(dir.toAbsolutePath.normalize)
   }
 
-  /** Shared walker behind [[listPaths]]/[[listPathsUnder]]/[[listDirs]]:
-    * yields (rel, size, mtime) file tuples; when `dirAcc` is non-null, every
-    * candidate directory is also appended to it.
+  /** Shared walker behind [[listPaths]]/[[listPathsUnder]]/[[listDirs]]/
+    * [[listPathsRegistering]]: yields (rel, size, mtime) file tuples; when
+    * `onDir` is non-null it is invoked for every candidate directory in
+    * pre-order, before that directory's contents are listed.
     */
   private def walkLight(root: Path, dir: Path,
       inherited: Vector[(String, Seq[GitIgnore.Rule])],
-      dirAcc: scala.collection.mutable.Builder[Path, Vector[Path]]): Iterator[(String, Long, Long)] = {
+      onDir: Path => Unit): Iterator[(String, Long, Long)] = {
     val gi = dir.resolve(".gitignore")
     val scopes =
       if (Files.isRegularFile(gi))
@@ -173,8 +206,8 @@ object FileScanner {
       if (isDir && ignoredDirs(name)) Iterator.empty
       else if (GitIgnore.ignored(relOf(root, p), isDir, scopes)) Iterator.empty
       else if (isDir) {
-        if (dirAcc != null) dirAcc += p
-        walkLight(root, p, scopes, dirAcc)
+        if (onDir != null) onDir(p)
+        walkLight(root, p, scopes, onDir)
       }
       else if (Files.isRegularFile(p, nofollow))
         Iterator.single((relOf(root, p), Files.size(p),

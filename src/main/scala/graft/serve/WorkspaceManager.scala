@@ -269,12 +269,7 @@ final class WorkspaceManager(spark: SparkSession, val dataDir: String,
 
   /** Remove a workspace and its stores; false if it wasn't registered. */
   private def deleteDir(root: Path): Unit =
-    if (Files.exists(root)) {
-      val s = Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-    }
+    graft.store.GraphStore.deleteRecursively(root)
 
   def delete(path: String): Boolean = {
     val ws = workspaces.remove(path)

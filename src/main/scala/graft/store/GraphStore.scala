@@ -108,7 +108,7 @@ object GraphStore {
       val loc = spark.sql(s"DESCRIBE DATABASE $db")
         .where(col("info_name") === "Location")
         .select("info_value").head().getString(0).stripPrefix("file:")
-      deleteRecursively(new java.io.File(s"$loc/$name"))
+      deleteRecursively(java.nio.file.Paths.get(s"$loc/$name"))
       df.write.mode("overwrite")
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(s"$db.$name")
@@ -120,10 +120,21 @@ object GraphStore {
     fresh(store.edges, "edges", "source_id")
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  /** Link-SAFE recursive delete — the one shared implementation behind
+    * store cleanup, workspace deletion and the CLI's `clean`. `Files.walk`
+    * does not follow symlinks, so a symlinked directory inside the target
+    * is removed as a link without recursing into (and deleting) its target.
+    */
+  def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
 
   def readBucketed(spark: SparkSession, db: String): GraphStore = GraphStore(
     directories = spark.table(s"$db.directory_nodes"),

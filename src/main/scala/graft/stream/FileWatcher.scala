@@ -109,12 +109,17 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
     */
   def start(): Unit = {
     if (!running.compareAndSet(false, true)) return
+    service = root.getFileSystem.newWatchService()
+    // ONE walk arms the watch and takes the baseline: every directory is
+    // registered (pre-order) BEFORE its contents are listed, so a change
+    // landing mid-walk either made it into the snapshot or is queued as an
+    // event — reconciling against the snapshot turns duplicates into
+    // no-ops, and nothing falls between registration and baseline
     lock.synchronized {
-      snapshot = graft.extract.FileScanner.listPaths(projectDir)
+      snapshot = graft.extract.FileScanner
+        .listPathsRegistering(projectDir, register)
         .map { case (p, size, mtime) => p -> (size, mtime) }.toMap
     }
-    service = root.getFileSystem.newWatchService()
-    graft.extract.FileScanner.listDirs(projectDir).foreach(register)
     thread = new Thread(() => eventLoop(),
       s"graft-watcher-${root.getFileName}")
     thread.setDaemon(true)
@@ -127,9 +132,11 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
     catch { case _: IOException => () } // dir vanished mid-registration
 
   /** Register every candidate directory of a NEW subtree (ignored dirs and
-    * gitignored paths skipped with full ancestor-chain semantics).
+    * gitignored paths skipped with full ancestor-chain semantics; the
+    * caller's window-scoped checker memoizes the chains).
     */
-  private def registerSubtree(d: Path): Unit = {
+  private def registerSubtree(d: Path,
+      checker: graft.extract.FileScanner.IgnoreChecker): Unit = {
     register(d)
     val entries =
       try { val s = Files.list(d); try {
@@ -138,9 +145,8 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
       catch { case _: IOException => Vector.empty }
     val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
     entries.foreach { p =>
-      if (Files.isDirectory(p, nofollow) &&
-          !graft.extract.FileScanner.isIgnored(projectDir, p, isDir = true))
-        registerSubtree(p)
+      if (Files.isDirectory(p, nofollow) && !checker.isIgnored(p, isDir = true))
+        registerSubtree(p, checker)
     }
   }
 
@@ -182,54 +188,76 @@ final class FileWatcher(projectDir: String, changeFeedDir: String,
 
   /** Reconcile one debounce window of raw events against the snapshot and
     * emit at most one feed file. A `.gitignore` change re-filters the whole
-    * tree, and an inotify overflow may have dropped arbitrary events — both
-    * fall back to the full snapshot diff.
+    * tree, an inotify overflow may have dropped arbitrary events, and a
+    * per-path IO race (a file vanishing between its type check and its
+    * stat) leaves that path's state unknown — all three fall back to ONE
+    * full snapshot diff, so a single bad path can never silently drop the
+    * rest of the window (the old poll loop self-healed every tick; the
+    * event path self-heals by rescanning exactly when reconciliation is
+    * not trustworthy).
     */
   private def processWindow(events: Seq[(Path, Path)],
       overflow: Boolean): Unit = lock.synchronized {
-    val fullRescan = overflow ||
+    var fullRescan = overflow ||
       events.exists(_._2.getFileName.toString == ".gitignore")
-    if (fullRescan) { fullDiffLocked(); return }
-    val scanner = graft.extract.FileScanner
+    val checker = new graft.extract.FileScanner.IgnoreChecker(projectDir)
     val nofollow = java.nio.file.LinkOption.NOFOLLOW_LINKS
     val added = scala.collection.mutable.SortedMap.empty[String, (Long, Long)]
     val modified = scala.collection.mutable.SortedMap.empty[String, (Long, Long)]
     val deleted = scala.collection.mutable.SortedSet.empty[String]
-    events.map { case (dir, name) => dir.resolve(name) }.distinct.foreach { p =>
-      val rel = relOf(p)
-      if (Files.isDirectory(p, nofollow)) {
-        if (!scanner.isIgnored(projectDir, p, isDir = true)) {
-          // a directory appeared (or churned): files may have landed inside
-          // before its registration — register the subtree and sweep it
-          registerSubtree(p)
-          scanner.listPathsUnder(projectDir, p).foreach {
-            case (r, size, mtime) =>
-              snapshot.get(r) match {
-                case None => added.update(r, (size, mtime))
-                case Some(prev) if prev != ((size, mtime)) =>
-                  modified.update(r, (size, mtime))
-                case _ => ()
-              }
+    val paths = events.map { case (dir, name) => dir.resolve(name) }.distinct
+    paths.foreach { p =>
+      if (!fullRescan) try {
+        val rel = relOf(p)
+        if (Files.isDirectory(p, nofollow)) {
+          if (!checker.isIgnored(p, isDir = true)) {
+            // a directory appeared (or churned): files may have landed
+            // inside before its registration — register the subtree, sweep
+            // it, and diff away snapshot entries the sweep did NOT see (a
+            // directory REPLACED within one window, or a file→dir swap,
+            // must surface its vanished files as deletes)
+            registerSubtree(p, checker)
+            val seen = scala.collection.mutable.Set.empty[String]
+            graft.extract.FileScanner.listPathsUnder(projectDir, p).foreach {
+              case (r, size, mtime) =>
+                seen += r
+                snapshot.get(r) match {
+                  case None => added.update(r, (size, mtime))
+                  case Some(prev) if prev != ((size, mtime)) =>
+                    modified.update(r, (size, mtime))
+                  case _ => ()
+                }
+            }
+            if (snapshot.contains(rel)) deleted += rel // was a FILE, now a dir
+            val prefix = rel + "/"
+            snapshot.keysIterator
+              .filter(k => k.startsWith(prefix) && !seen(k))
+              .foreach(deleted += _)
           }
-        }
-      } else if (Files.isRegularFile(p, nofollow)) {
-        if (!scanner.isIgnored(projectDir, p, isDir = false)) {
-          val st = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-          snapshot.get(rel) match {
-            case None => added.update(rel, st)
-            case Some(prev) if prev != st => modified.update(rel, st)
-            case _ => ()
+        } else if (Files.isRegularFile(p, nofollow)) {
+          if (!checker.isIgnored(p, isDir = false)) {
+            val st = (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+            snapshot.get(rel) match {
+              case None => added.update(rel, st)
+              case Some(prev) if prev != st => modified.update(rel, st)
+              case _ => ()
+            }
           }
+        } else {
+          // gone: a tracked file, or a whole tracked directory's subtree.
+          // Ignored paths were never in the snapshot, so they no-op here —
+          // and a create+delete inside one window nets to zero rows.
+          if (snapshot.contains(rel)) deleted += rel
+          val prefix = rel + "/"
+          snapshot.keysIterator.filter(_.startsWith(prefix)).foreach(deleted += _)
         }
-      } else {
-        // gone: a tracked file, or a whole tracked directory's subtree.
-        // Ignored paths were never in the snapshot, so they no-op here —
-        // and a create+delete inside one window nets to zero rows.
-        if (snapshot.contains(rel)) deleted += rel
-        val prefix = rel + "/"
-        snapshot.keysIterator.filter(_.startsWith(prefix)).foreach(deleted += _)
-      }
+      } catch { case _: IOException => fullRescan = true }
     }
+    if (fullRescan) { fullDiffLocked(); return }
+    // a path swept as added by one event but observed gone by another in
+    // the same window: the deleted verdict wins (conservative — a racing
+    // re-create fires its own event and the next window re-adds it)
+    deleted.foreach { k => added.remove(k); modified.remove(k) }
     if (added.nonEmpty || modified.nonEmpty || deleted.nonEmpty) {
       snapshot = snapshot -- deleted ++ added ++ modified
       emitLocked(added.keys.map(_ -> "added").toSeq ++

@@ -79,6 +79,20 @@ class CliSpec extends SparkSpec {
     assert(!new java.io.File(dataDir).exists())
   }
 
+  test("clean removes a symlink without following it into its target") {
+    val external = Files.createTempDirectory("graft-clean-external")
+    Files.writeString(external.resolve("precious.txt"), "keep me\n")
+    val dataDir = Files.createTempDirectory("graft-clean-data")
+    Files.writeString(dataDir.resolve("store.bin"), "x\n")
+    Files.createSymbolicLink(dataDir.resolve("link-out"), external)
+
+    Cli.run(spark, List("clean", dataDir.toString))
+
+    assert(!Files.exists(dataDir), "data dir should be gone")
+    assert(Files.exists(external.resolve("precious.txt")),
+      "clean must not follow the symlink into external data")
+  }
+
   test("index --stats writes the reference-style stats JSON") {
     val ws = Files.createTempDirectory("graft-stats-repo")
     Files.writeString(ws.resolve("m.py"),

@@ -90,6 +90,35 @@ class FileWatcherEventSpec extends AnyFunSuite {
     } finally w.stop()
   }
 
+  test("replacing a directory within one window surfaces vanished files as deletes") {
+    val repo = Files.createTempDirectory("graft-evw4-repo")
+    val pkg = Files.createDirectory(repo.resolve("pkg"))
+    Files.writeString(pkg.resolve("a.py"), "def a():\n    return 1\n")
+    Files.writeString(pkg.resolve("b.py"), "def b():\n    return 2\n")
+    val feed = Files.createTempDirectory("graft-evw4-feed")
+    // long debounce: the whole replace lands in ONE window
+    val w = new FileWatcher(repo.toString, feed.toString, pollMs = 1500L)
+    w.start()
+    try {
+      // replace: rm -r pkg && mkdir pkg && add a different file
+      Files.delete(pkg.resolve("a.py"))
+      Files.delete(pkg.resolve("b.py"))
+      Files.delete(pkg)
+      val pkg2 = Files.createDirectory(repo.resolve("pkg"))
+      Files.writeString(pkg2.resolve("c.py"), "def c():\n    return 3\n")
+      eventually(timeout(Span(15, Seconds)), interval(Span(200, Millis))) {
+        val r = rows(feed)
+        assert(r.contains("pkg/a.py" -> "deleted") &&
+          r.contains("pkg/b.py" -> "deleted") &&
+          r.contains("pkg/c.py" -> "added"), s"got $r")
+        // the replaced directory's survivors-only sweep must not resurrect
+        // the old files
+        assert(!r.contains("pkg/a.py" -> "added") &&
+          !r.contains("pkg/b.py" -> "added"), s"got $r")
+      }
+    } finally w.stop()
+  }
+
   test("editing .gitignore re-filters via a full snapshot diff") {
     val repo = Files.createTempDirectory("graft-evw3-repo")
     Files.writeString(repo.resolve(".gitignore"), "secret.py\n")
