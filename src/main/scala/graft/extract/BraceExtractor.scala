@@ -70,6 +70,11 @@ abstract class BraceExtractor extends Extractor {
     * bodies as code; neither should the heuristic.
     */
   protected def multilineStringDelim: Option[String] = None
+  /** String-interpolation hole config (Scala `s"…${…}…"`, Kotlin
+    * templates) — holes are code to a real parser, so calls inside them
+    * are real call sites; see [[NoiseBlanker.Holes]].
+    */
+  protected def interpolationHoles: Option[NoiseBlanker.Holes] = None
   /** Close expression-body callables by indentation (Scala
     * `def f: T = expr` has no brace to pop; the body ends where the
     * indentation returns to the header's level).
@@ -79,6 +84,11 @@ abstract class BraceExtractor extends Extractor {
     * `recv.name { ... }` (Scala's other call syntax).
     */
   protected def emitBraceCalls: Boolean = false
+  /** Emit refs for parenless `new X` / `new X[T]` (Scala allows both;
+    * scalac still parses them as constructor calls). `new X {…}` anonymous
+    * subclasses are skipped — a real parser names those `$anon`, not `X`.
+    */
+  protected def emitBareNew: Boolean = false
   /** Non-scope member definitions inside a container body, dispatched on
     * the container's declaring keyword ("flavor") — Rust struct fields /
     * enum variants (rust.rs:288-299 treats both as definitions with
@@ -98,6 +108,16 @@ abstract class BraceExtractor extends Extractor {
   // `new ArrayList<String>()`: the generic args break the plain call regex
   private val genericNewRe: Regex =
     """new\s+(?:([A-Za-z_$][A-Za-z0-9_$.]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*<[^>]*>\s*\(""".r
+  // Scala-only (emitBareNew): `new X[T](…)` — square-bracket generics break
+  // the plain call regex the same way Java's angle brackets do
+  private val scalaGenericNewRe: Regex =
+    """\bnew\s+(?:([A-Za-z_$][\w$.]*)\.)?([A-Za-z_][\w$]*)\s*\[[^\]]*\]\s*\(""".r
+  // Scala-only (emitBareNew): parenless `new X` / `new X[T]` — still a
+  // constructor call to scalac. `(`/`[` exclusions defer to the call and
+  // generic-new regexes; `{`/with/extends exclude anonymous subclasses
+  private val bareNewRe: Regex =
+    ("""\bnew\s+(?:([A-Za-z_$][\w$.]*)\.)?([A-Za-z_][\w$]*)""" +
+      """(\s*\[[^\]]*\])?(?![\w$])(?!\s*[(\[{]|\s+(?:with|extends)\b)""").r
   private val chainCallRe: Regex =
     """([A-Za-z_]\w*)\s*\(([^()]*)\)\s*[?]?\.\s*([A-Za-z_]\w*)\s*\(""".r
   private val binOpRe: Regex =
@@ -122,7 +142,8 @@ abstract class BraceExtractor extends Extractor {
     val rawLines = f.content.split("\n", -1)
     // strings/chars/block comments blanked (length-preserving): code-shaped
     // text inside literals must not fabricate definitions or call sites
-    val lines = NoiseBlanker.blank(rawLines, lineComment, multilineStringDelim)
+    val lines = NoiseBlanker.blank(rawLines, lineComment, multilineStringDelim,
+      holes = interpolationHoles)
     val lineStart = new Array[Long](lines.length + 1)
     var off = 0L
     for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
@@ -228,6 +249,95 @@ abstract class BraceExtractor extends Extractor {
       * line is consumed (still in the header), else the offset from which
       * normal processing should resume.
       */
+    // the call-ref scan over one line segment (base = scan start within
+    // the full line). Def-header lines scan only their remainder; lines
+    // ABSORBED by the pending-header machinery (multi-line expression
+    // bodies, param lists, extends clauses) are scanned through this too —
+    // a real parser sees calls there (`= JObject(\n  JString(f(x)), …`),
+    // so the heuristic must not lose them
+    def scanCallRefs(lineIdx: Int, full: String, base: Int): Unit = {
+      if (base < full.length) {
+        val seg = full.substring(base)
+        callRe.findAllMatchIn(seg).foreach { m =>
+          val name = m.group(2)
+          val c0 = base + m.start(2)
+          val c1 = base + m.end(2)
+          // call-form (parens): empty receiver → CALLS classification; the
+          // receiver EXPRESSION rides along for the typed resolver only
+          if (!keywords(name)) {
+            val recvExpr = Option(m.group(1)).getOrElse("").replace("?", "")
+            refs += RawReference(f.path, name, "",
+              lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1, recvExpr)
+          }
+        }
+        if (emitBraceCalls)
+          braceCallRe.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(2)
+            val prevWord = prevWordRe
+              .findFirstMatchIn(full.substring(0, base + m.start))
+              .map(_.group(1)).getOrElse("")
+            // block application `xs.foreach { … }` — a call under Scala's
+            // other application syntax; keyword heads (`match {`) and
+            // non-application contexts (`new Foo {`, `extends Bar {`) are
+            // filtered by the stop list on both the name and the word
+            // preceding the whole match
+            if (!keywords(name) && !braceCallStop(name) &&
+                !braceCallStop(prevWord)) {
+              val c0 = base + m.start(2)
+              val c1 = base + m.end(2)
+              refs += RawReference(f.path, name, "",
+                lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1,
+                Option(m.group(1)).getOrElse(""))
+            }
+          }
+        if (emitBareNew) {
+          (scalaGenericNewRe.findAllMatchIn(seg) ++
+              bareNewRe.findAllMatchIn(seg)).foreach { m =>
+            val name = m.group(2)
+            val c0 = base + m.start(2)
+            val c1 = base + m.end(2)
+            if (!keywords(name))
+              refs += RawReference(f.path, name, "",
+                lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1,
+                Option(m.group(1)).getOrElse(""))
+          }
+        }
+        if (emitTypeFacts)
+          genericNewRe.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(2)
+            val c0 = base + m.start(2)
+            val c1 = base + m.end(2)
+            if (!keywords(name))
+              refs += RawReference(f.path, name, "",
+                lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1,
+                Option(m.group(1)).getOrElse(""))
+          }
+        if (emitTypeFacts)
+          chainCallRe.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(3)
+            val c0 = base + m.start(3)
+            val c1 = base + m.end(3)
+            if (!keywords(name) && !keywords(m.group(1)))
+              refs += RawReference(f.path, name, "",
+                lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1,
+                "CALL:" + m.group(1))
+          }
+        if (emitBinaryOperators)
+          binOpRe.findAllMatchIn(seg).foreach { m =>
+            val c0 = base + m.start
+            refs += RawReference(f.path, "plus", "",
+              lineStart(lineIdx) + c0, lineStart(lineIdx) + c0 + 4, lineIdx, c0, c0 + 4,
+              m.group(1))
+            Option(m.group(3)).filterNot(keywords).foreach { chained =>
+              val c3 = base + m.start(3)
+              refs += RawReference(f.path, chained, "",
+                lineStart(lineIdx) + c3, lineStart(lineIdx) + m.end(3), lineIdx, c3,
+                base + m.end(3), "BINOP:" + m.group(1))
+            }
+          }
+      }
+    }
+
     def advancePending(line: String): Int = {
       var k = 0
       if (pendParens > 0) {
@@ -288,8 +398,11 @@ abstract class BraceExtractor extends Extractor {
       var skipLine = false
       if (pendHeader != null) {
         val from = advancePending(line)
-        if (from < 0) skipLine = true
-        else if (from > 0) line = (" " * from) + line.substring(from)
+        if (from < 0) { scanCallRefs(i, line, 0); skipLine = true }
+        else if (from > 0) {
+          scanCallRefs(i, line.substring(0, from), 0)
+          line = (" " * from) + line.substring(from)
+        }
       }
       if (!skipLine) {
       val lineIndent = line.indexWhere(c => !c.isWhitespace)
@@ -487,74 +600,7 @@ abstract class BraceExtractor extends Extractor {
         }
       }
 
-      if (refScanFrom < line.length) {
-        val seg = line.substring(refScanFrom)
-        callRe.findAllMatchIn(seg).foreach { m =>
-          val name = m.group(2)
-          val c0 = refScanFrom + m.start(2)
-          val c1 = refScanFrom + m.end(2)
-          // call-form (parens): empty receiver → CALLS classification; the
-          // receiver EXPRESSION rides along for the typed resolver only
-          if (!keywords(name)) {
-            val recvExpr = Option(m.group(1)).getOrElse("").replace("?", "")
-            refs += RawReference(f.path, name, "",
-              lineStart(i) + c0, lineStart(i) + c1, i, c0, c1, recvExpr)
-          }
-        }
-        if (emitBraceCalls)
-          braceCallRe.findAllMatchIn(seg).foreach { m =>
-            val name = m.group(2)
-            val prevWord = prevWordRe
-              .findFirstMatchIn(line.substring(0, refScanFrom + m.start))
-              .map(_.group(1)).getOrElse("")
-            // block application `xs.foreach { … }` — a call under Scala's
-            // other application syntax; keyword heads (`match {`) and
-            // non-application contexts (`new Foo {`, `extends Bar {`) are
-            // filtered by the stop list on both the name and the word
-            // preceding the whole match
-            if (!keywords(name) && !braceCallStop(name) &&
-                !braceCallStop(prevWord)) {
-              val c0 = refScanFrom + m.start(2)
-              val c1 = refScanFrom + m.end(2)
-              refs += RawReference(f.path, name, "",
-                lineStart(i) + c0, lineStart(i) + c1, i, c0, c1,
-                Option(m.group(1)).getOrElse(""))
-            }
-          }
-        if (emitTypeFacts)
-          genericNewRe.findAllMatchIn(seg).foreach { m =>
-            val name = m.group(2)
-            val c0 = refScanFrom + m.start(2)
-            val c1 = refScanFrom + m.end(2)
-            if (!keywords(name))
-              refs += RawReference(f.path, name, "",
-                lineStart(i) + c0, lineStart(i) + c1, i, c0, c1,
-                Option(m.group(1)).getOrElse(""))
-          }
-        if (emitTypeFacts)
-          chainCallRe.findAllMatchIn(seg).foreach { m =>
-            val name = m.group(3)
-            val c0 = refScanFrom + m.start(3)
-            val c1 = refScanFrom + m.end(3)
-            if (!keywords(name) && !keywords(m.group(1)))
-              refs += RawReference(f.path, name, "",
-                lineStart(i) + c0, lineStart(i) + c1, i, c0, c1,
-                "CALL:" + m.group(1))
-          }
-        if (emitBinaryOperators)
-          binOpRe.findAllMatchIn(seg).foreach { m =>
-            val c0 = refScanFrom + m.start
-            refs += RawReference(f.path, "plus", "",
-              lineStart(i) + c0, lineStart(i) + c0 + 4, i, c0, c0 + 4,
-              m.group(1))
-            Option(m.group(3)).filterNot(keywords).foreach { chained =>
-              val c3 = refScanFrom + m.start(3)
-              refs += RawReference(f.path, chained, "",
-                lineStart(i) + c3, lineStart(i) + m.end(3), i, c3,
-                refScanFrom + m.end(3), "BINOP:" + m.group(1))
-            }
-          }
-      }
+      scanCallRefs(i, line, refScanFrom)
 
       for (c <- line) {
         if (c == '{') depth += 1
@@ -727,6 +773,9 @@ object KotlinExtractor extends BraceExtractor {
   override val emitTypeFacts = true
   override val emitBinaryOperators = true
   override val multilineStringDelim = Some("\"\"\"")
+  // Kotlin templates interpolate in every string form, no prefix needed
+  override val interpolationHoles = Some(NoiseBlanker.Holes(
+    "${", inQuote = true, inMulti = true, prefixRequired = false))
   override def anonymousContainer(line: String): Option[String] =
     if ("""companion\s+object\s*(\{|$)""".r.findFirstIn(line).isDefined)
       Some("Companion")
@@ -887,8 +936,13 @@ object ScalaExtractor extends BraceExtractor {
     "Map", "Set", "List", "Array", "Some", "println", "assert", "require",
     "this")
   override val multilineStringDelim = Some("\"\"\"")
+  // s"…${esc(p)}…" carries a real call site (scalac parses holes as code);
+  // the `s`/`f`/`raw` prefix is required — plain "…${…}…" is literal text
+  override val interpolationHoles = Some(NoiseBlanker.Holes(
+    "${", inQuote = true, inMulti = true, prefixRequired = true))
   override val indentExtents = true
   override val emitBraceCalls = true
+  override val emitBareNew = true
   override def parseImport(line: String) = {
     val re = """^\s*import\s+(\w+(?:\.\w+)*)(?:\.(_|\{[^}]*\}|\w+))?\s*$""".r
     re.findFirstMatchIn(line.takeWhile(_ != '/')).flatMap { m =>

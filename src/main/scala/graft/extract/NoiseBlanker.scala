@@ -13,8 +13,39 @@ package graft.extract
   * should MATCH on the blanked line (so commented-out imports are ignored)
   * and recover the path text from the identical character span of the raw
   * line — blanking is length-preserving, so spans line up.
+  *
+  * String-interpolation holes (`${…}` in Scala/Kotlin templates and JS
+  * backticks, `#{…}` in Ruby) are CODE, not string text — scalac and
+  * tree-sitter both parse them as expressions, so `s"…${esc(p)}…"` carries
+  * a real call site. When a [[Holes]] config is passed, a hole that CLOSES
+  * ON THE SAME LINE is left unblanked (scanned as code, including nested
+  * string literals inside it); an unclosed opener stays string text, so a
+  * stray `${` in a multi-line literal can never leak the rest of the file
+  * into code mode. The opener and closer stay visible and brace-balanced,
+  * so extractor scope depth is unaffected.
   */
 private[extract] object NoiseBlanker {
+
+  /** Where interpolation holes are recognized.
+    *
+    * @param open           hole opener ("${" or "#{"); closer is `}`
+    * @param inQuote        holes occur in single-line `"…"` strings
+    *                       (Scala s-strings, Kotlin, Ruby)
+    * @param inMulti        holes occur in the multi-line string form
+    *                       (Scala triple-quote, Kotlin, JS backtick)
+    * @param prefixRequired the string must be prefixed by an identifier to
+    *                       interpolate (Scala `s"…"`/`f"…"`; Kotlin and JS
+    *                       templates always interpolate)
+    */
+  final case class Holes(open: String, inQuote: Boolean, inMulti: Boolean,
+                         prefixRequired: Boolean)
+
+  // scanning modes
+  private final val Code = 0
+  private final val DQ = 1 // single-line "…"
+  private final val SQ = 2 // single-line '…' (single-quote-string languages)
+  private final val Multi = 3 // multi-line string body
+  private final val Block = 4 // block comment body
 
   /** @param lineComment        comment marker to stop scanning at ("//", "#")
     * @param multilineDelim     multi-line string delimiter (Scala/Kotlin
@@ -23,57 +54,134 @@ private[extract] object NoiseBlanker {
     *                           than a char literal (JVM/Rust, lookahead-guarded
     *                           so Rust lifetimes `&'a` pass through)
     * @param blockComments      blank C-style block-comment spans
+    * @param holes              interpolation-hole config, if the language has one
     */
   def blank(raw: Array[String], lineComment: String,
             multilineDelim: Option[String],
             singleQuoteStrings: Boolean = false,
-            blockComments: Boolean = true): Array[String] = {
+            blockComments: Boolean = true,
+            holes: Option[Holes] = None): Array[String] = {
     val out = new Array[String](raw.length)
-    var inBlock = false
-    var inMulti = false
+    // file-level carry-over: only Block and Multi span lines
+    var carry = Code
+    var multiInterp = false
+
+    def isIdentChar(c: Char) =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+    // index just past the matching `}` of a hole opened at `j`, or -1 when
+    // the hole does not close on this line. Brace-counted; nested string
+    // literals inside the hole are not modeled here — this is only the
+    // same-line guard, the real scan handles them.
+    def closesOnLine(s: String, j: Int, open: String): Boolean = {
+      var k = j + open.length
+      var depth = 0
+      while (k < s.length) {
+        val c = s.charAt(k)
+        if (c == '{') depth += 1
+        else if (c == '}') {
+          if (depth == 0) return true
+          depth -= 1
+        }
+        k += 1
+      }
+      false
+    }
+
     for (i <- raw.indices) {
       val s = raw(i)
       val b = s.toCharArray
       var j = 0
       var done = false
+      var mode = carry
+      var dqInterp = false
+      // string modes suspended by an open hole (same-line by the guard):
+      // (mode to resume, that mode's interp flag); depth counts nested
+      // braces inside the current hole
+      var holeStack = List.empty[(Int, Boolean)]
+      var holeDepth = 0
+
+      def holeOpens(interpOk: Boolean): Boolean = holes match {
+        case Some(h) if interpOk && s.startsWith(h.open, j) &&
+            closesOnLine(s, j, h.open) => true
+        case _ => false
+      }
+      def openHole(resumeMode: Int, resumeInterp: Boolean): Unit = {
+        holeStack ::= (resumeMode, resumeInterp)
+        holeDepth = 0
+        mode = Code
+        j += holes.get.open.length // opener stays visible (balanced by its })
+      }
+
       while (j < b.length && !done) {
-        if (inBlock) {
-          if (s.startsWith("*/", j)) { b(j) = ' '; b(j + 1) = ' '; inBlock = false; j += 2 }
-          else { b(j) = ' '; j += 1 }
-        } else if (inMulti) {
-          if (s.startsWith(multilineDelim.get, j)) {
-            inMulti = false; j += multilineDelim.get.length
-          } else { b(j) = ' '; j += 1 }
-        } else if (multilineDelim.isDefined && s.startsWith(multilineDelim.get, j)) {
-          inMulti = true; j += multilineDelim.get.length
-        } else if (b(j) == '"') {
-          j += 1
-          var closed = false
-          while (j < b.length && !closed) {
-            if (b(j) == '\\' && j + 1 < b.length) { b(j) = ' '; b(j + 1) = ' '; j += 2 }
-            else if (b(j) == '"') { closed = true; j += 1 }
+        mode match {
+          case Block =>
+            if (s.startsWith("*/", j)) {
+              b(j) = ' '; b(j + 1) = ' '; mode = Code; j += 2
+            } else { b(j) = ' '; j += 1 }
+          case Multi =>
+            if (s.startsWith(multilineDelim.get, j)) {
+              mode = Code; j += multilineDelim.get.length
+            } else if (holeOpens(holes.exists(h => h.inMulti &&
+                (multiInterp || !h.prefixRequired)))) {
+              openHole(Multi, multiInterp)
+            } else { b(j) = ' '; j += 1 }
+          case DQ =>
+            if (b(j) == '\\' && j + 1 < b.length) {
+              b(j) = ' '; b(j + 1) = ' '; j += 2
+            } else if (b(j) == '"') { mode = Code; j += 1 }
+            else if (holeOpens(holes.exists(_.inQuote) && dqInterp)) {
+              openHole(DQ, dqInterp)
+            } else { b(j) = ' '; j += 1 }
+          case SQ =>
+            if (b(j) == '\\' && j + 1 < b.length) {
+              b(j) = ' '; b(j + 1) = ' '; j += 2
+            } else if (b(j) == '\'') { mode = Code; j += 1 }
             else { b(j) = ' '; j += 1 }
-          }
-        } else if (singleQuoteStrings && b(j) == '\'') {
-          j += 1
-          var closed = false
-          while (j < b.length && !closed) {
-            if (b(j) == '\\' && j + 1 < b.length) { b(j) = ' '; b(j + 1) = ' '; j += 2 }
-            else if (b(j) == '\'') { closed = true; j += 1 }
-            else { b(j) = ' '; j += 1 }
-          }
-        } else if (!singleQuoteStrings && b(j) == '\'' && j + 2 < b.length &&
-            (b(j + 2) == '\'' ||
-              (b(j + 1) == '\\' && j + 3 < b.length && b(j + 3) == '\''))) {
-          // 'x' / '\x' only — lookahead-guarded so Rust lifetimes (&'a) and
-          // Scala symbols pass through untouched
-          if (b(j + 1) == '\\') { b(j + 1) = ' '; b(j + 2) = ' '; j += 4 }
-          else { b(j + 1) = ' '; j += 3 }
-        } else if (blockComments && s.startsWith("/*", j)) {
-          b(j) = ' '; b(j + 1) = ' '; inBlock = true; j += 2
-        } else if (s.startsWith(lineComment, j)) {
-          done = true // caller truncates from here
-        } else j += 1
+          case _ => // Code, possibly inside a hole
+            if (holeStack.nonEmpty && b(j) == '{') { holeDepth += 1; j += 1 }
+            else if (holeStack.nonEmpty && b(j) == '}') {
+              if (holeDepth == 0) {
+                val (rm, ri) = holeStack.head
+                holeStack = holeStack.tail
+                mode = rm
+                if (rm == DQ) dqInterp = ri
+                if (rm == Multi) multiInterp = ri
+                j += 1 // the } stays visible (balances the opener's {)
+              } else { holeDepth -= 1; j += 1 }
+            } else if (multilineDelim.isDefined &&
+                s.startsWith(multilineDelim.get, j)) {
+              multiInterp = j > 0 && isIdentChar(b(j - 1))
+              mode = Multi; j += multilineDelim.get.length
+            } else if (b(j) == '"') {
+              dqInterp = !holes.exists(_.prefixRequired) ||
+                (j > 0 && isIdentChar(b(j - 1)))
+              mode = DQ; j += 1
+            } else if (singleQuoteStrings && b(j) == '\'') {
+              mode = SQ; j += 1
+            } else if (!singleQuoteStrings && b(j) == '\'' && j + 2 < b.length &&
+                (b(j + 2) == '\'' ||
+                  (b(j + 1) == '\\' && j + 3 < b.length && b(j + 3) == '\''))) {
+              // 'x' / '\x' only — lookahead-guarded so Rust lifetimes (&'a)
+              // and Scala symbols pass through untouched
+              if (b(j + 1) == '\\') { b(j + 1) = ' '; b(j + 2) = ' '; j += 4 }
+              else { b(j + 1) = ' '; j += 3 }
+            } else if (blockComments && s.startsWith("/*", j)) {
+              b(j) = ' '; b(j + 1) = ' '; mode = Block; j += 2
+            } else if (s.startsWith(lineComment, j)) {
+              done = true // caller truncates from here
+            } else j += 1
+        }
+      }
+      // only Block and Multi survive a line break: an unterminated "…" /
+      // '…' is a syntax error the next line shouldn't inherit, and holes
+      // are same-line by the guard (an open hole at EOL means its string
+      // resumed — restore the suspended mode if it was multi-line)
+      carry = mode match {
+        case Block => Block
+        case Multi => Multi
+        case Code if holeStack.exists(_._1 == Multi) => Multi
+        case _ => Code
       }
       out(i) = new String(b)
     }

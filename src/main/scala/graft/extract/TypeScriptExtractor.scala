@@ -38,7 +38,11 @@ object TypeScriptExtractor extends Extractor {
     // on the blanked line too (so commented-out imports are ignored) with
     // module paths recovered from the raw line's identical span
     val lines = NoiseBlanker.blank(rawLines, "//", Some("`"),
-      singleQuoteStrings = true)
+      singleQuoteStrings = true,
+      // `…${fn(x)}…` template holes are code (tree-sitter parses them);
+      // only backtick strings interpolate in JS/TS
+      holes = Some(NoiseBlanker.Holes(
+        "${", inQuote = false, inMulti = true, prefixRequired = false)))
     val lineStart = new Array[Long](rawLines.length + 1)
     var off = 0L
     for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
@@ -223,7 +227,11 @@ object RubyExtractor extends Extractor {
     // defs/refs; requires parse from the RAW line (quoted paths); `#`
     // comments are truncated below, string-safely once contents are blank
     val lines = NoiseBlanker.blank(rawLines, "#", None,
-      singleQuoteStrings = true, blockComments = false)
+      singleQuoteStrings = true, blockComments = false,
+      // "#{fn(x)}" holes interpolate in double-quoted Ruby strings only
+      // ('…' is literal); tree-sitter parses them as code
+      holes = Some(NoiseBlanker.Holes(
+        "#{", inQuote = true, inMulti = false, prefixRequired = false)))
     val lineStart = new Array[Long](rawLines.length + 1)
     var off = 0L
     for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }

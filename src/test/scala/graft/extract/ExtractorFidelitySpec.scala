@@ -47,9 +47,16 @@ class ExtractorFidelitySpec extends SparkSpec {
     val defPrecision = (hDefs & tDefs).size.toDouble / hDefs.size
 
     // ---- call-edge recall/precision on (caller fqn, callee fqn) pairs ----
+    // DEF_TO_DEF only: id spaces overlap per node type (SURVEY §1.2), so
+    // joining DEF_TO_IMP edges against definitions by raw id would pair
+    // callers with arbitrary same-id definitions — the round-4 measurement
+    // did exactly that, and the resulting symmetric garbage (a bogus miss
+    // plus a bogus extra per divergent tie) understated fidelity as
+    // 88.8/92.5 when the true call-pair parity was near-perfect
     def callPairs(store: graft.store.GraphStore): Set[(String, String)] = {
       val d = store.definitions.select(col("id"), col("fqn"))
-      store.edges.where(col("type").isin(RelType.callTypes: _*))
+      store.edges.where(col("type").isin(RelType.callTypes: _*) &&
+          col("kind") === graft.model.EdgeKind.DefToDef)
         .join(d.select(col("id").as("sid"), col("fqn").as("src")),
           col("source_id") === col("sid"))
         .join(d.select(col("id").as("tid"), col("fqn").as("dst")),
@@ -83,11 +90,14 @@ class ExtractorFidelitySpec extends SparkSpec {
     println(s"FIDELITY_MISSING $missing")
 
     // conservative floors: the measurement must not silently degrade
-    // (round-4 measured: defs 99.8/100.0, calls 88.8/92.5 — floors sit a
-    // band below so ordinary codebase growth doesn't flake the suite)
-    assert(defRecall > 0.90, f"definition recall collapsed: $defRecall%.3f")
-    assert(defPrecision > 0.90, f"definition precision collapsed: $defPrecision%.3f")
-    assert(callRecall > 0.70, f"call-edge recall collapsed: $callRecall%.3f")
-    assert(callPrecision > 0.75, f"call-edge precision collapsed: $callPrecision%.3f")
+    // (round-5 measured: defs 99.8/100.0, calls 100.0/100.0 after fixing
+    // the DEF_TO_IMP id-space join above and closing the real extractor
+    // gaps it had been masking: interpolation-hole calls, bare `new X`,
+    // and calls on pending-header continuation lines — floors sit a band
+    // below so ordinary codebase growth doesn't flake the suite)
+    assert(defRecall > 0.95, f"definition recall collapsed: $defRecall%.3f")
+    assert(defPrecision > 0.95, f"definition precision collapsed: $defPrecision%.3f")
+    assert(callRecall > 0.93, f"call-edge recall collapsed: $callRecall%.3f")
+    assert(callPrecision > 0.93, f"call-edge precision collapsed: $callPrecision%.3f")
   }
 }
