@@ -1323,6 +1323,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- Gopher-style rule filters (Rae et al. 2021 A1.1): word-count
+    //      band, mean word length, symbol ratio, alpha-word fraction,
+    //      stopword presence → keep/drop verdict
+    q("td_gopher_rules", docPrelude +
+      s""", g AS (SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS nw,
+        CAST(length(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) AS wchars,
+        len(list_intersect(list_distinct(toks),
+          ['the','a','of','and','to','in','is'])) AS stop_hits,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS sym,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS aw
+      FROM d_toks)
+      SELECT doc_id, CAST(nw AS INT) AS n_words,
+        round(wchars / nw, 4) AS mean_wlen,
+        CAST(stop_hits AS INT) AS stop_hits,
+        round(sym / nw, 4) AS symbol_ratio,
+        round(aw / nw, 4) AS alpha_frac,
+        (nw >= 50 AND nw <= 100000 AND round(wchars / nw, 4) >= 3.0
+          AND round(wchars / nw, 4) <= 10.0 AND round(sym / nw, 4) < 0.1
+          AND round(aw / nw, 4) > 0.8 AND stop_hits >= 2) AS keep
+      FROM g ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.TextAnalysis.withGopherRules(
+        s.read.parquet(s"$d/documents.parquet"), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("stop_hits").cast("int").as("stop_hits"), col("symbol_ratio"),
+          col("alpha_frac"), col("keep"))
+        .orderBy("doc_id")
+    }
+
     // ---- text analysis: stopword-heuristic language ID
     q("td_langid", docPrelude +
       s""", sc AS (SELECT doc_id, lang, list_distinct(toks) AS dt FROM d_toks),
@@ -1520,6 +1549,22 @@ object SparkEntry {
       graft.pipeline.Sampling.stratifiedTopK(
         s.read.parquet(s"$d/documents.parquet"), col("lang"), col("doc_id"), 20)
         .select("doc_id", "lang").orderBy("lang", "doc_id")
+    }
+
+    // ---- temperature-scaled mixture targets (q_g ∝ n_g^p, p = 1/τ = 2):
+    //      integer power by repeated multiplication so the arithmetic is
+    //      exact in doubles on both engines (pow() may differ in the ulp)
+    q("samp_temperature",
+      s"""WITH cnts AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+          FROM documents GROUP BY 1),
+      tot AS (SELECT sum(n * n) AS s FROM cnts)
+      SELECT grp, CAST(n AS BIGINT) AS n_docs,
+        CAST(floor(100000 * (n * n) / s) AS BIGINT) AS target_docs
+      FROM cnts CROSS JOIN tot ORDER BY grp""") { (s, d) =>
+      graft.pipeline.Sampling.temperatureTargets(
+        s.read.parquet(s"$d/documents.parquet"), col("lang"),
+        power = 2, budget = 100000L)
+        .orderBy("grp")
     }
 
     // ---- sequence packing: boundary-aligned token-budget packs per shard

@@ -475,6 +475,30 @@ abstract class BraceExtractor extends Extractor {
               }
             containerStack ::= (depth, m.group(1), defs.length - 1, flavor)
             factScopeStack ::= (depth, m.group(1))
+            // one-line body members (`sealed trait E { def id: String }`):
+            // the container match consumed the line, so callables declared
+            // inside a SAME-LINE-CLOSED body would be lost. Only the closed
+            // case is safe — a body continuing past the line would need
+            // stack bookkeeping for the member's extent.
+            val bodyFrom = line.indexOf('{', m.end(1)) + 1
+            var bal = 1
+            var bodyEnd = bodyFrom
+            while (bodyEnd < line.length && bal > 0) {
+              val ch = line.charAt(bodyEnd)
+              if (ch == '{') bal += 1 else if (ch == '}') bal -= 1
+              if (bal > 0) bodyEnd += 1
+            }
+            if (bal == 0) {
+              val body = line.substring(bodyFrom, bodyEnd)
+              callableRes.foreach { case (cre, ckind) =>
+                cre.findAllMatchIn(body).foreach { cm =>
+                  val n = cm.group(1)
+                  add(n, fqnOf(n),
+                    refineCallableKind(n, Some(m.group(1)), ckind),
+                    bodyFrom + cm.start(1))
+                }
+              }
+            }
           } else {
             pendHeader = new StringBuilder(line)
             pendIsContainer = true

@@ -85,4 +85,32 @@ object Sampling {
       .where(col("__rn") <= col("__take"))
       .drop("__grp", "__take", "__rn")
   }
+
+  /** Temperature-scaled mixture targets — the standard multilingual
+    * data-mixing computation (q_g ∝ n_g^(1/τ), Conneau & Lample 2019):
+    * given a token/doc budget B, each group's target is
+    * floor(B · n_g^p / Σ_h n_h^p) with p = 1/τ. `power` is restricted to
+    * small INTEGER p and computed by repeated multiplication, so the
+    * arithmetic is exact in doubles on any engine (pow() implementations
+    * may differ in the last ulp; n·n never does). p=2 ⇔ τ=0.5 sharpens
+    * toward big groups; τ>1 flattening needs fractional p and a tolerance
+    * gate, so it is deliberately out of scope here.
+    *
+    * Scale: one group-cardinality aggregate, one scalar total broadcast
+    * back over it — no per-row work at all beyond the count.
+    */
+  def temperatureTargets(df: DataFrame, groupCol: Column, power: Int,
+                         budget: Long): DataFrame = {
+    require(power >= 1 && power <= 4, "integer power 1..4 (p = 1/τ)")
+    val cnts = df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val weighted = cnts.withColumn("w",
+      (1 until power).foldLeft(col("n"))((acc, _) => acc * col("n")))
+    val tot = weighted.agg(sum(col("w")).as("s"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n").cast("long").as("n_docs"),
+        floor(lit(budget.toDouble) * col("w") / col("s"))
+          .cast("long").as("target_docs"))
+      .orderBy("grp")
+  }
 }

@@ -81,6 +81,36 @@ object TextAnalysis {
   /** Document fingerprint: polynomial rolling hash of the normalized text. */
   def fingerprint(text: Column): Column = charFold(normText(text))
 
+  /** Gopher-style document-level rule filters (Rae et al. 2021, appendix
+    * A1.1): word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word fraction, and a minimum stopword presence, plus the
+    * composite keep/drop verdict. Everything is map-side column math over
+    * the tokenization the rest of the pipeline shares — no shuffle, no UDF;
+    * mean word length avoids a per-token aggregate entirely (total word
+    * chars = normalized text minus its spaces).
+    */
+  def withGopherRules(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("double")
+    val wordChars = length(regexp_replace(normText(t), " ", "")).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(stopwords("en").map(lit): _*)))
+    val symbolHits = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+    val alphaWords = size(filter(toks, x => x.rlike("[a-z]"))).cast("double")
+    docs
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_wlen", round(wordChars / nWords, 4))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("symbol_ratio", round(symbolHits / nWords, 4))
+      .withColumn("alpha_frac", round(alphaWords / nWords, 4))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+          col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8 &&
+          col("stop_hits") >= 2)
+  }
+
   /** Gopher-style intra-document repetition signals (Rae et al. 2021,
     * "Scaling Language Models", appendix A1.1): the most-frequent word
     * 2-gram's share of all 2-gram occurrences, and the duplicate share of

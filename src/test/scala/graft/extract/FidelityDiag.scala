@@ -34,6 +34,13 @@ object FidelityDiag {
           .select("src", "dst").distinct()
           .collect().map(r => (r.getString(0), r.getString(1))).toSet
       }
+      val hDefs = heuristic.definitions
+        .where(col("primary_file_path").endsWith(".scala"))
+        .select("fqn").collect().map(_.getString(0)).toSet
+      val tDefs = truth.definitions.select("fqn").collect()
+        .map(_.getString(0)).toSet
+      (tDefs -- hDefs).toSeq.sorted.foreach(f => println(s"DEFMISS $f"))
+      (hDefs -- tDefs).toSeq.sorted.foreach(f => println(s"DEFXTRA $f"))
       val hCalls = callPairs(heuristic)
       val tCalls = callPairs(truth)
       println(s"DIAG truth=${tCalls.size} heuristic=${hCalls.size} " +

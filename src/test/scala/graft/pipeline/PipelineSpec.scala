@@ -373,6 +373,42 @@ class PipelineSpec extends SparkSpec {
       s"tfidf df/n_docs should broadcast:\n$tPlan")
   }
 
+  test("gopher rules: metrics and keep verdict match brute force; " +
+      "plan is map-side only") {
+    val out = TextAnalysis.withGopherRules(docs, "text")
+    val rows = out.select("doc_id", "n_words", "mean_wlen", "stop_hits",
+        "alpha_frac", "keep").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // brute force on doc 0: 13 whitespace words, all alphabetic
+    val words = "the quick brown fox jumps over the lazy dog again and again today"
+      .split(" ")
+    assert(rows(0L).getInt(1) == words.length)
+    assert(rows(0L).getDouble(2) ==
+      BigDecimal(words.map(_.length).sum.toDouble / words.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows(0L).getInt(3) == 2) // distinct ∩ stopwords = {the, and}
+    assert(rows(0L).getDouble(4) == 1.0)
+    // every fixture doc is under the 50-word Gopher floor → all dropped
+    assert(rows.values.forall(!_.getBoolean(5)))
+
+    // scale contract: pure per-row column math — no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopher rules shuffled:\n$plan")
+  }
+
+  test("temperature targets: p=2 mixing math is exact") {
+    import spark.implicits._
+    // groups of 3, 2 docs → weights 9, 4; budget 1000
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.temperatureTargets(df, col("lang"), power = 2,
+        budget = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 3L, 692L), ("b", 2L, 307L)))
+    // floor(1000*9/13)=692, floor(1000*4/13)=307 — never exceeds budget
+    assert(got.map(_._3).sum <= 1000L)
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
