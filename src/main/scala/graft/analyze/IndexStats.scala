@@ -21,11 +21,19 @@ object IndexStats {
     val filesPerLang = store.files.groupBy("language")
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val defsPerLang = store.definitions.alias("d")
+    // one pass serves both per-language totals and the per-language
+    // definition_types breakdown (stats.rs LanguageStats.definition_types)
+    val defsByLangType = store.definitions.alias("d")
       .join(store.files.alias("f"),
         col("d.primary_file_path") === col("f.path"))
-      .groupBy(col("f.language")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy(col("f.language"), col("d.definition_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val defsPerLang = defsByLangType.groupBy(_._1)
+      .map { case (l, rows) => l -> rows.map(_._3).sum }
+    val defTypesPerLang = defsByLangType.groupBy(_._1)
+      .map { case (l, rows) =>
+        l -> rows.map { case (_, t, n) => (t, n) }.toMap }
 
     def obj(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }
@@ -35,6 +43,8 @@ object IndexStats {
       "totals" -> longs(totals),
       "files_per_language" -> longs(filesPerLang),
       "definitions_per_language" -> longs(defsPerLang),
+      "definition_types_per_language" -> obj(defTypesPerLang.map {
+        case (l, m) => l -> longs(m) }),
       "stage_durations_sec" -> obj(stageDurationsSec.map {
         case (k, v) => k -> f"$v%.3f" })))
   }

@@ -36,6 +36,16 @@ object PythonExtractor extends Extractor {
 
   override def extract(f: SourceFile): Extracted = {
     val lines = f.content.split("\n", -1)
+    // ref-scan twin of each line: string bodies blanked so call-shaped
+    // text inside literals can't fabricate references (and a '#' inside a
+    // string no longer truncates the scan) — while f-string holes stay
+    // code, which is exactly how CPython's ast sees them (`f"rgb({int(x)})"`
+    // carries a real int() call; the rgb( text does not). The ident-prefix
+    // rule scopes hole parsing to f/rb-prefixed strings.
+    val refLines = NoiseBlanker.blank(lines, "#", Some("\"\"\""),
+      singleQuoteStrings = true, blockComments = false,
+      holes = Some(NoiseBlanker.Holes("{", inQuote = true, inMulti = true,
+        prefixRequired = true)))
     // byte offset of each line start (UTF-8)
     val lineStart = new Array[Long](lines.length + 1)
     var off = 0L
@@ -98,7 +108,7 @@ object PythonExtractor extends Extractor {
             } else stack ::= sc
           case None =>
             extractImports(f, line, i, lineStart, imports)
-            extractRefs(f, line, i, lineStart, refs)
+            extractRefs(f, refLines(i), i, lineStart, refs)
         }
         lastContent = i
       }

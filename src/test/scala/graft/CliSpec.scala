@@ -105,5 +105,10 @@ class CliSpec extends SparkSpec {
     assert(txt.contains(""""total_definitions": 2"""))
     assert(txt.contains(""""python": 1""")) // files_per_language
     assert(txt.contains(""""stage_durations_sec""""))
+    // per-language definition_types (stats.rs LanguageStats.definition_types):
+    // class A + def f → one Class, one Method under python
+    assert(txt.contains(""""definition_types_per_language""""))
+    assert(txt.contains(""""Class": 1"""))
+    assert(txt.contains(""""Method": 1"""))
   }
 }
