@@ -1172,6 +1172,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- dedup: quality-argmax survivor per near-dup cluster (the step a
+    //      real pipeline runs after clustering: keep the BEST copy, not an
+    //      arbitrary one; singletons keep themselves). Order by the rounded
+    //      quality score — bit-identical on both engines — ties by doc_id.
+    q("dd_keep_best", jaccardPairsSql.substring(0,
+      jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
+      , jp AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8),
+      sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      sps AS (SELECT u, v FROM sp UNION SELECT u, u FROM sp),
+      lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
+      $lblIterSql,
+      qual AS (SELECT doc_id,
+        round(0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+          + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks))
+          + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 4) AS qs
+        FROM d_toks),
+      cid AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lp6 l ON d.doc_id = l.doc_id)
+      SELECT c.doc_id, c.cluster_id,
+        (row_number() OVER (PARTITION BY c.cluster_id
+           ORDER BY q.qs DESC, c.doc_id) = 1) AS kept
+      FROM cid c JOIN qual q ON c.doc_id = q.doc_id ORDER BY c.doc_id""") {
+      (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      Dedup.keepBest(
+        TextAnalysis.withQuality(docs, "text"),
+        Dedup.clusterKeepers(Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.8)),
+        "doc_id", col("quality_score"))
+        .select("doc_id", "cluster_id", "kept").orderBy("doc_id")
+    }
+
     // ---- dedup: the MinHash signature itself, slot by slot (the exact
     //      hash family h_i(x) = (a_i x + b_i) mod p replayed in SQL)
     q("dd_minhash_sig", s"""$docPrelude, sh AS (
@@ -1352,6 +1384,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- text analysis: PII redaction (emails / IPv4s / phone numbers →
+    //      typed placeholders + per-category counts). The synthetic corpus
+    //      carries no PII, so the gate enriches the text with
+    //      deterministically-derived PII first — both engines compute the
+    //      identical enriched string, then the identical redaction
+    //      (patterns live in the RE2 ∩ java.util.regex common subset).
+    q("td_redact_pii",
+      s"""WITH enr AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text2
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        CAST(len(regexp_extract_all(text2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text2, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+        regexp_replace(regexp_replace(regexp_replace(text2,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+          '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS redacted
+      FROM enr ORDER BY doc_id""") { (s, d) =>
+      val id = col("doc_id")
+      val enriched = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("text2", concat(col("text"),
+          when(id % 3 === 0, concat(lit(" reach user"), id.cast("string"),
+            lit("@example.com now"))).otherwise(""),
+          when(id % 4 === 0, concat(lit(" from 10."),
+            (id % 200).cast("string"), lit(".0."),
+            (id % 250).cast("string"))).otherwise(""),
+          when(id % 5 === 0, concat(lit(" call 555-867-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise("")))
+      TextAnalysis.redactPii(enriched, "text2")
+        .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+        .orderBy("doc_id")
+    }
+
     // ---- text analysis: stopword-heuristic language ID
     q("td_langid", docPrelude +
       s""", sc AS (SELECT doc_id, lang, list_distinct(toks) AS dt FROM d_toks),
@@ -1513,6 +1581,20 @@ object SparkEntry {
       graft.pipeline.Sampling.hashPercent(
         s.read.parquet(s"$d/documents.parquet"), col("doc_id"), 10)
         .select("doc_id", "lang").orderBy("doc_id")
+    }
+
+    // ---- deterministic train/val/test split assignment (stable under
+    //      corpus growth: a doc's split never changes when new docs arrive)
+    q("samp_split_assign",
+      s"""SELECT doc_id, lang,
+        CASE WHEN $idFold % 100 < 80 THEN 'train'
+             WHEN $idFold % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Sampling.splitAssign(
+        s.read.parquet(s"$d/documents.parquet"), col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "lang", "split").orderBy("doc_id")
     }
 
     // ---- deterministic mixture sampling (data mixing): largest corpus

@@ -340,6 +340,32 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("keeper_id"))
   }
 
+  /** Cluster-aware survivor selection — the step a real fuzzy-dedup pipeline
+    * runs after [[clusterKeepers]]: keep the HIGHEST-QUALITY document per
+    * near-dup cluster (not an arbitrary min-id), and every singleton.
+    * `clusters` is the (doc_id, keeper_id) output of [[clusterKeepers]];
+    * documents absent from it are their own singleton cluster. Returns every
+    * input row plus `cluster_id` and a boolean `kept`. Ties in `scoreCol`
+    * break by ascending id, so the selection is deterministic on any engine.
+    *
+    * Scale: one equi-join on the doc id (the cluster table is
+    * pair-participant-sized — far smaller than the corpus) and one window
+    * shuffle keyed on cluster_id; near-dup clusters are small and
+    * singleton clusters are one row each, so no window partition is ever
+    * skewed.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame, idCol: String,
+               scoreCol: Column): DataFrame = {
+    val cl = clusters.select(col("doc_id").as("__kb_id"),
+      col("keeper_id").as("__kb_cluster"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(scoreCol.desc, col(idCol))
+    docs.join(cl, docs(idCol) === col("__kb_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("__kb_cluster"), col(idCol)))
+      .drop("__kb_id", "__kb_cluster")
+      .withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Benchmark-contamination detection: documents sharing at least one word
     * `n`-gram with a (small) benchmark/eval set — the decontamination filter
     * every pretraining pipeline runs before training. Inverted-index

@@ -43,6 +43,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/val/test split assignment — the canonical "hash
+    * the id, bucket mod 100" dataset split (reproducible on any engine, and
+    * stable under corpus growth: a document's split never changes when new
+    * documents arrive, which `df.randomSplit` cannot guarantee). `splits`
+    * is an ORDERED (name, percent) list summing to 100; buckets are
+    * assigned to names in list order over the cumulative boundaries.
+    * Map-side column math, zero shuffle.
+    */
+  def splitAssign(df: DataFrame, idCol: Column,
+                  splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 100, s"split percents must be >0 and sum to 100: $splits")
+    val bucket = idHash(idCol) % 100
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Deterministic mixture sampling — the data-mixing step of a training
     * pipeline: draw the LARGEST corpus that hits the target group
     * proportions exactly, bounded by per-group availability.

@@ -183,4 +183,34 @@ object TextAnalysis {
           slice(col("toks"), col("s") + 1,
             least(lit(windowTokens), col("n") - col("s"))))).as("chunk_md5"))
   }
+
+  /** PII masking patterns — the scrub every published pretraining pipeline
+    * runs (C4/Dolma mask emails, IPs, phone numbers before training).
+    * Patterns are deliberately restricted to the RE2 ∩ java.util.regex
+    * common subset (character classes, bounded repetition, `\b`, no
+    * lookaround/backrefs) so a SQL oracle replays them byte-for-byte.
+    * Order matters: emails first, so an address's digit runs are already
+    * collapsed before the looser numeric patterns scan.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"))
+
+  /** PII redaction: replace each pattern with its typed placeholder and
+    * count the matches per category (counted on the ORIGINAL text, so the
+    * counts are independent of replacement order). Pure map-side codegen'd
+    * column math — regexp_replace / regexp_extract_all are both
+    * whole-stage-codegen expressions — zero shuffle at any scale.
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (df, (nm, pat, _)) =>
+      df.withColumn(s"n_$nm",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+    }
+    counted.withColumn("redacted",
+      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+        regexp_replace(c, pat, tag)
+      })
+  }
 }

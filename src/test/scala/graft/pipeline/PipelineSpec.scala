@@ -409,6 +409,75 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._3).sum <= 1000L)
   }
 
+  test("keepBest keeps the quality-argmax per cluster and all singletons") {
+    import spark.implicits._
+    // cluster {0,1,3} via near-dup pairs; 2 and 4 are singletons
+    val clusters = Dedup.clusterKeepers(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5))
+    // rig the score so doc 1 (not min-id 0) is the cluster's best
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 1, 9.0).otherwise(col("doc_id").cast("double")))
+    val out = Dedup.keepBest(scored, clusters, "doc_id", col("score"))
+      .select("doc_id", "cluster_id", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0L) == ((0L, false)) && out(1L) == ((0L, true)) &&
+      out(3L) == ((0L, false)), s"cluster selection wrong: $out")
+    assert(out(2L) == ((2L, true)) && out(4L) == ((4L, true)))
+    // ties break by ascending id: equal scores keep the smallest doc_id
+    val tied = Dedup.keepBest(docs.withColumn("score", lit(1.0)),
+      clusters, "doc_id", col("score"))
+      .where(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(tied == Set(0L, 2L, 4L))
+  }
+
+  test("redactPii masks emails/ips/phones and counts on the original text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail a.user+x@example.co.uk or b@c.io from 10.0.3.77 call 555-867-5309"),
+      (1L, "no pii here at all"),
+      (2L, "version 1.2 costs 10.50 at 123-45-6789")) // non-PII numerics stay
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Int]("n_email") == 2 &&
+      out(0L).getAs[Int]("n_ipv4") == 1 && out(0L).getAs[Int]("n_phone") == 1)
+    assert(out(0L).getAs[String]("redacted") ==
+      "mail <EMAIL> or <EMAIL> from <IP> call <PHONE>")
+    assert(out(1L).getAs[String]("redacted") == "no pii here at all")
+    val r2 = out(2L)
+    assert(r2.getAs[Int]("n_email") + r2.getAs[Int]("n_ipv4") +
+      r2.getAs[Int]("n_phone") == 0, "non-PII numerics must not redact")
+    // map-side only: no exchange in the plan
+    val plan = TextAnalysis.redactPii(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"redactPii shuffled:\n$plan")
+  }
+
+  test("splitAssign is exhaustive, deterministic, and growth-stable") {
+    import spark.implicits._
+    val ids = (0L until 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val got = Sampling.splitAssign(ids, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 400 && got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly proportional (hash is uniform-ish; wide tolerance)
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 250 && n("val") > 10 && n("test") > 10, s"skewed: $n")
+    // growth-stability: assignments on a subset equal those on the full set
+    val sub = Sampling.splitAssign(ids.where(col("doc_id") < 100),
+      col("doc_id"), splits).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => got(id) == s })
+    // mod-100 buckets map to the cumulative boundaries exactly
+    val withBucket = Sampling.splitAssign(ids, col("doc_id"), splits)
+      .withColumn("b", graft.functions.TextFunctions.charFold(
+        col("doc_id").cast("string")) % 100)
+      .select("split", "b").as[(String, Long)].collect()
+    assert(withBucket.forall { case (s, b) =>
+      (b < 80 && s == "train") || (b >= 80 && b < 90 && s == "val") ||
+        (b >= 90 && s == "test") })
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
