@@ -1420,6 +1420,75 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- end-to-end curation funnel: fuzzy dedup (keep best) → Gopher
+    //      rules → repetition → quality threshold, with per-stage attrition
+    //      counts (the composition a real pretraining pipeline audits)
+    q("td_curation_funnel", jaccardPairsSql.substring(0,
+      jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
+      , jp AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8),
+      sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      sps AS (SELECT u, v FROM sp UNION SELECT u, u FROM sp),
+      lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
+      $lblIterSql,
+      qual AS (SELECT doc_id,
+        round(0.4 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+          + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(toks))
+          + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0), 4) AS qs
+        FROM d_toks),
+      cid AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lp6 l ON d.doc_id = l.doc_id),
+      kb AS (SELECT c.doc_id,
+        (row_number() OVER (PARTITION BY c.cluster_id
+           ORDER BY q.qs DESC, c.doc_id) = 1) AS dedup_kept
+        FROM cid c JOIN qual q ON c.doc_id = q.doc_id),
+      gm AS (SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS nw,
+        CAST(length(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) AS wchars,
+        len(list_intersect(list_distinct(toks),
+          ['the','a','of','and','to','in','is'])) AS stop_hits,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS sym,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS aw
+      FROM d_toks),
+      gv AS (SELECT doc_id, (nw >= 50 AND nw <= 100000
+        AND round(wchars / nw, 4) >= 3.0 AND round(wchars / nw, 4) <= 10.0
+        AND round(sym / nw, 4) < 0.1 AND round(aw / nw, 4) > 0.8
+        AND stop_hits >= 2) AS gopher_keep FROM gm),
+      reps AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(toks), 1)),
+          i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+      FROM d_toks),
+      top2 AS (SELECT doc_id, max(c) AS best, sum(c) AS total FROM (
+          SELECT doc_id, gram, count(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS gram FROM reps) GROUP BY 1, 2)
+        GROUP BY 1),
+      d3 AS (SELECT doc_id, len(g3) AS n3, len(list_distinct(g3)) AS u3
+        FROM reps),
+      rv AS (SELECT r.doc_id,
+        (coalesce(round(CAST(best AS DOUBLE) / total, 4), 0.0) <= 0.20 AND
+         (CASE WHEN n3 > 0 THEN round(CAST(n3 - u3 AS DOUBLE) / n3, 4)
+               ELSE 0.0 END) <= 0.50) AS repetition_keep
+        FROM reps r LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)),
+      verd AS (SELECT k.doc_id, k.dedup_kept, g.gopher_keep,
+          r.repetition_keep, (q.qs >= 0.5) AS quality_keep
+        FROM kb k JOIN gv g USING (doc_id) JOIN rv r USING (doc_id)
+        JOIN qual q ON k.doc_id = q.doc_id)
+      SELECT stage, n_docs FROM (
+        SELECT '0_all' AS stage, count(*) AS n_docs FROM verd
+        UNION ALL SELECT '1_fuzzy_dedup', count(*) FROM verd WHERE dedup_kept
+        UNION ALL SELECT '2_gopher_rules', count(*) FROM verd
+          WHERE dedup_kept AND gopher_keep
+        UNION ALL SELECT '3_repetition', count(*) FROM verd
+          WHERE dedup_kept AND gopher_keep AND repetition_keep
+        UNION ALL SELECT '4_quality', count(*) FROM verd
+          WHERE dedup_kept AND gopher_keep AND repetition_keep AND quality_keep
+      ) ORDER BY stage""") { (s, d) =>
+      graft.pipeline.Curation.funnel(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        qualityMin = 0.5).orderBy("stage")
+    }
+
     // ---- text analysis: stopword-heuristic language ID
     q("td_langid", docPrelude +
       s""", sc AS (SELECT doc_id, lang, list_distinct(toks) AS dt FROM d_toks),
@@ -1499,6 +1568,36 @@ object SparkEntry {
       FROM documents d LEFT JOIN st USING (doc_id) ORDER BY doc_id""") { (s, d) =>
       Dedup.sharedNgramStats(s.read.parquet(s"$d/documents.parquet"),
         "doc_id", "text", n = 6).orderBy("doc_id")
+    }
+
+    // ---- dedup: duplicated-span REMOVAL (the acting counterpart of the
+    //      census above — Lee et al. 2022 exact-substring scrub): drop every
+    //      token position covered by a cross-document 6-gram, reassemble
+    //      the survivors in order
+    q("dd_span_scrub", docPrelude +
+      s""", pg AS (SELECT doc_id, i,
+        array_to_string(toks[i:i+5], ' ') AS gram
+      FROM d_toks, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 4, 1))) AS i) g
+      WHERE len(toks) >= 6),
+      gdf AS (SELECT gram FROM pg GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT pg.doc_id, pg.i + u.u AS p
+        FROM pg JOIN gdf USING (gram),
+        LATERAL (SELECT unnest(generate_series(0, 5)) AS u) u),
+      tp AS (SELECT doc_id, p, toks[CAST(p AS INT)] AS tok
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, CAST(len(toks) AS BIGINT))) AS p) t),
+      keptt AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        WHERE NOT EXISTS (SELECT 1 FROM cov
+          WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p)),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(tok, ' ' ORDER BY p) AS cleaned FROM keptt GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+        CAST(len(d.toks) AS BIGINT) - coalesce(ka.n_kept, 0) AS n_removed,
+        coalesce(ka.cleaned, '') AS cleaned
+      FROM d_toks d LEFT JOIN ka USING (doc_id) ORDER BY d.doc_id""") {
+      (s, d) =>
+      Dedup.removeDuplicatedSpans(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 6, minDf = 2).orderBy("doc_id")
     }
 
     // ---- corpus search: Okapi BM25 top-k (inverted-index shape; scores

@@ -340,6 +340,51 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("keeper_id"))
   }
 
+  /** Duplicated-span REMOVAL — the acting counterpart of
+    * [[sharedNgramStats]] (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": scrub exact substrings repeated across
+    * documents; C4's boilerplate removal is the same shape at sentence
+    * granularity). A token position is covered when ANY word n-gram window
+    * through it occurs in >= minDf distinct documents; covered positions
+    * drop and the survivors reassemble in order.
+    *
+    * Scale: positional grams (one explode), one shuffle keyed on the gram
+    * for document frequency (inverted-index shape — no pairwise work), a
+    * broadcast-or-shuffle semi-join back onto positions, one per-document
+    * aggregation to rebuild the text. Everything is O(total tokens).
+    * Returns (id, n_tokens, n_removed, cleaned).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 6, minDf: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("rd_id"),
+      tokens(col(textCol)).as("toks"))
+    val pg = base.where(size(col("toks")) >= n)
+      .select(col("rd_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(col("rd_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") + 1, lit(n))).as("gram"))
+    val gramDf = pg.groupBy("gram")
+      .agg(countDistinct("rd_id").as("df"))
+      .where(col("df") >= minDf)
+    val covered = pg.join(gramDf, "gram")
+      .select(col("rd_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+    val tokPos = base.select(col("rd_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val keptAgg = tokPos.join(covered, Seq("rd_id", "pos"), "left_anti")
+      .groupBy("rd_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned"))
+    base.select(col("rd_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("rd_id"), "left_outer")
+      .select(col("rd_id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Cluster-aware survivor selection — the step a real fuzzy-dedup pipeline
     * runs after [[clusterKeepers]]: keep the HIGHEST-QUALITY document per
     * near-dup cluster (not an arbitrary min-id), and every singleton.

@@ -478,6 +478,57 @@ class PipelineSpec extends SparkSpec {
         (b >= 90 && s == "test") })
   }
 
+  test("removeDuplicatedSpans scrubs cross-doc 6-grams, keeps unique text") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact the webmaster for details"
+    val df = Seq(
+      (0L, s"alpha beta gamma delta $boiler epsilon zeta"),
+      (1L, s"one two three four five six seven $boiler"),
+      (2L, "totally unique text with no shared spans whatsoever here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n = 6, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the 8-token boilerplate is covered by shared 6-gram windows in both
+    // docs; unique prefixes/suffixes survive in order
+    assert(out(0L).getAs[String]("cleaned")
+      == "alpha beta gamma delta epsilon zeta", s"got: ${out(0L)}")
+    assert(out(1L).getAs[String]("cleaned") == "one two three four five six seven")
+    assert(out(0L).getAs[Long]("n_removed") == 8 &&
+      out(1L).getAs[Long]("n_removed") == 8)
+    assert(out(2L).getAs[Long]("n_removed") == 0 &&
+      out(2L).getAs[String]("cleaned") ==
+        "totally unique text with no shared spans whatsoever here")
+    // n_tokens is the pre-scrub count
+    assert(out(0L).getAs[Long]("n_tokens") == 14)
+  }
+
+  test("curation funnel counts cumulative stage survivors in one pass") {
+    import spark.implicits._
+    // 60-token docs pass gopher's word-count band; doc 2 is a near-dup of
+    // doc 1 with lower quality (fewer stopwords), so dedup drops it
+    val good = ("the quick brown fox jumps over a lazy dog and then runs " +
+      "to the old stone house in town where it sleeps of an evening ") * 2
+    val df = Seq(
+      (1L, good + "calm end"),
+      (2L, good + "calm ending"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val f = Curation.funnel(df, "doc_id", "text", qualityMin = 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("0_all") == 3)
+    assert(f("1_fuzzy_dedup") == 2, s"funnel: $f") // near-dup pair loses one
+    assert(f("2_gopher_rules") <= f("1_fuzzy_dedup"))
+    assert(f.keys.toSeq.sorted == Seq("0_all", "1_fuzzy_dedup",
+      "2_gopher_rules", "3_repetition", "4_quality"))
+    // monotone non-increasing down the funnel
+    val vals = f.toSeq.sortBy(_._1).map(_._2)
+    assert(vals.zip(vals.tail).forall { case (a, b) => b <= a }, s"funnel: $f")
+    // curate returns exactly the docs surviving every stage
+    val kept = Curation.curate(df, "doc_id", "text", qualityMin = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == f("4_quality"))
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
