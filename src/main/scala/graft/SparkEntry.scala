@@ -1032,6 +1032,29 @@ object SparkEntry {
       graft.graph.GraphOps.degreeByKindOf(graphFor(s, d), s)
     }
 
+    // ---- graph: triangle census (top-20 vertices by participation) over
+    //      the undirected kind-tagged graph — two equi-joins on canonical
+    //      u<v edges, no GraphX
+    q("g_triangles", P +
+      s""", $kmTagSql,
+      tgv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,
+                     km2.dtag * 4294967296 + e.target_id AS b
+              FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM tgv WHERE a <> b),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM und e1 JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      prt AS (SELECT vid, CAST(count(*) AS BIGINT) AS n_triangles
+              FROM (SELECT unnest([x, y, z]) AS vid FROM tri) GROUP BY 1)
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id, n_triangles,
+             CAST(row_number() OVER (ORDER BY n_triangles DESC, vid) AS INT) AS rank
+      FROM prt QUALIFY rank <= 20 ORDER BY rank""") { (s, d) =>
+      graft.graph.GraphOps.triangleTopVertices(storeFor(s, d).edges, topK = 20)
+        .orderBy("rank")
+    }
+
     // ---- full indexing pipeline (S1-S2, E1-E3, A1-A10) on a deterministic
     //      synthetic Python tree. The oracle replays the ENTIRE derivation —
     //      SyntheticTree's file/class/method layout, the Python extractor's
@@ -1657,6 +1680,19 @@ object SparkEntry {
         "doc_id", "text", 3).orderBy("doc_id", "rank")
     }
 
+    // ---- text analysis: corpus-wide most frequent word trigrams (all
+    //      occurrences counted — the corpus-statistics face of n-grams)
+    q("td_top_ngrams", docPrelude +
+      s""", tg AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        FROM d_toks WHERE len(toks) >= 3),
+      cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1)
+      SELECT gram, n, CAST(row_number() OVER (ORDER BY n DESC, gram) AS INT) AS rank
+      FROM cnt QUALIFY rank <= 25 ORDER BY rank""") { (s, d) =>
+      TextAnalysis.topNgrams(s.read.parquet(s"$d/documents.parquet"), "text",
+        n = 3, k = 25).orderBy("rank")
+    }
+
     // ---- RAG/pretraining chunking: 32-token windows every 8 tokens,
     //      chunk content carried as md5 so the gate output stays bounded
     q("td_chunk_windows", docPrelude +
@@ -1801,6 +1837,47 @@ object SparkEntry {
       graft.pipeline.Embeddings.quantizeInt8(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding")
         .orderBy("vec_id", "dim")
+    }
+
+    // ---- embeddings: per-label centroid table (the seed step of k-means /
+    //      the class-prototype table of a labeled corpus)
+    val sqlDotLR = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    q("emb_centroid_by_label", """WITH v AS (
+        SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      c AS (SELECT label, CAST(i - 1 AS INT) AS dim, avg(vec[i]) AS centroid
+        FROM v, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i) g
+        GROUP BY 1, 2)
+      SELECT label, dim, round(centroid, 4) AS centroid
+      FROM c ORDER BY label, dim""") { (s, d) =>
+      graft.pipeline.Embeddings.centroidsByLabel(
+        s.read.parquet(s"$d/embeddings.parquet"), "label", "embedding")
+        .select(col("label"), col("dim").cast("int").as("dim"),
+          round(col("centroid"), 4).as("centroid"))
+        .orderBy("label", "dim")
+    }
+
+    // ---- embeddings: one Lloyd assignment step against the label
+    //      centroids (nearest-centroid classification; ties break by label).
+    //      Both sides compute d2 as the same |v|^2+|c|^2-2*v.c expansion.
+    q("emb_kmeans_assign", s"""WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      c0 AS (SELECT label AS clab, i, avg(vec[i]) AS cv
+        FROM v, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i) g
+        GROUP BY 1, 2),
+      carr AS (SELECT clab, list(cv ORDER BY i) AS cvec FROM c0 GROUP BY 1),
+      cn AS (SELECT clab, cvec, ${sqlDotLR("cvec", "cvec")} AS c2 FROM carr),
+      vn2 AS (SELECT vec_id, label, vec, ${sqlDotLR("vec", "vec")} AS v2 FROM v),
+      scored AS (SELECT vec_id, label, clab,
+        v2 + c2 - 2 * ${sqlDotLR("vec", "cvec")} AS d2 FROM vn2 CROSS JOIN cn),
+      r AS (SELECT vec_id, label, clab, d2,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d2, clab) AS rn
+        FROM scored)
+      SELECT vec_id, label, clab AS assigned, round(d2, 4) AS dist2
+      FROM r WHERE rn = 1 ORDER BY vec_id""") { (s, d) =>
+      graft.pipeline.Embeddings.kmeansAssign(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "label", "embedding")
+        .orderBy("vec_id")
     }
 
     // ---- multimodal: binary payload plumbing + stubbed decode features

@@ -167,4 +167,36 @@ object GraphOps {
       round(avg(col("degree")), 4).as("avg_degree"))
       .orderBy("tag")
   }
+
+  /** Top-`topK` vertices by triangle participation over the undirected,
+    * kind-tagged graph. Pure DataFrame program — no GraphX — because
+    * triangle enumeration is exactly two shuffle equi-joins on canonical
+    * (u < v) edges: e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w). Both joins key on vertex
+    * ids, so at cluster scale they are plain hash-partitioned exchanges;
+    * the per-vertex census is one more partial-agg shuffle and the top-k
+    * is TakeOrdered, never a global sort. Output: (tag, id, n_triangles,
+    * rank) with ties broken by packed vertex id.
+    */
+  def triangleTopVertices(edges: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = edges.select(
+      (tagOf(col("kind"), from = true) * lit(1L << 32) + col("source_id")).as("a"),
+      (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("b"))
+    val und = tagged.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.u") === col("e1.v"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val part = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("n_triangles"))
+    part.orderBy(col("n_triangles").desc, col("vid")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_triangles").desc, col("vid"))).cast("int"))
+      .select(shiftright(col("vid"), 32).as("tag"),
+        (col("vid") % lit(1L << 32)).as("id"),
+        col("n_triangles"), col("rank"))
+  }
 }

@@ -184,6 +184,26 @@ object TextAnalysis {
             least(lit(windowTokens), col("n") - col("s"))))).as("chunk_md5"))
   }
 
+  /** Corpus-wide most-frequent word n-grams (every occurrence counted, not
+    * per-document distinct — this is the corpus-statistics face; the dedup
+    * operators use the distinct [[graft.functions.TextFunctions.shingleSet]]).
+    * Count is a partial-agg shuffle keyed on the gram; the global top-k is
+    * TakeOrdered over the aggregated vocabulary — never a full sort — and
+    * the final rank window runs over k rows only. Ties break on the gram
+    * string so the output is deterministic.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 3,
+                k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("gram")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("gram"))).cast("int"))
+      .select(col("gram"), col("n"), col("rank"))
+  }
+
   /** PII masking patterns — the scrub every published pretraining pipeline
     * runs (C4/Dolma mask emails, IPs, phone numbers before training).
     * Patterns are deliberately restricted to the RE2 ∩ java.util.regex

@@ -529,6 +529,57 @@ class PipelineSpec extends SparkSpec {
     assert(kept.size == f("4_quality"))
   }
 
+  test("top n-grams counts every occurrence and ranks deterministically") {
+    val top = TextAnalysis.topNgrams(docs, "text", n = 3, k = 5).collect()
+    assert(top.length == 5)
+    // "the quick brown" appears once in each of docs 0, 1, 3
+    val first = top.head
+    assert(first.getAs[Long]("n") == 3)
+    assert(first.getAs[Int]("rank") == 1)
+    // rank ties break on the gram string: counts non-increasing, grams
+    // ascending within a count
+    val rows = top.map(r => (r.getAs[Long]("n"), r.getAs[String]("gram")))
+    assert(rows.zip(rows.tail).forall { case ((na, ga), (nb, gb)) =>
+      na > nb || (na == nb && ga < gb) })
+  }
+
+  test("centroids by label are per-dimension means; kmeans assigns nearest") {
+    import spark.implicits._
+    // two well-separated clusters: label 0 near (1,0), label 1 near (0,1)
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.1f, 0.9f), 1),
+      (4L, Seq(0.8f, 0.2f), 1) // mislabeled: sits in cluster 0's space
+    ).toDF("vec_id", "embedding", "label")
+    val c = Embeddings.centroidsByLabel(embs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((0, 0)) - 0.95) < 1e-6)
+    assert(math.abs(c((1, 1)) - (1.0 + 0.9 + 0.2) / 3) < 1e-6)
+    val a = Embeddings.kmeansAssign(embs, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(a(0L) == 0 && a(1L) == 0 && a(2L) == 1 && a(3L) == 1)
+    // the mislabeled vector pulls label 1's centroid, but stays nearer to
+    // the label-0 prototype
+    assert(a(4L) == 0)
+  }
+
+  test("triangle census finds the known triangles of a toy graph") {
+    import spark.implicits._
+    // DEF_TO_DEF triangle 1-2-3 plus a pendant edge 3-4; duplicate and
+    // reversed edges must collapse into the undirected edge set
+    val edges = Seq(
+      ("DEF_TO_DEF", 1L, 2L), ("DEF_TO_DEF", 2L, 3L), ("DEF_TO_DEF", 3L, 1L),
+      ("DEF_TO_DEF", 2L, 1L), // reverse duplicate
+      ("DEF_TO_DEF", 3L, 4L)
+    ).toDF("kind", "source_id", "target_id")
+    val t = graft.graph.GraphOps.triangleTopVertices(edges, topK = 10)
+      .collect()
+    assert(t.length == 3) // vertices 1,2,3 each in exactly one triangle
+    assert(t.forall(_.getAs[Long]("n_triangles") == 1L))
+    assert(t.map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.forall(_.getAs[Long]("tag") == graft.model.NodeTag.Definition))
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
