@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CharFold(exprs(0), exprs(1)))
     inject(VectorExpressions.ShinglesName, classOf[ShingleSet],
       exprs => ShingleSet(exprs(0), exprs(1)))
+    inject(VectorExpressions.ShingleListName, classOf[ShingleList],
+      exprs => ShingleList(exprs(0), exprs(1)))
     inject(VectorExpressions.MinHashSigName, classOf[MinHashSig],
       exprs => MinHashSig(exprs(0), exprs(1)))
     inject(VectorExpressions.NgramStatsName, classOf[NgramStats],

@@ -59,6 +59,15 @@ object TextFunctions {
       case None => array_distinct(shingles(tokens(text), n))
     }
 
+  /** Every shingle of a text column in order, duplicates kept. */
+  def shingleList(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) => // one-pass native builder (fast path)
+        VectorExpressions.register(s)
+        VectorExpressions.shingleList(text, n)
+      case None => shingles(tokens(text), n)
+    }
+
   /** Per-element polynomial hash of a string array. */
   def hashAll(arr: Column): Column = transform(arr, s => charFold(s))
 

@@ -174,6 +174,64 @@ case class ShingleSet(child: Expression, nExpr: Expression)
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** Every word n-gram of a document IN ORDER, duplicates kept — the
+  * corpus-statistics counterpart of [[ShingleSet]] (which dedups per doc).
+  * Same normalization/tokenization as ShingleSet and the DuckDB oracle.
+  * One JVM pass; the declarative transform+slice construction is an
+  * interpreted per-row lambda and measured 30x slower on the top-n-grams
+  * gate.
+  */
+case class ShingleList(child: Expression, nExpr: Expression)
+    extends BinaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)
+  override def prettyName: String = "graft_shingle_list"
+
+  override def nullSafeEval(a: Any, nv: Any): Any = {
+    val n = nv.asInstanceOf[Number].intValue()
+    val raw = a.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else sb.append(' ')
+      i += 1
+    }
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = -1
+    val t = sb.toString
+    i = 0
+    while (i <= t.length) {
+      if (i < t.length && t.charAt(i) != ' ') { if (start < 0) start = i }
+      else if (start >= 0) { toks += t.substring(start, i); start = -1 }
+      i += 1
+    }
+    val m = math.max(toks.length - n + 1, 0)
+    val out = new Array[AnyRef](m)
+    var j = 0
+    while (j < m) {
+      val g = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) g.append(' ')
+        g.append(toks(j + k))
+        k += 1
+      }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(g.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, nExpr = newRight)
+}
+
 /** Per-document word-n-gram occurrence statistics in one JVM pass:
   * struct(total, distinct, max_freq) over the document's word n-grams,
   * with [[ShingleSet]]'s exact normalization/tokenization (and the DuckDB
@@ -341,6 +399,7 @@ object VectorExpressions {
   val DotName = "graft_dot"
   val CharFoldName = "graft_charfold"
   val ShinglesName = "graft_shingles"
+  val ShingleListName = "graft_shingle_list"
   val MinHashSigName = "graft_minhash_sig"
   val NgramStatsName = "graft_ngram_stats"
 
@@ -355,6 +414,8 @@ object VectorExpressions {
       CharFoldName, exprs => CharFold(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, exprs => ShingleSet(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleListName, exprs => ShingleList(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinHashSigName, exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -371,6 +432,10 @@ object VectorExpressions {
   /** Native shingle set; requires [[register]]. */
   def shingleSet(c: Column, n: Int): Column =
     call_function(ShinglesName, c, org.apache.spark.sql.functions.lit(n))
+
+  /** Native ordered non-distinct shingle list; requires [[register]]. */
+  def shingleList(c: Column, n: Int): Column =
+    call_function(ShingleListName, c, org.apache.spark.sql.functions.lit(n))
 
   /** Whole MinHash signature, map-side; requires [[register]]. */
   def minHashSig(c: Column, numHashes: Int): Column =

@@ -196,7 +196,7 @@ object TextAnalysis {
                 k: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs
-      .select(explode(shingles(tokens(col(textCol)), n)).as("gram"))
+      .select(explode(shingleList(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
     counts.orderBy(col("n").desc, col("gram")).limit(k)
       .withColumn("rank", row_number().over(

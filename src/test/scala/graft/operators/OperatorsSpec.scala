@@ -194,10 +194,12 @@ class OperatorsSpec extends SparkSpec {
     val r = s2.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
                 graft_charfold('ab', 31) AS h,
-                graft_minhash_sig(array('x'), 4) AS mh""").head()
+                graft_minhash_sig(array('x'), 4) AS mh,
+                graft_shingle_list('a b a b', 2) AS sl""").head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getLong(1) === 97L * 31 + 98) // fold of 'a','b'
     assert(r.getSeq[Long](2).length === 4)
+    assert(r.getSeq[String](3) === Seq("a b", "b a", "a b")) // ordered, dups kept
   }
 
   test("MinHashSig: codegen equals interpreted equals the per-slot formula") {

@@ -580,6 +580,27 @@ class PipelineSpec extends SparkSpec {
     assert(t.forall(_.getAs[Long]("tag") == graft.model.NodeTag.Definition))
   }
 
+  test("plan shapes: kmeansAssign broadcasts centroids; centroid agg is partial") {
+    import spark.implicits._
+    val embs = Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // the centroid side is k rows — it must ride as a broadcast, never a
+    // corpus-sized shuffle join
+    val a = Embeddings.kmeansAssign(embs, "vec_id", "label", "embedding")
+    a.collect()
+    val aPlan = a.queryExecution.executedPlan.toString
+    assert(aPlan.contains("BroadcastExchange") ||
+      aPlan.contains("BroadcastNestedLoopJoin"),
+      s"kmeansAssign centroids should broadcast:\n$aPlan")
+    // centroid aggregation must map-side combine (partial_avg before the
+    // exchange), so the shuffle carries k*dims rows per partition
+    val c = Embeddings.centroidsByLabel(embs, "label", "embedding")
+    c.collect()
+    val cPlan = c.queryExecution.executedPlan.toString
+    assert(cPlan.contains("partial_avg") || cPlan.contains("Partial"),
+      s"centroidsByLabel should partial-aggregate:\n$cPlan")
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
