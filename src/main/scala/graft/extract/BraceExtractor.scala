@@ -56,8 +56,17 @@ abstract class BraceExtractor extends Extractor {
   protected def inferenceStart(line: String): Option[String] = None
   /** Kotlin extension-property header `val Recv.prop` → (recvType, prop). */
   protected def extensionPropertyHeader(line: String): Option[(String, String)] = None
-  /** `@Name` annotation-line names (attached to the next definition). */
+  /** `@Name` annotation-line names (attached to the next definition when
+    * the language emits type facts; always excluded from the call-ref scan
+    * — `#[derive(Debug)]` / `@Suppress("x")` argument lists are not call
+    * sites to a real parser).
+    */
   protected def annotationNames(line: String): Seq[String] = Nil
+  /** Extra language-specific call-site shapes the shared regex set misses
+    * (single capture group = callee name). Rust turbofish:
+    * `collect::<Vec<_>>()`.
+    */
+  protected def extraCallRes: Seq[Regex] = Nil
   /** Kotlin operator desugaring: `(a + b)` → plus-call on `a`. */
   protected def emitBinaryOperators: Boolean = false
   /** Language-specific callable-kind refinement given the enclosing
@@ -75,6 +84,12 @@ abstract class BraceExtractor extends Extractor {
     * are real call sites; see [[NoiseBlanker.Holes]].
     */
   protected def interpolationHoles: Option[NoiseBlanker.Holes] = None
+  /** Recognize Rust raw strings (`r#"…"#`) — their bodies may span lines
+    * and carry unescaped quotes/braces (test-fixture JSON is the common
+    * case), which corrupts quote tracking and scope depth if scanned as
+    * ordinary string syntax.
+    */
+  protected def rawStrings: Boolean = false
   /** Close expression-body callables by indentation (Scala
     * `def f: T = expr` has no brace to pop; the body ends where the
     * indentation returns to the header's level).
@@ -143,7 +158,7 @@ abstract class BraceExtractor extends Extractor {
     // strings/chars/block comments blanked (length-preserving): code-shaped
     // text inside literals must not fabricate definitions or call sites
     val lines = NoiseBlanker.blank(rawLines, lineComment, multilineStringDelim,
-      holes = interpolationHoles)
+      holes = interpolationHoles, rawStrings = rawStrings)
     val lineStart = new Array[Long](lines.length + 1)
     var off = 0L
     for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
@@ -268,6 +283,17 @@ abstract class BraceExtractor extends Extractor {
             val recvExpr = Option(m.group(1)).getOrElse("").replace("?", "")
             refs += RawReference(f.path, name, "",
               lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1, recvExpr)
+          }
+        }
+        extraCallRes.foreach { re =>
+          re.findAllMatchIn(seg).foreach { m =>
+            val name = m.group(1)
+            if (!keywords(name)) {
+              val c0 = base + m.start(1)
+              val c1 = base + m.end(1)
+              refs += RawReference(f.path, name, "",
+                lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1, "")
+            }
           }
         }
         if (emitBraceCalls)
@@ -588,9 +614,12 @@ abstract class BraceExtractor extends Extractor {
         refScanFrom = line.length
       }
 
-      if (emitTypeFacts && !matched) {
+      if (!matched) {
         val anns = annotationNames(line)
-        if (anns.nonEmpty) { pendingAnnotations ++= anns; refScanFrom = line.length }
+        if (anns.nonEmpty) {
+          if (emitTypeFacts) pendingAnnotations ++= anns
+          refScanFrom = line.length
+        }
       }
 
       if (emitTypeFacts && !matched && pendingInference.isEmpty) {
@@ -993,13 +1022,38 @@ object RustExtractor extends BraceExtractor {
     """(?:pub(?:\([^)]*\))?\s+)?trait\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Interface",
     // `impl Trait for Type` scopes members under the RECEIVING type —
     // rust.rs resolves the impl's self type, not the trait; tried before
-    // the plain-impl rule so `for` wins when present
-    """impl(?:\s*<[^>]*>)?\s+[A-Za-z_][\w:<>, ]*?\s+for\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
-    """impl(?:\s*<[^>]*>)?\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class")
+    // the plain-impl rule so `for` wins when present. Both rules are
+    // line-start-anchored: `impl` also appears mid-line as an opaque type
+    // (`-> impl Iterator<…> {`, `x: impl Into<…>`), where matching would
+    // fabricate a phantom container AND swallow the fn def on that line
+    // (containerRes is tried before callableRes). `impl dyn Trait`
+    // (inherent impls on trait objects) scopes under the trait name.
+    // the self type may be path-qualified (`for rmcp::ErrorData`) — scope
+    // under the LAST segment, the type itself (rust.rs resolves the same)
+    """^\s*(?:unsafe\s+)?impl(?:\s*<[^>]*>)?\s+(?:dyn\s+)?[A-Za-z_][\w:<>, ]*?\s+for\s+(?:[A-Za-z_]\w*::)*([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class",
+    """^\s*(?:unsafe\s+)?impl(?:\s*<[^>]*>)?\s+(?:dyn\s+)?([A-Za-z_][A-Za-z0-9_]*)""".r -> "Class")
   override val callableRes = Seq(
     """(?:pub(?:\([^)]*\))?\s+)?(?:async\s+|unsafe\s+|const\s+|extern\s+)*fn\s+([A-Za-z_][A-Za-z0-9_]*)""".r -> "Method")
   override val keywords = Set("if", "for", "while", "match", "return", "Some",
-    "Ok", "Err", "None", "vec", "println", "panic", "assert", "assert_eq")
+    "Ok", "Err", "None", "vec", "println", "panic", "assert", "assert_eq",
+    // reserved words that look like call heads to the line scanner
+    // (`let (a, b) = …`, `impl Fn(i32) -> i32`) — none can name a user fn
+    "let", "else", "fn", "impl", "dyn", "move", "loop", "unsafe", "as",
+    "in", "use", "pub", "mod", "where", "type", "const", "static", "enum",
+    "struct", "trait", "async", "await", "ref", "mut", "box", "crate",
+    "super", "self", "Self", "Fn", "FnMut", "FnOnce")
+  // `#[derive(Debug)]` / `#[cfg(test)]` / `#[strum(serialize = "…")]`
+  // attribute lines: their argument lists are not call sites (tree-sitter
+  // parses attributes as meta items, not expressions — rust.rs emits no
+  // references from them)
+  private val attrRe = """^\s*#!?\[\s*([A-Za-z_][\w:]*)""".r
+  override def annotationNames(line: String): Seq[String] =
+    attrRe.findFirstMatchIn(line).map(_.group(1).split("::").last).toSeq
+  // turbofish call sites (`collect::<Vec<_>>()`, `parse::<u16>()`) — the
+  // generic-args block sits between the callee name and the paren, so the
+  // shared name-then-paren regex can't see them
+  override val extraCallRes =
+    Seq("""([A-Za-z_]\w*)\s*::\s*<.*?>\s*\(""".r)
   override def parseImport(line: String) = {
     val re = """^\s*(?:pub\s+)?use\s+([\w:]+)(?:::\{[^}]*\})?(?:\s+as\s+(\w+))?\s*;""".r
     re.findFirstMatchIn(line).map { m =>
@@ -1011,6 +1065,10 @@ object RustExtractor extends BraceExtractor {
   // generic-heavy Rust (`impl<T> Cache<T>\nwhere\n    T: Clone\n{`) — they
   // continue the pending header rather than closing it body-less
   override val continuationTokens = Set("where")
+  // raw strings (`r#"…"#`) carry unescaped quotes and braces across lines
+  // (test-fixture JSON); without this the quote tracker desyncs and scope
+  // depth drifts for the rest of the file
+  override val rawStrings = true
   // struct fields and enum variants are definitions in the reference's
   // analyzer (rust.rs:288-299: Struct→Field and Enum→Variant both carry
   // CLASS_TO_METHOD containment); only the direct body depth of a

@@ -46,6 +46,7 @@ private[extract] object NoiseBlanker {
   private final val SQ = 2 // single-line '…' (single-quote-string languages)
   private final val Multi = 3 // multi-line string body
   private final val Block = 4 // block comment body
+  private final val Raw = 5 // Rust raw string body (r"…", r#"…"#, br##"…"##)
 
   /** @param lineComment        comment marker to stop scanning at ("//", "#")
     * @param multilineDelim     multi-line string delimiter (Scala/Kotlin
@@ -55,16 +56,23 @@ private[extract] object NoiseBlanker {
     *                           so Rust lifetimes `&'a` pass through)
     * @param blockComments      blank C-style block-comment spans
     * @param holes              interpolation-hole config, if the language has one
+    * @param rawStrings         recognize Rust raw strings `r"…"` /
+    *                           `r#"…"#` / `br##"…"##` — the body (which may
+    *                           span lines and contain unescaped quotes and
+    *                           braces) is blanked until `"` + the opener's
+    *                           hash count
     */
   def blank(raw: Array[String], lineComment: String,
             multilineDelim: Option[String],
             singleQuoteStrings: Boolean = false,
             blockComments: Boolean = true,
-            holes: Option[Holes] = None): Array[String] = {
+            holes: Option[Holes] = None,
+            rawStrings: Boolean = false): Array[String] = {
     val out = new Array[String](raw.length)
-    // file-level carry-over: only Block and Multi span lines
+    // file-level carry-over: only Block, Multi and Raw span lines
     var carry = Code
     var multiInterp = false
+    var rawHashes = 0 // '#' count of the open raw string's delimiter
 
     def isIdentChar(c: Char) =
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
@@ -115,6 +123,15 @@ private[extract] object NoiseBlanker {
 
       while (j < b.length && !done) {
         mode match {
+          case Raw =>
+            // closes at `"` followed by exactly the opener's hash count
+            if (b(j) == '"' && j + rawHashes < b.length &&
+                (0 until rawHashes).forall(k => b(j + 1 + k) == '#')) {
+              mode = Code; j += 1 + rawHashes
+            } else if (b(j) == '"' && rawHashes > 0 &&
+                j + rawHashes >= b.length) { b(j) = ' '; j += 1 }
+            else if (b(j) == '"' && rawHashes == 0) { mode = Code; j += 1 }
+            else { b(j) = ' '; j += 1 }
           case Block =>
             if (s.startsWith("*/", j)) {
               b(j) = ' '; b(j + 1) = ' '; mode = Code; j += 2
@@ -153,6 +170,17 @@ private[extract] object NoiseBlanker {
                 s.startsWith(multilineDelim.get, j)) {
               multiInterp = j > 0 && isIdentChar(b(j - 1))
               mode = Multi; j += multilineDelim.get.length
+            } else if (rawStrings && (b(j) == 'r' || b(j) == 'b') &&
+                (j == 0 || !isIdentChar(b(j - 1))) && {
+                  var k = j + (if (b(j) == 'b' && j + 1 < b.length &&
+                    b(j + 1) == 'r') 2 else if (b(j) == 'r') 1 else b.length)
+                  val h0 = k
+                  while (k < b.length && b(k) == '#') k += 1
+                  if (k < b.length && b(k) == '"') {
+                    rawHashes = k - h0; mode = Raw; j = k + 1; true
+                  } else false
+                }) {
+              // handled in the guard: r/br + #* + " opened a raw string
             } else if (b(j) == '"') {
               dqInterp = !holes.exists(_.prefixRequired) ||
                 (j > 0 && isIdentChar(b(j - 1)))
@@ -180,6 +208,7 @@ private[extract] object NoiseBlanker {
       carry = mode match {
         case Block => Block
         case Multi => Multi
+        case Raw => Raw
         case Code if holeStack.exists(_._1 == Multi) => Multi
         case _ => Code
       }

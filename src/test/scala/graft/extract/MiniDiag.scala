@@ -9,9 +9,21 @@ object MiniDiag {
   def main(args: Array[String]): Unit = {
     val p = Paths.get(args.headOption.getOrElse(
       "src/main/scala/graft/serve/WorkspaceManager.scala"))
-    val sf = SourceFile(p.toString, p.toString, "diag",
-      p.getFileName.toString, "scala", "scala", Files.readString(p))
-    val ex = ScalaExtractor.extract(sf)
+    val name = p.getFileName.toString
+    val extn = name.substring(name.lastIndexOf('.') + 1)
+    val (lang, extractor: Extractor) = extn match {
+      case "rs" => ("rust", RustExtractor)
+      case "java" => ("java", JavaExtractor)
+      case "kt" => ("kotlin", KotlinExtractor)
+      case "cs" => ("csharp", CSharpExtractor)
+      case "rb" => ("ruby", RubyExtractor)
+      case "py" => ("python", PythonExtractor)
+      case "ts" | "tsx" | "js" | "jsx" => ("typescript", TypeScriptExtractor)
+      case _ => ("scala", ScalaExtractor)
+    }
+    val sf = SourceFile(p.toString, p.toString, "diag", name, extn, lang,
+      Files.readString(p))
+    val ex = extractor.extract(sf)
     val grep = args.lift(1).getOrElse("")
     ex.definitions.filter(d => grep.isEmpty || d.fqn.contains(grep))
       .foreach(d => println(
