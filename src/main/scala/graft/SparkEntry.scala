@@ -1299,6 +1299,29 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45).orderBy("id_a", "id_b")
     }
 
+    // ---- SemDeDup: one kept representative per cosine-near-dup cluster
+    //      (exact-pair graph + the same 6-round min-label recurrence as
+    //      dd_clusters; membership join brings back singletons as their own
+    //      keepers). Pairs only among nrm > 0 — zero vectors have no cosine
+    //      and survive as singletons, matching the Spark-side filter.
+    q("dd_semantic_keep", s"""$vnSql,
+      prs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+        WHERE a.nrm > 0 AND b.nrm > 0),
+      jp AS (SELECT ida AS a, idb AS b FROM prs WHERE cos >= 0.45),
+      sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      sps AS (SELECT u, v FROM sp UNION SELECT u, u FROM sp),
+      lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
+      $lblIterSql
+      SELECT v.vec_id, coalesce(l.lbl, v.vec_id) AS cluster_id,
+        (coalesce(l.lbl, v.vec_id) = v.vec_id) AS kept
+      FROM vn v LEFT JOIN lp6 l ON v.vec_id = l.doc_id
+      ORDER BY vec_id""") { (s, d) =>
+      Dedup.semanticKeepers(s.read.parquet(s"$d/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.45).orderBy("vec_id")
+    }
+
     // ---- similarity search: brute-force cosine top-k (exact baseline)
     q("ann_brute_topk", s"""$vnSql,
       scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -1661,6 +1684,38 @@ object SparkEntry {
         "doc_id", "text").orderBy("doc_id")
     }
 
+    // ---- CCNet perplexity bucketing: per-language head/middle/tail tiers
+    //      by unigram cross-entropy. Cutoffs are DISCRETE quantiles (first
+    //      xent whose per-lang cumulative doc count reaches ceil(n*k/3)) so
+    //      the label is a pure comparison on the 4-decimal-rounded value —
+    //      no ntile, whose per-language global sort both engines would have
+    //      to replay identically AND which single-partitions each language
+    //      at scale.
+    q("td_xent_buckets", docPrelude +
+      s""", tk AS (SELECT doc_id, unnest(toks) AS term FROM d_toks),
+      cnt AS (SELECT term, CAST(count(*) AS DOUBLE) AS tc FROM tk GROUP BY 1),
+      tot AS (SELECT sum(tc) AS total FROM cnt),
+      xe AS (SELECT doc_id, round(avg(-ln(tc / total)), 4) AS x
+        FROM tk JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id),
+      xl AS (SELECT xe.doc_id, d.lang, xe.x
+        FROM xe JOIN documents d USING (doc_id)),
+      vc AS (SELECT lang, x, count(*) AS c FROM xl GROUP BY 1, 2),
+      cm AS (SELECT lang, x,
+          sum(c) OVER (PARTITION BY lang ORDER BY x) AS cum FROM vc),
+      nn AS (SELECT lang, sum(c) AS n FROM vc GROUP BY 1),
+      ct AS (SELECT cm.lang,
+          min(CASE WHEN cum >= ceil(n * 1 / 3) THEN x END) AS c1,
+          min(CASE WHEN cum >= ceil(n * 2 / 3) THEN x END) AS c2
+        FROM cm JOIN nn USING (lang) GROUP BY 1)
+      SELECT xl.doc_id, xl.lang, xl.x AS unigram_xent,
+        CAST(CASE WHEN xl.x <= c1 THEN 1 WHEN xl.x <= c2 THEN 2
+             ELSE 3 END AS INT) AS bucket
+      FROM xl JOIN ct USING (lang) ORDER BY doc_id""") { (s, d) =>
+      Search.withXentBuckets(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", "lang", buckets = 3)
+        .select("doc_id", "lang", "unigram_xent", "bucket").orderBy("doc_id")
+    }
+
     // ---- TF-IDF keyword extraction: top-3 terms per doc, scores rounded
     //      BEFORE ranking (cross-engine hash-stable), term tiebreak
     q("td_tfidf_topk", docPrelude +
@@ -1706,6 +1761,32 @@ object SparkEntry {
       graft.pipeline.TextAnalysis.chunkWindows(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
         windowTokens = 32, strideTokens = 8).orderBy("doc_id", "start_idx")
+    }
+
+    // ---- CCNet/RefinedWeb line-level boilerplate scrub: drop lines whose
+    //      trimmed text appears in >= 2 distinct docs, rebuild in order.
+    //      TESTDATA docs are single-line and all-distinct, so the oracle's
+    //      real check here is the split -> df-count -> anti-join ->
+    //      reassemble round-trip (clean_md5 must byte-match per doc);
+    //      LineScrubSpec drives the removal semantics on a constructed
+    //      multi-line corpus.
+    q("td_line_scrub",
+      s"""WITH sp AS (SELECT doc_id,
+          string_split(text, chr(10)) AS ls FROM documents),
+      ln AS (SELECT doc_id, i AS pos, ls[i] AS line
+        FROM sp, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+      bo AS (SELECT trim(line) AS key FROM ln WHERE trim(line) <> ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      kp AS (SELECT l.doc_id, l.pos, l.line FROM ln l
+        LEFT JOIN bo ON trim(l.line) = bo.key WHERE bo.key IS NULL),
+      rb AS (SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS m,
+        count(*) AS n_kept FROM kp GROUP BY 1)
+      SELECT s.doc_id, coalesce(rb.m, md5('')) AS clean_md5,
+        CAST(len(s.ls) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+      FROM sp s LEFT JOIN rb USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.TextAnalysis.scrubCommonLines(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        minDocs = 2).orderBy("doc_id")
     }
 
     // ---- deterministic hash sampling (reproducible across runs + engines)

@@ -500,4 +500,30 @@ object Dedup {
         round(col("cos"), 4).as("cosine"))
       .distinct()
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over an embedding
+    * column — cluster cosine-near-duplicates and keep ONE representative per
+    * semantic cluster. Composes [[embeddingCosinePairs]] (banded
+    * hyperplane-LSH candidates, exact-cosine verify) with [[clusterKeepers]]
+    * (min-label propagation), then marks every vector: its cluster id (its
+    * own id when it has no near-duplicate) and whether it is the kept
+    * representative.
+    *
+    * Scale shape: no all-pairs work — candidate generation shuffles on
+    * (table, bucket), clustering shuffles on the vector id for the pair
+    * survivors only (near-dup pairs are a vanishing fraction of the corpus),
+    * and the final membership join is a left join of the id column against
+    * the cluster table.
+    */
+  def semanticKeepers(embs: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double = 0.45, dim: Int = 64,
+                      bits: Int = 3, tables: Int = 32): DataFrame = {
+    val clusters = clusterKeepers(
+      embeddingCosinePairs(embs, idCol, vecCol, threshold, dim, bits, tables))
+    embs.select(col(idCol).as("vid"))
+      .join(clusters.withColumnRenamed("doc_id", "vid"), Seq("vid"), "left_outer")
+      .select(col("vid").as(idCol),
+        coalesce(col("keeper_id"), col("vid")).as("cluster_id"),
+        (coalesce(col("keeper_id"), col("vid")) === col("vid")).as("kept"))
+  }
 }

@@ -107,4 +107,47 @@ object Search {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(-log(col("tc") / col("total"))), 4).as("unigram_xent"))
   }
+
+  /** CCNet-style perplexity bucketing: split each language's documents into
+    * `buckets` quality tiers (head / middle / tail for 3) by their
+    * [[withUnigramXent]] cross-entropy. CCNet trains on the head, audits
+    * the tail; the bucket label is the mixing knob.
+    *
+    * Cutoffs are DISCRETE per-language quantiles — the smallest xent value
+    * whose cumulative document count reaches ceil(n·k/buckets) — so the
+    * label is a pure comparison and both engines agree bit-for-bit (the
+    * xent is already rounded to 4 decimals).
+    *
+    * Scale shape: deliberately NOT `ntile` over a per-language window —
+    * that sorts each whole language in one partition. Instead the corpus
+    * aggregates to (lang, xent) distinct-value counts (bounded: xent has 4
+    * decimals, so the value table is small regardless of corpus size), the
+    * cumulative walk and cutoff pick run over that tiny table, and the
+    * cutoffs broadcast back onto the documents for a map-side label.
+    */
+  def withXentBuckets(docs: DataFrame, idCol: String, textCol: String,
+                      langCol: String, buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    val xe = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        col(textCol).as("text"))
+    val scored = withUnigramXent(xe, "doc_id", "text")
+      .join(xe.select("doc_id", "lang"), "doc_id")
+    val counts = scored.groupBy("lang", "unigram_xent")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy("unigram_xent")
+    val cum = counts
+      .withColumn("cum", sum("c").over(w))
+      .join(counts.groupBy("lang").agg(sum("c").as("n")), "lang")
+    // cutoff k = smallest xent whose cumulative count reaches ceil(n*k/b)
+    val cuts = (1 until buckets).map(k =>
+      min(when(col("cum") >= ceil(col("n") * k / buckets),
+        col("unigram_xent"))).as(s"c$k"))
+    val cutoffs = cum.groupBy("lang").agg(cuts.head, cuts.tail: _*)
+    val label = (1 until buckets).foldRight(lit(buckets): Column) { (k, rest) =>
+      when(col("unigram_xent") <= col(s"c$k"), lit(k)).otherwise(rest)
+    }
+    scored.join(broadcast(cutoffs), "lang")
+      .select(col("doc_id"), col("lang"), col("unigram_xent"),
+        label.cast("int").as("bucket"))
+  }
 }

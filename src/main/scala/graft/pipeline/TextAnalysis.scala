@@ -233,4 +233,46 @@ object TextAnalysis {
         regexp_replace(c, pat, tag)
       })
   }
+
+  /** Line-level boilerplate scrub (CCNet / RefinedWeb): drop every line
+    * whose trimmed form occurs in >= `minDocs` DISTINCT documents (nav
+    * bars, cookie banners, license headers — text repeated verbatim across
+    * the corpus), keep everything else in original order. Empty/whitespace
+    * lines are never counted as boilerplate (they'd match each other
+    * trivially) and always survive.
+    *
+    * Returns (doc_id, clean_md5, n_removed): the rebuilt text rides as its
+    * md5 so downstream comparison stays bounded; callers wanting the text
+    * swap the md5 for the `array_join`.
+    *
+    * Scale shape: one explode over lines, one shuffle on the trimmed line
+    * for document frequency (inverted-index shape, no pairwise work), a
+    * left-anti join of lines against the (small — only lines crossing the
+    * df threshold) boilerplate set, one per-document aggregation to rebuild.
+    * O(total lines) end to end.
+    */
+  def scrubCommonLines(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 3): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", trim(col("line")))
+    val boiler = lines.where(col("key") =!= "")
+      .groupBy("key").agg(countDistinct("doc_id").as("dfv"))
+      .where(col("dfv") >= minDocs)
+      .select("key")
+    val rebuilt = lines.join(boiler, Seq("key"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        md5(array_join(expr("transform(array_sort(collect_list(" +
+          "struct(pos, line))), x -> x.line)"), "\n")).as("clean_md5"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -601,6 +601,75 @@ class PipelineSpec extends SparkSpec {
       s"centroidsByLabel should partial-aggregate:\n$cPlan")
   }
 
+  test("line scrub drops corpus-repeated lines, keeps order, handles empty") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"
+    val lined = Seq(
+      (0L, s"unique alpha line\n$boiler\nunique beta line"),
+      (1L, s"$boiler\nanother original thought\n\n  $boiler  "),
+      (2L, s"totally fresh content here\ntrailing line"),
+      (3L, boiler) // nothing but boilerplate -> scrubs to empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubCommonLines(lined, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_md5"), r.getAs[Long]("n_removed"))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // order preserved, only the repeated line (trim-matched, incl. the
+    // padded copy) removed; blank lines survive
+    assert(out(0L) == (m("unique alpha line\nunique beta line"), 1L))
+    assert(out(1L) == (m("another original thought\n"), 2L))
+    assert(out(2L) == (m("totally fresh content here\ntrailing line"), 0L))
+    assert(out(3L) == (m(""), 1L))
+  }
+
+  test("xent buckets: per-language discrete-quantile tiers, cutoffs broadcast") {
+    import spark.implicits._
+    // 6 en docs with distinct xent profiles + 2 es docs; rare words push
+    // xent up, so repeated-vocab docs land in bucket 1 (head)
+    val corpus = Seq(
+      (0L, "en", "common common common common"),
+      (1L, "en", "common common common rare1"),
+      (2L, "en", "common common rare2 rare3"),
+      (3L, "en", "common rare4 rare5 rare6"),
+      (4L, "en", "rare7 rare8 rare9 rareA"),
+      (5L, "en", "common common common common"),
+      (10L, "es", "hola hola hola"),
+      (11L, "es", "hola unico raro")
+    ).toDF("doc_id", "lang", "text")
+    val out = Search.withXentBuckets(corpus, "doc_id", "text", "lang", 3)
+    val rows = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bucket")).toMap
+    // every doc labeled; buckets within [1,3]; monotone in xent per lang
+    assert(rows.size == 8 && rows.values.forall(b => b >= 1 && b <= 3))
+    val en = out.where($"lang" === "en")
+      .orderBy("unigram_xent", "doc_id").collect().map(_.getAs[Int]("bucket"))
+    assert(en.sameElements(en.sorted), "buckets must be monotone in xent")
+    assert(rows(0L) == 1 && rows(4L) == 3) // cheapest head, rarest tail
+    // the cutoff table must ride as a broadcast, not a corpus shuffle join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"cutoffs should broadcast:\n$plan")
+  }
+
+  test("semantic keepers: one representative per cosine cluster, singletons kept") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.14f, 0f, 0f)), // ~cos 0.99 with 0
+      (2L, Array(0f, 1f, 0f, 0f)), // orthogonal singleton
+      (3L, Array(0.98f, 0.17f, 0.1f, 0f)), // near 0 and 1
+      (4L, Array(0f, 0f, 0f, 0f)) // zero vector: no cosine, survives
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticKeepers(e, "vec_id", "embedding",
+        threshold = 0.9, dim = 4).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(0L) == (0L, true))
+    assert(out(1L) == (0L, false))
+    assert(out(3L) == (0L, false))
+    assert(out(2L) == (2L, true))
+    assert(out(4L) == (4L, true))
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
