@@ -1147,6 +1147,25 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
     }
 
+    // ---- dedup: cross-snapshot (incremental) — new docs' near-dups in an
+    //      existing corpus, bipartite candidates only (doc_id % 5 = 0
+    //      simulates the already-admitted historical index). Oracle = the
+    //      exact all-pairs jaccard filtered to cross-split pairs; the LSH
+    //      miss bound is the same ~5e-8 as dd_minhash_lsh.
+    q("dd_incremental", jaccardPairsSql.substring(0,
+      jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
+      SELECT CASE WHEN ida % 5 = 0 THEN idb ELSE ida END AS new_id,
+        CASE WHEN ida % 5 = 0 THEN ida ELSE idb END AS seen_id,
+        round(j, 4) AS jaccard
+      FROM jac WHERE j >= 0.8 AND ((ida % 5 = 0) <> (idb % 5 = 0))
+      ORDER BY new_id, seen_id""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      Dedup.crossCorpusPairs(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.8).orderBy("new_id", "seen_id")
+    }
+
     // ---- dedup: MinHash Jaccard estimate next to the exact value for each
     //      qualifying pair (estimator face of the signature; slot agreement
     //      fraction is k/128 — binary-exact, so the rounding is stable)

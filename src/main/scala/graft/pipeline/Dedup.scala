@@ -196,6 +196,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-snapshot (incremental) near-dedup: each NEW document's
+    * near-duplicates in an EXISTING corpus — the daily-ingest shape (dedupe
+    * today's crawl against the historical index before admission; the
+    * batch twin of [[graft.stream.StreamingDedup]]'s exact form). Bipartite
+    * MinHash-LSH: both sides band-bucket, candidates are new×seen bucket
+    * matches ONLY — never seen×seen, which at 100 TB is precisely the work
+    * a production pipeline must not redo (the historical corpus is already
+    * deduped) — then exact-Jaccard verification on the true shingle sets.
+    * At scale the seen side's band table is the stored banded index
+    * (computed once at admission and persisted); it is recomputed from text
+    * here because the gate replays from raw tables.
+    *
+    * Returns (new_id, seen_id, jaccard >= threshold).
+    */
+  def crossCorpusPairs(newDocs: DataFrame, seenDocs: DataFrame, idCol: String,
+                       textCol: String, n: Int = 3, numHashes: Int = 128,
+                       bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache() // band input + verification side
+    def bandRows(base: DataFrame) = base.select(col("doc_id"),
+      posexplode(bandKeys(minhashSig(col("sh"), numHashes), bands, rowsPerBand))
+        .as(Seq("band", "key")))
+    val nw = prep(newDocs)
+    val sn = prep(seenDocs)
+    val candidates = bandRows(nw).alias("x")
+      .join(bandRows(sn).alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("seen_id"))
+      .distinct()
+    candidates
+      .join(nw.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(sn.select(col("doc_id").as("seen_id"), col("sh").as("shb")), "seen_id")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("seen_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MinHash signature rows (doc_id, hi, mh): the `numHashes`-slot signature
     * exploded to one row per slot — the exact hash family is replayed by the
     * DuckDB oracle, so the signature itself (not just the final pair set) is

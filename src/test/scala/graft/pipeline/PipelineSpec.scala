@@ -601,6 +601,26 @@ class PipelineSpec extends SparkSpec {
       s"centroidsByLabel should partial-aggregate:\n$cPlan")
   }
 
+  test("cross-corpus incremental dedup finds only new-vs-seen pairs") {
+    import spark.implicits._
+    // seen: 0; new: 1 (near-dup of 0), 3 (near-dup of 0 AND of 1), 2, 4.
+    // the 1-3 near-dup pair must NOT appear (both new), nor any seen-seen.
+    val seen = docs.where($"doc_id" === 0)
+    val nw = docs.where($"doc_id" =!= 0)
+    val got = Dedup.crossCorpusPairs(nw, seen, "doc_id", "text",
+        threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("seen_id"))).toSet
+    assert(got == Set((1L, 0L), (3L, 0L)))
+    // agrees with the exact all-pairs answer restricted to cross-split
+    val allPairs: Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = allPairs
+      .filter { case (a, b) => (a == 0L) != (b == 0L) }
+      .map { case (a, b) => if (a == 0L) (b, a) else (a, b) }
+    assert(got == exact)
+  }
+
   test("line scrub drops corpus-repeated lines, keeps order, handles empty") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter"
