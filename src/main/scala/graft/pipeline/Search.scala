@@ -130,8 +130,14 @@ object Search {
     require(buckets >= 2, s"need >= 2 buckets: $buckets")
     val xe = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         col(textCol).as("text"))
+    // materialize the per-doc scores once: the cutoff branch (counts -> cum
+    // -> cutoffs) and the label branch both consume `scored`, and without
+    // the cut the whole xent chain (corpus tokenize + term-count shuffle +
+    // rejoin) is evaluated once per consumer — three corpus scans in one
+    // query. The checkpointed table is 4 compact columns per doc.
     val scored = withUnigramXent(xe, "doc_id", "text")
       .join(xe.select("doc_id", "lang"), "doc_id")
+      .localCheckpoint(true)
     val counts = scored.groupBy("lang", "unigram_xent")
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("lang").orderBy("unigram_xent")
