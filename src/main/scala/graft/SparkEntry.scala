@@ -1782,6 +1782,22 @@ object SparkEntry {
         windowTokens = 32, strideTokens = 8).orderBy("doc_id", "start_idx")
     }
 
+    // ---- C4-style blocklist verdict (presence-based: one blocklisted word
+    //      drops the doc). "spark" appears in the corpus so the verdict
+    //      genuinely splits; map-side native array ops, zero shuffle.
+    q("td_blocklist", docPrelude +
+      s"""SELECT doc_id,
+        CAST(len(list_intersect(toks, ['spark', 'casino'])) AS INT)
+          AS n_blocked_distinct,
+        NOT list_has_any(toks, ['spark', 'casino']) AS blocklist_keep
+      FROM d_toks ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.TextAnalysis.withBlocklist(
+        s.read.parquet(s"$d/documents.parquet"), "text",
+        Seq("spark", "casino"))
+        .select("doc_id", "n_blocked_distinct", "blocklist_keep")
+        .orderBy("doc_id")
+    }
+
     // ---- CCNet/RefinedWeb line-level boilerplate scrub: drop lines whose
     //      trimmed text appears in >= 2 distinct docs, rebuild in order.
     //      TESTDATA docs are single-line and all-distinct, so the oracle's

@@ -234,6 +234,27 @@ object TextAnalysis {
       })
   }
 
+  /** C4-style blocklist verdict: a document is dropped when it contains ANY
+    * blocklisted word (C4 filtered on the public "bad words" list;
+    * presence-based, not count-based — one hit is enough there). Emits the
+    * distinct matched-word count and the keep boolean.
+    *
+    * Pure map-side codegen'd column math — `array_intersect` /
+    * `arrays_overlap` against a literal array, zero shuffle at any corpus
+    * size (deliberately NOT a token explode + broadcast semi-join, which
+    * pays a per-token row blowup for the same answer; and no higher-order
+    * `filter` lambda, which Spark interprets per element).
+    */
+  def withBlocklist(docs: DataFrame, textCol: String,
+                    blocked: Seq[String]): DataFrame = {
+    val blk = array(blocked.distinct.map(w => lit(w.toLowerCase)): _*)
+    docs
+      .withColumn("n_blocked_distinct",
+        size(array_intersect(tokens(col(textCol)), blk)))
+      .withColumn("blocklist_keep",
+        !arrays_overlap(tokens(col(textCol)), blk))
+  }
+
   /** Line-level boilerplate scrub (CCNet / RefinedWeb): drop every line
     * whose trimmed form occurs in >= `minDocs` DISTINCT documents (nav
     * bars, cookie banners, license headers — text repeated verbatim across

@@ -601,6 +601,17 @@ class PipelineSpec extends SparkSpec {
       s"centroidsByLabel should partial-aggregate:\n$cPlan")
   }
 
+  test("blocklist verdict: presence-based drop, distinct match count, no shuffle") {
+    val out = TextAnalysis.withBlocklist(docs, "text", Seq("fox", "shuffles"))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("n_blocked_distinct"), r.getAs[Boolean]("blocklist_keep"))).toMap
+    assert(rows(0L) == (1, false)) // "fox" present
+    assert(rows(2L) == (1, false)) // "shuffles" present
+    assert(rows(4L) == (0, true)) // clean
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blocklist must be map-side:\n$plan")
+  }
+
   test("cross-corpus incremental dedup finds only new-vs-seen pairs") {
     import spark.implicits._
     // seen: 0; new: 1 (near-dup of 0), 3 (near-dup of 0 AND of 1), 2, 4.
