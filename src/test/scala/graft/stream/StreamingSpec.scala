@@ -216,6 +216,47 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L)) // dup dropped by dedup, spam dropped by verdict
   }
 
+  test("streaming cross-corpus dedup screens the feed against a static index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val seen = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "a completely unrelated historical document about query planning")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val pairs = graft.stream.StreamingCrossDedup.pairStream(
+      docs, seen, "doc_id", "text", "ts", watermarkDelay = "1 hour",
+      threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("xdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // near-dup of seen 100 (same text, one word changed): many agreeing
+        // bands -> the pair must still emit exactly ONCE
+        (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow", t("2024-01-01 00:00:00")),
+        (2L, "genuinely novel content with no historical counterpart at all", t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      input.addData( // second batch: the SAME pair re-arriving within the
+        // watermark is suppressed by the pair-keyed state
+        (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow", t("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT doc_id, seen_id FROM " +
+        "(SELECT new_id AS doc_id, seen_id FROM xdedup) ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 100L)))
+    // agrees with the batch twin on the same data
+    val batch = graft.pipeline.Dedup.crossCorpusPairs(
+        Seq((1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+          (2L, "genuinely novel content with no historical counterpart at all"))
+          .toDF("doc_id", "text"),
+        seen, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch == Seq((1L, 100L)))
+  }
+
   test("watermarked tumbling window over an event stream matches batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
