@@ -27,8 +27,12 @@ object Curation {
     * along for inspection.
     */
   def withVerdicts(docs: DataFrame, idCol: String, textCol: String,
-                   qualityMin: Double = 0.5): DataFrame = {
-    val scored = TextAnalysis.withQuality(docs, textCol)
+                   qualityMin: Double = 0.5,
+                   blocklist: Seq[String] = Nil): DataFrame = {
+    val screened =
+      if (blocklist.isEmpty) docs
+      else TextAnalysis.withBlocklist(docs, textCol, blocklist)
+    val scored = TextAnalysis.withQuality(screened, textCol)
     val clusters = Dedup.clusterKeepers(
       Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3, threshold = 0.8))
     val deduped = Dedup.keepBest(scored, clusters, idCol, col("quality_score"))
@@ -39,12 +43,19 @@ object Curation {
       .withColumn("quality_keep", col("quality_score") >= qualityMin)
   }
 
-  /** The curated corpus: documents passing ALL four stages. */
+  /** The curated corpus: documents passing ALL stages (the blocklist
+    * verdict participates when a blocklist is supplied — C4 applies it
+    * before everything else, and so does this: `blocklist_keep` rides from
+    * [[TextAnalysis.withBlocklist]]'s map-side pass).
+    */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             qualityMin: Double = 0.5): DataFrame =
-    withVerdicts(docs, idCol, textCol, qualityMin)
-      .where(col("dedup_kept") && col("gopher_keep") &&
-        col("repetition_keep") && col("quality_keep"))
+             qualityMin: Double = 0.5,
+             blocklist: Seq[String] = Nil): DataFrame = {
+    val v = withVerdicts(docs, idCol, textCol, qualityMin, blocklist)
+    val base = col("dedup_kept") && col("gopher_keep") &&
+      col("repetition_keep") && col("quality_keep")
+    v.where(if (blocklist.isEmpty) base else col("blocklist_keep") && base)
+  }
 
   /** Attrition funnel: (stage, n_docs) for the cumulative conjunction of
     * stage verdicts, in pipeline order. One aggregation job over the

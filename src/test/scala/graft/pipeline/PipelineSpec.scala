@@ -527,6 +527,13 @@ class PipelineSpec extends SparkSpec {
     val kept = Curation.curate(df, "doc_id", "text", qualityMin = 0.0)
       .select("doc_id").as[Long].collect().toSet
     assert(kept.size == f("4_quality"))
+    // with a blocklist, a blocked survivor drops; empty list = old behavior
+    val keptBl = Curation.curate(df, "doc_id", "text", qualityMin = 0.0,
+        blocklist = Seq("fox")).select("doc_id").as[Long].collect().toSet
+    assert(keptBl.isEmpty) // every surviving doc contains "fox"
+    val keptNoBl = Curation.curate(df, "doc_id", "text", qualityMin = 0.0,
+        blocklist = Seq("zebra")).select("doc_id").as[Long].collect().toSet
+    assert(keptNoBl == kept) // no doc contains "zebra"
   }
 
   test("top n-grams counts every occurrence and ranks deterministically") {
