@@ -660,6 +660,50 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == (m(""), 1L))
   }
 
+  test("property: line scrub equals brute force; high threshold is identity") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // small line vocabulary so lines genuinely repeat across docs; blank
+    // and whitespace-padded lines included deliberately
+    val line = Gen.oneOf("alpha beta", "gamma", "  alpha beta  ", "",
+      "delta eps zeta", "eta", "theta iota kappa", "   ")
+    val docGen = Gen.chooseNum(1, 7).flatMap(k =>
+      Gen.listOfN(k, line).map(_.mkString("\n")))
+    (0 until 4).foreach { i =>
+      val texts = Gen.listOfN(8, docGen)
+        .apply(Gen.Parameters.default, Seed(31L + i)).get
+      val df = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val minDocs = 2 + (i % 2)
+      val got = TextAnalysis.scrubCommonLines(df, "doc_id", "text", minDocs)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_md5"), r.getAs[Long]("n_removed"))).toMap
+      // brute force in plain Scala
+      val split = texts.map(_.split("\n", -1))
+      val dfCount = split.zipWithIndex
+        .flatMap { case (ls, id) => ls.map(_.trim).filter(_.nonEmpty)
+          .distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+      texts.indices.foreach { id =>
+        val ls = split(id)
+        val kept = ls.filter(l =>
+          l.trim.isEmpty || dfCount.getOrElse(l.trim, 0) < minDocs)
+        assert(got(id.toLong) ==
+          (m(kept.mkString("\n")), (ls.length - kept.length).toLong),
+          s"seed ${31 + i} doc $id minDocs $minDocs")
+      }
+      // a threshold above the corpus size must be the identity transform
+      val ident = TextAnalysis.scrubCommonLines(df, "doc_id", "text",
+          minDocs = texts.size + 1)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_md5"), r.getAs[Long]("n_removed"))).toMap
+      texts.indices.foreach { id =>
+        assert(ident(id.toLong) == (m(texts(id)), 0L)) }
+    }
+  }
+
   test("xent buckets: per-language discrete-quantile tiers, cutoffs broadcast") {
     import spark.implicits._
     // 6 en docs with distinct xent profiles + 2 es docs; rare words push
