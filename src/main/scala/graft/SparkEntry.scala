@@ -1848,6 +1848,21 @@ object SparkEntry {
         .select("doc_id", "lang", "split").orderBy("doc_id")
     }
 
+    // ---- deterministic global shuffle (published training order): shard
+    //      by id-hash, position by a decorrelated second fold — the same
+    //      rows land in the same (shard, pos) on every run and engine
+    q("samp_global_shuffle",
+      s"""SELECT doc_id,
+        CAST($idFold % 8 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY $idFold % 8
+          ORDER BY ${sqlCharFold("(CAST(doc_id AS VARCHAR) || '#shuf')")}, doc_id)
+          AS INT) AS pos
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Sampling.globalShuffle(
+        s.read.parquet(s"$d/documents.parquet"), col("doc_id"), 8)
+        .select("doc_id", "shard", "pos").orderBy("doc_id")
+    }
+
     // ---- deterministic mixture sampling (data mixing): largest corpus
     //      hitting the target lang proportions exactly, bounded by
     //      availability; weights are binary-exact (0.5/0.25/0.25) so the

@@ -133,4 +133,27 @@ object Sampling {
           .cast("long").as("target_docs"))
       .orderBy("grp")
   }
+
+  /** Deterministic global training order: each row gets a shard and a
+    * position within its shard, both derived from the id hash — the
+    * published-data-order practice (SlimPajama / OLMo ship exactly this)
+    * that makes a training run's sample order reproducible and resumable
+    * on any engine, where `df.orderBy(rand())` is neither. The position
+    * uses a SECOND fold round (id + a salt suffix) so shard assignment and
+    * intra-shard order are decorrelated — rows that land in the same shard
+    * are not also clustered by the ordering key.
+    *
+    * Scale: one shuffle on the shard id; the intra-shard rank window runs
+    * over a 1/nShards slice of the corpus — pick nShards so a shard fits
+    * an executor (production corpora use thousands).
+    */
+  def globalShuffle(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val posKey = charFold(concat(idCol.cast("string"), lit("#shuf")))
+    val shard = (idHash(idCol) % nShards).cast("int")
+    val w = Window.partitionBy(col("__shard")).orderBy(posKey, idCol)
+    df.withColumn("__shard", shard)
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .withColumnRenamed("__shard", "shard")
+  }
 }

@@ -608,6 +608,27 @@ class PipelineSpec extends SparkSpec {
       s"centroidsByLabel should partial-aggregate:\n$cPlan")
   }
 
+  test("global shuffle: stable (shard, pos), dense per-shard positions") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Sampling.globalShuffle(df, col("doc_id"), 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // reproducible: a second run assigns identical (shard, pos)
+    val b = Sampling.globalShuffle(df, col("doc_id"), 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(a == b)
+    // positions are dense 1..k within every shard
+    a.values.groupBy(_._1).foreach { case (_, xs) =>
+      assert(xs.map(_._2).toSeq.sorted == (1 to xs.size).toSeq) }
+    // the order is genuinely decorrelated from the id order: within some
+    // shard, positions are not monotone in doc_id
+    val byShard = a.toSeq.groupBy(_._2._1)
+    assert(byShard.values.exists { xs =>
+      val pos = xs.sortBy(_._1).map(_._2._2); pos != pos.sorted })
+  }
+
   test("blocklist verdict: presence-based drop, distinct match count, no shuffle") {
     val out = TextAnalysis.withBlocklist(docs, "text", Seq("fox", "shuffles"))
     val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
