@@ -113,15 +113,26 @@ object SparkEntry {
 )
 """
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and convert to a microsecond timestamp.
+  /** events.parquet's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (which Spark reads as BIGINT nanos
+    * under the legacy conf) in earlier rounds, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (→ TIMESTAMP_NTZ) currently. Dispatch on the
+    * inferred type so either vintage normalizes to a session-UTC TIMESTAMP.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      // integral `div`, not `/`: double division at epoch-nanos magnitude
-      // (ulp 256ns) can round across a microsecond boundary
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, not `/`: double division at epoch-nanos magnitude
+        // (ulp 256ns) can round across a microsecond boundary
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock values are UTC by construction (TESTDATA.md);
+        // casting under the UTC session re-tags without shifting values
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   // small driver-side point lookups for path parameters (bounded: one row)
