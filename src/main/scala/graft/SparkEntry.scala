@@ -1926,6 +1926,50 @@ object SparkEntry {
         .orderBy("grp")
     }
 
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    //      (uni+bi) bucket models with add-1 smoothing, log-ratio
+    //      importance weights target-vs-raw, deterministic top-k. Both
+    //      fitted models are 256 rows — broadcast — so scoring is a
+    //      map-side join; ln() is engine-IEEE and the sum is 4dp-rounded
+    //      (same stability contract as td_unigram_xent).
+    val dsirScoreSql =
+      s"""ng AS (
+        SELECT doc_id, lang, unnest(toks) AS g FROM d_toks
+        UNION ALL
+        SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS g
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+      ),
+      bk AS (SELECT doc_id, lang, ${sqlCharFold("g")} % 256 AS b FROM ng),
+      m AS (SELECT b, count(*) AS rc,
+          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+        FROM bk GROUP BY 1),
+      tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM m),
+      dlp AS (SELECT b, ln(tc + 1) - ln(ttot + 256) - ln(rc + 1) + ln(rtot + 256) AS dl
+        FROM m CROSS JOIN tot),
+      sc AS (SELECT doc_id, round(sum(dl), 4) AS logw
+        FROM bk JOIN dlp USING (b) GROUP BY 1),
+      wts AS (SELECT d.doc_id, d.lang, coalesce(sc.logw, 0.0) AS dsir_logw
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)"""
+
+    q("dsir_weights", docPrelude +
+      s""", $dsirScoreSql
+      SELECT doc_id, lang, dsir_logw FROM wts ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Dsir.withImportance(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        col("lang") === "en", buckets = 256)
+        .select("doc_id", "lang", "dsir_logw").orderBy("doc_id")
+    }
+
+    q("dsir_resample", docPrelude +
+      s""", $dsirScoreSql
+      SELECT doc_id, lang, dsir_logw FROM wts
+      ORDER BY dsir_logw DESC, doc_id LIMIT 40""") { (s, d) =>
+      graft.pipeline.Dsir.resample(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        col("lang") === "en", k = 40, buckets = 256)
+        .select("doc_id", "lang", "dsir_logw")
+    }
+
     // ---- sequence packing: boundary-aligned token-budget packs per shard
     q("pack_sequential", """WITH p AS (
         SELECT doc_id, source,
