@@ -61,21 +61,67 @@ private[extract] object NoiseBlanker {
     *                           span lines and contain unescaped quotes and
     *                           braces) is blanked until `"` + the opener's
     *                           hash count
+    * @param regexLiterals      recognize JS `/…/flags` regex literals —
+    *                           their bodies carry unbalanced quotes
+    *                           (`/^".*"$/`) and braces (`/^ {2}/`) that
+    *                           desync quote tracking and scope depth. A `/`
+    *                           is a regex opener only in expression
+    *                           position (after `( , = : [ ! & | ? ; { }`
+    *                           operators or a `return`-family keyword) and
+    *                           only when it closes on the same line (JS
+    *                           regex literals cannot span lines); otherwise
+    *                           it is division and passes through
     */
   def blank(raw: Array[String], lineComment: String,
             multilineDelim: Option[String],
             singleQuoteStrings: Boolean = false,
             blockComments: Boolean = true,
             holes: Option[Holes] = None,
-            rawStrings: Boolean = false): Array[String] = {
+            rawStrings: Boolean = false,
+            regexLiterals: Boolean = false): Array[String] = {
     val out = new Array[String](raw.length)
     // file-level carry-over: only Block, Multi and Raw span lines
     var carry = Code
     var multiInterp = false
     var rawHashes = 0 // '#' count of the open raw string's delimiter
+    // JS template literals process \` escapes (Scala/Kotlin triple-quotes
+    // treat backslash literally) — without this, an escaped backtick inside
+    // a template closes it early and desyncs the rest of the file
+    val multiEscapes = multilineDelim.contains("`")
 
     def isIdentChar(c: Char) =
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+    // operators/punctuation after which a `/` is a regex, not division
+    val regexPrecede = "(,=:[!&|?;{}+-*%<>~^"
+    // keywords after which a `/` is a regex (`return /x/.test(s)`)
+    val regexKeywords = Set("return", "case", "typeof", "instanceof", "in",
+      "of", "new", "delete", "void", "do", "else", "yield", "await")
+    // is position j (a '/') in expression position on (blanked-so-far) b?
+    def regexPosition(b: Array[Char], j: Int): Boolean = {
+      var k = j - 1
+      while (k >= 0 && b(k) == ' ') k -= 1
+      if (k < 0) return true // line start
+      if (regexPrecede.indexOf(b(k)) >= 0) return true
+      if (!isIdentChar(b(k))) return false
+      val end = k
+      while (k >= 0 && isIdentChar(b(k))) k -= 1
+      regexKeywords(new String(b, k + 1, end - k))
+    }
+    // index of the closing unescaped '/' (char-class aware), or -1
+    def regexClose(b: Array[Char], j: Int): Int = {
+      var k = j + 1
+      var inClass = false
+      while (k < b.length) {
+        val c = b(k)
+        if (c == '\\') k += 2
+        else if (c == '[') { inClass = true; k += 1 }
+        else if (c == ']') { inClass = false; k += 1 }
+        else if (c == '/' && !inClass) return k
+        else k += 1
+      }
+      -1
+    }
 
     // index just past the matching `}` of a hole opened at `j`, or -1 when
     // the hole does not close on this line. Brace-counted; nested string
@@ -137,7 +183,9 @@ private[extract] object NoiseBlanker {
               b(j) = ' '; b(j + 1) = ' '; mode = Code; j += 2
             } else { b(j) = ' '; j += 1 }
           case Multi =>
-            if (s.startsWith(multilineDelim.get, j)) {
+            if (multiEscapes && b(j) == '\\' && j + 1 < b.length) {
+              b(j) = ' '; b(j + 1) = ' '; j += 2
+            } else if (s.startsWith(multilineDelim.get, j)) {
               mode = Code; j += multilineDelim.get.length
             } else if (holeOpens(holes.exists(h => h.inMulti &&
                 (multiInterp || !h.prefixRequired)))) {
@@ -198,6 +246,19 @@ private[extract] object NoiseBlanker {
               b(j) = ' '; b(j + 1) = ' '; mode = Block; j += 2
             } else if (s.startsWith(lineComment, j)) {
               done = true // caller truncates from here
+            } else if (regexLiterals && b(j) == '/' && regexPosition(b, j) && {
+                val close = regexClose(b, j)
+                if (close < 0) false
+                else {
+                  // blank the body; keep both delimiters; skip flags
+                  var k = j + 1
+                  while (k < close) { b(k) = ' '; k += 1 }
+                  k = close + 1
+                  while (k < b.length && Character.isLetter(b(k))) k += 1
+                  j = k; true
+                }
+              }) {
+              // handled in the guard: /…/flags body blanked
             } else j += 1
         }
       }

@@ -18,9 +18,26 @@ object TypeScriptExtractor extends Extractor {
   private val funcRe: Regex =
     """(?:export\s+)?(?:async\s+)?function\s*\*?\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r
   private val arrowRe: Regex =
-    """(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\([^)]*\)|[A-Za-z_$][A-Za-z0-9_$]*)\s*=>""".r
+    """(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*(?::[^=]+)?=\s*(?:async\s+)?(?:\((?:[^()]|\([^()]*\))*\)|[A-Za-z_$][A-Za-z0-9_$]*)\s*=>""".r
   private val methodRe: Regex =
-    """^\s*(?:public\s+|private\s+|protected\s+|static\s+|async\s+|readonly\s+)*([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?::[^{;]+)?\{""".r
+    """^\s*(?:public\s+|private\s+|protected\s+|static\s+|async\s+|readonly\s+|get\s+|set\s+)*(?:\*\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;]*\)\s*(?::[^{;]+)?\{""".r
+  // multi-line member head: `async load ({` — params continue on following
+  // lines, so there is no close paren (let alone `{`) on the header line.
+  // Only meaningful at a class's DIRECT body depth, where statements cannot
+  // occur (anything `name (…` there IS a member declaration).
+  private val methodHeadOpenRe: Regex =
+    """^\s*(?:public\s+|private\s+|protected\s+|static\s+|async\s+|readonly\s+|get\s+|set\s+)*(?:\*\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;()]*$""".r
+  // `name (args) {` in statement position is a syntax error in JS unless it
+  // is an object-literal/class method definition — so outside a class's
+  // direct body depth it marks an OBJECT method: not a definition the
+  // reference extracts, but not a call either. The function/=> guard keeps
+  // callback-passing calls (`setTimeout(function () {`) out.
+  private val objMethodRe: Regex =
+    """^\s*(?:async\s+)?(?:get\s+|set\s+|static\s+)*([A-Za-z_$][A-Za-z0-9_$]*)\s*\(([^;{}]*)\)\s*\{\s*$""".r
+  // multi-line arrow const: `const f = ({` / `const f = async (` — the
+  // param list spans lines; the `=>` is only visible at the close paren.
+  private val arrowHeadOpenRe: Regex =
+    """(?:export\s+)?(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_$]*)\s*=\s*(?:async\s*)?\(([^;()]*)$""".r
   private val importFromRe: Regex =
     """import\s+(.+?)\s+from\s+['"]([^'"]+)['"]""".r
   private val importBareRe: Regex = """import\s+['"]([^'"]+)['"]""".r
@@ -28,7 +45,14 @@ object TypeScriptExtractor extends Extractor {
     """(?:const|let|var)\s+([A-Za-z_$][A-Za-z0-9_${}, ]*)\s*=\s*require\(\s*['"]([^'"]+)['"]\s*\)""".r
   private val callRe: Regex =
     """(?:([A-Za-z_$][A-Za-z0-9_$.]*)\.)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
+  // call-site stoplist: control keywords plus prefix-operator / statement
+  // keywords that read as `kw (expr)` — never callee names
   private val keywords = Set("if", "for", "while", "switch", "catch", "return",
+    "function", "constructor", "super", "typeof", "new", "import", "require",
+    "await", "async", "throw", "yield", "delete", "void")
+  // definition stoplist: narrower — `delete (nodePath) {` and friends ARE
+  // legal member names (property position allows reserved words)
+  private val defStop = Set("if", "for", "while", "switch", "catch", "return",
     "function", "constructor", "super", "typeof", "new", "import", "require")
 
   override def extract(f: SourceFile): Extracted = {
@@ -42,7 +66,9 @@ object TypeScriptExtractor extends Extractor {
       // `…${fn(x)}…` template holes are code (tree-sitter parses them);
       // only backtick strings interpolate in JS/TS
       holes = Some(NoiseBlanker.Holes(
-        "${", inQuote = false, inMulti = true, prefixRequired = false)))
+        "${", inQuote = false, inMulti = true, prefixRequired = false)),
+      // /…/ regex bodies carry unbalanced quotes and braces — blank them
+      regexLiterals = true)
     val lineStart = new Array[Long](rawLines.length + 1)
     var off = 0L
     for (i <- rawLines.indices) { lineStart(i) = off; off += rawLines(i).getBytes("UTF-8").length + 1 }
@@ -57,6 +83,9 @@ object TypeScriptExtractor extends Extractor {
     // tracking only (no FQN impact), for method-level caller attribution
     var callableStack = List.empty[(Int, Int)]
     var depth = 0
+    // open multi-line `const f = (` arrow head awaiting its close paren:
+    // (name, headerLine, headerCol, openParenBalance)
+    var pendingArrow: Option[(String, Int, Int, Int)] = None
 
     for (i <- lines.indices) {
       val raw = lines(i)
@@ -75,11 +104,45 @@ object TypeScriptExtractor extends Extractor {
           lineStart(i) + colNo, lineStart(i) + line.length, i, i, colNo, line.length)
 
       var matchedDef = false
+      // when a def matches, its body (after the match) is still scanned for
+      // calls — `const f = (x) => g(x)` carries a real call site for g
+      var callScanFrom = 0
+      // continuation of a multi-line `const f = (` arrow head: track the
+      // param list's paren balance; at the close, a `=>` makes the header a
+      // definition (anchored at the header line). Param lines skip the def
+      // matchers (nothing on them is a declaration) but still scan calls —
+      // defaults like `timeout = makeTimeout()` carry real call sites.
+      val wasPendingArrow = pendingArrow.isDefined
+      pendingArrow.foreach { case (name, headLine, headCol, balance0) =>
+        var bal = balance0
+        var closeIdx = -1
+        var j = 0
+        while (j < line.length && closeIdx < 0) {
+          val c = line.charAt(j)
+          if (c == '(') bal += 1
+          else if (c == ')') { bal -= 1; if (bal == 0) closeIdx = j }
+          j += 1
+        }
+        if (closeIdx >= 0) {
+          pendingArrow = None
+          if (line.substring(closeIdx + 1).dropWhile(_ == ' ').startsWith("=>")) {
+            val kind = if (classStack.nonEmpty) "Method" else "Function"
+            defs += RawDefinition(f.path, fqnOf(name), name, kind,
+              lineStart(headLine) + headCol,
+              lineStart(headLine) + rawLines(headLine).length,
+              headLine, headLine, headCol, rawLines(headLine).length)
+          }
+        } else if (i - headLine > 30) pendingArrow = None // runaway guard
+        else pendingArrow = Some((name, headLine, headCol, bal))
+      }
+      val atClassBodyDepth =
+        classStack.nonEmpty && depth == classStack.head._1 + 1
+      if (!wasPendingArrow) {
       classRe.findFirstMatchIn(line).foreach { m =>
         val kind = if (m.group(1) == "interface") "Interface" else "Class"
         add(m.group(2), kind, m.start(2))
         classStack ::= (depth, m.group(2), defs.length - 1)
-        matchedDef = true
+        matchedDef = true; callScanFrom = m.end
       }
       def pushCallableIfBraced(fromCol: Int): Unit =
         if (line.indexOf('{', fromCol) >= 0)
@@ -87,20 +150,34 @@ object TypeScriptExtractor extends Extractor {
       if (!matchedDef) funcRe.findFirstMatchIn(line).foreach { m =>
         val kind = if (classStack.nonEmpty) "Method" else "Function"
         add(m.group(1), kind, m.start(1)); pushCallableIfBraced(m.end - 1)
-        matchedDef = true
+        matchedDef = true; callScanFrom = m.end
       }
       if (!matchedDef) arrowRe.findFirstMatchIn(line).foreach { m =>
         add(m.group(1), if (classStack.nonEmpty) "Method" else "Function", m.start(1))
         pushCallableIfBraced(m.end - 1)
-        matchedDef = true
+        matchedDef = true; callScanFrom = m.end
       }
-      if (!matchedDef && classStack.nonEmpty)
+      // members only live at the class's DIRECT body depth; deeper
+      // `name (…) {` lines are object-literal methods inside a member body
+      // (the reference's tree-sitter rules extract class members only)
+      if (!matchedDef && atClassBodyDepth)
         methodRe.findFirstMatchIn(line).foreach { m =>
-          if (!keywords(m.group(1))) {
+          if (!defStop(m.group(1))) {
             add(m.group(1), "Method", m.start(1)); pushCallableIfBraced(m.end - 1)
-            matchedDef = true
+            matchedDef = true; callScanFrom = m.end
           }
         }
+      if (!matchedDef && atClassBodyDepth)
+        methodHeadOpenRe.findFirstMatchIn(line).foreach { m =>
+          if (!defStop(m.group(1))) {
+            add(m.group(1), "Method", m.start(1))
+            matchedDef = true; callScanFrom = m.end
+          }
+        }
+      if (!matchedDef) arrowHeadOpenRe.findFirstMatchIn(line).foreach { m =>
+        pendingArrow = Some((m.group(1), i, m.start(1), 1))
+      }
+      }
 
       importFromRe.findFirstMatchIn(line) match {
         case Some(m) =>
@@ -136,11 +213,26 @@ object TypeScriptExtractor extends Extractor {
           }
       }
 
-      if (!matchedDef && !line.trim.startsWith("import"))
+      // `name (args) {` in statement position is only legal as an object-
+      // literal method definition — neither a def the reference extracts
+      // nor a call; suppress the leading name (other names on the line —
+      // param defaults — are genuine call sites)
+      val objHeadCol: Int =
+        if (matchedDef) -1
+        else objMethodRe.findFirstMatchIn(line)
+          .filter(m => !m.group(2).contains("function") &&
+            !m.group(2).contains("=>"))
+          .map(_.start(1)).getOrElse(-1)
+      if (!line.trim.startsWith("import"))
         callRe.findAllMatchIn(line).foreach { m =>
           val name = m.group(2)
-          // call-form (parens): empty receiver -> CALLS classification
-          if (!keywords(name))
+          // call-form (parens): empty receiver -> CALLS classification.
+          // `#`-private calls are skipped: privates are not extracted as
+          // definitions (tree-sitter keys them as private_property_
+          // identifier, a different node), so the name could never resolve
+          val priv = m.start(2) > 0 && line.charAt(m.start(2) - 1) == '#'
+          if (!keywords(name) && m.start(2) != objHeadCol && !priv &&
+              m.start(2) >= callScanFrom)
             refs += RawReference(f.path, name, "",
               lineStart(i) + m.start(2), lineStart(i) + m.end(2), i, m.start(2), m.end(2))
         }
