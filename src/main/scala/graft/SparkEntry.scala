@@ -1946,8 +1946,9 @@ object SparkEntry {
       tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM m),
       dlp AS (SELECT b, ln(tc + 1) - ln(ttot + 256) - ln(rc + 1) + ln(rtot + 256) AS dl
         FROM m CROSS JOIN tot),
-      sc AS (SELECT doc_id, round(sum(dl), 4) AS logw
-        FROM bk JOIN dlp USING (b) GROUP BY 1),
+      bc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+      sc AS (SELECT doc_id, round(sum(c * dl), 4) AS logw
+        FROM bc JOIN dlp USING (b) GROUP BY 1),
       wts AS (SELECT d.doc_id, d.lang, coalesce(sc.logw, 0.0) AS dsir_logw
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)"""
 

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{charFold, shingles, tokens}
+import graft.functions.TextFunctions.{charFold, shingleList}
 
 /** DSIR-style data selection via importance resampling (Xie et al. 2023,
   * "Data Selection for Language Models via Importance Resampling"): score
@@ -13,8 +13,7 @@ import graft.functions.TextFunctions.{charFold, shingles, tokens}
   * Model: bag of hashed n-grams (unigrams + bigrams folded into `buckets`
   * buckets), per-bucket probabilities with add-1 smoothing fitted to the
   * target subset and to the whole corpus; a document's importance is
-  *   log w(d) = Σ_g∈d ( ln p_target[b(g)] − ln p_raw[b(g)] )
-  * summed over every n-gram OCCURRENCE (equivalently Σ_b cnt_d[b]·Δln p).
+  *   log w(d) = Σ_b cnt_d[b] · ( ln p_target[b] − ln p_raw[b] ).
   * The paper draws Gumbel noise for the resample; here selection is the
   * deterministic top-k on (rounded weight, id) so the same documents are
   * chosen on every run and engine — same auditability contract as
@@ -22,38 +21,43 @@ import graft.functions.TextFunctions.{charFold, shingles, tokens}
   *
   * Scale shape (the reason DSIR works at 100 TB where trained-classifier
   * selection needs GPU inference): both fitted models are just `buckets`
-  * rows — broadcast them. The pipeline is one explode + groupBy(bucket)
-  * pass to fit (map-side partial aggregation does the heavy lifting), then
-  * a map-side broadcast join + one groupBy(id) to score. No shuffle ever
-  * carries more than one row per (doc, n-gram occurrence), and the only
-  * wide exchange is the per-doc score aggregation.
+  * rows — broadcast them. The n-gram stream comes from the native
+  * one-pass [[graft.functions.VectorExpressions.ShingleList]] expression
+  * (the declarative transform+slice construction is an interpreted per-row
+  * lambda, measured 30× slower on the top-n-grams gate), collapses to
+  * per-(doc, bucket) counts in ONE exchange — which Catalyst's
+  * ReuseExchange shares between the model-fitting branch and the scoring
+  * branch, so the corpus is tokenized exactly once — and scoring is a
+  * map-side broadcast join + one per-doc aggregation.
   */
 object Dsir {
 
-  /** unigram + bigram stream of the normalized text (empty array when the
-    * doc has no tokens — `shingles` yields null below 2 tokens).
+  /** unigram + bigram occurrence stream of the normalized text (native
+    * expression; normalization identical to the shared d_toks oracle
+    * prelude: lowercase, non-alphanumerics → space).
     */
-  private def grams(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    concat(toks, coalesce(shingles(toks, 2), array()))
-  }
+  private def grams(textCol: Column): Column =
+    concat(shingleList(textCol, 1), shingleList(textCol, 2))
 
-  /** (id, bucket) row per n-gram occurrence. */
-  private def occurrences(docs: DataFrame, idCol: String, textCol: String,
-                          targetPred: Column, buckets: Int): DataFrame =
+  /** Per-(doc, bucket) n-gram occurrence counts — the shape every later
+    * stage consumes, so its single exchange is reused across branches.
+    */
+  private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
+                           targetPred: Column, buckets: Int): DataFrame =
     docs.select(col(idCol), targetPred.cast("boolean").as("__tgt"),
         explode(grams(col(textCol))).as("__g"))
       .select(col(idCol), col("__tgt"),
         (charFold(col("__g")) % buckets).as("__b"))
+      .groupBy(idCol, "__tgt", "__b").agg(count(lit(1)).as("__c"))
 
-  /** Per-bucket add-1-smoothed log-prob difference ln p_t − ln p_r, fitted
-    * from `occ`: `buckets`-row DataFrame (__b, __dlp). Stays lazy — totals
-    * ride in via a 1-row cross join instead of a driver collect.
+  /** Per-bucket add-1-smoothed log-prob difference ln p_t − ln p_r fitted
+    * from the counts: `buckets`-row DataFrame (__b, __dlp). Stays lazy —
+    * totals ride in via a 1-row cross join instead of a driver collect.
     */
-  private def model(occ: DataFrame, buckets: Int): DataFrame = {
-    val perBucket = occ.groupBy("__b").agg(
-      count(lit(1)).as("__rc"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
+  private def model(cnts: DataFrame, buckets: Int): DataFrame = {
+    val perBucket = cnts.groupBy("__b").agg(
+      sum("__c").as("__rc"),
+      sum(when(col("__tgt"), col("__c")).otherwise(0L)).as("__tc"))
     val totals = perBucket.agg(
       sum("__rc").as("__rtot"), sum("__tc").as("__ttot"))
     perBucket.crossJoin(broadcast(totals)).select(col("__b"),
@@ -69,9 +73,10 @@ object Dsir {
   def withImportance(docs: DataFrame, idCol: String, textCol: String,
                      targetPred: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val occ = occurrences(docs, idCol, textCol, targetPred, buckets)
-    val scores = occ.join(broadcast(model(occ, buckets)), "__b")
-      .groupBy(idCol).agg(round(sum("__dlp"), 4).as("dsir_logw"))
+    val cnts = bucketCounts(docs, idCol, textCol, targetPred, buckets)
+    val scores = cnts.join(broadcast(model(cnts, buckets)), "__b")
+      .groupBy(idCol)
+      .agg(round(sum(col("__c") * col("__dlp")), 4).as("dsir_logw"))
     docs.join(scores, Seq(idCol), "left")
       .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
   }
