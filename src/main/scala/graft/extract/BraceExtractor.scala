@@ -99,6 +99,10 @@ abstract class BraceExtractor extends Extractor {
     * `recv.name { ... }` (Scala's other call syntax).
     */
   protected def emitBraceCalls: Boolean = false
+  /** Skip call-shaped matches in match-arm pattern position (before `=>`,
+    * guard clauses excepted) — Rust only, where `=>` is unambiguous.
+    */
+  protected def patternArrowExclusion: Boolean = false
   /** Emit refs for parenless `new X` / `new X[T]` (Scala allows both;
     * scalac still parses them as constructor calls). `new X {…}` anonymous
     * subclasses are skipped — a real parser names those `$anon`, not `X`.
@@ -273,13 +277,27 @@ abstract class BraceExtractor extends Extractor {
     def scanCallRefs(lineIdx: Int, full: String, base: Int): Unit = {
       if (base < full.length) {
         val seg = full.substring(base)
+        // Rust match arms: `Value::String(s) => …` — tuple-struct patterns
+        // before the arrow are destructuring, not calls (`=>` appears
+        // nowhere else in Rust), while calls inside an `if` guard between
+        // the pattern and the arrow are real expressions and stay
+        val patBoundary: Int =
+          if (!patternArrowExclusion) -1
+          else {
+            val arrow = full.indexOf("=>")
+            if (arrow < 0) -1
+            else {
+              val g = full.indexOf(" if ")
+              if (g >= 0 && g < arrow) g else arrow
+            }
+          }
         callRe.findAllMatchIn(seg).foreach { m =>
           val name = m.group(2)
           val c0 = base + m.start(2)
           val c1 = base + m.end(2)
           // call-form (parens): empty receiver → CALLS classification; the
           // receiver EXPRESSION rides along for the typed resolver only
-          if (!keywords(name)) {
+          if (!keywords(name) && !(patBoundary >= 0 && c0 < patBoundary)) {
             val recvExpr = Option(m.group(1)).getOrElse("").replace("?", "")
             refs += RawReference(f.path, name, "",
               lineStart(lineIdx) + c0, lineStart(lineIdx) + c1, lineIdx, c0, c1, recvExpr)
@@ -1054,6 +1072,10 @@ object RustExtractor extends BraceExtractor {
   // shared name-then-paren regex can't see them
   override val extraCallRes =
     Seq("""([A-Za-z_]\w*)\s*::\s*<.*?>\s*\(""".r)
+  // match-arm patterns (`Value::String(s) =>`) are destructuring, not
+  // calls — rustc's AST keys them as patterns and the fidelity measurement
+  // showed them as the dominant call-precision FP family
+  override val patternArrowExclusion = true
   override def parseImport(line: String) = {
     val re = """^\s*(?:pub\s+)?use\s+([\w:]+)(?:::\{[^}]*\})?(?:\s+as\s+(\w+))?\s*;""".r
     re.findFirstMatchIn(line).map { m =>

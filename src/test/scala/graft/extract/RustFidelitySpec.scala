@@ -73,6 +73,6 @@ class RustFidelitySpec extends AnyFunSuite {
     assert(dR > 0.97, f"rust definition recall collapsed: $dR%.3f")
     assert(dP > 0.97, f"rust definition precision collapsed: $dP%.3f")
     assert(cR > 0.97, f"rust call recall collapsed: $cR%.3f")
-    assert(cP > 0.85, f"rust call precision collapsed: $cP%.3f")
+    assert(cP > 0.90, f"rust call precision collapsed: $cP%.3f")
   }
 }
