@@ -13,7 +13,7 @@ object ExplainAudit {
     graft.functions.VectorExpressions.register(spark)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("s5_scan_pushdown", "join_revenue_by_nation",
-        "q04_file_definitions", "dd_minhash_lsh")
+        "q04_file_definitions", "dd_minhash_lsh", "dsir_weights")
     names.foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

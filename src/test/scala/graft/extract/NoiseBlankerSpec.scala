@@ -141,4 +141,46 @@ class NoiseBlankerSpec extends AnyFunSuite {
       }
     }
   }
+  test("JS regex literals: expression-position bodies blanked, division kept") {
+    val js = Seq(
+      """const SUBKEY = /^ {2}[^\s]+:$/""",          // braces in body
+      """if (/^".*"$/.test(chunk)) {""",              // quote in body
+      """const r = a / b / c""",                      // division: untouched
+      """return /x\/y/.test(s)""",                   // escaped slash in body
+      """metadata[1] = metadata[1].replace(/#.*/, '')""",
+      """const half = (a + 1) / 2""")                 // after ): division
+    val out = NoiseBlanker.blank(js.toArray, "//", Some("`"),
+      singleQuoteStrings = true, regexLiterals = true)
+    assert(!out(0).contains("{2}"), out(0))           // braces gone
+    assert(out(0).count(_ == '/') == 2)               // delimiters stay
+    assert(!out(1).contains("\""), out(1))            // stray quote gone
+    assert(out(1).contains(".test(chunk)"))
+    assert(out(2) == js(2))                           // division untouched
+    assert(!out(3).contains("x"), out(3))
+    assert(out(3).contains(".test(s)"))
+    assert(!out(4).contains("#.*"), out(4))
+    assert(out(5) == js(5))
+    // depth/quote tracking stays sane on the NEXT line after each
+    val follow = NoiseBlanker.blank(Array(
+      """const q = /^"$/""", """real(code) // visible"""),
+      "//", Some("`"), singleQuoteStrings = true, regexLiterals = true)
+    assert(follow(1).contains("real(code)"))
+  }
+
+  test("JS template literals: escaped backticks do not close the template") {
+    val js = Seq(
+      "const t = `;; run \\` + \\`npm help\\` for docs",
+      "still inside ${f(x)} the template",
+      "`",
+      "after(close)")
+    val out = NoiseBlanker.blank(js.toArray, "//", Some("`"),
+      singleQuoteStrings = true,
+      holes = Some(NoiseBlanker.Holes("${", inQuote = false, inMulti = true,
+        prefixRequired = false)), regexLiterals = true)
+    assert(!out(0).contains("npm help"))              // body blanked
+    assert(!out(1).contains("still inside"))          // template continued
+    assert(out(1).contains("f(x)"))                   // hole stays code
+    assert(out(3).contains("after(close)"))           // closed by line 3
+  }
+
 }
