@@ -81,6 +81,44 @@ object Dsir {
       .withColumn("dsir_logw", coalesce(col("dsir_logw"), lit(0.0)))
   }
 
+  /** Fit the per-bucket log-ratio model on a static corpus and return it
+    * as a dense array indexed by bucket (collected to the driver — bounded
+    * by `buckets`, never by corpus size). This is the deployable artifact:
+    * scoring against it is pure column math via [[scoreAgainst]], which is
+    * what a STREAMING scorer needs — no state, no shuffle, no stream-side
+    * aggregation.
+    */
+  def fitModelArray(corpus: DataFrame, idCol: String, textCol: String,
+                    targetPred: Column, buckets: Int = 1024): Array[Double] = {
+    val cnts = bucketCounts(corpus, idCol, textCol, targetPred, buckets)
+    val rows = model(cnts, buckets).collect()
+    val arr = new Array[Double](buckets)
+    // absent buckets: rc = tc = 0 → ln((0+1)/(T+B)) − ln((0+1)/(R+B))
+    val totals = cnts.agg(sum("__c"),
+      sum(when(col("__tgt"), col("__c")).otherwise(0L))).head()
+    val rtot = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val ttot = if (totals.isNullAt(1)) 0L else totals.getLong(1)
+    val absent = math.log(rtot + buckets.toDouble) -
+      math.log(ttot + buckets.toDouble)
+    java.util.Arrays.fill(arr, absent)
+    rows.foreach(r => arr(r.getAs[Long]("__b").toInt) =
+      r.getAs[Double]("__dlp"))
+    arr
+  }
+
+  /** Importance log-weight of `textCol` under a fitted model array —
+    * a single codegen-friendly column expression (explode-free: the n-gram
+    * stream is aggregated in place), usable on batch AND streaming frames.
+    */
+  def scoreAgainst(modelArr: Array[Double], textCol: Column): Column = {
+    val buckets = modelArr.length
+    val lut = typedLit(modelArr.toSeq)
+    round(aggregate(
+      transform(grams(textCol), g =>
+        element_at(lut, (charFold(g) % buckets).cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x), 4)
+  }
+
   /** Deterministic importance resample: the `k` documents with the highest
     * importance weight, ties broken by id. The returned frame keeps
     * `dsir_logw` so downstream mixing can re-weight. Planned as

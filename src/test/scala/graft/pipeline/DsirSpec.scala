@@ -60,4 +60,23 @@ class DsirSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       s"model should ride a broadcast:\n$plan")
   }
+  test("dsir: literal-model scoring agrees with the distributed pipeline") {
+    import org.apache.spark.sql.functions.col
+    val arr = Dsir.fitModelArray(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64)
+    assert(arr.length == 64)
+    val viaArray = docs.withColumn("w",
+        Dsir.scoreAgainst(arr, col("text")))
+      .select("doc_id", "w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaPipeline = Dsir.withImportance(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64)
+      .select("doc_id", "dsir_logw").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    viaPipeline.foreach { case (id, w) =>
+      assert(math.abs(viaArray(id) - w) <= 0.0011, // both 4dp-rounded
+        s"doc $id: array=$viaArray(id) pipeline=$w")
+    }
+  }
+
 }

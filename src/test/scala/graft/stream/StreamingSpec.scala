@@ -285,4 +285,37 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00", "view", 1L, 3.0),
       ("2024-01-01 01:00:00", "view", 1L, 5.0)))
   }
+  test("streaming DSIR scoring: static-fitted model selects en-like docs online") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // static reference corpus: what "target-like" means is fitted offline
+    val corpus = Seq(
+      (100L, "en", "the quick brown fox jumps over the lazy dog"),
+      (101L, "en", "the quick brown fox naps beside the lazy dog"),
+      (102L, "de", "der schnelle braune fuchs springt uber den faulen hund"),
+      (103L, "de", "vollig anderer inhalt uber maschinen und anlagen")
+    ).toDF("doc_id", "lang", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // stateless scoring + online selection: no watermark, no state store
+    val selected = graft.stream.StreamingScore.dsirStream(
+      docs, corpus, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en",
+      buckets = 64, keepAbove = Some(0.0))
+    val q = selected.writeStream.format("memory").queryName("dsirsel")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", t("2024-01-01 00:00:00")),
+        (2L, "der schnelle braune fuchs springt uber den faulen hund", t("2024-01-01 00:01:00")),
+        (3L, "", t("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT doc_id, dsir_logw FROM dsirsel ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(kept.map(_._1).toSeq == Seq(1L), s"selected: ${kept.toSeq}")
+    assert(kept.head._2 > 0.0)
+  }
+
 }
