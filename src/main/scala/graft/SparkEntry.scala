@@ -1971,6 +1971,69 @@ object SparkEntry {
         .select("doc_id", "lang", "dsir_logw")
     }
 
+    // ---- multinomial Naive Bayes over hashed n-grams: closed-form
+    //      (count-based) fit on the deterministic id-hash train split, so
+    //      training AND prediction replay exactly in SQL. The trainable-
+    //      classifier step of the pipeline (language ID here) without an
+    //      iterative optimizer; model = buckets x classes rows, broadcast.
+    val nbSql =
+      s"""ng AS (
+        SELECT doc_id, lang, unnest(toks) AS g FROM d_toks
+        UNION ALL
+        SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS g
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+      ),
+      bk AS (SELECT doc_id, lang, ${sqlCharFold("g")} % 256 AS b FROM ng),
+      bc AS (SELECT doc_id, lang, b, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+      trainb AS (SELECT lang, b, sum(c) AS cc FROM bc
+        WHERE $idFold % 100 < 50 GROUP BY 1, 2),
+      ctot AS (SELECT lang, sum(cc) AS ct FROM trainb GROUP BY 1),
+      nbm AS (SELECT trainb.lang AS clbl, b, ln(cc + 1) - ln(ct + 256) AS lp
+        FROM trainb JOIN ctot USING (lang)),
+      ntr AS (SELECT lang AS clbl, CAST(count(*) AS DOUBLE) AS n
+        FROM documents WHERE $idFold % 100 < 50 GROUP BY 1),
+      pri AS (SELECT ntr.clbl,
+          ln(n) - ln((SELECT sum(n) FROM ntr)) AS prior,
+          -ln(coalesce(ct, 0) + 256) AS absent
+        FROM ntr LEFT JOIN ctot ON ctot.lang = ntr.clbl),
+      dc AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+      nbsc AS (SELECT dc.doc_id, pri.clbl,
+          round(pri.prior + sum(dc.c * coalesce(m.lp, pri.absent)), 4) AS nb_score
+        FROM dc CROSS JOIN pri
+        LEFT JOIN nbm m ON m.clbl = pri.clbl AND m.b = dc.b
+        GROUP BY dc.doc_id, pri.clbl, pri.prior),
+      nbbare AS (SELECT d.doc_id, pri.clbl, round(pri.prior, 4) AS nb_score
+        FROM documents d CROSS JOIN pri
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dc)),
+      nball AS (SELECT * FROM nbsc UNION ALL SELECT * FROM nbbare),
+      nbpred AS (SELECT doc_id, clbl AS predicted, nb_score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY nb_score DESC, clbl) AS rn
+        FROM nball)"""
+
+    q("nb_langid_predict", docPrelude +
+      s""", $nbSql
+      SELECT p.doc_id, d.lang, p.predicted, p.nb_score
+      FROM nbpred p JOIN documents d USING (doc_id)
+      WHERE rn = 1 ORDER BY p.doc_id""") { (s, d) =>
+      graft.pipeline.NaiveBayesText.fitPredict(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", "lang",
+        trainPct = 50, buckets = 256)
+        .select("doc_id", "lang", "predicted", "nb_score").orderBy("doc_id")
+    }
+
+    q("nb_confusion", docPrelude +
+      s""", $nbSql
+      SELECT d.lang, p.predicted, count(*) AS n
+      FROM nbpred p JOIN documents d USING (doc_id)
+      WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, predicted""") { (s, d) =>
+      val pred = graft.pipeline.NaiveBayesText.fitPredict(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", "lang",
+        trainPct = 50, buckets = 256)
+      graft.pipeline.NaiveBayesText.confusion(pred, "lang")
+        .orderBy("lang", "predicted")
+    }
+
     // ---- sequence packing: boundary-aligned token-budget packs per shard
     q("pack_sequential", """WITH p AS (
         SELECT doc_id, source,
