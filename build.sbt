@@ -18,8 +18,10 @@ run / fork := true
 // stdout through verbatim.
 run / outputStrategy := Some(StdoutOutput)
 // ...and the JSON must also be the LAST line: drop sbt's trailing
-// "[success] Total time: ..." message.
+// "[success] Total time: ..." message. (Consumed by sbt's command loop,
+// not by a task — excluded from the unused-key lint.)
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
