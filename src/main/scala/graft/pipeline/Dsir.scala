@@ -25,10 +25,11 @@ import graft.functions.TextFunctions.{charFold, shingleList}
   * one-pass [[graft.functions.VectorExpressions.ShingleList]] expression
   * (the declarative transform+slice construction is an interpreted per-row
   * lambda, measured 30× slower on the top-n-grams gate), collapses to
-  * per-(doc, bucket) counts in ONE exchange — which Catalyst's
-  * ReuseExchange shares between the model-fitting branch and the scoring
-  * branch, so the corpus is tokenized exactly once — and scoring is a
-  * map-side broadcast join + one per-doc aggregation.
+  * per-(doc, bucket) counts in ONE exchange, and the count table is
+  * materialized once (eager localCheckpoint, the withXentBuckets pattern)
+  * so the model-fitting branch and the scoring branch don't each re-run
+  * the corpus tokenize; scoring is then a map-side broadcast join + one
+  * per-doc aggregation.
   */
 object Dsir {
 
@@ -73,7 +74,10 @@ object Dsir {
   def withImportance(docs: DataFrame, idCol: String, textCol: String,
                      targetPred: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // three consumers (scoring, per-bucket model, totals) — materialize the
+    // count table once instead of re-running the corpus tokenize per branch
     val cnts = bucketCounts(docs, idCol, textCol, targetPred, buckets)
+      .localCheckpoint(true)
     val scores = cnts.join(broadcast(model(cnts, buckets)), "__b")
       .groupBy(idCol)
       .agg(round(sum(col("__c") * col("__dlp")), 4).as("dsir_logw"))
@@ -91,6 +95,7 @@ object Dsir {
   def fitModelArray(corpus: DataFrame, idCol: String, textCol: String,
                     targetPred: Column, buckets: Int = 1024): Array[Double] = {
     val cnts = bucketCounts(corpus, idCol, textCol, targetPred, buckets)
+      .localCheckpoint(true)
     val rows = model(cnts, buckets).collect()
     val arr = new Array[Double](buckets)
     // absent buckets: rc = tc = 0 → ln((0+1)/(T+B)) − ln((0+1)/(R+B))

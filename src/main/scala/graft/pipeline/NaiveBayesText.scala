@@ -52,7 +52,10 @@ object NaiveBayesText {
           labelCol: String, buckets: Int = 1024)
       : (DataFrame, DataFrame) = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // model + per-class totals both consume the count table — materialize
+    // it once (the withXentBuckets pattern) instead of tokenizing twice
     val cnts = bucketCounts(train, idCol, textCol, labelCol, buckets)
+      .localCheckpoint(true)
     val perClassBucket = cnts.groupBy("__lbl", "__b")
       .agg(sum("__c").as("__cc"))
     val perClass = perClassBucket.groupBy("__lbl")
