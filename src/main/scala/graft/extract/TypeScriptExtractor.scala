@@ -33,7 +33,7 @@ object TypeScriptExtractor extends Extractor {
   // reference extracts, but not a call either. The function/=> guard keeps
   // callback-passing calls (`setTimeout(function () {`) out.
   private val objMethodRe: Regex =
-    """^\s*(?:async\s+)?(?:get\s+|set\s+|static\s+)*([A-Za-z_$][A-Za-z0-9_$]*)\s*\(([^;{}]*)\)\s*\{\s*$""".r
+    """^\s*(?:async\s+)?(?:get\s+|set\s+|static\s+)*(?:\*\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(([^;{}]*)\)\s*\{""".r
   // multi-line arrow const: `const f = ({` / `const f = async (` — the
   // param list spans lines; the `=>` is only visible at the close paren.
   private val arrowHeadOpenRe: Regex =

@@ -113,6 +113,62 @@ class OtherExtractorsSpec extends AnyFunSuite {
     assert(e.references.exists(_.name == "helper"))
   }
 
+  test("typescript/js: accessors, generators, multi-line heads, object methods") {
+    val f = SourceFile("b.js", "/b.js", "r", "b.js", "js", "javascript",
+      """class Npm {
+        |  static get version () {
+        |    return pkg.version
+        |  }
+        |  set title (t) { this.#t = t }
+        |  * entries () { yield 1 }
+        |  delete (key) { return this.map.delete(key) }
+        |  async load ({
+        |    cmd,
+        |    args = defaults(),
+        |  }) {
+        |    inner(cmd)
+        |  }
+        |}
+        |const getOptions = ({
+        |  family,
+        |  hints,
+        |}) => build(family, hints)
+        |const handlers = {
+        |  grant (spec) { apply(spec) },
+        |}
+        |const SUBKEY = /^ {2}[^\s]+:$/
+        |if (/^".*"$/.test(chunk)) { real(code) }
+        |this.#privateCall(x)
+        |""".stripMargin)
+    val e = TypeScriptExtractor.extract(f)
+    val fqns = e.definitions.map(d => d.fqn -> d.definitionType).toMap
+    // accessors / generators / reserved-word members / multi-line heads
+    assert(fqns("Npm.version") == "Method")
+    assert(fqns("Npm.title") == "Method")
+    assert(fqns("Npm.entries") == "Method")
+    assert(fqns("Npm.delete") == "Method")
+    assert(fqns("Npm.load") == "Method")
+    // multi-line destructured arrow const, anchored at its header line
+    assert(fqns("getOptions") == "Function")
+    // object-literal methods are NOT class members and NOT defs...
+    assert(!fqns.contains("grant") && !fqns.contains("handlers.grant"))
+    val callNames = e.references.map(_.name).toSet
+    // ...and their header name is not a call either; their bodies are
+    assert(!callNames.contains("grant"))
+    assert(callNames.contains("apply"))
+    // calls survive inside member bodies, param defaults, regex-bearing
+    // lines; accessor headers and #-private calls do not leak
+    assert(callNames.contains("inner"))
+    assert(callNames.contains("defaults"))
+    assert(callNames.contains("build"))
+    assert(callNames.contains("test") && callNames.contains("real"))
+    assert(!callNames.contains("version") && !callNames.contains("title"))
+    assert(!callNames.contains("privateCall"))
+    // regex braces did not desync the class: Npm closed before getOptions,
+    // so getOptions is NOT scoped under it
+    assert(!fqns.contains("Npm.getOptions"))
+  }
+
   test("java: classes, interfaces, methods, imports") {
     val f = SourceFile("A.java", "/A.java", "r", "A.java", "java", "java",
       """import java.util.List;
