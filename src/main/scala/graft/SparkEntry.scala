@@ -1145,6 +1145,22 @@ object SparkEntry {
         .orderBy("fp")
     }
 
+    // ---- corpus-overlap audit: shared-content matrix between sources
+    //      (the pre-mixing data audit; distinct-(source,fp) first so the
+    //      join is bounded by distinct content, never corpus rows)
+    q("dd_source_overlap", docPrelude +
+      s""", so_sh AS (
+        SELECT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+      ), sf AS (SELECT DISTINCT source, ${sqlCharFold("shingle")} AS fp FROM so_sh)
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_fp
+      FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY source_a, source_b""") { (s, d) =>
+      graft.pipeline.Dedup.sourceOverlap(
+        s.read.parquet(s"$d/documents.parquet"), "text", "source", ngram = 3)
+        .orderBy("source_a", "source_b")
+    }
+
     // ---- dedup: n-gram Jaccard via inverted-index self-join
     q("dd_ngram_jaccard", jaccardPairsSql) { (s, d) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$d/documents.parquet"),

@@ -27,6 +27,41 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_dups"))
 
+  /** Corpus-overlap audit matrix: for every pair of sources, how many
+    * distinct normalized-content fingerprints they share — the standard
+    * pre-training data audit ("which of my corpora carry the same
+    * documents?") run before mixing, so double-counted content doesn't
+    * skew mixture weights. Unordered pairs (source_a < source_b).
+    *
+    * Scale shape: distinct (source, fp) first — the join input is bounded
+    * by distinct content per source, not corpus rows — then one fp-keyed
+    * equi-join; with S sources a fingerprint shared by k sources expands
+    * to k(k-1)/2 <= S^2/2 pair rows, so the join output is bounded by
+    * distinct-fp x S^2, never corpus^2.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    ngram: Int = 0): DataFrame = {
+    // ngram = 0: whole-document fingerprints (exact shared docs);
+    // ngram = n: shared distinct word-n-grams (the finer contamination
+    // signal -- corpora rarely share whole documents but often share
+    // boilerplate and quoted passages)
+    val f = (if (ngram <= 0)
+        docs.select(col(srcCol).as("source"),
+          charFold(normText(col(textCol))).as("fp"))
+      else // explode first -- generators cannot nest inside expressions
+        docs.select(col(srcCol).as("source"),
+            explode(graft.functions.TextFunctions
+              .shingleList(col(textCol), ngram)).as("__g"))
+          .select(col("source"), charFold(col("__g")).as("fp"))
+      ).distinct()
+    val a = f.select(col("source").as("source_a"), col("fp"))
+    val b = f.select(col("source").as("source_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_fp"))
+  }
+
   /** All-pairs n-gram Jaccard over word `n`-gram shingle sets, via a
     * PPJoin-style prefix-filtered inverted-index self-join (never a cross
     * join). Returns (id_a, id_b, jaccard) with id_a < id_b and

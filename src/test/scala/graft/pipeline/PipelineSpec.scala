@@ -23,6 +23,26 @@ class PipelineSpec extends SparkSpec {
     assert(dup.getAs[Long]("kept_doc_id") == 0L)
   }
 
+  test("source overlap matrix counts shared distinct 3-grams per pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "the quick brown fox jumps high"),
+      (2L, "b", "the quick brown cat sits still"),
+      (3L, "c", "entirely different words here now"),
+      (4L, "b", "the quick brown fox jumps high") // same as doc 1, source b
+    ).toDF("doc_id", "source", "text")
+    val m = Dedup.sourceOverlap(d, "text", "source", ngram = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a vs b: doc4 replicates doc1 (4 shared 3-grams) + doc2 shares
+    // "the quick brown" with doc1 -> still the same distinct set: 4
+    assert(m(("a", "b")) == 4L, s"matrix: $m")
+    assert(!m.contains(("a", "c")) && !m.contains(("b", "c")))
+    // whole-doc granularity: only the exact replica pair survives
+    val whole = Dedup.sourceOverlap(d, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(whole == Map(("a", "b") -> 1L))
+  }
+
   test("ngram jaccard finds near-dup pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
