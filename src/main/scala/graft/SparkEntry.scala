@@ -1794,6 +1794,34 @@ object SparkEntry {
         n = 3, k = 25).orderBy("rank")
     }
 
+    // ---- tokenizer training: BPE merge induction (6 rounds, word-level
+    //      symbols). The oracle unrolls the merge loop as CTE chains — each
+    //      round re-splits the merged symbol stream, counts adjacent pairs,
+    //      takes the deterministic argmax, and regexp-merges it — exactly
+    //      the operator's own round structure, so argmax AND the corpus-
+    //      wide merge rewriting are both cross-engine checked.
+    val bpeRounds = 6
+    val bpeIterSql = (1 to bpeRounds).map { k =>
+      s"""c$k AS (SELECT tk[i] || ' ' || tk[i+1] AS pair
+         FROM (SELECT string_split(txt, ' ') AS tk FROM t${k - 1}) s,
+              LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+      b$k AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM c$k
+         GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+      t$k AS (SELECT regexp_replace(t.txt, '\\b' || b.pair || '\\b',
+           replace(b.pair, ' ', '_'), 'g') AS txt FROM t${k - 1} t, b$k b)"""
+    }.mkString(",\n      ")
+    q("tok_bpe_merges", docPrelude +
+      s""", t0 AS (SELECT array_to_string(toks, ' ') AS txt FROM d_toks
+           WHERE len(toks) > 0),
+      $bpeIterSql
+      ${(1 to bpeRounds).map(k =>
+        s"SELECT CAST($k AS INT) AS round, pair, n AS n_pairs FROM b$k")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round""") { (s, d) =>
+      TextAnalysis.bpeMerges(s.read.parquet(s"$d/documents.parquet"), "text",
+        rounds = bpeRounds).orderBy("round")
+    }
+
     // ---- RAG/pretraining chunking: 32-token windows every 8 tokens,
     //      chunk content carried as md5 so the gate output stays bounded
     q("td_chunk_windows", docPrelude +

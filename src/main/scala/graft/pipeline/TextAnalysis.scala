@@ -184,6 +184,57 @@ object TextAnalysis {
             least(lit(windowTokens), col("n") - col("s"))))).as("chunk_md5"))
   }
 
+  /** BPE-style merge induction over the word-token stream — the counting
+    * core of tokenizer training (Sennrich et al. 2016, at word rather than
+    * character granularity so the oracle stays SQL-replayable): `rounds`
+    * times, find the globally most-frequent adjacent symbol pair (ties
+    * broken on the pair string) and merge every non-overlapping left-to-
+    * right occurrence corpus-wide, joining the two symbols with '_' (the
+    * one character the tokenizer alphabet [a-z0-9] excludes, so merged
+    * symbols can never collide with input tokens). Returns the learned
+    * merge table (round, pair, n_pairs).
+    *
+    * Scale shape: each round is one map-side pair expansion (zip_with over
+    * the split symbol stream), one count shuffle bounded by the PAIR
+    * VOCABULARY (map-side partial agg — never corpus rows), a 1-row
+    * TakeOrdered argmax, and a map-side regexp merge. The corpus itself
+    * never shuffles; the per-round driver collect is exactly one row (the
+    * argmax), so rounds compose as K vocabulary-sized aggregations. The
+    * symbol stream is localCheckpoint'd per round to keep lineage O(1) in
+    * rounds. Tokens are [a-z0-9]+ by construction, so splicing the argmax
+    * pair into the merge regex needs no escaping, and `\b` anchoring
+    * behaves identically in java.util.regex and RE2 on this alphabet.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var txt = docs
+      .select(concat_ws(" ", tokens(col(textCol))).as("txt"))
+      .where(col("txt") =!= "")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val tk = split(col("txt"), " ")
+      val pairs = txt.where(size(tk) >= 2).select(explode(
+        zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      val top = pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((k, pair, top(0).getLong(1)))
+        txt = txt.select(regexp_replace(col("txt"),
+            "\\b" + pair + "\\b", pair.replace(' ', '_')).as("txt"))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("round", "pair", "n_pairs")
+  }
+
   /** Corpus-wide most-frequent word n-grams (every occurrence counted, not
     * per-document distinct — this is the corpus-statistics face; the dedup
     * operators use the distinct [[graft.functions.TextFunctions.shingleSet]]).

@@ -570,6 +570,45 @@ class PipelineSpec extends SparkSpec {
       na > nb || (na == nb && ga < gb) })
   }
 
+  test("BPE merge induction: argmax pair per round, corpus-wide merge") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the dog sat")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(d, "text", rounds = 3)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_pairs")))
+    // round 1: "the cat" is the only pair with count 2
+    // round 2: all pairs count 1 over {the_cat sat, the_cat ran, the dog
+    //   sat}; tie breaks to the lexicographically least pair "dog sat"
+    // round 3: over {the_cat sat, the_cat ran, the dog_sat} the least pair
+    //   is "the dog_sat" (' ' < '_' so "the d…" < "the_c…")
+    assert(m.toSeq == Seq(
+      (1, "the cat", 2L),
+      (2, "dog sat", 1L),
+      (3, "the dog_sat", 1L)))
+  }
+
+  test("BPE merge replacement is left-to-right non-overlapping") {
+    import spark.implicits._
+    // "a a a" has two overlapping ("a","a") positions counted, but the
+    // merge consumes left-to-right: one "a_a" plus a trailing "a" — the
+    // convention both regex engines (java.util.regex, RE2) share
+    val d = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(d, "text", rounds = 2)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("n_pairs")))
+    // round 1: pair ("a","a") counted at both adjacent positions (n=2);
+    // round 2: stream is "a_a a" → single pair ("a_a","a")
+    assert(m.toSeq == Seq((1, "a a", 2L), (2, "a_a a", 1L)))
+  }
+
   test("centroids by label are per-dimension means; kmeans assigns nearest") {
     import spark.implicits._
     // two well-separated clusters: label 0 near (1,0), label 1 near (0,1)
