@@ -1241,6 +1241,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- dedup: the SAME component labels via alternating star
+    //      contraction (Kiveris et al. 2014) — O(log n) rounds regardless
+    //      of cluster diameter, the 100TB-scale CC algorithm. Oracle
+    //      identical to dd_clusters: near-dup clusters converge within the
+    //      6-round LP recurrence, and star contraction computes the exact
+    //      components, so both algorithms must land on the same labels.
+    q("dd_cc_star", jaccardPairsSql.substring(0,
+      jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
+      , jp AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8),
+      sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
+      sps AS (SELECT u, v FROM sp UNION SELECT u, u FROM sp),
+      lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
+      $lblIterSql
+      SELECT doc_id, lbl AS keeper_id FROM lp6 ORDER BY doc_id""") { (s, d) =>
+      Dedup.connectedComponentsStar(Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        n = 3, threshold = 0.8))
+        .orderBy("doc_id")
+    }
+
     // ---- dedup: quality-argmax survivor per near-dup cluster (the step a
     //      real pipeline runs after clustering: keep the BEST copy, not an
     //      arbitrary one; singletons keep themselves). Order by the rounded

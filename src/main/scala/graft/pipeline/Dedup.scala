@@ -428,6 +428,84 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("keeper_id"))
   }
 
+  /** Connected components over the near-dup pair graph by ALTERNATING
+    * STAR CONTRACTION (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond" — large-star / small-star): each round, every
+    * node re-points its >-neighbors (large-star) then its <=-neighbors and
+    * itself (small-star) at the minimum of its neighborhood, halving tree
+    * heights until every component is a star rooted at its minimum id.
+    *
+    * This is the scale-canonical alternative to [[clusterKeepers]]'
+    * bounded min-label propagation: label propagation needs O(diameter)
+    * rounds (fine for near-dup clusters, whose diameter is small by
+    * construction; wrong tool for chain-shaped components), star
+    * contraction converges in O(log n) rounds REGARDLESS of diameter.
+    * Same output contract: (doc_id, keeper_id = component-minimum id)
+    * for every pair participant.
+    *
+    * Scale shape per round: two groupBy-min aggregations keyed on the
+    * node id (map-side partial agg) + two equi-joins back — all plain
+    * hash exchanges bounded by the CURRENT edge set, which only shrinks
+    * (dedup + self-loop drop every round). Convergence is an exact
+    * edge-set fixpoint test (count equality + one anti-join), and lineage
+    * is cut per round with an eager localCheckpoint. No driver-side data
+    * beyond the per-round 0/1-row convergence probe.
+    */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxRounds: Int = 50): DataFrame = {
+    // one pass over the (potentially expensive) pair source, same reason
+    // as clusterKeepers; canonical u<v orientation, self-loops dropped
+    val base = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("v"),
+        greatest(col("a"), col("b")).as("u"))
+      .distinct().localCheckpoint(true)
+    val participants = base.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct().localCheckpoint(true)
+    // edges are (child u -> parent v) pointers with v < u throughout
+    var edges = base
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // large-star: m(x) = min over x's full neighborhood (either side of
+      // an edge, x itself included); every neighbor y > x re-points to m(x)
+      val sym = edges.select(explode(array(
+          struct(col("u").as("x"), col("v").as("y")),
+          struct(col("v").as("x"), col("u").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = sym.join(mins, "x")
+        .where(col("y") > col("x") && col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: over the re-pointed edges (all parent-oriented v < u),
+      // every node and each of its <=-neighbors point at the minimum
+      val m2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(m2, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(greatest(col("e.a"), col("e.b")).as("u"),
+          least(col("e.a"), col("e.b")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // converged state is a star per component: child -> component minimum.
+    // Roots (and any isolated participant) keep themselves.
+    participants
+      .join(edges.groupBy("u").agg(min(col("v")).as("root")),
+        col("doc_id") === col("u"), "left_outer")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("keeper_id"))
+  }
+
   /** Duplicated-span REMOVAL — the acting counterpart of
     * [[sharedNgramStats]] (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better": scrub exact substrings repeated across

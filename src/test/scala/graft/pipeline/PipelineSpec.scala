@@ -570,6 +570,39 @@ class PipelineSpec extends SparkSpec {
       na > nb || (na == nb && ga < gb) })
   }
 
+  test("star-contraction CC: exact components on a chain past LP's horizon") {
+    import spark.implicits._
+    // a 13-node path (diameter 12) plus a separate 2-node component:
+    // 6-round min-label propagation CANNOT carry label 1 to the far end of
+    // the path; star contraction converges to the exact components anyway
+    val chain = (1L to 12L).map(i => (i, i + 1))
+    val pairs = (chain :+ (100L, 101L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert((1L to 13L).forall(cc(_) == 1L))
+    assert(cc(100L) == 100L && cc(101L) == 100L)
+    assert(cc.size == 15)
+    // ...and the bounded-LP face indeed saturates on the same input,
+    // which is exactly why the scale path exists
+    val lp = Dedup.clusterKeepers(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(lp(13L) != 1L)
+  }
+
+  test("star-contraction CC agrees with label propagation on small clusters") {
+    import spark.implicits._
+    // triangle {1,2,3}, pair {10,11}, star {20,21,22,23} — diameters <= 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toSet
+    val lp = Dedup.clusterKeepers(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toSet
+    assert(cc == lp)
+    assert(cc == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("BPE merge induction: argmax pair per round, corpus-wide merge") {
     import spark.implicits._
     val d = Seq(
