@@ -603,6 +603,41 @@ class PipelineSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("star-contraction CC equals brute-force union-find on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random multigraphs incl. self-loop-free duplicates, dense and sparse;
+    // ground truth is a driver-side union-find whose root is always the
+    // component minimum (unions point the larger root at the smaller)
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.filter { case (a, b) => a != b }
+    (0 until 12).foreach { i =>
+      val edges = genEdges(Gen.Parameters.default, Seed(4242L + i)).get
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+      assert(got == truth, s"seed ${4242L + i}: $edges")
+    }
+  }
+
   test("BPE merge induction: argmax pair per round, corpus-wide merge") {
     import spark.implicits._
     val d = Seq(
