@@ -116,9 +116,6 @@ object RubyTypedResolver {
     ivar.dropWhile(_ == '@').split("_").filter(_.nonEmpty)
       .map(w => w.head.toUpper + w.tail).mkString
 
-  private final case class Resolved(file: String, sb: Long, eb: Long,
-      line: Int, sc: Int, ec: Int, callerId: Long, targetId: Long,
-      consumed: Boolean)
   private final case class EdgeRow(kind: String, `type`: String,
       source_id: Long, target_id: Long, source_start_byte: java.lang.Long,
       source_end_byte: java.lang.Long, source_start_line: java.lang.Integer,
@@ -207,10 +204,11 @@ object RubyTypedResolver {
               if (targets.isEmpty && consumed)
                 // site consumed with no edge (e.g. shadowed local): a single
                 // marker row keeps it out of the heuristic pass
-                Iterator.single(Resolved(r.s1, r.sb, r.eb, r.line, r.sc, r.ec,
-                  r.id, -1L, consumed = true))
+                Iterator.single(RubyResolved(r.s1, r.sb, r.eb, r.line, r.sc,
+                  r.ec, r.id, -1L, consumed = true))
               else targets.iterator.map(t =>
-                Resolved(r.s1, r.sb, r.eb, r.line, r.sc, r.ec, r.id, t, consumed))
+                RubyResolved(r.s1, r.sb, r.eb, r.line, r.sc, r.ec, r.id, t,
+                  consumed))
           }
         }
       }.toDF()
@@ -308,3 +306,12 @@ object RubyTypedResolver {
     }
   }
 }
+
+/** Ruby resolution output row. Top-level for the same encoder-codegen reason
+  * as [[Resolved]]: a private nested case class makes Janino's generated
+  * accessor calls (`Resolved.consumed()`) fail to compile, and every Ruby
+  * resolution pass silently falls back to interpreted execution.
+  */
+final case class RubyResolved(
+    file: String, sb: Long, eb: Long, line: Int, sc: Int, ec: Int,
+    callerId: Long, targetId: Long, consumed: Boolean)
