@@ -201,9 +201,10 @@ object TextAnalysis {
     * never shuffles; the per-round driver collect is exactly one row (the
     * argmax), so rounds compose as K vocabulary-sized aggregations. The
     * symbol stream is localCheckpoint'd per round to keep lineage O(1) in
-    * rounds. Tokens are [a-z0-9]+ by construction, so splicing the argmax
-    * pair into the merge regex needs no escaping, and `\b` anchoring
-    * behaves identically in java.util.regex and RE2 on this alphabet.
+    * rounds. The argmax pair is corpus-derived text, so it is `\Q...\E`
+    * quoted before splicing into the merge regex (and `$`/`\` escaped in
+    * the replacement) — correctness must not depend on the tokenizer two
+    * files away stripping every regex metacharacter.
     */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame = {
     val spark = docs.sparkSession
@@ -226,14 +227,26 @@ object TextAnalysis {
       else {
         val pair = top(0).getString(0)
         merges += ((k, pair, top(0).getLong(1)))
-        txt = txt.select(regexp_replace(col("txt"),
-            "\\b" + pair + "\\b", pair.replace(' ', '_')).as("txt"))
+        txt = txt.select(mergePair(col("txt"), pair).as("txt"))
           .localCheckpoint(true)
         k += 1
       }
     }
     merges.toSeq.toDF("round", "pair", "n_pairs")
   }
+
+  /** One BPE merge over a space-delimited symbol stream: occurrences of
+    * `pair` bounded by spaces (or string ends) collapse to the `_`-joined
+    * symbol. The pair is corpus text — `\Q...\E` quoted in the pattern and
+    * `Matcher.quoteReplacement`-escaped in the replacement, so symbols
+    * containing regex metacharacters (`+`, `.`, `$`, `\`...) merge
+    * literally. Space lookarounds rather than `\b`: the stream's token
+    * boundary IS the space, whatever the token alphabet.
+    */
+  private[pipeline] def mergePair(txt: Column, pair: String): Column =
+    regexp_replace(txt,
+      "(?<![^ ])" + java.util.regex.Pattern.quote(pair) + "(?![^ ])",
+      java.util.regex.Matcher.quoteReplacement(pair.replace(' ', '_')))
 
   /** Corpus-wide most-frequent word n-grams (every occurrence counted, not
     * per-document distinct — this is the corpus-statistics face; the dedup

@@ -677,6 +677,30 @@ class PipelineSpec extends SparkSpec {
     assert(m.toSeq == Seq((1, "a a", 2L), (2, "a_a a", 1L)))
   }
 
+  test("BPE merge is literal under regex metacharacters in the pair") {
+    import spark.implicits._
+    // If the tokenizer ever keeps +, ., $, \, (, [ ... the merge must still
+    // treat the argmax pair as literal text: quoted pattern, escaped
+    // replacement, space-anchored boundaries.
+    val cases = Seq(
+      // (pair, input stream, expected merged stream)
+      ("c++ fn", "c++ fn x c++ fn", "c++_fn x c++_fn"),
+      ("a.b c", "a.b c ab c a.b c", "a.b_c ab c a.b_c"),
+      ("$x \\y", "$x \\y end", "$x_\\y end"),
+      ("(a) [b]", "(a) [b] (a) [b]", "(a)_[b] (a)_[b]"),
+      // a metachar pair must NOT match lookalike text it would match as a
+      // regex: "a.b" the regex would also hit "axb"
+      ("a.b c", "axb c", "axb c"),
+      // boundary anchoring: the pair inside a longer symbol stays intact
+      ("ab cd", "xab cd ab cdy ab cd", "xab cd ab cdy ab_cd"))
+    for ((pair, in, want) <- cases) {
+      val got = Seq(in).toDF("txt")
+        .select(TextAnalysis.mergePair(col("txt"), pair).as("txt"))
+        .as[String].head()
+      assert(got == want, s"pair=[$pair] in=[$in]")
+    }
+  }
+
   test("centroids by label are per-dimension means; kmeans assigns nearest") {
     import spark.implicits._
     // two well-separated clusters: label 0 near (1,0), label 1 near (0,1)
