@@ -1243,18 +1243,26 @@ object SparkEntry {
 
     // ---- dedup: the SAME component labels via alternating star
     //      contraction (Kiveris et al. 2014) — O(log n) rounds regardless
-    //      of cluster diameter, the 100TB-scale CC algorithm. Oracle
-    //      identical to dd_clusters: near-dup clusters converge within the
-    //      6-round LP recurrence, and star contraction computes the exact
-    //      components, so both algorithms must land on the same labels.
+    //      of cluster diameter, the 100TB-scale CC algorithm.
+    // ORACLE ASSUMPTION: the k-round min-label unroll is exact only for
+    // components of diameter <= k (a recursive-CTE closure can't continue
+    // the shared WITH-prelude — DuckDB wants WITH RECURSIVE at the head).
+    // connectedComponentsStar itself is exact for ANY diameter
+    // (property-checked against union-find in DedupSpec), so this gate
+    // unrolls to 12 rounds — double dd_clusters' 6 — to keep a regenerated
+    // testdata's deeper near-dup chain from failing the gate spuriously.
+    val lblIterSql12 = (1 to 12).map { k =>
+      s"""lp$k AS (SELECT sps.u AS doc_id, min(r.lbl) AS lbl
+         FROM sps JOIN lp${k - 1} r ON sps.v = r.doc_id GROUP BY sps.u)"""
+    }.mkString(",\n      ")
     q("dd_cc_star", jaccardPairsSql.substring(0,
       jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
       , jp AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8),
       sp AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp),
       sps AS (SELECT u, v FROM sp UNION SELECT u, u FROM sp),
       lp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM sp),
-      $lblIterSql
-      SELECT doc_id, lbl AS keeper_id FROM lp6 ORDER BY doc_id""") { (s, d) =>
+      $lblIterSql12
+      SELECT doc_id, lbl AS keeper_id FROM lp12 ORDER BY doc_id""") { (s, d) =>
       Dedup.connectedComponentsStar(Dedup.ngramJaccardPairs(
         s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
         n = 3, threshold = 0.8))

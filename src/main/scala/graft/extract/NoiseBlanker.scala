@@ -93,7 +93,8 @@ private[extract] object NoiseBlanker {
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
 
     // operators/punctuation after which a `/` is a regex, not division
-    val regexPrecede = "(,=:[!&|?;{}+-*%<>~^"
+    // ('<' is handled separately below — JSX closing tags)
+    val regexPrecede = "(,=:[!&|?;{}+-*%>~^"
     // keywords after which a `/` is a regex (`return /x/.test(s)`)
     val regexKeywords = Set("return", "case", "typeof", "instanceof", "in",
       "of", "new", "delete", "void", "do", "else", "yield", "await")
@@ -102,6 +103,14 @@ private[extract] object NoiseBlanker {
       var k = j - 1
       while (k >= 0 && b(k) == ' ') k -= 1
       if (k < 0) return true // line start
+      if (b(k) == '<') {
+        // JSX/TSX closing tag (`</td>`, fragment `</>`): a '/' right after
+        // '<' opens markup, not a regex — blanking up to the next '/' would
+        // swallow real code between two tags. Only if what follows the '/'
+        // could not start a tag name (`x < /\d/.test(s)`) is it a regex.
+        val n = if (j + 1 < b.length) b(j + 1) else ' '
+        return !(isIdentChar(n) || n == '>')
+      }
       if (regexPrecede.indexOf(b(k)) >= 0) return true
       if (!isIdentChar(b(k))) return false
       val end = k

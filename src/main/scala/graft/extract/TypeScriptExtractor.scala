@@ -109,10 +109,15 @@ object TypeScriptExtractor extends Extractor {
       var callScanFrom = 0
       // continuation of a multi-line `const f = (` arrow head: track the
       // param list's paren balance; at the close, a `=>` makes the header a
-      // definition (anchored at the header line). Param lines skip the def
-      // matchers (nothing on them is a declaration) but still scan calls —
-      // defaults like `timeout = makeTimeout()` carry real call sites.
-      val wasPendingArrow = pendingArrow.isDefined
+      // definition (anchored at the header line). Mid-params lines skip the
+      // def matchers (nothing on them is a declaration) but still scan
+      // calls — defaults like `timeout = makeTimeout()` carry real call
+      // sites. The CLOSE line's remainder past the `=>` is normal code and
+      // goes back through the def matchers (via a space-padded view that
+      // keeps column numbers intact), so `) => { ... }; const g = () =>`
+      // still declares g; an abandoned (runaway) head re-enables the full
+      // line.
+      var defLine: String = if (pendingArrow.isDefined) null else line
       pendingArrow.foreach { case (name, headLine, headCol, balance0) =>
         var bal = balance0
         var closeIdx = -1
@@ -125,34 +130,42 @@ object TypeScriptExtractor extends Extractor {
         }
         if (closeIdx >= 0) {
           pendingArrow = None
-          if (line.substring(closeIdx + 1).dropWhile(_ == ' ').startsWith("=>")) {
+          val after = line.substring(closeIdx + 1)
+          val pastSpaces = after.dropWhile(_ == ' ')
+          if (pastSpaces.startsWith("=>")) {
             val kind = if (classStack.nonEmpty) "Method" else "Function"
             defs += RawDefinition(f.path, fqnOf(name), name, kind,
               lineStart(headLine) + headCol,
               lineStart(headLine) + rawLines(headLine).length,
               headLine, headLine, headCol, rawLines(headLine).length)
-          }
-        } else if (i - headLine > 30) pendingArrow = None // runaway guard
-        else pendingArrow = Some((name, headLine, headCol, bal))
+            val rest = closeIdx + 1 + (after.length - pastSpaces.length) + 2
+            defLine = (" " * rest) + line.substring(rest)
+          } else
+            defLine = (" " * (closeIdx + 1)) + after
+        } else if (i - headLine > 30) { // runaway guard
+          pendingArrow = None
+          defLine = line
+        } else pendingArrow = Some((name, headLine, headCol, bal))
       }
       val atClassBodyDepth =
         classStack.nonEmpty && depth == classStack.head._1 + 1
-      if (!wasPendingArrow) {
-      classRe.findFirstMatchIn(line).foreach { m =>
+      if (defLine != null) {
+      val dline = defLine
+      classRe.findFirstMatchIn(dline).foreach { m =>
         val kind = if (m.group(1) == "interface") "Interface" else "Class"
         add(m.group(2), kind, m.start(2))
         classStack ::= (depth, m.group(2), defs.length - 1)
         matchedDef = true; callScanFrom = m.end
       }
       def pushCallableIfBraced(fromCol: Int): Unit =
-        if (line.indexOf('{', fromCol) >= 0)
+        if (dline.indexOf('{', fromCol) >= 0)
           callableStack ::= (depth, defs.length - 1)
-      if (!matchedDef) funcRe.findFirstMatchIn(line).foreach { m =>
+      if (!matchedDef) funcRe.findFirstMatchIn(dline).foreach { m =>
         val kind = if (classStack.nonEmpty) "Method" else "Function"
         add(m.group(1), kind, m.start(1)); pushCallableIfBraced(m.end - 1)
         matchedDef = true; callScanFrom = m.end
       }
-      if (!matchedDef) arrowRe.findFirstMatchIn(line).foreach { m =>
+      if (!matchedDef) arrowRe.findFirstMatchIn(dline).foreach { m =>
         add(m.group(1), if (classStack.nonEmpty) "Method" else "Function", m.start(1))
         pushCallableIfBraced(m.end - 1)
         matchedDef = true; callScanFrom = m.end
@@ -161,20 +174,20 @@ object TypeScriptExtractor extends Extractor {
       // `name (…) {` lines are object-literal methods inside a member body
       // (the reference's tree-sitter rules extract class members only)
       if (!matchedDef && atClassBodyDepth)
-        methodRe.findFirstMatchIn(line).foreach { m =>
+        methodRe.findFirstMatchIn(dline).foreach { m =>
           if (!defStop(m.group(1))) {
             add(m.group(1), "Method", m.start(1)); pushCallableIfBraced(m.end - 1)
             matchedDef = true; callScanFrom = m.end
           }
         }
       if (!matchedDef && atClassBodyDepth)
-        methodHeadOpenRe.findFirstMatchIn(line).foreach { m =>
+        methodHeadOpenRe.findFirstMatchIn(dline).foreach { m =>
           if (!defStop(m.group(1))) {
             add(m.group(1), "Method", m.start(1))
             matchedDef = true; callScanFrom = m.end
           }
         }
-      if (!matchedDef) arrowHeadOpenRe.findFirstMatchIn(line).foreach { m =>
+      if (!matchedDef) arrowHeadOpenRe.findFirstMatchIn(dline).foreach { m =>
         pendingArrow = Some((m.group(1), i, m.start(1), 1))
       }
       }

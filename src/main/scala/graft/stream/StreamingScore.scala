@@ -31,8 +31,10 @@ object StreamingScore {
                  keepAbove: Option[Double] = None): DataFrame = {
     val modelArr = Dsir.fitModelArray(staticCorpus, idCol, textCol,
       targetPred, buckets)
+    // coalesce to 0.0 so null/token-less documents score like the batch
+    // path (withImportance) instead of being silently dropped by keepAbove
     val scored = docs.withColumn("dsir_logw",
-      Dsir.scoreAgainst(modelArr, col(textCol)))
+      coalesce(Dsir.scoreAgainst(modelArr, col(textCol)), lit(0.0)))
     keepAbove.fold(scored)(t => scored.where(col("dsir_logw") > t))
   }
 }

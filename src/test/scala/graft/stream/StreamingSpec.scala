@@ -318,4 +318,34 @@ class StreamingSpec extends SparkSpec {
     assert(kept.head._2 > 0.0)
   }
 
+  test("streaming DSIR scoring: null/empty text scores 0.0 like the batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val corpus = Seq(
+      (100L, "en", "the quick brown fox jumps over the lazy dog"),
+      (101L, "de", "der schnelle braune fuchs springt uber den faulen hund")
+    ).toDF("doc_id", "lang", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // threshold below 0.0: null- and empty-text docs must be KEPT at
+    // dsir_logw = 0.0 (the batch withImportance convention), not silently
+    // dropped because a null score fails every comparison
+    val selected = graft.stream.StreamingScore.dsirStream(
+      docs, corpus, "doc_id", "text",
+      org.apache.spark.sql.functions.col("lang") === "en",
+      buckets = 64, keepAbove = Some(-10.0))
+    val q = selected.writeStream.format("memory").queryName("dsirnull")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, null.asInstanceOf[String], t("2024-01-01 00:00:00")),
+        (2L, "", t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT doc_id, dsir_logw FROM dsirnull ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(kept.toSeq == Seq((1L, 0.0), (2L, 0.0)), s"selected: ${kept.toSeq}")
+  }
+
 }
