@@ -944,6 +944,12 @@ object SparkEntry {
       ('DEF_TO_DEF', 3, 3), ('DEF_TO_IMP', 3, 4),
       ('IMP_TO_IMP', 4, 4), ('IMP_TO_DEF', 4, 3), ('IMP_TO_FILE', 4, 2))"""
 
+    // DuckDB twin of graft.functions.TextFunctions.charFold (polynomial
+    // 31-fold mod 1e9+7) — the cross-engine deterministic randomness source
+    // shared by the sampling gates and the DOULION edge-sampling coin
+    def sqlCharFold(s: String, mult: Int = 31) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($s)), i -> CAST(unicode($s[i]) AS BIGINT))), (acc, c) -> (acc * $mult + c) % 1000000007)"""
+
     // staticPageRank(5, 0.15) unrolled: rank_0 = 1.0; rank_{k+1}(v) =
     // 0.15 + 0.85 * Σ_{(u,v)∈E} rank_k(u)/outdeg(u). Ranks rounded to 6
     // decimals on BOTH sides before the ORDER BY so float summation-order
@@ -1066,6 +1072,40 @@ object SparkEntry {
         .orderBy("rank")
     }
 
+    // ---- graph: DOULION approximate triangle count (Tsourakakis et al.
+    //      2009) — the 100TB face of the exact census. The edge-sampling
+    //      coin is the deterministic charFold("u:v") % 100, so the oracle
+    //      replays the IDENTICAL sample and the estimate itself is
+    //      hash-gated; within_tol additionally audits the estimator against
+    //      the exact count in-query (the ann_lsh_topk recall-bound pattern).
+    q("g_triangles_approx", P +
+      s""", $kmTagSql,
+      tgv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,
+                     km2.dtag * 4294967296 + e.target_id AS b
+              FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM tgv WHERE a <> b),
+      unds AS (SELECT u, v, ${sqlCharFold(
+        "(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR))")} AS h FROM und),
+      sm AS (SELECT u, v FROM unds
+             WHERE ((((h * h) % 1000000007) * 31 + h) % 1000000007) % 100 < 20),
+      tri AS (SELECT count(*) AS c
+              FROM und e1 JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tris AS (SELECT count(*) AS c
+              FROM sm e1 JOIN sm e2 ON e2.u = e1.v
+              JOIN sm e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT CAST(20 AS INT) AS p_pct,
+             (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM sm) AS n_sampled_edges,
+             CAST(tris.c * 125 AS BIGINT) AS est_triangles,
+             CAST(tri.c AS BIGINT) AS exact_triangles,
+             (abs(tris.c * 125 - tri.c) * 100 <= tri.c * 30) AS within_tol
+      FROM tri, tris ORDER BY p_pct""") { (s, d) =>
+      graft.graph.GraphOps.doulionTriangleGate(storeFor(s, d).edges,
+        pPercent = 20, tolPct = 30)
+    }
+
     // ---- full indexing pipeline (S1-S2, E1-E3, A1-A10) on a deterministic
     //      synthetic Python tree. The oracle replays the ENTIRE derivation —
     //      SyntheticTree's file/class/method layout, the Python extractor's
@@ -1113,8 +1153,6 @@ object SparkEntry {
     // ================= LLM-data-pipeline operators (BASELINE.json) =========
     // DuckDB inline helpers kept in lockstep with graft.functions.TextFunctions
     val sqlToks = """list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')"""
-    def sqlCharFold(s: String, mult: Int = 31) =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($s)), i -> CAST(unicode($s[i]) AS BIGINT))), (acc, c) -> (acc * $mult + c) % 1000000007)"""
     val docPrelude = s"""WITH d_toks AS (
       SELECT doc_id, lang, source, text,
         lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')) AS t,

@@ -179,18 +179,38 @@ object GraphOps {
     */
   def triangleTopVertices(edges: DataFrame, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val tri = enumerateTriangles(canonicalUndirected(edges))
+    val part = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("n_triangles"))
+    part.orderBy(col("n_triangles").desc, col("vid")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_triangles").desc, col("vid"))).cast("int"))
+      .select(shiftright(col("vid"), 32).as("tag"),
+        (col("vid") % lit(1L << 32)).as("id"),
+        col("n_triangles"), col("rank"))
+  }
+
+  /** Canonical undirected (u < v, distinct, loop-free) packed-vertex edges
+    * from the kind-tagged edge table.
+    */
+  private def canonicalUndirected(edges: DataFrame): DataFrame = {
     val tagged = edges.select(
       (tagOf(col("kind"), from = true) * lit(1L << 32) + col("source_id")).as("a"),
       (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("b"))
-    val und = tagged.where(col("a") =!= col("b"))
+    tagged.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-    // degree-ordered orientation: direct every edge from its lower-(degree,
-    // id) endpoint. Out-degrees are then bounded by O(sqrt(m)), so the wedge
-    // join's intermediate is sum(outdeg^2) <= m^1.5 instead of a hub's full
-    // degree^2 — the standard enumeration bound (Schank & Wagner 2005).
-    // Every triangle {x,y,z} with x<y<z in (deg,id) order is counted exactly
-    // once: both wedge arms leave x, the closing edge is oriented y -> z.
+  }
+
+  /** Triangle enumeration (x, y, z) over canonical undirected edges.
+    * Degree-ordered orientation: direct every edge from its lower-(degree,
+    * id) endpoint. Out-degrees are then bounded by O(sqrt(m)), so the wedge
+    * join's intermediate is sum(outdeg^2) <= m^1.5 instead of a hub's full
+    * degree^2 — the standard enumeration bound (Schank & Wagner 2005).
+    * Every triangle {x,y,z} with x<y<z in (deg,id) order is counted exactly
+    * once: both wedge arms leave x, the closing edge is oriented y -> z.
+    */
+  private def enumerateTriangles(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("vid"))
       .groupBy("vid").agg(count(lit(1)).as("dg"))
     val dir = und
@@ -205,20 +225,64 @@ object GraphOps {
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
       .localCheckpoint(true) // three join appearances; cut the upstream chain
-    val tri = dir.as("e1")
+    dir.as("e1")
       .join(dir.as("e2"), col("e2.s") === col("e1.s") &&
         (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .join(dir.as("e3"),
         col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
       .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
-    val part = tri.select(explode(array(col("x"), col("y"), col("z"))).as("vid"))
-      .groupBy("vid").agg(count(lit(1)).as("n_triangles"))
-    part.orderBy(col("n_triangles").desc, col("vid")).limit(topK)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("n_triangles").desc, col("vid"))).cast("int"))
-      .select(shiftright(col("vid"), 32).as("tag"),
-        (col("vid") % lit(1L << 32)).as("id"),
-        col("n_triangles"), col("rank"))
+  }
+
+  /** DOULION approximate triangle count (Tsourakakis, Kang, Miller &
+    * Faloutsos, KDD 2009): keep each undirected edge independently with
+    * probability p, count triangles exactly on the sparsified graph, scale
+    * by 1/p^3 — an unbiased estimator whose enumeration cost drops by ~p^3.
+    * This is the 100 TB face of [[triangleTopVertices]]'s exact census: at
+    * p = 0.1 the wedge join touches ~1% of the pairs.
+    *
+    * The coin is DETERMINISTIC — [[graft.functions.TextFunctions.charFold]]
+    * of "u:v", passed through a quadratic finalizer ((h² mod P)·31 + h)
+    * mod P, then mod 100 < pPercent — so the same sample is drawn on every
+    * run and on any engine (the DuckDB oracle replays the identical fold
+    * and must land on the identical estimate: the estimator itself is
+    * hash-gated, not just an error bound). The finalizer matters: the raw
+    * polynomial fold is LINEAR in the last characters, so edges sharing a
+    * vertex (same "u:" prefix) get kept in contiguous-v runs — correlated
+    * coins that enrich sampled triangles ~2× in measurement. Squaring mod P
+    * breaks the linearity; all intermediates stay under 2^63 in both
+    * engines. `pPercent` must divide 100 so the 1/p^3 scale-up
+    * (100/pPercent)^3 stays exact integer arithmetic.
+    *
+    * Output (one row): p_pct, n_edges, n_sampled_edges, est_triangles,
+    * exact_triangles, within_tol — |est - exact| <= tolPct% of exact,
+    * computed in BIGINT math. At cluster scale the exact column is the
+    * thing this estimator replaces; it rides along here as the in-query
+    * error audit (the `ann_lsh_topk` recall-bound pattern).
+    */
+  def doulionTriangleGate(edges: DataFrame, pPercent: Int = 20,
+                          tolPct: Int = 30): DataFrame = {
+    require(pPercent > 0 && pPercent <= 100 && 100 % pPercent == 0,
+      s"pPercent must divide 100: $pPercent")
+    val und = canonicalUndirected(edges)
+      .localCheckpoint(true) // two consumers: exact census + sample
+    val P = 1000000007L
+    val h = graft.functions.TextFunctions.charFold(
+      concat(col("u").cast("string"), lit(":"), col("v").cast("string")))
+    val coin = ((h * h) % P * 31 + h) % P % 100
+    val sampled = und.where(coin < pPercent)
+    val scale = (100L / pPercent) * (100L / pPercent) * (100L / pPercent)
+    val exact = enumerateTriangles(und)
+      .agg(count(lit(1)).as("exact_triangles"))
+    val est = enumerateTriangles(sampled)
+      .agg((count(lit(1)) * scale).as("est_triangles"))
+    val edgeCounts = und.agg(count(lit(1)).as("n_edges"))
+    val sampleCounts = sampled.agg(count(lit(1)).as("n_sampled_edges"))
+    edgeCounts.crossJoin(sampleCounts).crossJoin(est).crossJoin(exact)
+      .select(lit(pPercent).cast("int").as("p_pct"), col("n_edges"),
+        col("n_sampled_edges"), col("est_triangles"), col("exact_triangles"),
+        (abs(col("est_triangles") - col("exact_triangles")) * 100 <=
+          col("exact_triangles") * tolPct).as("within_tol"))
+      .orderBy("p_pct")
   }
 }

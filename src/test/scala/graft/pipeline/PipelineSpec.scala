@@ -738,6 +738,40 @@ class PipelineSpec extends SparkSpec {
     assert(t.forall(_.getAs[Long]("tag") == graft.model.NodeTag.Definition))
   }
 
+  test("DOULION triangle estimate: unbiased scaling, deterministic sample, exact census") {
+    import spark.implicits._
+    // dense-ish random graph (120 vertices, hash-derived edges) so the 20%
+    // sample retains enough triangles for the estimate to be meaningful
+    val n = 120
+    val edges = (for {
+      u <- 0 until n; v <- (u + 1) until n
+      if ((u * 31 + v * 17 + 7) % 10) < 3 // ~30% density, deterministic
+    } yield ("DEF_TO_DEF", u.toLong, v.toLong))
+      .toDF("kind", "source_id", "target_id")
+    val row = graft.graph.GraphOps.doulionTriangleGate(edges, pPercent = 20,
+      tolPct = 100).collect().head
+    val nEdges = row.getAs[Long]("n_edges")
+    val nSampled = row.getAs[Long]("n_sampled_edges")
+    val est = row.getAs[Long]("est_triangles")
+    val exact = row.getAs[Long]("exact_triangles")
+    assert(exact > 0)
+    // the deterministic coin keeps ~20% of edges
+    assert(math.abs(nSampled.toDouble / nEdges - 0.2) < 0.05,
+      s"sample rate ${nSampled.toDouble / nEdges}")
+    // est = sampled-census * (1/p)^3 exactly (integer scaling)
+    assert(est % 125 == 0)
+    // determinism: a second run draws the identical sample and estimate
+    val row2 = graft.graph.GraphOps.doulionTriangleGate(edges, pPercent = 20,
+      tolPct = 100).collect().head
+    assert(row2.getAs[Long]("est_triangles") == est &&
+      row2.getAs[Long]("n_sampled_edges") == nSampled)
+    // estimator sanity on this graph: within 2x of exact (loose bound —
+    // the tight 30% bound is asserted at gate scale by g_triangles_approx)
+    assert(est > 0 && math.abs(est - exact) * 100 <= exact * 100,
+      s"est=$est exact=$exact")
+    assert(row.getAs[Boolean]("within_tol"))
+  }
+
   test("plan shapes: kmeansAssign broadcasts centroids; centroid agg is partial") {
     import spark.implicits._
     val embs = Seq((0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 1))
