@@ -1214,9 +1214,13 @@ object SparkEntry {
 
     // ---- dedup: cross-snapshot (incremental) — new docs' near-dups in an
     //      existing corpus, bipartite candidates only (doc_id % 5 = 0
-    //      simulates the already-admitted historical index). Oracle = the
-    //      exact all-pairs jaccard filtered to cross-split pairs; the LSH
-    //      miss bound is the same ~5e-8 as dd_minhash_lsh.
+    //      simulates the already-admitted historical index). The gate runs
+    //      the OPERATIONAL path: the seen side's banded index + shingle
+    //      sets are persisted (DedupIndexStore, the admission-time write)
+    //      and the query reads them back — the per-run cost the daily
+    //      ingest actually pays. Oracle = the exact all-pairs jaccard
+    //      filtered to cross-split pairs; the LSH miss bound is the same
+    //      ~5e-8 as dd_minhash_lsh.
     q("dd_incremental", jaccardPairsSql.substring(0,
       jaccardPairsSql.indexOf("SELECT ida AS id_a")) + s"""
       SELECT CASE WHEN ida % 5 = 0 THEN idb ELSE ida END AS new_id,
@@ -1225,10 +1229,13 @@ object SparkEntry {
       FROM jac WHERE j >= 0.8 AND ((ida % 5 = 0) <> (idb % 5 = 0))
       ORDER BY new_id, seen_id""") { (s, d) =>
       val docs = s.read.parquet(s"$d/documents.parquet")
-      Dedup.crossCorpusPairs(
-        docs.where(col("doc_id") % 5 =!= 0),
-        docs.where(col("doc_id") % 5 === 0),
-        "doc_id", "text", threshold = 0.8).orderBy("new_id", "seen_id")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index_" +
+        math.abs(d.hashCode).toString
+      val idx = graft.store.DedupIndexStore.build(s, idxDir,
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      Dedup.crossCorpusPairsIndexed(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", idx,
+        threshold = 0.8).orderBy("new_id", "seen_id")
     }
 
     // ---- dedup: MinHash Jaccard estimate next to the exact value for each

@@ -239,9 +239,11 @@ object Dedup {
     * matches ONLY — never seen×seen, which at 100 TB is precisely the work
     * a production pipeline must not redo (the historical corpus is already
     * deduped) — then exact-Jaccard verification on the true shingle sets.
-    * At scale the seen side's band table is the stored banded index
-    * (computed once at admission and persisted); it is recomputed from text
-    * here because the gate replays from raw tables.
+    * At scale the seen side's band table is the stored banded index,
+    * computed once at admission and persisted — that face is
+    * [[crossCorpusPairsIndexed]] over [[graft.store.DedupIndexStore]], and
+    * it is what the `dd_incremental` gate runs. This variant recomputes
+    * both sides from text for the one-shot (no index yet) case.
     *
     * Returns (new_id, seen_id, jaccard >= threshold).
     */
@@ -275,6 +277,53 @@ object Dedup {
       .join(base.where(col("side") === "n")
         .select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
       .join(base.where(col("side") === "s")
+        .select(col("doc_id").as("seen_id"), col("sh").as("shb")), "seen_id")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("seen_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** [[crossCorpusPairs]] against a PERSISTED seen-side index
+    * ([[graft.store.DedupIndexStore]]) — the operational daily-ingest form:
+    * only the new batch is shingled and signed; the historical corpus
+    * participates through its stored band table (candidate equi-join) and
+    * stored shingle sets (exact-Jaccard verification), both written once at
+    * admission. Per-run cost is O(new batch + matched buckets), independent
+    * of history size — the whole point of persisting the index.
+    *
+    * The index's hash-family parameters are validated against this query's
+    * (a family mismatch would silently match nothing). Returns
+    * (new_id, seen_id, jaccard >= threshold), identical to the recompute
+    * path — [[graft.store.DedupIndexStore]]'s tables are exactly the
+    * seen-side intermediates of [[crossCorpusPairs]].
+    */
+  def crossCorpusPairsIndexed(newDocs: DataFrame, idCol: String,
+                              textCol: String,
+                              index: graft.store.DedupIndexStore,
+                              n: Int = 3, numHashes: Int = 128,
+                              bands: Int = 32,
+                              threshold: Double = 0.8): DataFrame = {
+    index.requireParams(n, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val newBase = newDocs
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache() // band input + verification side
+    val newBands = newBase.select(col("doc_id"),
+      posexplode(bandKeys(minhashSig(col("sh"), numHashes), bands, rowsPerBand))
+        .as(Seq("band", "key")))
+    val candidates = newBands.alias("x")
+      .join(index.bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("seen_id"))
+      .distinct()
+    candidates
+      .join(newBase.select(col("doc_id").as("new_id"), col("sh").as("sha")),
+        "new_id")
+      .join(index.shingles
         .select(col("doc_id").as("seen_id"), col("sh").as("shb")), "seen_id")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", col("c").cast("double") /

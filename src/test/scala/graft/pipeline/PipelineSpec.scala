@@ -738,6 +738,51 @@ class PipelineSpec extends SparkSpec {
     assert(t.forall(_.getAs[Long]("tag") == graft.model.NodeTag.Definition))
   }
 
+  test("persisted dedup index: indexed path equals recompute; append admits; params validate") {
+    import spark.implicits._
+    // 40-token base; near-dups differ in one trailing word (3-gram jaccard
+    // ~0.85), far docs share nothing
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    def variant(last: String) = words.split(" ").init.mkString(" ") + " " + last
+    val seen = Seq(
+      (10L, variant("alpha")), (20L, variant("beta")),
+      (30L, "totally different content " + (0 until 30).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, variant("gamma")), // near-dup of 10 and 20
+      (31L, "unrelated " + (0 until 30).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddidx").toString
+    try {
+      val idx = graft.store.DedupIndexStore.build(spark, dir, seen,
+        "doc_id", "text")
+      val viaIndex = Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text",
+        idx).orderBy("new_id", "seen_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val recompute = Dedup.crossCorpusPairs(fresh, seen, "doc_id", "text")
+        .orderBy("new_id", "seen_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(viaIndex.toSeq == recompute.toSeq)
+      assert(viaIndex.map(p => (p._1, p._2)).toSeq == Seq((11L, 10L), (11L, 20L)))
+
+      // admission: append yesterday's batch; today's dedup sees it through
+      // the index without touching the original corpus rows
+      idx.append(fresh, "doc_id", "text")
+      val today = Seq((12L, variant("delta"))).toDF("doc_id", "text")
+      val pairs = Dedup.crossCorpusPairsIndexed(today, "doc_id", "text", idx)
+        .orderBy("seen_id").collect().map(_.getLong(1))
+      assert(pairs.toSeq == Seq(10L, 11L, 20L)) // matches original AND appended
+
+      // family mismatch is an error, not an empty result
+      intercept[IllegalArgumentException] {
+        Dedup.crossCorpusPairsIndexed(today, "doc_id", "text", idx,
+          numHashes = 64, bands = 16)
+      }
+    } finally graft.store.GraphStore.deleteRecursively(
+      java.nio.file.Paths.get(dir))
+  }
+
   test("DOULION triangle estimate: unbiased scaling, deterministic sample, exact census") {
     import spark.implicits._
     // dense-ish random graph (120 vertices, hash-derived edges) so the 20%
