@@ -55,4 +55,53 @@ object StreamingCrossDedup {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("new_id", "seen_id")
   }
+
+  /** The production form of [[pairStream]]: the seen side comes from the
+    * PERSISTED admission index ([[graft.store.DedupIndexStore]]) instead of
+    * being recomputed from text at stream start — stream start-up cost is a
+    * parquet open, not a full historical shingle+sign pass. The static
+    * side's file listing is pinned at query start (and cached thereafter),
+    * so admission appends become visible on stream RESTART — the
+    * snapshot-rotation cadence [[pairStream]]'s doc describes — and a
+    * restart costs a re-list, never a rebuild.
+    *
+    * Two stream-static equi-joins: micro-batch band keys against the stored
+    * band table (candidates), then candidates against the stored shingle
+    * sets (exact-Jaccard verification) — the same two-table shape as the
+    * batch `Dedup.crossCorpusPairsIndexed`. Both static sides are cached;
+    * the band table arrives key-clustered from the admission-time
+    * `repartition(key)` write.
+    */
+  def pairStreamIndexed(docs: DataFrame, index: graft.store.DedupIndexStore,
+                        idCol: String, textCol: String, tsCol: String,
+                        watermarkDelay: String,
+                        n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        threshold: Double = 0.8): DataFrame = {
+    index.requireParams(n, numHashes, bands)
+    val rowsPerBand = numHashes / bands
+    val idxBands = index.bands
+      .select(col("doc_id").as("seen_id"), col("band"), col("key"))
+      .cache()
+    val idxShingles = index.shingles
+      .select(col("doc_id").as("seen_id"), col("sh").as("shb"))
+      .cache()
+    val stBands = docs
+      .select(col(idCol).as("new_id"), col(tsCol).as("ts"),
+        shingleSet(col(textCol), n).as("sha"))
+      .where(size(col("sha")) > 0)
+      .select(col("new_id"), col("ts"), col("sha"),
+        posexplode(bandKeys(minhashSig(col("sha"), numHashes), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+    stBands.join(idxBands, Seq("band", "key"))
+      .select(col("new_id"), col("ts"), col("sha"), col("seen_id"))
+      .join(idxShingles, "seen_id")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("seen_id"),
+        round(col("jaccard"), 4).as("jaccard"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("new_id", "seen_id")
+  }
 }

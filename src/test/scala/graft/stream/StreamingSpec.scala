@@ -257,6 +257,59 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Seq((1L, 100L)))
   }
 
+  test("indexed streaming cross-dedup reads the persisted admission index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val seen = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "a completely unrelated historical document about query planning")
+    ).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    val idx = graft.store.DedupIndexStore.build(spark, idxDir, seen,
+      "doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val pairs = graft.stream.StreamingCrossDedup.pairStreamIndexed(
+      docs, idx, "doc_id", "text", "ts", watermarkDelay = "1 hour",
+      threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("xdedupidx")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow", t("2024-01-01 00:00:00")),
+        (2L, "genuinely novel content with no historical counterpart at all", t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql(
+        "SELECT new_id, seen_id FROM xdedupidx ORDER BY new_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 100L)))
+
+    // an admission APPEND lands new history; a RESTARTED stream (fresh plan
+    // = fresh parquet listing) sees it with no rebuild — the snapshot
+    // rotation cadence
+    idx.append(Seq((102L, "brand new admitted corpus entry about stream processing engines"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    val input2 = MemoryStream[(Long, String, Timestamp)]
+    val pairs2 = graft.stream.StreamingCrossDedup.pairStreamIndexed(
+      input2.toDF().toDF("doc_id", "text", "ts"), idx,
+      "doc_id", "text", "ts", watermarkDelay = "1 hour", threshold = 0.5)
+    val q2 = pairs2.writeStream.format("memory").queryName("xdedupidx2")
+      .outputMode("append").start()
+    try {
+      input2.addData(
+        (3L, "brand new admitted corpus entry about stream processing systems", t("2024-01-01 00:02:00")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows2 = spark.sql(
+        "SELECT new_id, seen_id FROM xdedupidx2 ORDER BY new_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows2 == Seq((3L, 102L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+  }
+
   test("watermarked tumbling window over an event stream matches batch result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
