@@ -26,7 +26,9 @@ class WorkspaceWatchSpec extends SparkSpec {
     val state = mgr.getOrRegister(ws.toString).getOrElse(fail("register failed"))
     mgr.dispatchIndex(state)
     try {
-      def drainUntil(tpe: String, deadlineMs: Long = 60000): String = {
+      // generous deadline: under a full parallel `sbt test` run the index
+      // job shares the JVM with 30+ suites and can take well over a minute
+      def drainUntil(tpe: String, deadlineMs: Long = 240000): String = {
         val deadline = System.currentTimeMillis() + deadlineMs
         while (System.currentTimeMillis() < deadline) {
           val e = events.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
