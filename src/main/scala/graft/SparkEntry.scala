@@ -1789,6 +1789,53 @@ object SparkEntry {
         Seq("spark", "join", "window", "fast"), k = 20).orderBy("rank")
     }
 
+    // ---- hybrid retrieval: BM25 top-50 fused with embedding-cosine top-50
+    //      by reciprocal-rank fusion (1/(60+rank) per list, absent -> 0).
+    //      The doc/vec tables share an id space; the query is (terms, vec 7).
+    //      Both lists rank on the same rounded/tiebroken discipline as their
+    //      standalone gates, and the fused score is a fixed-order two-term
+    //      sum rounded before the final rank.
+    q("srch_rrf_hybrid", docPrelude +
+      s""", base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d_toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+      hits AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains(['spark','join','window','fast'], t))) AS term
+          FROM base)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM hits GROUP BY 1),
+      sc AS (SELECT doc_id, round(sum(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM hits JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1),
+      lex AS (SELECT doc_id, lrank FROM (SELECT doc_id,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS lrank FROM sc)
+        WHERE lrank <= 50),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      vn AS (SELECT vec_id, vec,
+        sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(vec)), i -> vec[i] * vec[i])), (x, y) -> x + y)) AS nrm
+      FROM v),
+      qv AS (SELECT vec, nrm FROM vn WHERE vec_id = 7 AND nrm > 0),
+      cosd AS (SELECT b.vec_id AS doc_id,
+          list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.vec)), i -> q.vec[i] * b.vec[i])), (x, y) -> x + y) / (q.nrm * b.nrm) AS cos
+        FROM vn b, qv q WHERE b.vec_id <> 7 AND b.nrm > 0),
+      sem AS (SELECT doc_id, srank FROM (SELECT doc_id,
+          row_number() OVER (ORDER BY cos DESC, doc_id) AS srank FROM cosd)
+        WHERE srank <= 50),
+      fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+          round(coalesce(1.0 / (60 + lrank), 0.0) + coalesce(1.0 / (60 + srank), 0.0), 6) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT doc_id, rrf, CAST(rank AS INT) AS rank FROM (
+        SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused)
+      WHERE rank <= 20 ORDER BY rank""") { (s, d) =>
+      Search.hybridTopK(s.read.parquet(s"$d/documents.parquet"),
+        s.read.parquet(s"$d/embeddings.parquet"), "doc_id", "text",
+        "vec_id", "embedding", Seq("spark", "join", "window", "fast"),
+        queryVecId = 7, perList = 50, k = 20).orderBy("rank")
+    }
+
     // ---- statistical-LM quality: per-doc cross-entropy under the corpus
     //      unigram distribution (CCNet-style filter signal)
     q("td_unigram_xent", docPrelude +
@@ -1893,6 +1940,31 @@ object SparkEntry {
       ORDER BY round""") { (s, d) =>
       TextAnalysis.bpeMerges(s.read.parquet(s"$d/documents.parquet"), "text",
         rounds = bpeRounds).orderBy("round")
+    }
+
+    // ---- tokenizer APPLICATION: encode every document with the learned
+    //      merge table — per-doc token budgets (raw vs post-BPE), the number
+    //      sequence packing and training-cost accounting consume. The oracle
+    //      replays the same induction (doc_id carried through the merge
+    //      chain this time) and counts surviving symbols per document.
+    val bpeEncIterSql = (1 to bpeRounds).map { k =>
+      s"""ec$k AS (SELECT tk[i] || ' ' || tk[i+1] AS pair
+         FROM (SELECT string_split(txt, ' ') AS tk FROM e${k - 1}) s,
+              LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+      eb$k AS (SELECT pair FROM ec$k GROUP BY pair
+         ORDER BY count(*) DESC, pair LIMIT 1),
+      e$k AS (SELECT doc_id, nraw, regexp_replace(t.txt, '\\b' || b.pair || '\\b',
+           replace(b.pair, ' ', '_'), 'g') AS txt FROM e${k - 1} t, eb$k b)"""
+    }.mkString(",\n      ")
+    q("tok_bpe_encode", docPrelude +
+      s""", e0 AS (SELECT doc_id, len(toks) AS nraw,
+           array_to_string(toks, ' ') AS txt FROM d_toks WHERE len(toks) > 0),
+      $bpeEncIterSql
+      SELECT doc_id, CAST(nraw AS BIGINT) AS n_tokens_raw,
+        CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens_bpe
+      FROM e$bpeRounds ORDER BY doc_id""") { (s, d) =>
+      TextAnalysis.bpeEncode(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", rounds = bpeRounds).orderBy("doc_id")
     }
 
     // ---- RAG/pretraining chunking: 32-token windows every 8 tokens,

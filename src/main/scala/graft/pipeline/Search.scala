@@ -59,6 +59,58 @@ object Search {
       .select("doc_id", "score", "rank")
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke's RRF) of two ranked lists —
+    * the standard hybrid-retrieval combiner: rrf(d) = Σ_lists 1/(k0 +
+    * rank_list(d)), with a document absent from a list contributing 0.
+    * Inputs are (doc_id, rank) frames; returns the fused top-k as
+    * (doc_id, rrf, rank).
+    *
+    * Determinism: ranks are small exact integers, so 1/(k0+rank) is one
+    * IEEE division both engines round identically, and the two-term sum has
+    * a fixed operand order (lex + sem); the fused score is rounded before
+    * ranking with a doc-id tiebreak, the same discipline as every other
+    * ranked gate here.
+    *
+    * Scale shape: each input list is already a bounded top-N (produced by a
+    * distributed top-k), so the fusion join touches 2·N rows regardless of
+    * corpus size — the expensive work lives in the upstream rankers.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k0: Int = 60,
+              k: Int = 20): DataFrame = {
+    val l = lex.select(col("doc_id"), col("rank").as("lex_rank"))
+    val s = sem.select(col("doc_id"), col("rank").as("sem_rank"))
+    val fused = l.join(s, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("sem_rank")), lit(0.0)), 6))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("doc_id", "rrf", "rank")
+  }
+
+  /** Hybrid retrieval: BM25 over the text column fused (RRF) with exact
+    * embedding-cosine ranking against a query vector, the two lists the
+    * modern retrieval stack combines. `docs` and `embs` share an id space
+    * (doc_id = vec_id); the query is (bag of terms, the embedding of
+    * `queryVecId`), and each side contributes its top `perList` before
+    * fusion. The semantic side here is the exact brute-force ranker — at
+    * scale swap in [[Similarity.lshTopK]]/[[Similarity.ivfTopK]], which
+    * return the same (query_id, neighbor_id, rank) shape.
+    */
+  def hybridTopK(docs: DataFrame, embs: DataFrame, docId: String,
+                 textCol: String, vecId: String, vecCol: String,
+                 queryTerms: Seq[String], queryVecId: Long,
+                 perList: Int = 50, k0: Int = 60, k: Int = 20): DataFrame = {
+    val lex = bm25TopK(docs, docId, textCol, queryTerms, k = perList)
+      .select("doc_id", "rank")
+    val sem = Similarity.bruteForceTopK(
+        embs.where(col(vecId) === queryVecId), embs, vecId, vecCol,
+        k = perList)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(lex, sem, k0, k)
+  }
+
   /** Top-k TF-IDF keyword extraction per document — the classic corpus
     * signal behind keyword indexing and topic-drift monitoring in a
     * training-data pipeline. score(d, t) = tf(d, t) · ln(N / df(t)),

@@ -235,6 +235,35 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair", "n_pairs")
   }
 
+  /** Apply the learned merge table to encode every document — the
+    * tokenizer-APPLICATION face that follows [[bpeMerges]]' training face:
+    * per-document token budgets after `rounds` merges, the number that
+    * drives sequence packing and training-cost accounting. Returns
+    * (doc_id, n_tokens_raw, n_tokens_bpe).
+    *
+    * Scale shape: the merge table is bounded (`rounds` rows — bpeMerges'
+    * per-round 1-row argmax), so the driver-side collect is O(rounds), and
+    * applying it is a chain of `rounds` map-side [[mergePair]] regexes over
+    * the corpus — the encode pass itself shuffles nothing; the only
+    * exchanges are bpeMerges' own pair-vocabulary counts.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int = 6): DataFrame = {
+    val merges = bpeMerges(docs, textCol, rounds)
+      .orderBy("round").select("pair").collect().map(_.getString(0))
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_raw"),
+        concat_ws(" ", col("toks")).as("txt"))
+    val enc = merges.foldLeft(base) { (df, p) =>
+      df.withColumn("txt", mergePair(col("txt"), p))
+    }
+    enc.select(col("doc_id"), col("n_tokens_raw"),
+      size(split(col("txt"), " ")).cast("long").as("n_tokens_bpe"))
+  }
+
   /** One BPE merge over a space-delimited symbol stream: occurrences of
     * `pair` bounded by spaces (or string ends) collapse to the `_`-joined
     * symbol. The pair is corpus text — `\Q...\E` quoted in the pattern and

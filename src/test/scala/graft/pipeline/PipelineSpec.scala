@@ -330,6 +330,78 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("rrf fusion: scores, absence handling, rank determinism") {
+    import spark.implicits._
+    // lex: docs 10, 20, 30 at ranks 1..3; sem: docs 20, 40 at ranks 1..2
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(lex, sem, k0 = 60, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"),
+        r.getAs[Int]("rank")))
+    def rr(r: Int): Double = 1.0 / (60 + r)
+    def r6(v: Double): Double = math.round(v * 1e6) / 1e6
+    val expect = Seq(
+      20L -> r6(rr(2) + rr(1)), // both lists: fused to the top
+      10L -> r6(rr(1)),
+      40L -> r6(rr(2)),
+      30L -> r6(rr(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expect, got.mkString(", "))
+    assert(got.map(_._3).toSeq == (1 to 4))
+    // tie (same single-list rank) breaks by doc_id: 10 (lex r1) before a
+    // sem-only doc at r1
+    val semTie = Seq((99L, 1)).toDF("doc_id", "rank")
+    val tied = Search.rrfFuse(lex, semTie, k0 = 60, k = 10).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(tied.take(2) == Seq(10L, 99L))
+  }
+
+  test("hybrid retrieval: both-list docs outrank single-list docs end-to-end") {
+    import spark.implicits._
+    // doc 1 matches the query terms AND sits next to the query vector;
+    // doc 2 matches terms only; doc 3 is cosine-close only; doc 4 neither
+    val hd = Seq(
+      (0L, "anchor point for the query vector"),
+      (1L, "spark shuffle spark join spark engine"),
+      (2L, "spark join text with no vector affinity at all"),
+      (3L, "unrelated words entirely"),
+      (4L, "nothing shared here either")
+    ).toDF("doc_id", "text")
+    val he = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.95f, 0.05f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Search.hybridTopK(hd, he, "doc_id", "text", "vec_id",
+      "embedding", Seq("spark", "join"), queryVecId = 0L,
+      perList = 3, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    assert(got.head._1 == 1L, s"both-list doc should lead: ${got.mkString(",")}")
+    val ranked = got.map(_._1).toSet
+    assert(ranked.contains(2L) && ranked.contains(3L))
+    assert(!ranked.contains(0L)) // the query's own vector is not a neighbor
+  }
+
+  test("bpe encode: per-doc token budgets follow the learned merges") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "x y x y x y"),
+      (1L, "x y z"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    // round 1: "x y" (4 occurrences) -> x_y; round 2: "x_y x_y" (2) -> x_y_x_y
+    val enc = TextAnalysis.bpeEncode(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_raw"), r.getAs[Long]("n_tokens_bpe"))).toMap
+    assert(enc == Map(0L -> (6L, 2L), 1L -> (3L, 2L)), enc.toString)
+    // rounds=1 stops after the first merge
+    val enc1 = TextAnalysis.bpeEncode(d, "doc_id", "text", rounds = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_tokens_bpe")).toMap
+    assert(enc1 == Map(0L -> 3L, 1L -> 2L), enc1.toString)
+  }
+
   test("tfidf top-k and chunk windows match scala brute force") {
     val corpus = docs.collect().map(r => r.getLong(0) ->
       r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
