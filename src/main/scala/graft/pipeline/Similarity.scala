@@ -173,6 +173,36 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: `bits` sign bits of dot(v, plane_j).
     * One bucket per row; multi-probe = run with several `table` seeds.
     */
+  /** LSH parameter plan for a banded hyperplane candidate generator
+    * ([[graft.pipeline.Dedup.embeddingCosinePairs]], [[annLsh]]) at corpus
+    * size `n`: pick `bits` so the expected RANDOM-collision bucket
+    * population stays ~`targetBucket` (bits = log2(n/targetBucket) — the
+    * background candidate count is then tables·n·targetBucket, linear in n
+    * rather than the quadratic tables·n²/2^bits a FIXED bits gives), and
+    * pick `tables` so a true pair at cosine >= `threshold` — per-table
+    * co-bucket probability p1^bits, p1 = 1 - acos(threshold)/π — is missed
+    * with probability at most `targetMiss`.
+    *
+    * Total candidate work then grows as n^(1 - log2(p1)) (tables ∝
+    * (n/B)^(-log2 p1) times the linear background): sub-quadratic for any
+    * threshold > 0, and close to linear for the high thresholds production
+    * near-dup dedup runs at (threshold 0.9 → exponent ~1.22; the gates'
+    * deliberately-low 0.45 → ~1.62). The fixed (bits=3, tables=32) gate
+    * defaults are the verified-recall small-corpus setting; this planner is
+    * the documented scale path (SCALE.md's sf1 measurement runs both).
+    */
+  def lshPlanFor(n: Long, threshold: Double, targetMiss: Double = 1e-4,
+                 targetBucket: Long = 1024): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val bits = math.max(3,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val pBand = math.pow(p1, bits)
+    val tables = math.max(1,
+      math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+    (bits, tables)
+  }
+
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int): Column =
     (0 until bits).map { j =>
       val plane = array((0 until dim).map(i =>

@@ -134,6 +134,29 @@ class PipelineSpec extends SparkSpec {
         (col("a.nrm") * col("b.nrm")) >= 0.45)
       .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
     assert(banded === naive)
+
+    // the corpus-sized parameter plan (the documented scale path) keeps
+    // full recall on the same data: every brute-force pair survives
+    val (pBits, pTables) = Similarity.lshPlanFor(embs.count(), 0.45)
+    val planned = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding",
+        0.45, bits = pBits, tables = pTables)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planned === naive, s"planned (bits=$pBits tables=$pTables)")
+  }
+
+  test("lsh parameter plan: bits tracks corpus size, miss bound holds") {
+    // bits grows one per doubling past the bucket target
+    val (b1, t1) = Similarity.lshPlanFor(1024, 0.45)
+    val (b2, t2) = Similarity.lshPlanFor(1024L << 6, 0.45)
+    assert(b1 == 3 && b2 == 6, s"$b1 $b2") // n/target: 1 -> floor 3; 2^6 -> 6 bits
+    assert(t2 > t1) // deeper bands need more tables for the same miss bound
+    // the analytic miss bound the plan promises: (1 - p1^bits)^tables <= 1e-4
+    for (c <- Seq(0.45, 0.7, 0.9); n <- Seq(1000L, 100000L, 10000000L)) {
+      val (bits, tables) = Similarity.lshPlanFor(n, c)
+      val p1 = 1.0 - math.acos(c) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p1, bits), tables)
+      assert(miss <= 1e-4 * (1 + 1e-9), s"c=$c n=$n bits=$bits tables=$tables miss=$miss")
+    }
   }
 
   test("simhash: identical docs share signature, near-dups are close") {
