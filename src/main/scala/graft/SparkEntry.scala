@@ -1174,6 +1174,45 @@ object SparkEntry {
       SELECT ida AS id_a, idb AS id_b, round(j, 4) AS jaccard FROM jac
       WHERE j >= 0.8 ORDER BY id_a, id_b"""
 
+    // ---- containment (asymmetric jaccard): near-SUPERSET pairs symmetric
+    //      jaccard misses — short doc quoted inside a long one. Same
+    //      inverted-index pair-count chain as the jaccard oracle, thresholded
+    //      on the larger containment direction.
+    q("dd_containment", docPrelude +
+      s""", sh AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+      ), shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cont AS (SELECT ida, idb,
+          CAST(c AS DOUBLE) / sa.n AS ca, CAST(c AS DOUBLE) / sb.n AS cb,
+          CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+        FROM common JOIN sizes sa ON ida = sa.doc_id
+          JOIN sizes sb ON idb = sb.doc_id)
+      SELECT ida AS id_a, idb AS id_b, round(ca, 4) AS cont_a_in_b,
+        round(cb, 4) AS cont_b_in_a, round(j, 4) AS jaccard
+      FROM cont WHERE greatest(ca, cb) >= 0.8 ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.containmentPairs(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    }
+
+    // ---- token-distribution entropy: per-doc degeneracy signal (one tf
+    //      shuffle + one per-doc agg; no corpus-global state)
+    q("td_token_entropy", docPrelude +
+      s""", tk AS (SELECT doc_id, unnest(toks) AS term FROM d_toks),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM tk GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        round(log2(sum(tf)) - sum(tf * log2(tf)) / sum(tf), 4) AS token_entropy
+      FROM tf GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      TextAnalysis.withTokenEntropy(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text").orderBy("doc_id")
+    }
+
     // ---- dedup: exact (hash-groupBy)
     q("dd_exact", docPrelude +
       s"""SELECT ${sqlCharFold("t")} AS fp, min(doc_id) AS kept_doc_id,

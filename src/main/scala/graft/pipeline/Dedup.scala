@@ -172,6 +172,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment (asymmetric Jaccard) pairs: C(A→B) = |A∩B| / |A| over
+    * word-n-gram shingle sets — the near-SUPERSET detector symmetric
+    * Jaccard structurally misses: a short document wholly quoted inside a
+    * much longer one has jaccard ≈ |A|/|B| (tiny) but containment ≈ 1.
+    * This is the duplication face that catches boilerplate wrapping,
+    * quote inclusion and template expansion in a pretraining corpus.
+    * Emits (id_a, id_b, cont_a_in_b, cont_b_in_a, jaccard) for pairs whose
+    * LARGER containment clears the threshold, id_a < id_b.
+    *
+    * Plan shape: the same inverted-index pair count as
+    * [[ngramJaccardPairsDirect]] — one shuffle keyed on the shingle, pair
+    * counts aggregated, set sizes joined back map-side off the compact
+    * cached arrays; no all-pairs join. A shingle of document frequency k
+    * contributes k² pair rows, so at corpus scale run this df-capped (drop
+    * shingles with df above a cap BEFORE the self-join — the capped shingle
+    * space changes what "containment" means exactly as
+    * [[minhashLshPairs]]' dfCap documents) or over
+    * [[minhashLshPairs]]/[[crossCorpusPairs]] candidates instead.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
+    val shd = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val common = shd.alias("x")
+      .join(shd.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("cont_a_in_b", col("c").cast("double") / col("na"))
+      .withColumn("cont_b_in_a", col("c").cast("double") / col("nb"))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 4).as("cont_b_in_a"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate pairs: shingle → minhash signature →
     * banded bucket join for candidates → exact-Jaccard verification on the
     * candidate pairs only. With 128 hashes / 32 bands of 4, the probability

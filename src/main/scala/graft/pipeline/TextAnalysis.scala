@@ -165,6 +165,32 @@ object TextAnalysis {
     * Entirely map-side: tokenize, generate window starts with `sequence`,
     * explode, slice — zero shuffles at any corpus size.
     */
+  /** Per-document token-distribution Shannon entropy — the degeneracy /
+    * repetition quality signal a pretraining filter stack keys on: low
+    * entropy means templated or token-degenerate text regardless of the
+    * document's length, complementing [[withRepetition]]'s top-gram
+    * fractions. H = -Σ (tf/n)·log2(tf/n), computed with the identity
+    * H = log2(n) - Σ tf·log2(tf) / n so it falls out of ONE per-doc
+    * aggregation over term frequencies. Returns (doc_id, n_tokens,
+    * n_distinct, token_entropy); token-less documents emit no row.
+    *
+    * Scale shape: one (doc, term) tf shuffle (map-side partial agg) + one
+    * per-doc aggregation. No corpus-global state — each document scores
+    * against its OWN distribution, so this stays embarrassingly parallel
+    * at any corpus size.
+    */
+  def withTokenEntropy(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tf.groupBy("doc_id").agg(
+      sum("tf").cast("long").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      round(log2(sum("tf")) - sum(col("tf") * log2(col("tf"))) / sum("tf"), 4)
+        .as("token_entropy"))
+  }
+
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int, strideTokens: Int): DataFrame = {
     require(windowTokens > 0 && strideTokens > 0,

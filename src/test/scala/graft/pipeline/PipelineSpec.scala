@@ -353,6 +353,43 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("containment pairs: near-superset detected where jaccard is blind") {
+    import spark.implicits._
+    val d = Seq(
+      // doc 0's shingles all appear inside the longer doc 1 (prefix quote),
+      // but jaccard is well under 0.8
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "totally unrelated text with different words entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet == Set((0L, 1L)), got.toString)
+    val (ca, cb, j) = got((0L, 1L))
+    assert(ca == 1.0) // all 3 of doc 0's 3-grams inside doc 1
+    assert(cb == math.round(3.0 / 18 * 10000) / 10000.0)
+    assert(j == math.round(3.0 / 18 * 10000) / 10000.0)
+    assert(j < 0.8, "jaccard alone would never flag this pair")
+  }
+
+  test("token entropy: uniform text maxes, repeated token zeroes") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d"),       // uniform over 4 -> H = 2.0
+      (1L, "x x x x x x"),   // single symbol -> H = 0.0
+      (2L, "a a b b"),       // uniform over 2 -> H = 1.0
+      (3L, "")               // token-less: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withTokenEntropy(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("token_entropy"))).toMap
+    assert(got == Map(0L -> (4L, 4L, 2.0), 1L -> (6L, 1L, 0.0),
+      2L -> (4L, 2L, 1.0)), got.toString)
+  }
+
   test("rrf fusion: scores, absence handling, rank determinism") {
     import spark.implicits._
     // lex: docs 10, 20, 30 at ranks 1..3; sem: docs 20, 40 at ranks 1..2
