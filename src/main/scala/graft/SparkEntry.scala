@@ -1199,6 +1199,37 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
     }
 
+    // ---- winnowing fingerprints (MOSS): window-min of hashed 4-grams,
+    //      full windows only, distinct per doc; plus the pair census over
+    //      shared fingerprints. The window min and the charFold hash replay
+    //      exactly in SQL.
+    val winnowSql = s""", wt AS (SELECT doc_id, toks, len(toks) AS nt
+        FROM d_toks WHERE len(toks) >= 4),
+      wg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+          array_to_string(list_slice(toks, i, i + 3), ' ') AS gm,
+          CAST(nt - 3 AS BIGINT) AS g
+        FROM wt, LATERAL (SELECT unnest(generate_series(1, nt - 3)) AS i) s),
+      wh AS (SELECT doc_id, pos, g, ${sqlCharFold("gm")} AS h FROM wg),
+      wm AS (SELECT doc_id, pos, g,
+          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp FROM wh)"""
+    q("dd_winnow", docPrelude + winnowSql +
+      s""" SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= g - 4
+      ORDER BY doc_id, fp""") { (s, d) =>
+      Dedup.winnowFingerprints(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", k = 4, w = 4).orderBy("doc_id", "fp")
+    }
+    q("dd_winnow_overlap", docPrelude + winnowSql +
+      s""", wf AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= g - 4)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(count(*) AS BIGINT) AS n_shared
+      FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""") { (s, d) =>
+      Dedup.winnowOverlap(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", k = 4, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }
+
     // ---- token-distribution entropy: per-doc degeneracy signal (one tf
     //      shuffle + one per-doc agg; no corpus-global state)
     q("td_token_entropy", docPrelude +

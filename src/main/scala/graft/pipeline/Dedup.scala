@@ -172,6 +172,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting scheme): hash every word `k`-gram,
+    * slide a window over `w` consecutive hashes, select each window's
+    * MINIMUM hash; the distinct selected hashes are the document's
+    * fingerprints. The scheme's guarantee: any shared token run of length
+    * >= w + k - 1 between two documents produces at least one shared
+    * fingerprint (the detection threshold), while only ~2/(w+1) of grams
+    * are selected (the density bound) — position-robust sub-document
+    * duplication detection at a tunable sampling rate, the granularity
+    * between whole-document minhash and the exact positional span scrub.
+    * Documents with fewer than w grams emit nothing.
+    *
+    * Plan shape: posexplode of the positional gram list (one-pass codegen'd
+    * ShingleList), charFold hash map-side, per-document min over a ROWS
+    * (CURRENT, w-1 FOLLOWING) window — one shuffle keyed on the document —
+    * then distinct on (doc, fp). O(total grams), no pairwise work.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        shingleList(col(textCol), k).as("grams"))
+      .withColumn("g", size(col("grams")))
+      .select(col("doc_id"), col("g"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .withColumn("h", charFold(col("gram")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed.withColumn("fp", min("h").over(win))
+      .where(col("pos") <= col("g") - w) // full windows only
+      .select("doc_id", "fp").distinct()
+  }
+
+  /** Fingerprint-overlap census over [[winnowFingerprints]]: pairs of
+    * documents sharing at least `minShared` selected fingerprints, with
+    * the shared count — the candidate face of MOSS-style sub-document dup
+    * detection. Inverted-index equi-join on the fingerprint (same shape as
+    * [[sharedNgramStats]]): a fingerprint selected by d documents
+    * contributes d² pair rows, so boilerplate-heavy corpora should cap
+    * fingerprint document frequency exactly like minhashLshPairs' dfCap.
+    */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, w: Int = 4, minShared: Long = 2): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    fps.alias("x").join(fps.alias("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Containment (asymmetric Jaccard) pairs: C(A→B) = |A∩B| / |A| over
     * word-n-gram shingle sets — the near-SUPERSET detector symmetric
     * Jaccard structurally misses: a short document wholly quoted inside a

@@ -353,6 +353,44 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("winnowing: window-min fingerprints match a scala replay; shared-run guarantee") {
+    import spark.implicits._
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    def brute(text: String, k: Int, w: Int): Set[Long] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).toSeq
+      val hs = toks.sliding(k).filter(_.size == k).map(g => fold(g.mkString(" "))).toSeq
+      hs.sliding(w).filter(_.size == w).map(_.min).toSet
+    }
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      // shares the 7-token run "b c d e f g h" with doc 0 (= w + k - 1):
+      // the scheme guarantees at least one common fingerprint
+      (1L, "z y x b c d e f g h q r s"),
+      (2L, "totally different words with no shared grams at all kept going"),
+      (3L, "tiny doc") // fewer than w grams: no fingerprints
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp"))
+      .groupBy(_._1).map { case (id, fps) => id -> fps.map(_._2).toSet }
+    (0L to 2L).foreach { id =>
+      val expect = brute(Seq("a b c d e f g h",
+        "z y x b c d e f g h q r s",
+        "totally different words with no shared grams at all kept going")(id.toInt), 4, 4)
+      assert(got.getOrElse(id, Set.empty[Long]) == expect, s"doc $id")
+    }
+    assert(!got.contains(3L))
+    assert((got(0L) & got(1L)).nonEmpty, "shared >= w+k-1 run must share a fingerprint")
+    assert((got(0L) & got(2L)).isEmpty)
+
+    val ov = Dedup.winnowOverlap(d, "doc_id", "text", 4, 4, minShared = 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(ov.keySet == Set((0L, 1L)))
+    assert(ov((0L, 1L)) == (got(0L) & got(1L)).size.toLong)
+  }
+
   test("containment pairs: near-superset detected where jaccard is blind") {
     import spark.implicits._
     val d = Seq(
