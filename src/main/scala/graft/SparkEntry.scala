@@ -1558,6 +1558,25 @@ object SparkEntry {
         queryFilter = col("vec_id") < 100)
     }
 
+    // ---- persisted IVF index (the operational ANN store): build once at
+    //      admission (quantizer + cell-partitioned vectors on disk), serve
+    //      queries by probing stored cells. Same recall-bound contract as
+    //      the in-memory face; the stored path must clear the same bound.
+    q("ann_ivf_indexed", s"""$vnSql
+      SELECT 'ivf_indexed' AS algo, CAST(5 AS INT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
+        math.abs(d.hashCode).toString
+      val idx = graft.store.AnnIndexStore.build(s, idxDir, embs,
+        "vec_id", "embedding", nlist = 16, lloydIters = 2)
+      val approx = idx.topK(embs.where(col("vec_id") < 100),
+        "vec_id", "embedding", k = 5, nprobe = 12)
+      Similarity.recallGate(embs, approx, "ivf_indexed", k = 5, bound = 0.9,
+        queryFilter = col("vec_id") < 100)
+    }
+
     // ---- text analysis: token counting
     q("td_token_counts", """SELECT doc_id,
         CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS INT) AS n_ws_tokens,

@@ -65,14 +65,36 @@ object Similarity {
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
               queryFilter: Column = lit(true)): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val v = embs.select(col(idCol).as("vid"),
+    val v = normalizedVectors(embs, idCol, vecCol).cache()
+    val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
+    val index = index0.cache()
+    val queries = v.where(queryFilter)
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    ivfProbe(centroids, index, queries, k, nprobe)
+  }
+
+  /** (vid, vec double[], nrm) with zero vectors dropped — the common input
+    * shape of the IVF build and probe phases.
+    */
+  def normalizedVectors(embs: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0)
-      .cache()
 
+  /** IVF training phase: deterministic seeding (first `nlist` vectors by
+    * id) + `lloydIters` assignment/mean rounds. Returns (centroids(cid,
+    * cvec) — broadcast, nlist rows — and index(vid, cid, vec, nrm) — every
+    * vector tagged with its cell). Factored out so [[ivfTopK]] (in-memory)
+    * and [[graft.store.AnnIndexStore]] (persisted) build the IDENTICAL
+    * index.
+    */
+  def ivfBuild(v: DataFrame, nlist: Int,
+               lloydIters: Int): (DataFrame, DataFrame) = {
+    val spark = v.sparkSession
+    import spark.implicits._
     def centroidDf(rows: Seq[(Int, Seq[Double])]) =
       broadcast(rows.toDF("cid", "cvec")
         .withColumn("cvec", col("cvec").cast("array<double>")))
@@ -103,13 +125,18 @@ object Similarity {
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
       centroids = centroidDf(means.toSeq)
     }
+    (centroids, assign(centroids))
+  }
 
-    val index = assign(centroids).cache()
-
-    // probe: nprobe best cells per query, exact cosine within them
-    val queries = v.where(queryFilter)
-      .select(col("vid").as("q_id"), col("vec").as("q_vec"), col("nrm").as("q_nrm"))
-    val probes = queries.join(centroids, lit(true), "cross")
+  /** IVF probe phase: nprobe best cells per query by centroid cosine, exact
+    * cosine within those cells only, top-k. `centroids` must be small
+    * (broadcast); `index` may be in-memory or a persisted cell-partitioned
+    * table — when it is partitioned on `cid`, the broadcast probe join
+    * dynamically prunes the scan to the probed cells.
+    */
+  def ivfProbe(centroids: DataFrame, index: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int): DataFrame = {
+    val probes = queries.join(broadcast(centroids), lit(true), "cross")
       .withColumn("d", dot(col("q_vec"), col("cvec")) / col("q_nrm"))
     val wp = Window.partitionBy(col("q_id")).orderBy(col("d").desc, col("cid"))
     val probed = probes.withColumn("rk", row_number().over(wp))

@@ -1,0 +1,94 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+
+/** Persisted IVF ANN index — the admission-time artifact that makes
+  * similarity search operational at scale, the [[DedupIndexStore]] pattern
+  * applied to the embedding space: train the coarse quantizer once, write
+  * every vector under its cell, and serve queries by probing stored cells —
+  * no re-clustering of the corpus per query batch.
+  *
+  * Layout under `dir`:
+  *   - `centroids/` (cid, cvec): the trained coarse quantizer — `nlist`
+  *                  rows, broadcast at query time;
+  *   - `cells/`     (cid ⟶ partition, vid, vec, nrm): every vector written
+  *                  under its assigned cell via `partitionBy("cid")`, so a
+  *                  query's nprobe probe set prunes the scan to nprobe
+  *                  DIRECTORIES — the on-disk analog of FAISS's inverted
+  *                  lists (Spark's dynamic partition pruning does the cell
+  *                  selection when the broadcast probe side joins on cid);
+  *   - `meta/`      one row (nlist, lloyd_iters): the build parameters,
+  *                  validated on read the same way DedupIndexStore does.
+  *
+  * Admission appends write new vectors under their NEAREST EXISTING cell
+  * (quantizer frozen — the standard IVF practice; retraining is an offline
+  * rebuild). Queries against the store return exactly what the in-memory
+  * [[Similarity.ivfTopK]] returns for the same parameters, because both run
+  * [[Similarity.ivfBuild]]/[[Similarity.ivfProbe]].
+  */
+final class AnnIndexStore(val dir: String, spark: SparkSession) {
+
+  def centroids: DataFrame = spark.read.parquet(s"$dir/centroids")
+  def cells: DataFrame = spark.read.parquet(s"$dir/cells")
+
+  /** (nlist, lloydIters) the index was built with. */
+  def params: (Int, Int) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    (m.getAs[Int]("nlist"), m.getAs[Int]("lloyd_iters"))
+  }
+
+  def requireParams(nlist: Int, lloydIters: Int): Unit = {
+    val p = params
+    require(p == ((nlist, lloydIters)),
+      s"ann index at $dir was built with (nlist, lloydIters) = $p, " +
+        s"query wants ($nlist, $lloydIters)")
+  }
+
+  /** Admit a new batch under the frozen quantizer (nearest existing cell;
+    * parquet append of the new cells rows only — no rewrite of history).
+    */
+  def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val v = Similarity.normalizedVectors(embs, idCol, vecCol)
+    val c = broadcast(centroids)
+    val scored = v.join(c, lit(true), "cross")
+      .withColumn("d", Similarity.dot(col("vec"), col("cvec")) / col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("cid"), col("vid"), col("vec"), col("nrm"))
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$dir/cells")
+  }
+
+  /** Top-k approximate neighbors of each query vector against the stored
+    * index. `queries`: (id, vec) — any vector source, not necessarily
+    * indexed vectors; self-matches are excluded by id.
+    */
+  def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+           nprobe: Int): DataFrame = {
+    val q = Similarity.normalizedVectors(queries, idCol, vecCol)
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    Similarity.ivfProbe(centroids, cells, q, k, nprobe)
+  }
+}
+
+object AnnIndexStore {
+
+  /** Train the quantizer and build (overwrite) the index at `dir`. */
+  def build(spark: SparkSession, dir: String, embs: DataFrame, idCol: String,
+            vecCol: String, nlist: Int = 16,
+            lloydIters: Int = 2): AnnIndexStore = {
+    val v = Similarity.normalizedVectors(embs, idCol, vecCol).cache()
+    val (centroids, index) = Similarity.ivfBuild(v, nlist, lloydIters)
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    index.select(col("cid"), col("vid"), col("vec"), col("nrm"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(s"$dir/cells")
+    import spark.implicits._
+    Seq((nlist, lloydIters)).toDF("nlist", "lloyd_iters")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    v.unpersist()
+    new AnnIndexStore(dir, spark)
+  }
+}

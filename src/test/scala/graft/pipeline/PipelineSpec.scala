@@ -353,6 +353,32 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("persisted ivf index: stored probe equals in-memory ivf; appends queryable") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val idx = graft.store.AnnIndexStore.build(spark, dir, embs,
+      "vec_id", "embedding", nlist = 8, lloydIters = 2)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val stored = toMap(idx.topK(embs.where(col("vec_id") < 20),
+      "vec_id", "embedding", k = 3, nprobe = 3).collect())
+    val mem = toMap(Similarity.ivfTopK(embs, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3, queryFilter = col("vid") < 20).collect())
+    assert(stored == mem, "stored probe must equal the in-memory build")
+    idx.requireParams(8, 2)
+    intercept[IllegalArgumentException](idx.requireParams(16, 2))
+    // admit an exact copy of vector 0 under a fresh id: frozen-quantizer
+    // append must land it in a probed cell and surface it as a neighbor
+    val v0 = embs.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    idx.append(Seq((100000L, v0.toArray)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val after = idx.topK(embs.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3, nprobe = 8).collect()
+    assert(after.exists(_.getLong(1) == 100000L), after.mkString(","))
+  }
+
   test("winnowing: window-min fingerprints match a scala replay; shared-run guarantee") {
     import spark.implicits._
     def fold(s: String): Long =
