@@ -236,25 +236,45 @@ object Dedup {
     * [[ngramJaccardPairsDirect]] — one shuffle keyed on the shingle, pair
     * counts aggregated, set sizes joined back map-side off the compact
     * cached arrays; no all-pairs join. A shingle of document frequency k
-    * contributes k² pair rows, so at corpus scale run this df-capped (drop
-    * shingles with df above a cap BEFORE the self-join — the capped shingle
-    * space changes what "containment" means exactly as
-    * [[minhashLshPairs]]' dfCap documents) or over
-    * [[minhashLshPairs]]/[[crossCorpusPairs]] candidates instead.
+    * contributes k² pair rows, so at corpus scale set `dfCap`: shingles
+    * with document frequency above the cap are dropped from BOTH the pair
+    * count and the set sizes, so the returned containment/jaccard are
+    * consistently those of the capped shingle space — the same deliberate
+    * semantics choice [[minhashLshPairs]]' dfCap documents (two documents
+    * sharing only boilerplate stop being containment pairs). The sf1
+    * scaling decade measured the uncapped path super-linear (df² growth on
+    * a corpus of half-shared documents, SCALE.md) and the capped path at
+    * corpus-linear cost.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.8,
+                       dfCap: Long = Long.MaxValue): DataFrame = {
     val sets = docs.select(col(idCol).as("doc_id"),
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .cache()
-    val shd = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val shdAll = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val shd =
+      if (dfCap == Long.MaxValue) shdAll
+      else {
+        // one df aggregation keyed on the shingle; the surviving-shingle
+        // set joins back as a broadcast-or-shuffle semi-join and everything
+        // downstream (sizes included) sees only the capped space
+        val keep = shdAll.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+          .select("shingle")
+        shdAll.join(keep, "shingle")
+      }
     val common = shd.alias("x")
       .join(shd.alias("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    // sizes over the SAME (possibly capped) shingle space as the pair count
+    val sizes =
+      if (dfCap == Long.MaxValue)
+        sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      else shd.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     common
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")

@@ -437,6 +437,19 @@ class PipelineSpec extends SparkSpec {
     assert(cb == math.round(3.0 / 18 * 10000) / 10000.0)
     assert(j == math.round(3.0 / 18 * 10000) / 10000.0)
     assert(j < 0.8, "jaccard alone would never flag this pair")
+
+    // df-cap: with a cap no shingle exceeds, results are identical
+    val capped = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.8, dfCap = 10L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(capped == got, "cap above every df must be a no-op")
+    // a cap of 1 drops every shared shingle -> no pairs survive, and the
+    // capped space governs sizes too (semantics, not just pruning)
+    val cap1 = Dedup.containmentPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.8, dfCap = 1L).collect()
+    assert(cap1.isEmpty, cap1.mkString(","))
   }
 
   test("token entropy: uniform text maxes, repeated token zeroes") {
