@@ -619,6 +619,65 @@ object SparkEntry {
         .orderBy("n_name")
     }
 
+    // ---- product-profit rollup (TPC-H Q9 shape, partsupp-less: retail
+    //      price stands in for supply cost): 5-way join with the dims
+    //      broadcast, profit aggregated by supplier nation and order year.
+    //      Exercises numeric predicate pushdown (p_size), a fact-fact
+    //      shuffle join (lineitem x orders) and three broadcast dims.
+    q("join_profit_by_nation_year", """SELECT n_name,
+        CAST(year(o_orderdate) AS INT) AS o_year,
+        round(sum(l_extendedprice * (1 - l_discount)
+          - 0.1 * p_retailprice * l_quantity), 4) AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_size < 25
+      GROUP BY 1, 2 ORDER BY n_name, o_year""") { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val p = s.read.parquet(s"$d/part.parquet").where(col("p_size") < 25)
+      val su = s.read.parquet(s"$d/supplier.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      val o = s.read.parquet(s"$d/orders.parquet")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(0.1) * col("p_retailprice") * col("l_quantity")), 4).as("profit"))
+        .orderBy("n_name", "o_year")
+    }
+
+    // ---- pivot / conditional aggregation: orders per nation spread across
+    //      status columns (Spark's pivot with explicit values = codegen'd
+    //      conditional aggs, one shuffle; the oracle writes the same CASE
+    //      WHEN aggregation — no engine-specific PIVOT syntax dependence)
+    q("agg_pivot_status", """SELECT n_name,
+        CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS open_cnt,
+        CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS filled_cnt,
+        CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS partial_cnt,
+        round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 4) AS filled_total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val n = s.read.parquet(s"$d/nation.parquet")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(when(col("o_orderstatus") === "O", 1)).as("open_cnt"),
+          count(when(col("o_orderstatus") === "F", 1)).as("filled_cnt"),
+          count(when(col("o_orderstatus") === "P", 1)).as("partial_cnt"),
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0))), 4).as("filled_total"))
+        .orderBy("n_name")
+    }
+
     // ---- top-k by aggregate (TPC-H Q3 shape)
     q("topk_order_revenue", """SELECT l_orderkey,
         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
