@@ -216,6 +216,47 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L)) // dup dropped by dedup, spam dropped by verdict
   }
 
+  test("streaming ann: stream top-k equals the stored-index batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    val idx = graft.store.AnnIndexStore.build(spark, dir, embs,
+      "vec_id", "embedding", nlist = 8, lloydIters = 2)
+
+    val queryIds = Seq(3L, 7L, 11L)
+    val vecs = embs.where(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val out = graft.stream.StreamingAnn.topKStream(
+      input.toDF().toDF("vec_id", "embedding", "ts"), idx,
+      "vec_id", "embedding", "ts",
+      watermarkDelay = "10 minutes", windowDuration = "1 hour",
+      k = 3, nprobe = 3)
+    val q = out.writeStream.format("memory").queryName("sann")
+      .outputMode("append").start()
+    try {
+      input.addData(queryIds.map(id => (id, vecs(id), t("2024-01-01 00:05:00"))): _*)
+      q.processAllAvailable()
+      // advance the watermark past the window end so the agg emits (a real
+      // vector: zero vectors are filtered before the watermark operator and
+      // would not advance event time)
+      input.addData((999999L, vecs(3L), t("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT q_id, rank, neighbor_id, cosine FROM sann")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = idx.topK(embs.where(col("vec_id").isin(queryIds: _*)),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch,
+      s"stream $streamed\nbatch  $batch")
+  }
+
   test("streaming cross-corpus dedup screens the feed against a static index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
