@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{EdgeKind, RelType}
-import graft.pipeline.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Search, Similarity, TextAnalysis, TimeSeries}
 import graft.query.QueryLibrary
 import graft.store.GraphStore
 import graft.tpch.TpchGraphAdapter
@@ -770,6 +770,20 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"), count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }
+
+    // ---- per-user EWMA of event values (signal smoothing / activity
+    //      scoring): one user-keyed shuffle, per-user sorted left-to-right
+    //      fold — the recurrence is sequential per key, the key is the
+    //      parallelism unit. Identical IEEE fold both engines (DuckDB
+    //      list_reduce seeds from the first element, as does the Spark
+    //      aggregate over the tail with evs[0] as init).
+    q("evt_ewma", """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        round(list_reduce(list(value ORDER BY ts, event_id),
+          (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      TimeSeries.ewmaByKey(readEvents(s, d), "user_id",
+        Seq("ts", "event_id"), "value", alpha = 0.3).orderBy("user_id")
     }
 
     // ---- forward as-of join: first click at-or-after each purchase

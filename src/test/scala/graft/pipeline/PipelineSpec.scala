@@ -353,6 +353,33 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("ewma by key: sequential fold in event order, hand-checked") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, t("2024-01-01 00:00:00"), 10L, 1.0),
+      (2L, t("2024-01-01 00:01:00"), 10L, 2.0),
+      (3L, t("2024-01-01 00:02:00"), 10L, 3.0),
+      // same ts as event 5: event_id breaks the tie, so 4 folds before 5
+      (4L, t("2024-01-01 00:00:00"), 20L, 8.0),
+      (5L, t("2024-01-01 00:00:00"), 20L, 4.0),
+      (6L, t("2024-01-02 00:00:00"), 30L, 7.5)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.ewmaByKey(e, "user_id", Seq("ts", "event_id"),
+        "value", alpha = 0.3).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("ewma"))).toMap
+    def r4(v: Double) = math.round(v * 10000) / 10000.0
+    // user 10: y = 1.0 -> .3*2+.7*1 = 1.3 -> .3*3+.7*1.3 = 1.81
+    assert(got(10L) == (3L, r4(0.3 * 3 + 0.7 * (0.3 * 2 + 0.7 * 1.0))))
+    // user 20: seed 8.0 (event 4 first by the event_id tiebreak), then
+    // .3*4 + .7*8 = 6.8 — the reversed order would give .3*8+.7*4 = 5.2
+    assert(got(20L) == (2L, 6.8))
+    // singleton: ewma = the value itself
+    assert(got(30L) == (1L, 7.5))
+  }
+
   test("persisted ivf index: stored probe equals in-memory ivf; appends queryable") {
     import spark.implicits._
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
