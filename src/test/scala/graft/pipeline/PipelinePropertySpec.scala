@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property coverage for the round-6 operators: the winnowing guarantee,
+  * RRF fusion arithmetic, containment on constructed subranges, and the
+  * EWMA fold — each pinned against an independent driver-side model over
+  * randomly generated inputs rather than one hand-picked fixture.
+  */
+class PipelinePropertySpec extends SparkSpec {
+
+  /** Deterministic sampling, the repo's established pattern
+    * (scalatestplus is not in the offline cache).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      check(gen.apply(Gen.Parameters.default, Seed(4242L + i)).get)
+    }
+
+  private val word: Gen[String] = for {
+    len <- Gen.choose(2, 6)
+    cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  test("property: winnowing detects every planted shared run >= w+k-1 tokens") {
+    import spark.implicits._
+    val k = 4; val w = 4
+    val gen = for {
+      runLen <- Gen.choose(w + k - 1, 12) // at or above the threshold
+      run <- Gen.listOfN(runLen, word)
+      padA <- Gen.listOfN(8, word)
+      padB <- Gen.listOfN(8, word)
+      padC <- Gen.listOfN(8, word)
+    } yield (run, padA, padB, padC)
+    forAllSeeded(gen, 12) { case (run, padA, padB, padC) =>
+      val docA = (padA ++ run ++ padB).mkString(" ")
+      val docB = (padC ++ run).mkString(" ")
+      val fps = Dedup.winnowFingerprints(
+          Seq((0L, docA), (1L, docB)).toDF("doc_id", "text"),
+          "doc_id", "text", k = k, w = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val a = fps.filter(_._1 == 0L).map(_._2).toSet
+      val b = fps.filter(_._1 == 1L).map(_._2).toSet
+      assert((a & b).nonEmpty,
+        s"planted ${run.size}-token run must share a fingerprint")
+    }
+  }
+
+  test("property: rrf fusion equals the driver-side formula on random lists") {
+    import spark.implicits._
+    val gen = for {
+      nLex <- Gen.choose(0, 12)
+      nSem <- Gen.choose(0, 12)
+      lexIds <- Gen.pick(nLex, 0L to 30L)
+      semIds <- Gen.pick(nSem, 0L to 30L)
+    } yield (lexIds.toSeq, semIds.toSeq)
+    forAllSeeded(gen, 15) { case (lexIds, semIds) =>
+      val lex = lexIds.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      val sem = semIds.zipWithIndex.map { case (id, i) => (id, i + 1) }
+      val got = Search.rrfFuse(lex.toDF("doc_id", "rank"),
+          sem.toDF("doc_id", "rank"), k0 = 60, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      val lm = lex.toMap; val sm = sem.toMap
+      def r6(v: Double) = math.round(v * 1e6) / 1e6
+      val model = (lm.keySet ++ sm.keySet).toSeq.map { id =>
+        id -> r6(lm.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          sm.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      }.sortBy { case (id, s) => (-s, id) }
+      assert(got.map(t => (t._1, t._2)).toSeq == model, s"lex=$lex sem=$sem")
+      assert(got.map(_._3).toSeq == (1 to model.size))
+    }
+  }
+
+  test("property: a doc whose tokens are a subrange of another has containment 1") {
+    import spark.implicits._
+    val gen = for {
+      nB <- Gen.choose(8, 20)
+      toksB <- Gen.listOfN(nB, word)
+      start <- Gen.choose(0, nB - 5)
+      len <- Gen.choose(5, nB - start)
+    } yield (toksB, start, len)
+    forAllSeeded(gen, 12) { case (toksB, start, len) =>
+      val sub = toksB.slice(start, start + len)
+      val df = Seq((0L, sub.mkString(" ")), (1L, toksB.mkString(" ")))
+        .toDF("doc_id", "text")
+      val rows = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+        threshold = 0.0).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // every 3-gram of the subrange occurs in the superstring
+      assert(rows.get((0L, 1L)).contains(1.0), s"sub=$sub of=$toksB: $rows")
+    }
+  }
+
+  test("property: ewma equals the recursive definition on random series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val gen = for {
+      n <- Gen.choose(1, 15)
+      xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield xs
+    forAllSeeded(gen, 12) { xs =>
+      val rows = xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong, new Timestamp(1700000000000L + i * 1000), 1L, x)
+      }
+      val got = TimeSeries.ewmaByKey(
+          rows.toDF("event_id", "ts", "user_id", "value"),
+          "user_id", Seq("ts", "event_id"), "value", alpha = 0.3)
+        .collect().head.getAs[Double]("ewma")
+      val model = xs.tail.foldLeft(xs.head)((acc, x) => 0.3 * x + 0.7 * acc)
+      assert(got == math.round(model * 10000) / 10000.0, s"xs=$xs")
+    }
+  }
+}
