@@ -2494,6 +2494,18 @@ object SparkEntry {
         .orderBy("media_id")
     }
 
+    // ---- multimodal: exact payload dedup (the first media-dedup pass at
+    //      scale is a bytes-hash groupBy; md5 over the binary payload =
+    //      DuckDB md5 over the text whose UTF-8 bytes the payload carries)
+    q("mm_exact_dedup", """SELECT md5(text) AS fp,
+        CAST(count(*) AS BIGINT) AS n_copies,
+        min(doc_id) AS keeper_id
+      FROM documents GROUP BY 1 ORDER BY fp""") { (s, d) =>
+      Multimodal.exactDupCensus(Multimodal.fromDocuments(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", "source"))
+        .orderBy("fp")
+    }
+
     // ---- multimodal: frame sampling (every 4th 256-byte frame per payload)
     q("mm_frame_sample", s"""SELECT doc_id AS media_id,
         CAST(i - 1 AS INT) AS frame_idx,

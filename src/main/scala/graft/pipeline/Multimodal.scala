@@ -38,6 +38,16 @@ object Multimodal {
       struct(col(sourceCol).as("source"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
+  /** Exact payload dedup census — the first media-dedup pass every lake
+    * runs: hash the raw bytes, group, keep the smallest id. One hash-keyed
+    * shuffle with map-side partial aggregation; at 100 TB this is the
+    * cheap screen that runs BEFORE any decode.
+    * Returns (fp = md5 of the payload bytes, n_copies, keeper_id).
+    */
+  def exactDupCensus(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper_id"))
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),

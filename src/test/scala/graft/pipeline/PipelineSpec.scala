@@ -353,6 +353,19 @@ class PipelineSpec extends SparkSpec {
     assert(byId(2L) > byId(0L))
   }
 
+  test("media exact-dup census groups identical payload bytes") {
+    import spark.implicits._
+    val media = Multimodal.fromDocuments(Seq(
+      (10L, "same bytes here", "a"),
+      (11L, "same bytes here", "b"),   // exact byte dup of 10
+      (12L, "Same bytes here", "a"),   // case differs -> different bytes
+      (13L, "other payload", "c")
+    ).toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+    val got = Multimodal.exactDupCensus(media).collect()
+      .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L), got.toString)
+  }
+
   test("ewma by key: sequential fold in event order, hand-checked") {
     import spark.implicits._
     import java.sql.Timestamp
