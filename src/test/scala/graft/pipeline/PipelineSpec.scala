@@ -642,6 +642,55 @@ class PipelineSpec extends SparkSpec {
       s"tfidf df/n_docs should broadcast:\n$tPlan")
   }
 
+  test("plan shapes: round-6 operators keep their scale contracts") {
+    import spark.implicits._
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    def nShuffles(plan: String): Int = {
+      // an AdaptiveSparkPlan prints Final AND Initial sections — count the
+      // exchanges of the final plan only
+      val cut = plan.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) plan.substring(0, cut) else plan
+      "Exchange hashpartitioning".r.findAllIn(p).length
+    }
+
+    // bpeEncode: the merge table is collected during construction, so the
+    // RETURNED frame is the encode pass — pure map-side, zero shuffles
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", rounds = 2)
+    val encPlan = planOf(enc)
+    assert(!encPlan.contains("Exchange"), s"bpe encode shuffled:\n$encPlan")
+
+    // winnowing: one doc-keyed shuffle for the window, one for the distinct
+    val wf = Dedup.winnowFingerprints(docs, "doc_id", "text", 4, 4)
+    val wfPlan = planOf(wf)
+    assert(nShuffles(wfPlan) <= 2, s"winnow shuffles:\n$wfPlan")
+    assert(!wfPlan.contains("CartesianProduct") &&
+      !wfPlan.contains("BroadcastNestedLoopJoin"), wfPlan)
+
+    // ewma: exactly the key-grouping shuffle
+    val ew = TimeSeries.ewmaByKey(
+      Seq((1L, 1L, 1.0), (2L, 1L, 2.0)).toDF("event_id", "user_id", "value"),
+      "user_id", Seq("event_id"), "value")
+    val ewPlan = planOf(ew)
+    assert(nShuffles(ewPlan) <= 1, s"ewma shuffles:\n$ewPlan")
+
+    // media census: partial-then-final aggregate around one exchange
+    val mm = Multimodal.exactDupCensus(Multimodal.fromDocuments(
+      docs.withColumn("source", lit("s")), "doc_id", "text", "source"))
+    val mmPlan = planOf(mm)
+    assert(nShuffles(mmPlan) <= 1 && mmPlan.contains("HashAggregate"),
+      s"media census plan:\n$mmPlan")
+
+    // rrf fusion: never a cartesian/nested-loop join between the two lists
+    val fuse = Search.rrfFuse(
+      Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank"),
+      Seq((2L, 1)).toDF("doc_id", "rank"))
+    val fPlan = planOf(fuse)
+    assert(!fPlan.contains("CartesianProduct") &&
+      !fPlan.contains("BroadcastNestedLoopJoin"), fPlan)
+  }
+
   test("gopher rules: metrics and keep verdict match brute force; " +
       "plan is map-side only") {
     val out = TextAnalysis.withGopherRules(docs, "text")
