@@ -1251,7 +1251,7 @@ object SparkEntry {
     //      jaccard misses — short doc quoted inside a long one. Same
     //      inverted-index pair-count chain as the jaccard oracle, thresholded
     //      on the larger containment direction.
-    q("dd_containment", docPrelude +
+    val containOracleSql = docPrelude +
       s""", sh AS (
         SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
         FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
@@ -1267,8 +1267,15 @@ object SparkEntry {
           JOIN sizes sb ON idb = sb.doc_id)
       SELECT ida AS id_a, idb AS id_b, round(ca, 4) AS cont_a_in_b,
         round(cb, 4) AS cont_b_in_a, round(j, 4) AS jaccard
-      FROM cont WHERE greatest(ca, cb) >= 0.8 ORDER BY id_a, id_b""") { (s, d) =>
+      FROM cont WHERE greatest(ca, cb) >= 0.8 ORDER BY id_a, id_b"""
+    q("dd_containment", containOracleSql) { (s, d) =>
       Dedup.containmentPairs(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
+    }
+    // the LOSSLESS scale path must land on the identical rows: same oracle,
+    // two algorithms (prefix-filtered candidates vs direct inverted index)
+    q("dd_containment_prefix", containOracleSql) { (s, d) =>
+      Dedup.containmentPairsPrefix(s.read.parquet(s"$d/documents.parquet"),
         "doc_id", "text", n = 3, threshold = 0.8).orderBy("id_a", "id_b")
     }
 

@@ -172,6 +172,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** LOSSLESS scale path for [[containmentPairs]] — prefix filtering on
+    * the smaller set (the PPJoin/overlap-join discipline): a pair with
+    * max-direction containment >= t shares c >= t·n_min shingles, so the
+    * SMALLER document's prefix — its n − ceil(t·n) + 1 globally-rarest
+    * shingles in (df, shingle) order — must intersect the larger
+    * document's full set (pigeonhole: if every shared shingle avoided the
+    * prefix, c <= ceil(t·n) − 1 < t·n). Candidates therefore come from a
+    * probe-prefix × full-set equi-join keyed on the PREFIX shingle — and
+    * prefixes are each document's rarest shingles, so the join key's
+    * document frequency is small by construction: boilerplate shingles
+    * never become join keys, which is exactly the df² failure mode the
+    * direct census has (SCALE.md sf1). Exact verification on the cached
+    * sets; results EQUAL [[containmentPairs]] uncapped — same oracle, two
+    * algorithms, one truth.
+    */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
+    val shd = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // 1e-9 nudge as in ngramJaccardPairs: ceil must not round UP on
+    // binary-float noise and shorten the prefix below the lossless bound
+    val prefix = shd.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+    // probe = smaller side's prefix vs the full exploded index; the
+    // (size, id) ordering makes each unordered pair a candidate exactly
+    // once, from its smaller member's probe
+    val candidates = prefix.alias("p")
+      .join(shd.alias("f"), col("p.shingle") === col("f.shingle") &&
+        (col("p.n_sh") < col("f.n_sh") ||
+          (col("p.n_sh") === col("f.n_sh") &&
+            col("p.doc_id") < col("f.doc_id"))))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("id_a"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("id_b"))
+      .distinct()
+    broadcast(candidates)
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("cont_a_in_b", col("c").cast("double") / size(col("sha")))
+      .withColumn("cont_b_in_a", col("c").cast("double") / size(col("shb")))
+      .where(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 4).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 4).as("cont_b_in_a"),
+        round(col("c").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("c")), 4).as("jaccard"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS local fingerprinting scheme): hash every word `k`-gram,
     * slide a window over `w` consecutive hashes, select each window's

@@ -94,6 +94,31 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: prefix-filtered containment equals the direct census") {
+    import spark.implicits._
+    // corpora with engineered overlap: subranges, exact dups, disjoint docs
+    val gen = for {
+      base <- Gen.listOfN(14, word)
+      start <- Gen.choose(0, 8)
+      len <- Gen.choose(5, 6)
+      other <- Gen.listOfN(10, word)
+    } yield Seq(
+      0L -> base.mkString(" "),
+      1L -> base.slice(start, start + len).mkString(" "), // subrange of 0
+      2L -> base.mkString(" "),                            // exact dup of 0
+      3L -> other.mkString(" "))
+    forAllSeeded(gen, 10) { docsSeq =>
+      val df = docsSeq.toDF("doc_id", "text")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      val direct = rows(Dedup.containmentPairs(df, "doc_id", "text", 3, 0.8))
+      val prefix = rows(Dedup.containmentPairsPrefix(df, "doc_id", "text", 3, 0.8))
+      assert(direct == prefix, s"direct $direct\nprefix $prefix")
+      assert(direct.nonEmpty) // the engineered dup/subrange pairs exist
+    }
+  }
+
   test("property: ewma equals the recursive definition on random series") {
     import spark.implicits._
     import java.sql.Timestamp
