@@ -786,6 +786,31 @@ object SparkEntry {
         Seq("ts", "event_id"), "value", alpha = 0.3).orderBy("user_id")
     }
 
+    // ---- ordered conversion funnel (view -> click -> purchase): per-user
+    //      stage reached, each step gated at-or-after the previous step's
+    //      earliest completion; `steps` entity-keyed shuffles over
+    //      shrinking stage tables, no full-history window
+    q("evt_funnel", """WITH fv AS (SELECT user_id, min(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.t1
+        WHERE e.event_type = 'click' GROUP BY 1),
+      fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.t2
+        WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT u.user_id,
+        CAST((CASE WHEN fv.user_id IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN fc.user_id IS NULL THEN 0 ELSE 1 END)
+           + (CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END) AS INT) AS stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN fv ON u.user_id = fv.user_id
+      LEFT JOIN fc ON u.user_id = fc.user_id
+      LEFT JOIN fp ON u.user_id = fp.user_id
+      ORDER BY u.user_id""") { (s, d) =>
+      TimeSeries.funnelStages(readEvents(s, d), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase")).orderBy("user_id")
+    }
+
     // ---- forward as-of join: first click at-or-after each purchase
     q("asof_next_click", """SELECT event_id, user_id, click_id FROM (
         SELECT p.event_id, p.user_id, c.event_id AS click_id,

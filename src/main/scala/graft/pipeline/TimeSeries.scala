@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Ordered conversion funnel — the classic product-analytics sequence
+    * query: for each entity, how far through `steps` (e.g. view → click →
+    * purchase) its event history advances, where step i counts only at or
+    * after the earliest completion of step i-1. Returns (key, stage) with
+    * stage in 0..steps.length (0 = never did step 1).
+    *
+    * Plan shape: one filtered per-step aggregation chain — each step is a
+    * type-filtered groupBy(key).min(ts) joined to the previous step's
+    * completion times — so the whole funnel is `steps` entity-keyed
+    * shuffles over ever-shrinking stage tables, never a window over the
+    * full event history. Completion is monotone by construction (step i
+    * requires step i-1), so the final stage is a sum of left-join flags.
+    */
+  def funnelStages(events: DataFrame, keyCol: String, typeCol: String,
+                   tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val reached = steps.zipWithIndex.foldLeft(Seq.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val evs = events.where(col(typeCol) === step)
+          .select(col(keyCol).as("k"), col(tsCol).as("ts"))
+        val stage =
+          if (i == 0) evs.groupBy("k").agg(min("ts").as("t"))
+          else evs.join(acc.last.select(col("k"), col("t").as("__tp")), "k")
+            .where(col("ts") >= col("__tp"))
+            .groupBy("k").agg(min("ts").as("t"))
+        acc :+ stage
+    }
+    val users = events.select(col(keyCol).as("k")).distinct()
+    val flagged = reached.zipWithIndex.foldLeft(users) { case (df, (st, i)) =>
+      df.join(st.select(col("k"), lit(1).as(s"__s$i")), Seq("k"), "left_outer")
+    }
+    val stageCol = reached.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0))).reduce(_ + _)
+    flagged.select(col("k").as(keyCol), stageCol.cast("int").as("stage"))
+  }
+
   /** Per-key exponentially-weighted moving average of `valueCol` in
     * (`orderCols`) order: y_1 = x_1, y_i = α·x_i + (1-α)·y_{i-1}; returns
     * (key, n_events, ewma = the final smoothed value, rounded before

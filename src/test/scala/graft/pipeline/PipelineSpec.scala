@@ -366,6 +366,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L), got.toString)
   }
 
+  test("funnel stages: order matters, each step gated by the previous") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", t("2024-01-01 00:00:00")),
+      (1L, "click", t("2024-01-01 00:05:00")),
+      (1L, "purchase", t("2024-01-01 00:10:00")),
+      // user 2: purchase BEFORE the click -> stops at stage 2
+      (2L, "view", t("2024-01-01 00:00:00")),
+      (2L, "purchase", t("2024-01-01 00:01:00")),
+      (2L, "click", t("2024-01-01 00:02:00")),
+      // user 3: click precedes the first view -> a later click still counts
+      (3L, "click", t("2024-01-01 00:00:00")),
+      (3L, "view", t("2024-01-01 00:01:00")),
+      // user 4: unrelated events only
+      (4L, "error", t("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = TimeSeries.funnelStages(e, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("stage")).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0), got.toString)
+  }
+
   test("ewma by key: sequential fold in event order, hand-checked") {
     import spark.implicits._
     import java.sql.Timestamp
