@@ -216,6 +216,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L)) // dup dropped by dedup, spam dropped by verdict
   }
 
+  test("streaming funnel: stage advances match the batch funnel across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("view", "click", "purchase")
+    val batch1 = Seq(
+      graft.stream.FunnelEvent(1L, "view", t("2024-01-01 00:00:00")),
+      graft.stream.FunnelEvent(1L, "click", t("2024-01-01 00:05:00")),
+      // user 2: purchase precedes the click -> must NOT advance past 2
+      graft.stream.FunnelEvent(2L, "view", t("2024-01-01 00:00:00")),
+      graft.stream.FunnelEvent(2L, "purchase", t("2024-01-01 00:01:00")),
+      // user 3: same-instant view+click -> both stages at once
+      graft.stream.FunnelEvent(3L, "click", t("2024-01-01 00:00:00")),
+      graft.stream.FunnelEvent(3L, "view", t("2024-01-01 00:00:00")))
+    val batch2 = Seq(
+      // cross-batch continuation: user 1 completes, user 2 clicks late
+      graft.stream.FunnelEvent(1L, "purchase", t("2024-01-01 00:20:00")),
+      graft.stream.FunnelEvent(2L, "click", t("2024-01-01 00:21:00")))
+    val input = MemoryStream[graft.stream.FunnelEvent]
+    val q = graft.stream.StreamingFunnel.advances(input.toDS(), steps,
+        watermarkDelay = "1 hour", idleTimeoutMs = 3600L * 1000)
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT user_id, max(stage) AS stage FROM sfunnel GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchStages = graft.pipeline.TimeSeries.funnelStages(
+        (batch1 ++ batch2).toDF(), "user_id", "event_type", "ts", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamedAll = (1L to 3L).map(u => u -> streamed.getOrElse(u, 0)).toMap
+    val batchAll = (1L to 3L).map(u => u -> batchStages.getOrElse(u, 0)).toMap
+    assert(streamedAll == batchAll, s"stream $streamedAll vs batch $batchAll")
+    assert(batchAll == Map(1L -> 3, 2L -> 2, 3L -> 2), batchAll.toString)
+  }
+
   test("streaming ann: stream top-k equals the stored-index batch probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
