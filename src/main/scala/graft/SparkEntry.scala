@@ -811,6 +811,20 @@ object SparkEntry {
         "ts", Seq("view", "click", "purchase")).orderBy("user_id")
     }
 
+    // ---- cohort retention matrix: first-activity-week cohorts x return
+    //      offsets, integer week arithmetic end to end
+    q("evt_retention", """WITH act AS (
+        SELECT DISTINCT user_id,
+          CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events),
+      coh AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1)
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        CAST(count(*) AS BIGINT) AS n_active
+      FROM act a JOIN coh c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset""") { (s, d) =>
+      TimeSeries.cohortRetention(readEvents(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    }
+
     // ---- forward as-of join: first click at-or-after each purchase
     q("asof_next_click", """SELECT event_id, user_id, click_id FROM (
         SELECT p.event_id, p.user_id, c.event_id AS click_id,

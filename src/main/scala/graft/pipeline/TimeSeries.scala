@@ -45,6 +45,28 @@ object TimeSeries {
     flagged.select(col("k").as(keyCol), stageCol.cast("int").as("stage"))
   }
 
+  /** Cohort retention matrix — the other classic product-analytics query:
+    * bucket entities into cohorts by their FIRST-activity week, then count
+    * how many of each cohort are active again k weeks later. Returns
+    * (cohort_week, week_offset, n_active) with week = floor(epoch/7d) —
+    * integer arithmetic end to end, so both engines agree bit-for-bit.
+    *
+    * Plan shape: one entity-keyed aggregation for the cohort assignment
+    * (broadcast back onto the per-(entity, week) activity table, itself
+    * one distinct shuffle), one matrix aggregation — all keyed exchanges,
+    * no window over event history.
+    */
+  def cohortRetention(events: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val wk = (unix_timestamp(col(tsCol)) / 604800L).cast("long")
+    val active = events.select(col(keyCol).as("k"), wk.as("week")).distinct()
+    val cohorts = active.groupBy("k").agg(min("week").as("cohort_week"))
+    active.join(cohorts, "k")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Per-key exponentially-weighted moving average of `valueCol` in
     * (`orderCols`) order: y_1 = x_1, y_i = α·x_i + (1-α)·y_{i-1}; returns
     * (key, n_events, ewma = the final smoothed value, rounded before

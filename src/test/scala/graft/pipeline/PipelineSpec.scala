@@ -391,6 +391,26 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0), got.toString)
   }
 
+  test("cohort retention: first-week cohorts count returning users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val w0 = 1704067200L // 2024-01-01, some week boundary-agnostic base
+    def at(week: Long, u: Long) =
+      (u, new Timestamp((w0 + week * 604800L) * 1000))
+    // users 1,2 start week A; user 1 returns +1 and +2, user 2 only +2;
+    // user 3 starts week A+1 and returns +1
+    val e = Seq(at(0, 1), at(1, 1), at(2, 1), at(0, 2), at(2, 2),
+      at(1, 3), at(2, 3), at(1, 3)) // duplicate activity same week: ignored
+      .toDF("user_id", "ts")
+    val got = TimeSeries.cohortRetention(e, "user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_active")).toMap
+    val base = got.keys.map(_._1).min
+    val rel = got.map { case ((c, o), n) => (c - base, o) -> n }
+    assert(rel == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L), rel.toString)
+  }
+
   test("ewma by key: sequential fold in event order, hand-checked") {
     import spark.implicits._
     import java.sql.Timestamp
