@@ -1,0 +1,74 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.charFold
+
+/** Curated-corpus sink — the OUTPUT face of the training-data pipeline:
+  * after curation (dedup keepers, quality verdicts, split assignment), the
+  * surviving documents are written as hash-sharded parquet with a
+  * machine-readable manifest, the layout a downstream trainer's data
+  * loader consumes shard-by-shard.
+  *
+  *  - Shard = deterministic id-hash mod nShards ([[graft.pipeline.Sampling]]'s
+  *    engine-replayable charFold, NOT a row-order-dependent round-robin):
+  *    a document's shard never changes as the corpus grows, so incremental
+  *    publishes append within shards instead of reshuffling history.
+  *  - `partitionBy(shard)` directories; rows sorted by doc id within each
+  *    shard so re-reads are deterministic and parquet min/max stats prune
+  *    id lookups.
+  *  - `manifest/` (one parquet): per-shard rows + token totals, written
+  *    from the SAME aggregation pass, so a loader can size epochs and
+  *    sanity-check completeness without scanning the data. [[validate]]
+  *    recomputes the census from the data and compares — the
+  *    end-to-end-integrity check a publish job runs last.
+  */
+object CorpusStore {
+
+  private def shardOf(idCol: Column, nShards: Int): Column =
+    (charFold(idCol.cast("string")) % nShards).cast("int")
+
+  /** Write `docs` (must carry `idCol`, `textCol`) sharded under `dir`.
+    * Returns the manifest as a DataFrame (shard, n_docs, n_tokens).
+    */
+  def write(spark: SparkSession, dir: String, docs: DataFrame,
+            idCol: String, textCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val sharded = docs.withColumn("shard", shardOf(col(idCol), nShards))
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$dir/docs")
+    val manifest = sharded.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col(textCol)), "\\s+"))
+        .cast("long")).as("n_tokens"))
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/manifest")
+    manifest
+  }
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/docs")
+
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/manifest")
+
+  /** Recompute the per-shard census from the stored data and compare with
+    * the manifest; returns the number of divergent shards (0 = intact).
+    */
+  def validate(spark: SparkSession, dir: String, idCol: String,
+               textCol: String): Long = {
+    val fromData = docs(spark, dir).groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(trim(col(textCol)), "\\s+"))
+        .cast("long")).as("n_tokens"))
+    fromData.alias("d").join(manifest(spark, dir).alias("m"),
+        Seq("shard"), "full_outer")
+      .where(col("d.n_docs").isNull || col("m.n_docs").isNull ||
+        col("d.n_docs") =!= col("m.n_docs") ||
+        col("d.n_tokens") =!= col("m.n_tokens"))
+      .count()
+  }
+}

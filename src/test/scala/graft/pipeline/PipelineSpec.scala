@@ -391,6 +391,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0), got.toString)
   }
 
+  test("corpus store: sharded publish round-trips; shards stable under growth") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val manifest = graft.store.CorpusStore.write(spark, dir, docs,
+      "doc_id", "text", nShards = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest.values.map(_._1).sum == docs.count())
+    assert(manifest.keySet.subsetOf((0 until 4).toSet))
+    // round trip: every doc back, content intact
+    val back = graft.store.CorpusStore.docs(spark, dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "text").except(
+      docs.select("doc_id", "text")).count() == 0)
+    // integrity check against the stored manifest
+    assert(graft.store.CorpusStore.validate(spark, dir, "doc_id", "text") == 0L)
+    // shard assignment is a pure function of the id: publishing HALF the
+    // corpus puts every doc in the same shard as the full publish
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-corpus2").toString
+    graft.store.CorpusStore.write(spark, dir2,
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", nShards = 4)
+    val full = back.select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    val half = graft.store.CorpusStore.docs(spark, dir2)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    half.foreach { case (id, sh) => assert(full(id) == sh, s"doc $id moved") }
+  }
+
   test("cohort retention: first-week cohorts count returning users") {
     import spark.implicits._
     import java.sql.Timestamp
