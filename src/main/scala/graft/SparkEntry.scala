@@ -21,6 +21,24 @@ import graft.tpch.TpchGraphAdapter
 object SparkEntry {
 
   // ------------------------------------------------------------------ store
+  /** Temp directories owned by this process (e.g. the ann_ivf_indexed gate's
+    * on-disk index), reclaimed at JVM exit — gate DataFrames read their
+    * stores lazily, so in-gate deletion isn't possible.
+    */
+  private val tmpDirs = scala.collection.concurrent.TrieMap[String, Unit]()
+  private lazy val tmpHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => tmpDirs.keys.foreach { d =>
+      scala.util.Try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val root = Path.of(d)
+        if (Files.exists(root))
+          Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(p => Files.deleteIfExists(p))
+      }
+    }))
+  def registerTmpCleanup(dir: String): Unit = { tmpHook; tmpDirs.put(dir, ()) }
+
   private val stores = scala.collection.concurrent.TrieMap[String, GraphStore]()
 
   def storeFor(spark: SparkSession, sfDir: String): GraphStore =
@@ -1650,15 +1668,16 @@ object SparkEntry {
     // bound instead: recall@5 vs the exact brute-force top-5, computed
     // INSIDE the query, must clear 0.9. The oracle replays the deterministic
     // query census and the expected boolean — a recall regression flips
-    // recall_ok to false and hash-mismatches. (bits=4 x 24 tables measures
-    // 0.96 @ sf0.01 / 0.978 @ sf0.1 on TESTDATA.)
+    // recall_ok to false and hash-mismatches. Default signature = the
+    // lshPlanFor auto-parameterization (the 100 TB default path is what the
+    // gate exercises; the sf1 decade measured fixed params super-linear).
     q("ann_lsh_topk", s"""$vnSql
       SELECT 'lsh' AS algo, CAST(5 AS INT) AS k,
         CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
       FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
       val embs = s.read.parquet(s"$d/embeddings.parquet")
       val approx = Similarity.annLsh(embs, "vec_id", "embedding", dim = 64,
-        k = 5, bits = 4, tables = 24).where(col("query_id") < 100)
+        k = 5).where(col("query_id") < 100)
       Similarity.recallGate(embs, approx, "lsh", k = 5, bound = 0.9,
         queryFilter = col("vec_id") < 100)
     }
@@ -1686,8 +1705,17 @@ object SparkEntry {
         CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
       FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
       val embs = s.read.parquet(s"$d/embeddings.parquet")
+      // per-process, collision-free index path: a hex digest of the dataset
+      // dir (abs(hashCode) was sign-broken at Int.MinValue and collidable)
+      // plus the pid so concurrent runs never race Overwrite-vs-read; the
+      // shutdown hook reclaims the directory when the JVM exits (the gate's
+      // returned DataFrame reads the store lazily, so an in-gate delete
+      // would break evaluation)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
-        math.abs(d.hashCode).toString
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(idxDir)
       val idx = graft.store.AnnIndexStore.build(s, idxDir, embs,
         "vec_id", "embedding", nlist = 16, lloydIters = 2)
       val approx = idx.topK(embs.where(col("vec_id") < 100),

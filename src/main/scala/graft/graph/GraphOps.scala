@@ -260,17 +260,57 @@ object GraphOps {
     * thing this estimator replaces; it rides along here as the in-query
     * error audit (the `ann_lsh_topk` recall-bound pattern).
     */
+  /** Estimator-ONLY DOULION face — what a 100 TB run actually executes:
+    * sample edges with the same deterministic coin as
+    * [[doulionTriangleGate]], orient, count, scale by 1/p³; NO exact census
+    * rides along. Cost is ~p³ of the exact enumeration's wedge work (the
+    * gate variant exists to audit the error in-query at test scale; this
+    * face is the production entry point it certifies). Output (one row):
+    * p_pct, n_edges, n_sampled_edges, est_triangles.
+    */
+  def doulionEstimate(edges: DataFrame, pPercent: Int = 20): DataFrame = {
+    require(pPercent > 0 && pPercent <= 100 && 100 % pPercent == 0,
+      s"pPercent must divide 100: $pPercent")
+    val und = canonicalUndirected(edges)
+      .localCheckpoint(true) // two consumers: edge census + sample
+    val sampled = und.where(doulionCoin < pPercent)
+    val scale = (100L / pPercent) * (100L / pPercent) * (100L / pPercent)
+    val est = enumerateTriangles(sampled)
+      .agg((count(lit(1)) * scale).as("est_triangles"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled_edges")))
+      .crossJoin(est)
+      .select(lit(pPercent).cast("int").as("p_pct"), col("n_edges"),
+        col("n_sampled_edges"), col("est_triangles"))
+      .orderBy("p_pct")
+  }
+
+  /** Exact triangle total over the kind-tagged edge table — the census
+    * [[doulionEstimate]] approximates. Exposed for error-audit probes
+    * (tools.TriangleProbe measures estimator-vs-census cost and error at
+    * sf1); the production-scale entry point is the estimator.
+    */
+  def exactTriangleCount(edges: DataFrame): Long =
+    enumerateTriangles(canonicalUndirected(edges)).count()
+
+  /** The shared deterministic DOULION edge coin in [0, 100) — charFold of
+    * "u:v" through the quadratic finalizer (see [[doulionTriangleGate]] for
+    * why the finalizer is load-bearing).
+    */
+  private def doulionCoin: org.apache.spark.sql.Column = {
+    val P = 1000000007L
+    val h = graft.functions.TextFunctions.charFold(
+      concat(col("u").cast("string"), lit(":"), col("v").cast("string")))
+    ((h * h) % P * 31 + h) % P % 100
+  }
+
   def doulionTriangleGate(edges: DataFrame, pPercent: Int = 20,
                           tolPct: Int = 30): DataFrame = {
     require(pPercent > 0 && pPercent <= 100 && 100 % pPercent == 0,
       s"pPercent must divide 100: $pPercent")
     val und = canonicalUndirected(edges)
       .localCheckpoint(true) // two consumers: exact census + sample
-    val P = 1000000007L
-    val h = graft.functions.TextFunctions.charFold(
-      concat(col("u").cast("string"), lit(":"), col("v").cast("string")))
-    val coin = ((h * h) % P * 31 + h) % P % 100
-    val sampled = und.where(coin < pPercent)
+    val sampled = und.where(doulionCoin < pPercent)
     val scale = (100L / pPercent) * (100L / pPercent) * (100L / pPercent)
     val exact = enumerateTriangles(und)
       .agg(count(lit(1)).as("exact_triangles"))

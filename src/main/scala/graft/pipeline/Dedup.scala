@@ -123,11 +123,12 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // candidates is prefix-pruned small: broadcast it so the verification
-    // joins stay map-side over the cached sets (the full shingle arrays
-    // never shuffle; AQE turns the second join into a broadcast too once it
-    // sees the first join's output size)
-    val verified = broadcast(candidates)
+    // candidates is prefix-pruned but still data-dependent: no broadcast
+    // hint (a duplicate-heavy corpus makes it unbounded and a forced
+    // broadcast is a driver OOM at exactly the scale this path serves); AQE
+    // broadcasts it at runtime when it measures small, keeping the verify
+    // joins map-side over the cached sets in the common case
+    val verified = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
@@ -215,7 +216,12 @@ object Dedup {
       .select(least(col("p.doc_id"), col("f.doc_id")).as("id_a"),
         greatest(col("p.doc_id"), col("f.doc_id")).as("id_b"))
       .distinct()
-    broadcast(candidates)
+    // no broadcast hint: the candidate-pair set is data-dependent and
+    // unbounded (a boilerplate-heavy corpus can make it huge at exactly the
+    // scale this lossless path exists for — a forced broadcast is then a
+    // driver OOM / 8 GB-limit failure). AQE broadcasts it at runtime when it
+    // measures small; otherwise the verify joins shuffle on the ids.
+    candidates
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
@@ -267,12 +273,27 @@ object Dedup {
     * the shared count — the candidate face of MOSS-style sub-document dup
     * detection. Inverted-index equi-join on the fingerprint (same shape as
     * [[sharedNgramStats]]): a fingerprint selected by d documents
-    * contributes d² pair rows, so boilerplate-heavy corpora should cap
-    * fingerprint document frequency exactly like minhashLshPairs' dfCap.
+    * contributes d² pair rows, so boilerplate-heavy corpora should set
+    * `dfCap` — fingerprints whose document frequency exceeds the cap are
+    * dropped before the self-join, exactly like [[containmentPairs]]' dfCap.
+    * Like there, the cap is a SEMANTICS choice: two documents sharing only
+    * ubiquitous (boilerplate) fingerprints stop being reported, and
+    * `n_shared` counts shared fingerprints of the capped space.
     */
   def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 4, w: Int = 4, minShared: Long = 2): DataFrame = {
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+                    k: Int = 4, w: Int = 4, minShared: Long = 2,
+                    dfCap: Long = Long.MaxValue): DataFrame = {
+    val fpsAll = winnowFingerprints(docs, idCol, textCol, k, w)
+    val fps =
+      if (dfCap == Long.MaxValue) fpsAll
+      else {
+        // one df aggregation keyed on the fingerprint; surviving
+        // fingerprints rejoin as a semi-join, and only the capped space
+        // reaches the pairwise census
+        val keep = fpsAll.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") <= dfCap).select("fp")
+        fpsAll.join(keep, "fp")
+      }
     fps.alias("x").join(fps.alias("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -853,28 +874,36 @@ object Dedup {
     * `distinct` only shuffles surviving pairs.
     *
     * Recall: a pair at cosine c co-buckets per table with probability
-    * (1 - acos(c)/pi)^bits; the defaults (3 bits x 32 tables) put the miss
-    * probability at c = 0.45 below 4e-5 per pair (and the deterministic
-    * plane family is verified to catch every qualifying TESTDATA pair at
-    * both sf0.01 and sf0.1). At production thresholds (c >= 0.9) raise
-    * `bits` with log(corpus) to keep bucket sizes bounded — candidate count
-    * scales as tables * n^2 / 2^bits.
+    * (1 - acos(c)/pi)^bits. By DEFAULT (bits = tables = 0) the
+    * parameterization is derived from the corpus count via
+    * [[Similarity.lshPlanFor]] — bits = log2(n/1024) keeps expected bucket
+    * population bounded (candidate work linear-ish in n, growing as
+    * n^(1 - log2 p1)), tables sized so a true pair at the threshold is
+    * missed with probability <= 1e-4. The sf1 scaling decade measured the
+    * old FIXED (3, 32) default 17.6x per 10x of corpus (candidates ~
+    * tables·n²/2^bits) and the planned parameters sub-quadratic with recall
+    * inside the budget (SCALE.md), so planning is the default and explicit
+    * (bits, tables) is the small-corpus/verified-recall override. The one
+    * cost of auto: a count() job over the vector column before planning.
     */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.45, dim: Int = 64,
-                           bits: Int = 3, tables: Int = 32): DataFrame = {
+                           bits: Int = 0, tables: Int = 0): DataFrame = {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: cosine undefined (NaN sorts high)
+    val (useBits, useTables) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else Similarity.lshPlanFor(v.count(), threshold)
     // all table buckets in ONE pass over v (posexplode of the per-table
     // bucket-id array), rather than a tables-way union re-scanning the input.
     // cache: the self-join's two sides would otherwise EACH evaluate the
     // tables×bits hyperplane dot products (a broadcast exchange can't reuse
     // a shuffle exchange — same reason simhashPairs caches its band table)
     val buckets = v.select(col("vid"), col("vec"), col("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        Similarity.lshBucket(col("vec"), dim, bits, t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array((0 until useTables).map(t =>
+        Similarity.lshBucket(col("vec"), dim, useBits, t)): _*)).as(Seq("tbl", "bucket")))
       .cache()
     buckets.alias("a").join(buckets.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -905,7 +934,7 @@ object Dedup {
     */
   def semanticKeepers(embs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.45, dim: Int = 64,
-                      bits: Int = 3, tables: Int = 32): DataFrame = {
+                      bits: Int = 0, tables: Int = 0): DataFrame = {
     val clusters = clusterKeepers(
       embeddingCosinePairs(embs, idCol, vecCol, threshold, dim, bits, tables))
     embs.select(col(idCol).as("vid"))

@@ -242,26 +242,34 @@ object Similarity {
     * top-k per query. Scale path for the 100 TB case: the candidate join
     * shuffles on (table, bucket), never all-pairs.
     *
-    * Default bits/tables trade recall for candidate volume: bucket count
-    * (2^bits) must stay well under the per-table corpus size so true
-    * neighbors co-bucket — 2^5 = 32 buckets × 12 tables recalls ~90% top-1
-    * on the TESTDATA embeddings, where the old 2^10 default isolated every
-    * vector (recall 0.2, caught by PipelineSpec's recall test). At larger
-    * corpora raise bits to keep ~corpus/2^bits per bucket bounded.
+    * By DEFAULT (bits = tables = 0) the parameterization comes from
+    * [[lshPlanFor]] over the corpus count: bits = log2(n/1024) bounds the
+    * expected bucket population (candidate volume quasi-linear in n instead
+    * of the tables·n²/2^bits a fixed bits gives — the sf1 decade measured
+    * the old fixed (5, 12) at 5.9x per 10x), tables sized so a pair at
+    * cosine `planThreshold` co-buckets with miss probability <= 1e-4. Top-k
+    * has no single threshold, so `planThreshold` is the design point: the
+    * cosine down to which neighbors are near-guaranteed recalled; farther
+    * neighbors are recalled with gracefully-degrading probability. Explicit
+    * (bits, tables) overrides; auto costs one count() job.
     */
   def annLsh(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-             k: Int, bits: Int = 5, tables: Int = 12): DataFrame = {
+             k: Int, bits: Int = 0, tables: Int = 0,
+             planThreshold: Double = 0.5): DataFrame = {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: NaN cosine would rank first
+    val (useBits, useTables) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else lshPlanFor(v.count(), planThreshold)
     // all `tables` bucket ids in ONE projection + explode — a per-table
     // union would rescan the corpus `tables` times (one stage per branch);
     // this is a single scan with map-side expansion
     val buckets = v.select(col("vid"), col("vec"), col("nrm"),
-      explode(array((0 until tables).map(t =>
+      explode(array((0 until useTables).map(t =>
         struct(lit(t).as("tbl"),
-          lshBucket(col("vec"), dim, bits, t).as("bucket"))): _*)).as("tb"))
+          lshBucket(col("vec"), dim, useBits, t).as("bucket"))): _*)).as("tb"))
       .select(col("vid"), col("vec"), col("nrm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     // score before dedup: the cosine is map-side codegen over the bucket

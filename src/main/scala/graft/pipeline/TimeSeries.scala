@@ -58,7 +58,10 @@ object TimeSeries {
     */
   def cohortRetention(events: DataFrame, keyCol: String,
                       tsCol: String): DataFrame = {
-    val wk = (unix_timestamp(col(tsCol)) / 604800L).cast("long")
+    // floor, not divide-then-cast: long `/` lifts to double division and the
+    // cast truncates toward zero, which disagrees with the oracle's
+    // floor(epoch/604800) for pre-1970 timestamps
+    val wk = floor(unix_timestamp(col(tsCol)) / 604800L).cast("long")
     val active = events.select(col(keyCol).as("k"), wk.as("week")).distinct()
     val cohorts = active.groupBy("k").agg(min("week").as("cohort_week"))
     active.join(cohorts, "k")

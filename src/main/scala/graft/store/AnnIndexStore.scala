@@ -61,6 +61,17 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
       .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$dir/cells")
   }
 
+  /** Re-cluster the accumulated appends: rewrite `cells` so each cid
+    * partition holds a compact file set again (every append writes its own
+    * files under each touched cell, so after N admissions a probe of
+    * nprobe cells opens ~N files per cell — file-open overhead growing with
+    * history). Same rewrite-then-swap discipline as
+    * [[DedupIndexStore.compact]]; centroids/meta are tiny and immutable.
+    */
+  def compact(): Unit =
+    StoreCompaction.rewritePartitioned(spark, s"$dir/cells", "cid")(
+      _.repartition(col("cid")))
+
   /** Top-k approximate neighbors of each query vector against the stored
     * index. `queries`: (id, vec) — any vector source, not necessarily
     * indexed vectors; self-matches are excluded by id.

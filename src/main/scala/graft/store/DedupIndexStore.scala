@@ -75,6 +75,55 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     val (n, numHashes, nBands) = params
     writeDocs(docs, idCol, textCol, n, numHashes, nBands, SaveMode.Append)
   }
+
+  /** Re-cluster the accumulated appends: rewrite `bands` partitioned on the
+    * join key and `shingles` on the doc id, restoring the
+    * key-clustered-files property a fresh build has. Each append lands its
+    * OWN key-partitioned file set, so after N admissions a (band, key) join
+    * reads ~N small files per key cluster and the scan's file-open overhead
+    * grows with history — the offline compaction the scaladoc deferred,
+    * measured by tools.IncrementalBench's appends mode. Rewrite goes to a
+    * sibling temp dir then swaps via rename, so a crash mid-compact leaves
+    * the live table intact (readers racing the swap see old or new, both
+    * complete).
+    */
+  def compact(): Unit = {
+    StoreCompaction.rewrite(spark, s"$dir/bands")(_.repartition(col("key")))
+    StoreCompaction.rewrite(spark, s"$dir/shingles")(
+      _.repartition(col("doc_id")))
+  }
+}
+
+/** Shared rewrite-then-swap primitive for the persisted-index compactions. */
+private[store] object StoreCompaction {
+  /** Rewrite the parquet table at `path` through `cluster` into a sibling
+    * temp dir, then atomically swap it in (delete + rename on the same
+    * filesystem).
+    */
+  def rewrite(spark: SparkSession, path: String)(
+      cluster: DataFrame => DataFrame): Unit = {
+    val tmp = path + "__compacting"
+    cluster(spark.read.parquet(path))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    require(fs.rename(hTmp, hPath), s"compaction rename failed: $tmp -> $path")
+  }
+
+  /** Variant preserving a partitionBy layout (AnnIndexStore cells). */
+  def rewritePartitioned(spark: SparkSession, path: String, partCol: String)(
+      cluster: DataFrame => DataFrame): Unit = {
+    val tmp = path + "__compacting"
+    cluster(spark.read.parquet(path))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    require(fs.rename(hTmp, hPath), s"compaction rename failed: $tmp -> $path")
+  }
 }
 
 object DedupIndexStore {

@@ -73,7 +73,13 @@ object StreamingFunnel {
       state.update(cur)
       val base = if (cur.reachedAt == Long.MinValue)
         evs.lastOption.map(_.ts.getTime).getOrElse(0L) else cur.reachedAt
-      state.setTimeoutTimestamp(base + idleTimeoutMs)
+      // clamp to strictly-after-watermark: when a batch doesn't advance the
+      // stage (e.g. repeated step-0 events while waiting for step 1), the
+      // stale reachedAt base can fall at or before the current watermark and
+      // GroupState rejects the timestamp (killing the query); the clamp
+      // keeps the reap as-early-as-allowed instead
+      state.setTimeoutTimestamp(math.max(base + idleTimeoutMs,
+        state.getCurrentWatermarkMs() + 1))
     }
     out.iterator
   }

@@ -64,7 +64,11 @@ object StreamingSessionize {
       }
       if (cur != null) {
         state.update(cur)
-        state.setTimeoutTimestamp(cur.lastTs + gapMs)
+        // clamped like StreamingFunnel: with a small gap, lastTs + gapMs can
+        // trail the watermark once it advances past the batch's events, and
+        // GroupState throws on a non-future timeout timestamp
+        state.setTimeoutTimestamp(math.max(cur.lastTs + gapMs,
+          state.getCurrentWatermarkMs() + 1))
       }
     }
     out.iterator

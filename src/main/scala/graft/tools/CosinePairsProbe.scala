@@ -36,8 +36,14 @@ object CosinePairsProbe {
 
     val results = settings.map { case (label, (bits, tables)) =>
       val t0 = System.nanoTime()
-      val pairs = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
-        threshold, dim = 64, bits = bits, tables = tables)
+      // the planned branch calls the DEFAULT signature (bits = tables = 0 →
+      // lshPlanFor inside the operator) so the probe measures the wiring
+      // users actually get, not a hand-passed equivalent
+      val pairs =
+        if (label == "planned")
+          Dedup.embeddingCosinePairs(e, "vec_id", "embedding", threshold)
+        else Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+          threshold, dim = 64, bits = bits, tables = tables)
       val cnt = pairs.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[probe] $label%-8s bits=$bits%2d tables=$tables%3d " +

@@ -15,11 +15,22 @@ import org.apache.spark.sql.functions._
   * measures: build once, then time the query alone, multiple passes, min.
   *
   * Prints one JSON line: {"sf":…, "build_s":…, "query_s":…, "pairs":N}.
+  *
+  * A third argument `appends=N` switches to COMPACTION mode: build the
+  * index on a slice of the seen corpus, admit the rest as N separate
+  * appends (each append lands its own key-partitioned file set — the
+  * fragmentation a daily ingest accumulates), time the indexed query over
+  * the fragmented store, `compact()`, re-time, and assert the pair set is
+  * unchanged. Prints {"mode":"appends", "appends":N, "frag_files":…,
+  * "frag_query_s":…, "compacted_files":…, "compacted_query_s":…}.
   */
 object IncrementalBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val appendsMode = args.lift(2).collect {
+      case a if a.startsWith("appends=") => a.stripPrefix("appends=").toInt
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +45,13 @@ object IncrementalBench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_inc_bench").toString
+
+    appendsMode.foreach { nAppends =>
+      runAppendsMode(spark, sfDir, docs, idxDir, runs, nAppends)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      spark.stop()
+      return
+    }
 
     val t0 = System.nanoTime()
     val idx = graft.store.DedupIndexStore.build(spark, idxDir,
@@ -58,5 +76,55 @@ object IncrementalBench {
       s""""query_s":${r3(times.min)},"pairs":$pairs}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
+  }
+
+  /** Compaction mode: fragment the index with `nAppends` admissions, time
+    * the indexed query before and after `compact()`, assert identical pair
+    * counts.
+    */
+  private def runAppendsMode(spark: SparkSession, sfDir: String,
+      docs: org.apache.spark.sql.DataFrame, idxDir: String, runs: Int,
+      nAppends: Int): Unit = {
+    val seen = docs.where(col("doc_id") % 5 === 0)
+    val fresh = docs.where(col("doc_id") % 5 =!= 0)
+    val slice = (col("doc_id") / 5).cast("long") % (nAppends + 1)
+
+    val idx = graft.store.DedupIndexStore.build(spark, idxDir,
+      seen.where(slice === 0), "doc_id", "text")
+    (1 to nAppends).foreach(j =>
+      idx.append(seen.where(slice === j), "doc_id", "text"))
+
+    def parquetFiles(sub: String): Int =
+      org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(s"$idxDir/$sub"),
+          Array("parquet"), true).size()
+    def timeQuery(): (Double, Long) = {
+      var pairs = 0L
+      val times = (1 to runs).map { _ =>
+        val q0 = System.nanoTime()
+        val res = graft.pipeline.Dedup.crossCorpusPairsIndexed(
+          fresh, "doc_id", "text", idx, threshold = 0.8)
+        res.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - q0) / 1e9
+        pairs = res.count()
+        dt
+      }
+      (times.min, pairs)
+    }
+
+    val fragFiles = parquetFiles("bands")
+    val (fragS, fragPairs) = timeQuery()
+    val c0 = System.nanoTime()
+    idx.compact()
+    val compactS = (System.nanoTime() - c0) / 1e9
+    val compFiles = parquetFiles("bands")
+    val (compS, compPairs) = timeQuery()
+    require(fragPairs == compPairs,
+      s"compaction changed the result: $fragPairs -> $compPairs")
+    def r3(v: Double) = (math.round(v * 1000) / 1000.0).toString
+    println(s"""{"mode":"appends","sf":"$sfDir","appends":$nAppends,""" +
+      s""""frag_files":$fragFiles,"frag_query_s":${r3(fragS)},""" +
+      s""""compact_s":${r3(compactS)},"compacted_files":$compFiles,""" +
+      s""""compacted_query_s":${r3(compS)},"pairs":$fragPairs}""")
   }
 }

@@ -489,6 +489,12 @@ class PipelineSpec extends SparkSpec {
     val after = idx.topK(embs.where(col("vec_id") === 0),
       "vec_id", "embedding", k = 3, nprobe = 8).collect()
     assert(after.exists(_.getLong(1) == 100000L), after.mkString(","))
+    // compaction: identical probe results from a re-clustered cell layout
+    idx.compact()
+    val compacted = idx.topK(embs.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3, nprobe = 8).collect()
+    assert(compacted.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      == after.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap)
   }
 
   test("winnowing: window-min fingerprints match a scala replay; shared-run guarantee") {
@@ -527,6 +533,47 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("n_shared")).toMap
     assert(ov.keySet == Set((0L, 1L)))
     assert(ov((0L, 1L)) == (got(0L) & got(1L)).size.toLong)
+  }
+
+  test("winnow overlap dfCap: capped census == census of the capped fingerprint space") {
+    import spark.implicits._
+    val boiler = "standard footer text repeated on every page of this site"
+    val shared = "a unique shared passage that only these two documents carry"
+    val d = Seq(
+      (0L, s"$shared alpha beta gamma delta $boiler"),
+      (1L, s"$shared epsilon zeta eta theta $boiler"),
+      (2L, s"completely different words one two three four five six $boiler"),
+      (3L, s"another unrelated body seven eight nine ten eleven twelve $boiler")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("n_shared")).toMap
+    val full = pairs(Dedup.winnowOverlap(d, "doc_id", "text", 4, 4, minShared = 1))
+    // the shared boilerplate suffix (>= w+k-1 tokens) pairs every doc with
+    // every other doc — the df² blow-up the cap exists for
+    assert(full.keySet == (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)).toSet)
+    for (cap <- Seq(1L, 2L, 3L)) {
+      val capped = pairs(Dedup.winnowOverlap(d, "doc_id", "text", 4, 4,
+        minShared = 1, dfCap = cap))
+      // the defining property: identical to running the census over only
+      // the fingerprints whose document frequency clears the cap
+      val fps = Dedup.winnowFingerprints(d, "doc_id", "text", 4, 4).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+      val df = fps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val kept = fps.filter { case (_, fp) => df(fp) <= cap }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = (for {
+        a <- kept.keys; b <- kept.keys if a < b
+        n = (kept(a) & kept(b)).size if n >= 1
+      } yield (a, b) -> n.toLong).toMap
+      assert(capped == expect, s"dfCap=$cap")
+    }
+    // behavioral: a cap below the corpus-wide boilerplate df severs the
+    // boilerplate-only pairs while the genuinely-shared passage survives
+    val capped2 = pairs(Dedup.winnowOverlap(d, "doc_id", "text", 4, 4,
+      minShared = 1, dfCap = 2))
+    assert(!capped2.contains((2L, 3L)), s"boilerplate-only pair survived: $capped2")
+    assert(capped2.contains((0L, 1L)), s"genuine shared passage lost: $capped2")
   }
 
   test("containment pairs: near-superset detected where jaccard is blind") {
@@ -1149,6 +1196,20 @@ class PipelineSpec extends SparkSpec {
         Dedup.crossCorpusPairsIndexed(today, "doc_id", "text", idx,
           numHashes = 64, bands = 16)
       }
+
+      // compaction re-clusters the accumulated appends: same results,
+      // fewer files (build + append each wrote their own file set)
+      def files(sub: String) = org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(s"$dir/$sub"), Array("parquet"), true)
+        .size()
+      val (bandsBefore, shBefore) = (files("bands"), files("shingles"))
+      idx.compact()
+      assert(files("bands") < bandsBefore, s"bands: $bandsBefore -> ${files("bands")}")
+      assert(files("shingles") < shBefore)
+      val afterCompact = Dedup
+        .crossCorpusPairsIndexed(today, "doc_id", "text", idx)
+        .orderBy("seen_id").collect().map(_.getLong(1))
+      assert(afterCompact.toSeq == Seq(10L, 11L, 20L))
     } finally graft.store.GraphStore.deleteRecursively(
       java.nio.file.Paths.get(dir))
   }
@@ -1185,6 +1246,15 @@ class PipelineSpec extends SparkSpec {
     assert(est > 0 && math.abs(est - exact) * 100 <= exact * 100,
       s"est=$est exact=$exact")
     assert(row.getAs[Boolean]("within_tol"))
+    // the estimator-ONLY face (the production entry point — no exact census
+    // riding along) draws the identical sample and lands on the identical
+    // estimate; the exact count it omits matches the audit gate's
+    val only = graft.graph.GraphOps.doulionEstimate(edges, pPercent = 20)
+      .collect().head
+    assert(only.getAs[Long]("est_triangles") == est &&
+      only.getAs[Long]("n_sampled_edges") == nSampled &&
+      only.getAs[Long]("n_edges") == nEdges, only.toString)
+    assert(graft.graph.GraphOps.exactTriangleCount(edges) == exact)
   }
 
   test("plan shapes: kmeansAssign broadcasts centroids; centroid agg is partial") {

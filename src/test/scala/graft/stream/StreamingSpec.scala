@@ -254,6 +254,61 @@ class StreamingSpec extends SparkSpec {
     assert(batchAll == Map(1L -> 3, 2L -> 2, 3L -> 2), batchAll.toString)
   }
 
+  test("streaming funnel survives a stalled stage once the watermark passes its timeout") {
+    // regression: a user mid-funnel re-sends the PREVIOUS step (no stage
+    // advance), after the watermark has moved far past reachedAt +
+    // idleTimeout. The unclamped setTimeoutTimestamp(reachedAt + timeout)
+    // then hands GroupState a non-future timestamp and the query dies with
+    // IllegalArgumentException on perfectly ordinary data; the clamp pins
+    // the timeout just past the watermark instead.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[graft.stream.FunnelEvent]
+    // model a BUSY stream: with data available every trigger, Spark runs no
+    // interleaved empty batches, so a key active in every batch is never
+    // reaped by timeout between the watermark jump and its next event — the
+    // exact window where the unclamped timestamp lands behind the watermark
+    val prevNoData = spark.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = graft.stream.StreamingFunnel.advances(input.toDS(), steps,
+        watermarkDelay = "1 minute", idleTimeoutMs = 1000L)
+      .writeStream.format("memory").queryName("sfunnel_clamp")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 reaches stage 1 at 00:00 (timeout then = 00:00:01)
+      input.addData(
+        graft.stream.FunnelEvent(1L, "view", t("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: user 99 drags the watermark toward ~09:59; user 1's
+      // repeated 'view' keeps its key busy so the timeout never fires
+      input.addData(
+        graft.stream.FunnelEvent(99L, "view", t("2024-01-01 10:00:00")),
+        graft.stream.FunnelEvent(1L, "view", t("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      // batch 3: another repeated 'view' — stale reachedAt (00:00) now sits
+      // hours behind the 09:59 watermark
+      input.addData(
+        graft.stream.FunnelEvent(1L, "view", t("2024-01-01 09:59:30")))
+      q.processAllAvailable() // unclamped: StreamingQueryException here
+      assert(q.isActive, q.exception.map(_.toString).getOrElse(""))
+    } finally {
+      q.stop()
+      prevNoData match {
+        case Some(v) => spark.conf
+          .set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None => spark.conf
+          .unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+    val stages = spark.sql(
+        "SELECT user_id, max(stage) AS s FROM sfunnel_clamp GROUP BY 1")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stages == Map(1L -> 1, 99L -> 1), stages.toString)
+  }
+
   test("streaming ann: stream top-k equals the stored-index batch probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
