@@ -15,6 +15,13 @@ object TypeScriptExtractor extends Extractor {
 
   private val classRe: Regex =
     """(?:export\s+)?(?:abstract\s+)?(class|interface|enum)\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r
+  // `namespace X {` / `module X {` (TS internal modules, possibly dotted):
+  // the reference SKIPS Namespace definitions (typescript.rs:41-43
+  // `continue`) but namespace segments DO scope member FQNs — so a
+  // namespace pushes an FQN scope with no definition row. The `{` keeps
+  // `module.exports` (CommonJS, `.` follows immediately) from matching.
+  private val namespaceRe: Regex =
+    """(?:export\s+)?(?:declare\s+)?(?:namespace|module)\s+([A-Za-z_$][A-Za-z0-9_$.]*)\s*\{""".r
   private val funcRe: Regex =
     """(?:export\s+)?(?:async\s+)?function\s*\*?\s+([A-Za-z_$][A-Za-z0-9_$]*)""".r
   private val arrowRe: Regex =
@@ -27,6 +34,11 @@ object TypeScriptExtractor extends Extractor {
   // occur (anything `name (…` there IS a member declaration).
   private val methodHeadOpenRe: Regex =
     """^\s*(?:public\s+|private\s+|protected\s+|static\s+|async\s+|readonly\s+|get\s+|set\s+)*(?:\*\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\([^;()]*$""".r
+  // relaxed class-body member head (fallback when methodRe's `;`-free param
+  // constraint fails on object-type annotations): name + open paren only;
+  // the caller additionally requires class-body depth and a `{`-ended line
+  private val methodRelaxedRe: Regex =
+    """^\s*(?:public\s+|private\s+|protected\s+|static\s+|async\s+|readonly\s+|get\s+|set\s+)*(?:\*\s*)?([A-Za-z_$][A-Za-z0-9_$]*)\s*\(""".r
   // `name (args) {` in statement position is a syntax error in JS unless it
   // is an object-literal/class method definition — so outside a class's
   // direct body depth it marks an OBJECT method: not a definition the
@@ -51,9 +63,12 @@ object TypeScriptExtractor extends Extractor {
     "function", "constructor", "super", "typeof", "new", "import", "require",
     "await", "async", "throw", "yield", "delete", "void")
   // definition stoplist: narrower — `delete (nodePath) {` and friends ARE
-  // legal member names (property position allows reserved words)
+  // legal member names (property position allows reserved words), and
+  // `constructor` IS a definition (tree-sitter extracts it; the reference's
+  // TS census counts every constructor — tests.rs:239-244's 32 defs for the
+  // two model files include both constructors)
   private val defStop = Set("if", "for", "while", "switch", "catch", "return",
-    "function", "constructor", "super", "typeof", "new", "import", "require")
+    "function", "super", "typeof", "new", "import", "require")
 
   override def extract(f: SourceFile): Extracted = {
     val rawLines = f.content.split("\n", -1)
@@ -77,8 +92,12 @@ object TypeScriptExtractor extends Extractor {
     val defs = ArrayBuffer[RawDefinition]()
     val imports = ArrayBuffer[RawImport]()
     val refs = ArrayBuffer[RawReference]()
-    // (braceDepthAtOpen, name, index into defs — for end-range backfill)
+    // (braceDepthAtOpen, name, index into defs — for end-range backfill;
+    // -1 marks a NAMESPACE scope: contributes to FQNs, no def row)
     var classStack = List.empty[(Int, String, Int)]
+    // innermost scope is a real class/interface/enum (namespaces are FQN
+    // carriers only: a `function` at namespace depth is a Function)
+    def inClassScope = classStack.headOption.exists(_._3 >= 0)
     // brace-opened function/method bodies: (depthAtOpen, defIdx) — extent
     // tracking only (no FQN impact), for method-level caller attribution
     var callableStack = List.empty[(Int, Int)]
@@ -133,7 +152,7 @@ object TypeScriptExtractor extends Extractor {
           val after = line.substring(closeIdx + 1)
           val pastSpaces = after.dropWhile(_ == ' ')
           if (pastSpaces.startsWith("=>")) {
-            val kind = if (classStack.nonEmpty) "Method" else "Function"
+            val kind = if (inClassScope) "Method" else "Function"
             defs += RawDefinition(f.path, fqnOf(name), name, kind,
               lineStart(headLine) + headCol,
               lineStart(headLine) + rawLines(headLine).length,
@@ -147,8 +166,8 @@ object TypeScriptExtractor extends Extractor {
           defLine = line
         } else pendingArrow = Some((name, headLine, headCol, bal))
       }
-      val atClassBodyDepth =
-        classStack.nonEmpty && depth == classStack.head._1 + 1
+      val atClassBodyDepth = classStack.headOption.exists(h =>
+        h._3 >= 0 && depth == h._1 + 1)
       if (defLine != null) {
       val dline = defLine
       classRe.findFirstMatchIn(dline).foreach { m =>
@@ -157,16 +176,20 @@ object TypeScriptExtractor extends Extractor {
         classStack ::= (depth, m.group(2), defs.length - 1)
         matchedDef = true; callScanFrom = m.end
       }
+      if (!matchedDef) namespaceRe.findFirstMatchIn(dline).foreach { m =>
+        classStack ::= (depth, m.group(1), -1) // FQN scope, no def row
+        matchedDef = true; callScanFrom = m.end
+      }
       def pushCallableIfBraced(fromCol: Int): Unit =
         if (dline.indexOf('{', fromCol) >= 0)
           callableStack ::= (depth, defs.length - 1)
       if (!matchedDef) funcRe.findFirstMatchIn(dline).foreach { m =>
-        val kind = if (classStack.nonEmpty) "Method" else "Function"
+        val kind = if (inClassScope) "Method" else "Function"
         add(m.group(1), kind, m.start(1)); pushCallableIfBraced(m.end - 1)
         matchedDef = true; callScanFrom = m.end
       }
       if (!matchedDef) arrowRe.findFirstMatchIn(dline).foreach { m =>
-        add(m.group(1), if (classStack.nonEmpty) "Method" else "Function", m.start(1))
+        add(m.group(1), if (inClassScope) "Method" else "Function", m.start(1))
         pushCallableIfBraced(m.end - 1)
         matchedDef = true; callScanFrom = m.end
       }
@@ -184,6 +207,17 @@ object TypeScriptExtractor extends Extractor {
         methodHeadOpenRe.findFirstMatchIn(dline).foreach { m =>
           if (!defStop(m.group(1))) {
             add(m.group(1), "Method", m.start(1))
+            matchedDef = true; callScanFrom = m.end
+          }
+        }
+      // relaxed member fallback: methodRe's `[^;]*` param matcher rejects
+      // `;` inside object-type annotations (`constructor({...}: { a: string;
+      // b: string })`), but at a class's DIRECT body depth statements cannot
+      // occur — a brace-opened `name (…` line there IS a member declaration
+      if (!matchedDef && atClassBodyDepth && dline.trim.endsWith("{"))
+        methodRelaxedRe.findFirstMatchIn(dline).foreach { m =>
+          if (!defStop(m.group(1))) {
+            add(m.group(1), "Method", m.start(1)); pushCallableIfBraced(m.end - 1)
             matchedDef = true; callScanFrom = m.end
           }
         }
@@ -258,8 +292,9 @@ object TypeScriptExtractor extends Extractor {
           depth -= 1
           while (classStack.nonEmpty && depth <= classStack.head._1) {
             val idx = classStack.head._3
-            defs(idx) = defs(idx).copy(endByte = lineStart(i) + line.length,
-              endLine = i)
+            if (idx >= 0) // namespace scopes have no def row to backfill
+              defs(idx) = defs(idx).copy(endByte = lineStart(i) + line.length,
+                endLine = i)
             classStack = classStack.tail
           }
           while (callableStack.nonEmpty && depth <= callableStack.head._1) {

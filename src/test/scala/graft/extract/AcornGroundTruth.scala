@@ -13,8 +13,8 @@ import scala.sys.process._
   *  - FQNs are chains of enclosing CLASS names only (the heuristic's
   *    classStack) — functions do not nest FQNs;
   *  - `class X` (declaration or named expression) → Class; class-body
-  *    `MethodDefinition` (incl. get/set/static, excl. constructor — the
-  *    heuristic's keyword stoplist drops it) → Method; class-field
+  *    `MethodDefinition` (incl. get/set/static/constructor — the reference
+  *    TS census counts constructors) → Method; class-field
   *    `name = (…) => …` → Method (tree-sitter sees these; a miss is an
   *    honest heuristic gap); `function f` / named function expression /
   *    `const f = (…) =>` → Function (Method when inside a class chain);
@@ -74,7 +74,7 @@ function lower(rel, ast) {
             : (node.key.type === 'Literal' && typeof node.key.value === 'string'
                ? node.key.value : null);
           if (node.type === 'MethodDefinition') {
-            if (name && name !== 'constructor') emitDef(chain, name, 'Method');
+            if (name) emitDef(chain, name, 'Method');
           } else if (name && node.value &&
                      node.value.type === 'ArrowFunctionExpression')
             emitDef(chain, name, 'Method');
