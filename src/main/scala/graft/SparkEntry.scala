@@ -1890,6 +1890,43 @@ object SparkEntry {
         qualityMin = 0.5).orderBy("stage")
     }
 
+    // ---- end-to-end curated-corpus PUBLISH: exact-dedup keepers →
+    //      hash-sharded parquet sink → per-shard manifest census, read BACK
+    //      from disk (the gate row is the stored manifest, not the
+    //      in-flight aggregate) plus the in-gate integrity check
+    //      (validate() recomputes the census from the stored shards — 0
+    //      divergent shards ⟹ intact). The oracle replays keeper
+    //      selection, the charFold id-hash shard function, and the
+    //      whitespace token census — so a wrong shard route, a dropped
+    //      row, or a manifest/data divergence all hash-mismatch.
+    q("td_corpus_publish", docPrelude +
+      s""", cp_fp AS (SELECT doc_id, ${sqlCharFold("t")} AS f FROM d_toks),
+      cp_keep AS (SELECT min(doc_id) AS doc_id FROM cp_fp GROUP BY f),
+      cp_pub AS (SELECT d.doc_id, d.text FROM documents d
+        JOIN cp_keep k ON d.doc_id = k.doc_id),
+      cp_sh AS (SELECT doc_id,
+          CAST(${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+          len(string_split_regex(trim(text), '\\s+')) AS nt FROM cp_pub)
+      SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        true AS intact
+      FROM cp_sh GROUP BY shard ORDER BY shard""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("kept_doc_id").as("doc_id"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(dir)
+      graft.store.CorpusStore.write(s, dir, docs.join(keepers, "doc_id"),
+        "doc_id", "text", nShards = 8)
+      val intact =
+        graft.store.CorpusStore.validate(s, dir, "doc_id", "text") == 0
+      graft.store.CorpusStore.manifest(s, dir)
+        .withColumn("intact", lit(intact))
+        .orderBy("shard")
+    }
+
     // ---- text analysis: stopword-heuristic language ID
     q("td_langid", docPrelude +
       s""", sc AS (SELECT doc_id, lang, list_distinct(toks) AS dt FROM d_toks),
