@@ -2123,6 +2123,31 @@ object SparkEntry {
         "doc_id", "text").orderBy("doc_id")
     }
 
+    // ---- interpolated bigram LM cross-entropy: the word-order-aware step
+    //      toward CCNet's n-gram-LM quality filter. λ·P(t|prev) +
+    //      (1-λ)·P(t), first token unigram-only; the oracle replays the
+    //      lag pairing with list indexing and the identical interpolation
+    q("td_bigram_xent", docPrelude +
+      s""", bx AS (SELECT doc_id, i AS pos, toks[i] AS term,
+          CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+      bxu AS (SELECT term, CAST(count(*) AS DOUBLE) AS tc FROM bx GROUP BY 1),
+      bxt AS (SELECT sum(tc) AS total FROM bxu),
+      bxb AS (SELECT prev, term, CAST(count(*) AS DOUBLE) AS bc FROM bx
+        WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        round(avg(-ln(CASE WHEN bx.prev IS NULL THEN u.tc / total
+          ELSE 0.7 * coalesce(b.bc, 0) / pu.tc + (1.0 - 0.7) * u.tc / total END)), 4)
+          AS bigram_xent
+      FROM bx JOIN bxu u USING (term)
+        LEFT JOIN bxu pu ON bx.prev = pu.term
+        LEFT JOIN bxb b ON bx.prev = b.prev AND bx.term = b.term
+        CROSS JOIN bxt
+      GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      Search.withBigramXent(s.read.parquet(s"$d/documents.parquet"),
+        "doc_id", "text", lambda = 0.7).orderBy("doc_id")
+    }
+
     // ---- CCNet perplexity bucketing: per-language head/middle/tail tiers
     //      by unigram cross-entropy. Cutoffs are DISCRETE quantiles (first
     //      xent whose per-lang cumulative doc count reaches ceil(n*k/3)) so

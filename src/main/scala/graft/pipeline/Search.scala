@@ -160,6 +160,51 @@ object Search {
         round(avg(-log(col("tc") / col("total"))), 4).as("unigram_xent"))
   }
 
+  /** Per-document cross-entropy under an INTERPOLATED BIGRAM corpus LM —
+    * the next step up from [[withUnigramXent]] toward the KenLM-style
+    * filters production pipelines run (CCNet's quality signal is a 5-gram
+    * LM; a Jelinek-Mercer-interpolated bigram captures the dominant local
+    * word-order term that a unigram is blind to — scrambled or
+    * template-stitched text scores near its unigram xent, fluent text
+    * scores lower):
+    *   p(t_i | t_{i-1}) = λ·count(t_{i-1} t_i)/count(t_{i-1})
+    *                      + (1-λ)·count(t_i)/total
+    * with the first token of a document scored by the unigram term alone.
+    * xent(D) = mean over tokens of -ln p.
+    *
+    * Plan shape: one doc-keyed shuffle for the lag window (position →
+    * (prev, term) pairs), a vocabulary-bounded unigram aggregate
+    * (broadcast back, same as the unigram face), a distinct-bigram-bounded
+    * count whose join back to the token table shuffles on (prev, term) —
+    * the one exchange that grows with corpus text, exactly the inverted-
+    * index discipline — and one per-document mean. No corpus² anywhere.
+    */
+  def withBigramXent(docs: DataFrame, idCol: String, textCol: String,
+                     lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda in (0,1): $lambda")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withPrev = toks.withColumn("prev", lag("term", 1).over(w))
+    val uni = withPrev.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("tc"))
+    val total = uni.agg(sum("tc").as("total"))
+    val bi = withPrev.where(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).cast("double").as("bc"))
+    val p = when(col("prev").isNull, col("tc") / col("total"))
+      .otherwise(lit(lambda) * coalesce(col("bc"), lit(0.0)) / col("ptc") +
+        lit(1.0 - lambda) * col("tc") / col("total"))
+    withPrev
+      .join(broadcast(uni), "term")
+      .join(broadcast(uni.select(col("term").as("prev"),
+        col("tc").as("ptc"))), Seq("prev"), "left_outer")
+      .join(bi, Seq("prev", "term"), "left_outer")
+      .join(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(p)), 4).as("bigram_xent"))
+  }
+
   /** CCNet-style perplexity bucketing: split each language's documents into
     * `buckets` quality tiers (head / middle / tail for 3) by their
     * [[withUnigramXent]] cross-entropy. CCNet trains on the head, audits

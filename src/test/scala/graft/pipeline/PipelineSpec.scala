@@ -351,6 +351,35 @@ class PipelineSpec extends SparkSpec {
     // vocabulary-distinct doc 2 is more surprising under the corpus LM
     val byId = xe.map(t => t._1 -> t._3).toMap
     assert(byId(2L) > byId(0L))
+
+    // brute-force interpolated bigram cross-entropy (λ = 0.7; first token
+    // unigram-only) — replays the exact formula per position
+    val lambda = 0.7
+    val bigrams = corpus.values.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toDouble }
+    val bx = Search.withBigramXent(docs, "doc_id", "text", lambda).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("bigram_xent"))).toSeq
+    bx.foreach { case (id, n, x) =>
+      assert(n == corpus(id).size)
+      val toks = corpus(id)
+      val scores = toks.zipWithIndex.map { case (t, i) =>
+        if (i == 0) counts(t) / total
+        else {
+          val prev = toks(i - 1)
+          lambda * bigrams.getOrElse((prev, t), 0.0) / counts(prev) +
+            (1.0 - lambda) * counts(t) / total
+        }
+      }
+      val brute = scores.map(p => -math.log(p)).sum / n
+      assert(math.abs(x - math.round(brute * 10000) / 10000.0) < 1e-9,
+        s"doc $id: $x vs $brute")
+    }
+    // word order matters now: every bigram the corpus actually contains
+    // boosts p above its unigram floor, so fluent (in-corpus-order) text
+    // scores strictly below its unigram xent
+    val bById = bx.map(t => t._1 -> t._3).toMap
+    assert(bById(0L) < byId(0L), s"bigram ${bById(0L)} vs unigram ${byId(0L)}")
   }
 
   test("media exact-dup census groups identical payload bytes") {
