@@ -172,20 +172,29 @@ object Search {
     * with the first token of a document scored by the unigram term alone.
     * xent(D) = mean over tokens of -ln p.
     *
-    * Plan shape: one doc-keyed shuffle for the lag window (position →
-    * (prev, term) pairs), a vocabulary-bounded unigram aggregate
-    * (broadcast back, same as the unigram face), a distinct-bigram-bounded
-    * count whose join back to the token table shuffles on (prev, term) —
-    * the one exchange that grows with corpus text, exactly the inverted-
-    * index discipline — and one per-document mean. No corpus² anywhere.
+    * Plan shape: (prev, term) pairing is MAP-SIDE — each document's token
+    * array pairs with its own shifted self inside one `transform`
+    * expression, so no doc-keyed window shuffle exists anywhere (a lag
+    * window would shuffle the whole token table once per consumer branch).
+    * Then a vocabulary-bounded unigram aggregate (broadcast back, same as
+    * the unigram face), a distinct-bigram-bounded count whose join back to
+    * the token table shuffles on (prev, term) — the one exchange that
+    * grows with corpus text, exactly the inverted-index discipline — and
+    * one per-document mean. No corpus² anywhere.
     */
   def withBigramXent(docs: DataFrame, idCol: String, textCol: String,
                      lambda: Double = 0.7): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda in (0,1): $lambda")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withPrev = toks.withColumn("prev", lag("term", 1).over(w))
+    val withPrev = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        // element_at is 1-based: the predecessor of 0-based position i is
+        // element_at(ts, i); position 0 has none (null ⇒ unigram-only)
+        "transform(ts, (t, i) -> struct(t as term, " +
+          "if(i = 0, cast(null as string), element_at(ts, i)) as prev))"))
+        .as("tp"))
+      .select(col("doc_id"), col("tp.term").as("term"),
+        col("tp.prev").as("prev"))
     val uni = withPrev.groupBy("term")
       .agg(count(lit(1)).cast("double").as("tc"))
     val total = uni.agg(sum("tc").as("total"))

@@ -40,14 +40,62 @@ object CorpusStore {
       .sortWithinPartitions(col(idCol))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$dir/docs")
-    val manifest = sharded.groupBy("shard").agg(
+    val manifest = census(sharded, textCol)
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/manifest")
+    import spark.implicits._
+    Seq(nShards).toDF("n_shards")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    manifest
+  }
+
+  private def census(sharded: DataFrame, textCol: String): DataFrame =
+    sharded.groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(trim(col(textCol)), "\\s+"))
         .cast("long")).as("n_tokens"))
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/manifest")
-    manifest
+
+  /** The shard count the corpus was published with. */
+  def nShards(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head().getAs[Int]("n_shards")
+
+  /** Admit a new batch into an existing published corpus — the daily
+    * incremental publish: parquet APPEND inside the (stable) id-hash
+    * shards plus an incremental manifest merge. A document's shard never
+    * changes as the corpus grows (the hash ignores corpus state), so
+    * appends land within existing shard directories and history is never
+    * rewritten; the new manifest is the per-shard SUM of the stored
+    * manifest and the batch census — an nShards-row merge, NOT a recount
+    * of history — swapped in atomically (write-to-sibling + rename, the
+    * [[StoreCompaction]] discipline). Returns the merged manifest.
+    * [[graft.stream.StreamingPublish]] is the continuous face. After many
+    * admissions, [[compact]] re-clusters shard files.
+    */
+  def append(spark: SparkSession, dir: String, docs: DataFrame,
+             idCol: String, textCol: String): DataFrame = {
+    val n = nShards(spark, dir)
+    val sharded = docs.withColumn("shard", shardOf(col(idCol), n))
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode(SaveMode.Append).partitionBy("shard")
+      .parquet(s"$dir/docs")
+    val merged = manifest(spark, dir)
+      .unionByName(census(sharded, textCol))
+      .groupBy("shard").agg(sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+    StoreCompaction.swapIn(spark, s"$dir/manifest", merged.coalesce(1))
+    manifest(spark, dir)
   }
+
+  /** Re-cluster accumulated appends: rewrite the shard directories so each
+    * holds a compact file set again, preserving the layout and the sorted-
+    * by-id property. Results are byte-equivalent to a fresh publish.
+    */
+  def compact(spark: SparkSession, dir: String,
+              idCol: String = "doc_id"): Unit =
+    StoreCompaction.rewritePartitioned(spark, s"$dir/docs", "shard")(
+      _.repartition(col("shard")).sortWithinPartitions(col(idCol)))
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/docs")

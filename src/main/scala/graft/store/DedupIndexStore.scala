@@ -94,36 +94,37 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
   }
 }
 
-/** Shared rewrite-then-swap primitive for the persisted-index compactions. */
+/** Shared rewrite-then-swap primitive for the persisted-store compactions
+  * and incremental-manifest merges.
+  */
 private[store] object StoreCompaction {
-  /** Rewrite the parquet table at `path` through `cluster` into a sibling
-    * temp dir, then atomically swap it in (delete + rename on the same
-    * filesystem).
+  /** Write `df` (which may lazily READ from `path`) to a sibling temp dir,
+    * then atomically swap it over `path` (delete + rename on the same
+    * filesystem) — a crash before the rename leaves the live table intact.
     */
-  def rewrite(spark: SparkSession, path: String)(
-      cluster: DataFrame => DataFrame): Unit = {
+  def swapIn(spark: SparkSession, path: String, df: DataFrame,
+             partitionCol: Option[String] = None): Unit = {
     val tmp = path + "__compacting"
-    cluster(spark.read.parquet(path))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    partitionCol.fold(w)(w.partitionBy(_)).parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hPath, true)
-    require(fs.rename(hTmp, hPath), s"compaction rename failed: $tmp -> $path")
+    require(fs.rename(hTmp, hPath), s"store swap rename failed: $tmp -> $path")
   }
 
-  /** Variant preserving a partitionBy layout (AnnIndexStore cells). */
+  /** Rewrite the parquet table at `path` through `cluster`, swap in. */
+  def rewrite(spark: SparkSession, path: String)(
+      cluster: DataFrame => DataFrame): Unit =
+    swapIn(spark, path, cluster(spark.read.parquet(path)))
+
+  /** Variant preserving a partitionBy layout (AnnIndexStore cells,
+    * CorpusStore shards).
+    */
   def rewritePartitioned(spark: SparkSession, path: String, partCol: String)(
-      cluster: DataFrame => DataFrame): Unit = {
-    val tmp = path + "__compacting"
-    cluster(spark.read.parquet(path))
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    require(fs.rename(hTmp, hPath), s"compaction rename failed: $tmp -> $path")
-  }
+      cluster: DataFrame => DataFrame): Unit =
+    swapIn(spark, path, cluster(spark.read.parquet(path)), Some(partCol))
 }
 
 object DedupIndexStore {

@@ -445,6 +445,28 @@ class PipelineSpec extends SparkSpec {
     val half = graft.store.CorpusStore.docs(spark, dir2)
       .select("doc_id", "shard").as[(Long, Int)].collect().toMap
     half.foreach { case (id, sh) => assert(full(id) == sh, s"doc $id moved") }
+
+    // incremental publish: appending the odd half to the even-half store
+    // lands every doc in its full-publish shard, merges the manifest as a
+    // per-shard SUM (no history recount), and validate() still passes
+    val mergedMf = graft.store.CorpusStore.append(spark, dir2,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mergedMf == manifest, s"$mergedMf vs full-publish $manifest")
+    val grown = graft.store.CorpusStore.docs(spark, dir2)
+    assert(grown.count() == docs.count())
+    assert(graft.store.CorpusStore.validate(spark, dir2, "doc_id", "text") == 0L)
+    val grownShards = grown.select("doc_id", "shard").as[(Long, Int)]
+      .collect().toMap
+    grownShards.foreach { case (id, sh) => assert(full(id) == sh) }
+    // compaction: same rows, same manifest agreement, fewer files
+    def files(d: String) = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$d/docs"), Array("parquet"), true).size()
+    val before = files(dir2)
+    graft.store.CorpusStore.compact(spark, dir2)
+    assert(files(dir2) < before, s"$before -> ${files(dir2)}")
+    assert(graft.store.CorpusStore.docs(spark, dir2).count() == docs.count())
+    assert(graft.store.CorpusStore.validate(spark, dir2, "doc_id", "text") == 0L)
   }
 
   test("cohort retention: first-week cohorts count returning users") {

@@ -350,6 +350,43 @@ class StreamingSpec extends SparkSpec {
       s"stream $streamed\nbatch  $batch")
   }
 
+  test("streaming publish: micro-batches append shard-stably; manifest stays consistent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-spub").toString
+    // one-time init (possibly empty) fixes the shard count in meta
+    graft.store.CorpusStore.write(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      nShards = 4)
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+    val b2 = Seq((3L, "zeta eta"), (4L, "theta iota kappa lambda mu"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.stream.StreamingPublish.writer(
+      input.toDS().toDF("doc_id", "text"), dir, "doc_id", "text").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val back = graft.store.CorpusStore.docs(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(back == (b1 ++ b2).toSet)
+    // stored manifest is consistent with the stored data after two merges
+    assert(graft.store.CorpusStore.validate(spark, dir, "doc_id", "text") == 0L)
+    // the streamed store is shard-for-shard identical to a one-shot batch
+    // publish of the same rows (the id-hash shard is corpus-state-free)
+    val dirB = java.nio.file.Files.createTempDirectory("graft-spub-b").toString
+    graft.store.CorpusStore.write(spark, dirB, (b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 4)
+    def shards(d: String) = graft.store.CorpusStore.docs(spark, d)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(shards(dir) == shards(dirB))
+    val mf = graft.store.CorpusStore.manifest(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mfB = graft.store.CorpusStore.manifest(spark, dirB)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mf == mfB, s"streamed $mf vs batch $mfB")
+  }
+
   test("streaming cross-corpus dedup screens the feed against a static index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
