@@ -771,6 +771,28 @@ object SparkEntry {
         .orderBy("event_id")
     }
 
+    // ---- table profiling (ANALYZE TABLE face): per-column null/distinct/
+    //      min/max census in ONE scan (all aggregates in a single agg →
+    //      one Expand with map-side partials; the wide row unpivots via
+    //      stack). Doubles are excluded from the GATE because min/max cast
+    //      to string and float formatting is engine-specific; the operator
+    //      itself profiles any type.
+    q("op_profile", {
+      val cols = Seq("l_linenumber", "l_linestatus", "l_orderkey",
+        "l_partkey", "l_returnflag", "l_shipdate")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          CAST(min($c) AS VARCHAR) AS min_val,
+          CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""")
+        .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    }) { (s, d) =>
+      graft.operators.Profile.table(s.read.parquet(s"$d/lineitem.parquet"),
+        Seq("l_linenumber", "l_linestatus", "l_orderkey", "l_partkey",
+          "l_returnflag", "l_shipdate"))
+    }
+
     // ---- skew-salted join: same rows as a plain inner join, partitioned by
     //      (key, salt) — oracle is the unsalted relational answer
     q("join_salted_skew", """SELECT o_orderpriority,

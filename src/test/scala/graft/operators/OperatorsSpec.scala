@@ -13,6 +13,25 @@ class OperatorsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("Profile.table: per-column census hand-checked across types and nulls") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, Some("b"), None),
+      (3L, None, Some(1.0)),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "tag", "score")
+    val got = Profile.table(df).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got.keySet == Set("id", "tag", "score"))
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("tag") == ((4L, 1L, 2L, "a", "b"))) // nulls excluded from distinct/min/max
+    assert(got("score") == ((4L, 1L, 2L, "1.0", "2.5")))
+    // subset selection profiles only the named columns, in name order
+    val sub = Profile.table(df, Seq("tag")).collect()
+    assert(sub.length == 1 && sub.head.getString(0) == "tag")
+  }
+
   test("RangeJoin.backwardWindow matches rows within the trailing window, " +
     "inclusive bounds, across bucket boundaries") {
     val left = Seq(
