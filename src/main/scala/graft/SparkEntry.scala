@@ -793,6 +793,26 @@ object SparkEntry {
           "l_returnflag", "l_shipdate"))
     }
 
+    // ---- z-order (Morton) clustering key: engine-replayable bit
+    //      interleave of two join/filter columns — the multi-dimensional
+    //      layout key (Delta/Iceberg OPTIMIZE ZORDER) whose range
+    //      partitions give min/max boxes prunable on EITHER column; the
+    //      oracle replays the identical shift/mask arithmetic
+    q("op_zorder", {
+      val zsql = graft.operators.ZOrder.zvalueSql(
+        Seq("l_partkey", "l_suppkey"), bits = 16)
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST($zsql AS BIGINT) AS zval
+      FROM lineitem ORDER BY zval, l_orderkey, l_linenumber LIMIT 100"""
+    }) { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.operators.ZOrder.zvalue(
+            Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber").limit(100)
+    }
+
     // ---- skew-salted join: same rows as a plain inner join, partitioned by
     //      (key, salt) — oracle is the unsalted relational answer
     q("join_salted_skew", """SELECT o_orderpriority,

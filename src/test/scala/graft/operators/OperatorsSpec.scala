@@ -32,6 +32,35 @@ class OperatorsSpec extends SparkSpec {
     assert(sub.length == 1 && sub.head.getString(0) == "tag")
   }
 
+  test("ZOrder: hand-checked interleave; clustered boxes prune on the non-leading dim") {
+    // bit-level hand check: x=2 (0b10), y=1 (0b01), d=2, bits=2 —
+    // x bit1 -> pos 2, y bit0 -> pos 1: z = 0b110 = 6
+    val one = Seq((2L, 1L)).toDF("x", "y")
+      .select(ZOrder.zvalue(Seq(col("x"), col("y")), bits = 2).as("z"))
+    assert(one.head().getLong(0) == 6L)
+
+    // 64x64 grid: z-cluster into 16 range partitions vs an x-sorted layout;
+    // a range predicate on y (the NON-leading dimension for the x sort)
+    // must touch far fewer z boxes — the whole point of the layout
+    val grid = spark.range(4096).select((col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"))
+    def touchedByYRange(df: org.apache.spark.sql.DataFrame): Int =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg(min("y").as("lo"), max("y").as("hi"))
+        .where(col("lo") <= 15 && col("hi") >= 0) // box intersects y in [0,15]
+        .count().toInt
+    val z = ZOrder.cluster(grid, Seq("x", "y"), bits = 6, numFiles = 16)
+    val xSorted = grid.repartitionByRange(16, col("x"))
+      .sortWithinPartitions(col("x"))
+    val zTouched = touchedByYRange(z)
+    val xTouched = touchedByYRange(xSorted)
+    assert(xTouched >= 15, s"x-sorted layout should span y everywhere: $xTouched")
+    assert(zTouched * 2 <= xTouched,
+      s"z layout must halve the touched boxes: z=$zTouched vs x=$xTouched")
+    // the clustering permutes, never drops or duplicates
+    assert(z.count() == 4096 && z.select("x", "y").distinct().count() == 4096)
+  }
+
   test("RangeJoin.backwardWindow matches rows within the trailing window, " +
     "inclusive bounds, across bucket boundaries") {
     val left = Seq(
