@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * the fragmented store, `compact()`, re-time, and assert the pair set is
   * unchanged. Prints {"mode":"appends", "appends":N, "frag_files":…,
   * "frag_query_s":…, "compacted_files":…, "compacted_query_s":…}.
+  *
+  * `annappends=N` runs the same protocol against the OTHER persisted
+  * index: AnnIndexStore built on an embedding slice, N frozen-quantizer
+  * appends fragmenting the cid cells, stored-probe topK timed before and
+  * after `compact()` with result equality asserted.
   */
 object IncrementalBench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +35,10 @@ object IncrementalBench {
     val runs = args.lift(1).map(_.toInt).getOrElse(3)
     val appendsMode = args.lift(2).collect {
       case a if a.startsWith("appends=") => a.stripPrefix("appends=").toInt
+    }
+    val annAppendsMode = args.lift(2).collect {
+      case a if a.startsWith("annappends=") =>
+        a.stripPrefix("annappends=").toInt
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -48,6 +57,12 @@ object IncrementalBench {
 
     appendsMode.foreach { nAppends =>
       runAppendsMode(spark, sfDir, docs, idxDir, runs, nAppends)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      spark.stop()
+      return
+    }
+    annAppendsMode.foreach { nAppends =>
+      runAnnAppendsMode(spark, sfDir, idxDir, runs, nAppends)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
       spark.stop()
       return
@@ -126,5 +141,50 @@ object IncrementalBench {
       s""""frag_files":$fragFiles,"frag_query_s":${r3(fragS)},""" +
       s""""compact_s":${r3(compactS)},"compacted_files":$compFiles,""" +
       s""""compacted_query_s":${r3(compS)},"pairs":$fragPairs}""")
+  }
+
+  /** ANN twin of [[runAppendsMode]]: fragment AnnIndexStore's cid cells
+    * with frozen-quantizer appends, time the stored probe before/after
+    * compact(), assert identical neighbor sets.
+    */
+  private def runAnnAppendsMode(spark: SparkSession, sfDir: String,
+      idxDir: String, runs: Int, nAppends: Int): Unit = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val slice = (col("vec_id") % (nAppends + 1))
+    val idx = graft.store.AnnIndexStore.build(spark, idxDir,
+      embs.where(slice === 0), "vec_id", "embedding")
+    (1 to nAppends).foreach(j =>
+      idx.append(embs.where(slice === j), "vec_id", "embedding"))
+
+    val queries = embs.where(col("vec_id") % 97 === 0)
+    def parquetFiles: Int = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$idxDir/cells"), Array("parquet"), true)
+      .size()
+    def timeQuery(): (Double, Set[(Long, Long, Int)]) = {
+      var res = Set.empty[(Long, Long, Int)]
+      val times = (1 to runs).map { _ =>
+        val q0 = System.nanoTime()
+        val out = idx.topK(queries, "vec_id", "embedding", k = 5, nprobe = 4)
+        out.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - q0) / 1e9
+        res = out.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(3))).toSet
+        dt
+      }
+      (times.min, res)
+    }
+    val fragFiles = parquetFiles
+    val (fragS, fragRes) = timeQuery()
+    val c0 = System.nanoTime()
+    idx.compact()
+    val compactS = (System.nanoTime() - c0) / 1e9
+    val compFiles = parquetFiles
+    val (compS, compRes) = timeQuery()
+    require(fragRes == compRes, "compaction changed the probe results")
+    def r3(v: Double) = (math.round(v * 1000) / 1000.0).toString
+    println(s"""{"mode":"annappends","sf":"$sfDir","appends":$nAppends,""" +
+      s""""frag_files":$fragFiles,"frag_query_s":${r3(fragS)},""" +
+      s""""compact_s":${r3(compactS)},"compacted_files":$compFiles,""" +
+      s""""compacted_query_s":${r3(compS)},"neighbors":${fragRes.size}}""")
   }
 }
