@@ -846,6 +846,43 @@ object SparkEntry {
         Seq("ts", "event_id"), "value", alpha = 0.3).orderBy("user_id")
     }
 
+    // ---- persisted mergeable HLL sketch store (distinct-cardinality
+    //      tracking at admission time): per-group DataSketches sketches on
+    //      disk; a day's batch merges against the nGroups-row table, never
+    //      recounting history. The gate runs BOTH faces — one-shot build
+    //      and split-build-plus-append — and asserts in-query that (a) the
+    //      estimates sit inside the 3·rsd design bound of exact and (b)
+    //      the incremental store's estimates EQUAL the one-shot's (HLL
+    //      registers are per-item maxima — insertion-order-free). The
+    //      oracle replays the exact census and the expected booleans.
+    q("sk_hll_store", """SELECT CAST(event_type AS VARCHAR) AS event_type,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        true AS est_ok, true AS inc_ok
+      FROM events GROUP BY 1 ORDER BY event_type""") { (s, d) =>
+      val ev = readEvents(s, d).select("event_type", "user_id")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val full = graft.store.SketchStore.build(s, s"$base/full", ev,
+        "event_type", "user_id")
+      val inc = graft.store.SketchStore.build(s, s"$base/inc",
+        ev.where(col("user_id") % 2 === 0), "event_type", "user_id")
+      inc.append(ev.where(col("user_id") % 2 =!= 0))
+      val exact = ev.groupBy(col("event_type").cast("string").as("group"))
+        .agg(countDistinct("user_id").as("n_exact"))
+      exact
+        .join(full.estimates, "group")
+        .join(inc.estimates.withColumnRenamed("n_distinct_est", "inc_est"),
+          "group")
+        .select(col("group").as("event_type"), col("n_exact"),
+          (abs(col("n_distinct_est") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("est_ok"),
+          (col("n_distinct_est") === col("inc_est")).as("inc_ok"))
+        .orderBy("event_type")
+    }
+
     // ---- ordered conversion funnel (view -> click -> purchase): per-user
     //      stage reached, each step gated at-or-after the previous step's
     //      earliest completion; `steps` entity-keyed shuffles over

@@ -469,6 +469,38 @@ class PipelineSpec extends SparkSpec {
     assert(graft.store.CorpusStore.validate(spark, dir2, "doc_id", "text") == 0L)
   }
 
+  test("sketch store: incremental merge equals one-shot build; small sets exact") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i => (s"g${i % 3}", (i % 97).toLong))
+    val df = rows.toDF("grp", "uid")
+    val base = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    val full = graft.store.SketchStore.build(spark, s"$base/full", df,
+      "grp", "uid")
+    // HLL stays exact while the sketch is in sparse mode — small per-group
+    // sets must estimate EXACTLY
+    val est = full.estimates.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    exact.foreach { case (g, n) => assert(est(g) == n.toLong, s"$g: $est") }
+    // incremental: split by uid parity, build + append — register state is
+    // per-item maxima, so the merged store estimates IDENTICALLY
+    val inc = graft.store.SketchStore.build(spark, s"$base/inc",
+      df.where(col("uid") % 2 === 0), "grp", "uid")
+    inc.append(df.where(col("uid") % 2 =!= 0))
+    val incEst = inc.estimates.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullEst = full.estimates.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incEst == fullEst, s"$incEst vs $fullEst")
+    // a group arriving ONLY in an append still shows up
+    inc.append(Seq(("g9", 1L), ("g9", 2L)).toDF("grp", "uid"))
+    assert(graft.store.SketchStore
+      .build(spark, s"$base/x", df, "grp", "uid").params == (("grp", "uid", 12)))
+    val withNew = inc.estimates.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withNew("g9") == 2L, withNew.toString)
+  }
+
   test("cohort retention: first-week cohorts count returning users") {
     import spark.implicits._
     import java.sql.Timestamp
