@@ -1261,6 +1261,42 @@ object SparkEntry {
     // ---- graph: triangle census (top-20 vertices by participation) over
     //      the undirected kind-tagged graph — two equi-joins on canonical
     //      u<v edges, no GraphX
+    // ---- INCREMENTAL triangle maintenance (the edge-append face): Spark
+    //      runs ONLY the delta algorithm (triangles touching a new edge,
+    //      counted once via the 6/k accounting — cost ∝ new edges × avg
+    //      degree); the ORACLE computes the delta from first principles as
+    //      the DIFFERENCE of two full censuses — algorithm vs definition,
+    //      cross-engine. A deterministic 20% split of the raw edge rows
+    //      plays the "day's batch".
+    q("g_triangles_delta", P +
+      s""", $kmTagSql,
+      tgd AS (SELECT km2.stag * 4294967296 + e.source_id AS a,
+                     km2.dtag * 4294967296 + e.target_id AS b,
+                     (e.source_id + e.target_id) % 5 AS spl
+              FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      undAll AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                 FROM tgd WHERE a <> b),
+      undSeen AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                  FROM tgd WHERE a <> b AND spl <> 0),
+      tAll AS (SELECT count(*) AS c FROM undAll e1
+               JOIN undAll e2 ON e2.u = e1.v
+               JOIN undAll e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tSeen AS (SELECT count(*) AS c FROM undSeen e1
+                JOIN undSeen e2 ON e2.u = e1.v
+                JOIN undSeen e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT CAST((SELECT count(*) FROM undAll) -
+                  (SELECT count(*) FROM undSeen) AS BIGINT) AS n_new_edges,
+             CAST(tAll.c - tSeen.c AS BIGINT) AS n_delta_triangles
+      FROM tAll, tSeen ORDER BY n_new_edges""") { (s, d) =>
+      import s.implicits._
+      val e = storeFor(s, d).edges
+      val spl = (col("source_id") + col("target_id")) % 5
+      val (nNew, delta) = graft.graph.GraphOps.triangleDelta(
+        e.where(spl === 0), e.where(spl =!= 0))
+      Seq((nNew, delta)).toDF("n_new_edges", "n_delta_triangles")
+        .orderBy("n_new_edges")
+    }
+
     q("g_triangles", P +
       s""", $kmTagSql,
       tgv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,

@@ -293,6 +293,67 @@ object GraphOps {
   def exactTriangleCount(edges: DataFrame): Long =
     enumerateTriangles(canonicalUndirected(edges)).count()
 
+  /** INCREMENTAL triangle maintenance — the edge-append face of the
+    * census: the exact CHANGE in triangle count when `newEdges` joins a
+    * graph already holding `seenEdges`, computed by enumerating only
+    * triangles that TOUCH a new edge (cost ∝ new edges × average degree),
+    * never re-censusing history — the same admission-time discipline as
+    * [[graft.store.DedupIndexStore]]'s incremental dedup.
+    *
+    * Method: every triangle gaining >= 1 new edge is discovered once per
+    * new edge it contains (for each truly-new canonical edge (u, v), the
+    * common neighbors w of u and v over the merged adjacency close a
+    * triangle). Attaching k = how many of the triangle's three edges are
+    * new and summing 6/k (k ∈ {1,2,3} all divide 6) counts each triangle
+    * exactly 6×, so the integer sum / 6 is the exact delta — no fractions,
+    * no dedup shuffle over triangle keys. Already-seen duplicates of
+    * "new" edges are anti-joined away first, so re-admitting an edge adds
+    * zero.
+    *
+    * Plan shape: one anti-join (new vs seen), one symmetric-adjacency
+    * union, a wedge equi-join keyed on the new edge's endpoints, a
+    * membership probe keyed (v, w), two left joins flagging the other two
+    * edges' newness, one scalar sum. All exchanges key on vertex ids.
+    *
+    * Returns (number of truly-new canonical undirected edges, exact
+    * triangle-count delta).
+    */
+  def triangleDelta(newEdges: DataFrame, seenEdges: DataFrame): (Long, Long) = {
+    val s = canonicalUndirected(seenEdges).localCheckpoint(true)
+    val n = canonicalUndirected(newEdges)
+      .join(s, Seq("u", "v"), "left_anti")
+      .localCheckpoint(true)
+    val all = s.unionByName(n)
+    // symmetric membership (a, b): edge {a, b} exists in the merged graph
+    val adj = all.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(all.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    // (u, v, w): (u,v) is new, w adjacent to u, and {v,w} present
+    val wedges = n
+      .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
+      .where(col("w") =!= col("v"))
+    val tris = wedges.join(
+      adj.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val nFlag = n.select(col("u").as("fa"), col("v").as("fb"),
+      lit(1).as("isN"))
+    val withK = tris
+      .join(nFlag,
+        least(col("u"), col("w")) === col("fa") &&
+          greatest(col("u"), col("w")) === col("fb"), "left_outer")
+      .withColumn("k1", coalesce(col("isN"), lit(0))).drop("fa", "fb", "isN")
+      .join(nFlag,
+        least(col("v"), col("w")) === col("fa") &&
+          greatest(col("v"), col("w")) === col("fb"), "left_outer")
+      .withColumn("k2", coalesce(col("isN"), lit(0)))
+      .withColumn("k", lit(1) + col("k1") + col("k2"))
+    // 6/k is exact in doubles for k ∈ {1,2,3}; coalesce: no-new-triangles
+    // sums to null
+    val sum6 = withK.agg(coalesce(sum(lit(6) / col("k")), lit(0.0))
+      .cast("long")).head().getLong(0)
+    require(sum6 % 6 == 0, s"delta accounting must divide 6: $sum6")
+    (n.count(), sum6 / 6)
+  }
+
   /** The shared deterministic DOULION edge coin in [0, 100) — charFold of
     * "u:v" through the quadratic finalizer (see [[doulionTriangleGate]] for
     * why the finalizer is load-bearing).

@@ -1297,6 +1297,31 @@ class PipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(dir))
   }
 
+  test("triangle delta: incremental count equals census difference on random splits") {
+    import spark.implicits._
+    val n = 60
+    val all = (for {
+      u <- 0 until n; v <- (u + 1) until n
+      if ((u * 31 + v * 17 + 7) % 10) < 3
+    } yield ("DEF_TO_DEF", u.toLong, v.toLong))
+    // three different deterministic splits, incl. one where the "new"
+    // batch is dense enough to form new-new-new triangles (k = 3 paths)
+    for (mod <- Seq(2, 3, 5)) {
+      val (nw, seen) = all.partition { case (_, u, v) => (u + v) % mod == 0 }
+      val nwDf = nw.toDF("kind", "source_id", "target_id")
+      val seenDf = seen.toDF("kind", "source_id", "target_id")
+      val tSeen = graft.graph.GraphOps.exactTriangleCount(seenDf)
+      val tAll = graft.graph.GraphOps
+        .exactTriangleCount(all.toDF("kind", "source_id", "target_id"))
+      val (nNew, delta) = graft.graph.GraphOps.triangleDelta(nwDf, seenDf)
+      assert(delta == tAll - tSeen, s"mod=$mod: $delta vs ${tAll - tSeen}")
+      assert(nNew == nw.size, s"mod=$mod")
+      // re-admitting already-seen edges adds zero
+      val (n2, d2) = graft.graph.GraphOps.triangleDelta(seenDf, seenDf)
+      assert(n2 == 0 && d2 == 0)
+    }
+  }
+
   test("DOULION triangle estimate: unbiased scaling, deterministic sample, exact census") {
     import spark.implicits._
     // dense-ish random graph (120 vertices, hash-derived edges) so the 20%
