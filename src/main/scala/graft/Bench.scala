@@ -88,7 +88,11 @@ object Bench {
     // always retains the final line intact, so the driver's parser gets a
     // complete JSON object. Per-query detail also lands in BENCH_FULL.json.
     println(fullLine)
-    try {
+    // ONLY a full-suite run may write the artifact: a name-restricted
+    // profiling run overwriting the committed merged-min with a partial
+    // map was exactly the round-6 "bench artifact noise" — the file is
+    // the full-run record, subsets print to stdout only
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json"))
       java.nio.file.Files.write(out,

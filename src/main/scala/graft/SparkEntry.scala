@@ -2447,6 +2447,24 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }
 
+    // ---- deterministic WEIGHTED sampling without replacement (Efraimidis-
+    //      Spirakis keys from the id hash; heavier documents win more
+    //      often): one map-side key + TakeOrdered; selection replayed by
+    //      the identical -ln(u)/w formula, output re-sorted by id so the
+    //      comparison is over the selected SET
+    q("samp_weighted",
+      s"""SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+          -ln(($idFold + 1) / 1000000008.0) /
+            greatest(length(text), 1) AS wk
+        FROM documents ORDER BY wk, doc_id LIMIT 50)
+      ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Sampling.weightedTopK(
+        s.read.parquet(s"$d/documents.parquet"), col("doc_id"),
+        greatest(length(col("text")), lit(1)), k = 50)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }
+
     // ---- deterministic train/val/test split assignment (stable under
     //      corpus growth: a doc's split never changes when new docs arrive)
     q("samp_split_assign",

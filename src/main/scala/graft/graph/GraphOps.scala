@@ -328,12 +328,28 @@ object GraphOps {
     val adj = all.select(col("u").as("a"), col("v").as("b"))
       .unionByName(all.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint(true)
-    // (u, v, w): (u,v) is new, w adjacent to u, and {v,w} present
-    val wedges = n
-      .join(adj.select(col("a").as("u"), col("b").as("w")), "u")
-      .where(col("w") =!= col("v"))
+    // probe each new edge's wedges from its LOWER-degree endpoint (the
+    // census's orientation discipline applied to the delta): the wedge
+    // intermediate is then Σ min(deg u, deg v) over new edges instead of
+    // Σ deg(u) — identical result (common neighbors are symmetric),
+    // decisive under skew where a new edge touching a hub would otherwise
+    // expand the hub's whole neighborhood
+    val deg = adj.groupBy(col("a").as("dv")).agg(count(lit(1)).as("dg"))
+    val anchored = n
+      .join(deg.select(col("dv").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("dv").as("v"), col("dg").as("dvg")), "v")
+      .select(col("u"), col("v"),
+        when(col("du") <= col("dvg"), col("u")).otherwise(col("v"))
+          .as("anchor"),
+        when(col("du") <= col("dvg"), col("v")).otherwise(col("u"))
+          .as("other"))
+    // (u, v, w): (u,v) is new, w adjacent to the anchor, {other, w} present
+    val wedges = anchored
+      .join(adj.select(col("a").as("anchor"), col("b").as("w")), "anchor")
+      .where(col("w") =!= col("other"))
     val tris = wedges.join(
-      adj.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+      adj.select(col("a").as("other"), col("b").as("w")),
+      Seq("other", "w"))
     val nFlag = n.select(col("u").as("fa"), col("v").as("fb"),
       lit(1).as("isN"))
     val withK = tris

@@ -43,6 +43,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row draws u ∈ (0, 1] from its id hash and ranks
+    * by key = -ln(u) / w ascending; the k smallest keys win. The scheme's
+    * guarantee: selection probabilities match sequential weighted draws
+    * without replacement exactly, while the computation is one map-side
+    * key column + a single top-k (TakeOrdered — never a global sort), so
+    * it distributes trivially where the sequential definition doesn't.
+    * The standard corpus-curation shape: "sample 1M documents favoring
+    * quality/length weights, reproducibly, on any engine."
+    *
+    * u = (idHash + 1) / (P + 1) with P the fold modulus — engine-exact
+    * arithmetic; the only cross-engine freedom is ln()'s final ulp, which
+    * changes selection only on ~1e-15-relative key ties (adjacent draws
+    * are ~1/n apart; at any realistic n the flip probability is
+    * negligible, and per-engine the result is exactly reproducible).
+    * Weights must be > 0.
+    */
+  def weightedTopK(df: DataFrame, idCol: Column, weightCol: Column,
+                   k: Int): DataFrame = {
+    val key = -log((idHash(idCol) + 1).cast("double") /
+      lit(1000000008.0)) / weightCol
+    df.withColumn("__wk", key)
+      .orderBy(col("__wk"), idCol)
+      .limit(k)
+      .drop("__wk")
+  }
+
   /** Deterministic train/val/test split assignment — the canonical "hash
     * the id, bucket mod 100" dataset split (reproducible on any engine, and
     * stable under corpus growth: a document's split never changes when new

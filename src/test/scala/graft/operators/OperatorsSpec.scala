@@ -165,6 +165,24 @@ class OperatorsSpec extends SparkSpec {
     assert(st1 === st2)
   }
 
+  test("Sampling.weightedTopK: ES selection replays exactly; weight drives selection") {
+    import graft.pipeline.Sampling
+    val rows = (1L to 200L).map(i => (i, if (i <= 20) 100.0 else 1.0))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedTopK(df, col("id"), col("w"), 30)
+      .select("id").as[Long].collect().toSet
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val brute = rows.map { case (i, w) =>
+        i -> (-math.log((fold(i.toString) + 1) / 1000000008.0) / w)
+      }.sortBy { case (i, k) => (k, i) }.take(30).map(_._1).toSet
+    assert(got == brute)
+    // rows at 100x weight draw keys ~100x smaller: the 20 heavies dominate
+    assert(got.count(_ <= 20L) >= 15, s"heavy rows selected: ${got.count(_ <= 20L)}")
+    // deterministic: a rerun selects the identical set
+    assert(Sampling.weightedTopK(df, col("id"), col("w"), 30)
+      .select("id").as[Long].collect().toSet == got)
+  }
+
   test("Sampling.mixture hits target proportions bounded by availability") {
     // 100 lang0, 100 lang1, 100 lang2 available
     val docs = (1 to 300).map(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
