@@ -1906,6 +1906,26 @@ object SparkEntry {
     //      deterministically-derived PII first — both engines compute the
     //      identical enriched string, then the identical redaction
     //      (patterns live in the RE2 ∩ java.util.regex common subset).
+    // ---- Unicode NFC normalization (canonical composition — corpus
+    //      cleaning's canonicalization step, as a codegen'd Catalyst
+    //      expression around java.text.Normalizer): a decomposed suffix
+    //      (e+◌́, A+◌̊, o+◌̈) is appended so the gate exercises real
+    //      composition on every row; DuckDB's nfc_normalize replays it,
+    //      and n_composed pins the exact number of composed pairs
+    q("td_nfc_normalize", s"""SELECT doc_id,
+        nfc_normalize(text || ' café Ångström') AS norm_text,
+        CAST(length(text || ' café Ångström') -
+          length(nfc_normalize(text || ' café Ångström'))
+          AS INT) AS n_composed
+      FROM documents ORDER BY doc_id""") { (s, d) =>
+      val suffixed = concat(col("text"), lit(" café Ångström"))
+      val norm = graft.functions.VectorExpressions.nfc(suffixed)
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), norm.as("norm_text"),
+          (length(suffixed) - length(norm)).cast("int").as("n_composed"))
+        .orderBy("doc_id")
+    }
+
     q("td_redact_pii",
       s"""WITH enr AS (SELECT doc_id, text
         || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END

@@ -395,6 +395,47 @@ case class MinHashSig(child: Expression, nExpr: Expression)
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** Unicode NFC normalization (canonical composition) — the standard
+  * corpus-cleaning canonicalization: decomposed sequences (e + combining
+  * acute) compose to their canonical form (é), so hashing/dedup/shingling
+  * see ONE representation of visually-identical text. Stays inside
+  * whole-stage codegen around java.text.Normalizer, with an isNormalized
+  * fast path that returns the input buffer untouched for the
+  * overwhelmingly-common already-NFC case (no allocation, no copy).
+  * DuckDB twin: `nfc_normalize` — the oracle replays it exactly.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) a
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |if (java.text.Normalizer.isNormalized($s,
+         |    java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $a;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |    java.text.Normalizer.normalize($s,
+         |      java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   val DotName = "graft_dot"
   val CharFoldName = "graft_charfold"
@@ -402,6 +443,7 @@ object VectorExpressions {
   val ShingleListName = "graft_shingle_list"
   val MinHashSigName = "graft_minhash_sig"
   val NgramStatsName = "graft_ngram_stats"
+  val NfcName = "graft_nfc"
 
   /** Register the expressions in the session's function registry (idempotent);
     * needed because Column construction from a raw Expression is not part of
@@ -420,7 +462,12 @@ object VectorExpressions {
       MinHashSigName, exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NgramStatsName, exprs => NgramStats(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcName, exprs => NfcNormalize(exprs(0)), "built-in")
   }
+
+  /** Codegen'd Unicode NFC normalization; requires [[register]]. */
+  def nfc(c: Column): Column = call_function(NfcName, c)
 
   /** Codegen'd dot(a, b); requires [[register]] on the active session. */
   def dot(a: Column, b: Column): Column = call_function(DotName, a, b)

@@ -293,6 +293,28 @@ class OperatorsSpec extends SparkSpec {
     assert(interp === expect)
   }
 
+  test("NfcNormalize: composes decomposed text; codegen equals interpreted; NFC fast path") {
+    // "cafe" + combining acute, "A" + combining ring — canonical composition
+    val decomposed = "café Å"
+    val composed = "café Å"
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq(Tuple1(decomposed)).toDF("s")
+    val viaExpr = df.select(
+      graft.functions.VectorExpressions.nfc($"s").as("n")).head().getString(0)
+    assert(viaExpr == composed)
+    // interpreted path agrees (direct eval, no codegen)
+    def interp(s: String) = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        s, org.apache.spark.sql.types.StringType))
+      .eval(null).toString
+    assert(interp(decomposed) == composed)
+    // already-NFC input is returned unchanged (incl. plain ASCII)
+    assert(interp(composed) == composed)
+    assert(interp("plain ascii text") == "plain ascii text")
+    // idempotence
+    assert(interp(interp(decomposed)) == composed)
+  }
+
   test("Embeddings: l2Normalize yields unit vectors, quantizeInt8 stays in " +
     "[-127,127], zero vectors dropped") {
     val embs = Seq(
