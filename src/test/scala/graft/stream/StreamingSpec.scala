@@ -387,6 +387,35 @@ class StreamingSpec extends SparkSpec {
     assert(mf == mfB, s"streamed $mf vs batch $mfB")
   }
 
+  test("streaming sketch: batch merges land on the one-shot estimates; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssk").toString
+    val b1 = Seq(("a", 1L), ("a", 2L), ("b", 10L))
+    val b2 = Seq(("a", 2L), ("a", 3L), ("b", 11L), ("c", 99L))
+    graft.store.SketchStore.build(spark, dir,
+      Seq.empty[(String, Long)].toDF("grp", "uid"), "grp", "uid")
+    val input = MemoryStream[(String, Long)]
+    val q = graft.stream.StreamingSketch.writer(
+      input.toDS().toDF("grp", "uid"), dir).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // idempotent replay: re-merging an already-seen batch changes nothing
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = new graft.store.SketchStore(dir, spark).estimates
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal to a one-shot batch build over the union (registers are
+    // per-item maxima — order- and replay-free)
+    val oneShot = graft.store.SketchStore.build(spark,
+        java.nio.file.Files.createTempDirectory("graft-ssk2").toString,
+        (b1 ++ b2).toDF("grp", "uid"), "grp", "uid")
+      .estimates.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == oneShot, s"$streamed vs $oneShot")
+    assert(streamed == Map("a" -> 3L, "b" -> 2L, "c" -> 1L)) // sparse = exact
+  }
+
   test("streaming cross-corpus dedup screens the feed against a static index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
