@@ -25,6 +25,58 @@ class PipelinePropertySpec extends SparkSpec {
     cs <- Gen.listOfN(len, Gen.alphaLowerChar)
   } yield cs.mkString
 
+  test("property: z-values of every point in a box lie within the corner z-range") {
+    import spark.implicits._
+    // Morton order is monotone per coordinate (a coordinate's bits occupy
+    // fixed interleave positions, so its most-significant differing bit
+    // decides), hence z(minCorner) <= z(p) <= z(maxCorner) for any p in an
+    // axis-aligned box — the property file-level min/max pruning rests on
+    val gen = for {
+      x0 <- Gen.choose(0, 200); x1 <- Gen.choose(x0, 255)
+      y0 <- Gen.choose(0, 200); y1 <- Gen.choose(y0, 255)
+      pts <- Gen.listOfN(20, for {
+        px <- Gen.choose(x0, x1); py <- Gen.choose(y0, y1)
+      } yield (px.toLong, py.toLong))
+    } yield ((x0.toLong, y0.toLong), (x1.toLong, y1.toLong), pts)
+    forAllSeeded(gen, 12) { case ((x0, y0), (x1, y1), pts) =>
+      val rows = ((x0, y0) +: (x1, y1) +: pts).toDF("x", "y")
+      val zs = rows.select(graft.operators.ZOrder
+          .zvalue(Seq(col("x"), col("y")), bits = 8).as("z"))
+        .collect().map(_.getLong(0))
+      val (zLo, zHi) = (zs(0), zs(1))
+      assert(zLo <= zHi)
+      zs.drop(2).foreach(z =>
+        assert(z >= zLo && z <= zHi, s"z=$z outside [$zLo,$zHi]"))
+    }
+  }
+
+  test("property: triangle delta equals the census difference on random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(15, 40)
+      density <- Gen.choose(2, 5)
+      salt <- Gen.choose(1, 1000)
+      splitMod <- Gen.choose(2, 6)
+    } yield (n, density, salt, splitMod)
+    forAllSeeded(gen, 8) { case (n, density, salt, splitMod) =>
+      val all = for {
+        u <- 0 until n; v <- (u + 1) until n
+        if ((u * 31 + v * 17 + salt) % 10) < density
+      } yield ("DEF_TO_DEF", u.toLong, v.toLong)
+      val (nw, seen) = all.partition { case (_, u, v) => (u + v) % splitMod == 0 }
+      if (all.nonEmpty) {
+        val allDf = all.toDF("kind", "source_id", "target_id")
+        val seenDf = seen.toDF("kind", "source_id", "target_id")
+        val (nNew, delta) = graft.graph.GraphOps.triangleDelta(
+          nw.toDF("kind", "source_id", "target_id"), seenDf)
+        val expect = graft.graph.GraphOps.exactTriangleCount(allDf) -
+          graft.graph.GraphOps.exactTriangleCount(seenDf)
+        assert(delta == expect, s"n=$n d=$density salt=$salt mod=$splitMod")
+        assert(nNew == nw.size)
+      }
+    }
+  }
+
   test("property: winnowing detects every planted shared run >= w+k-1 tokens") {
     import spark.implicits._
     val k = 4; val w = 4
