@@ -1551,8 +1551,14 @@ object SparkEntry {
       FROM jac WHERE j >= 0.8 AND ((ida % 5 = 0) <> (idb % 5 = 0))
       ORDER BY new_id, seen_id""") { (s, d) =>
       val docs = s.read.parquet(s"$d/documents.parquet")
+      // collision-free per-process path + exit cleanup, the same fix the
+      // ann_ivf_indexed gate got (abs(hashCode) was sign-broken and
+      // collidable; concurrent runs raced Overwrite-vs-read)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_index_" +
-        math.abs(d.hashCode).toString
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(idxDir)
       val idx = graft.store.DedupIndexStore.build(s, idxDir,
         docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
       Dedup.crossCorpusPairsIndexed(
