@@ -793,6 +793,36 @@ object SparkEntry {
           "l_returnflag", "l_shipdate"))
     }
 
+    // ---- declarative data-quality expectations (constraint validation —
+    //      the pre-admission audit): named predicates over lineitem, one
+    //      aggregation pass, NULL predicate = violation; the oracle counts
+    //      the identical violations per rule. One rule (tax_low) is
+    //      DESIGNED to fail so the pass=false path is exercised.
+    q("op_expectations", """SELECT r AS rule,
+        CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+        CAST(v AS BIGINT) AS n_violations, v = 0 AS pass
+      FROM (
+        SELECT 'orderkey_nonnull' AS r,
+          (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS v
+        UNION ALL SELECT 'qty_range',
+          (SELECT count(*) FROM lineitem
+           WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)
+              OR l_quantity IS NULL)
+        UNION ALL SELECT 'flag_domain',
+          (SELECT count(*) FROM lineitem
+           WHERE l_returnflag NOT IN ('A', 'N', 'R') OR l_returnflag IS NULL)
+        UNION ALL SELECT 'tax_low',
+          (SELECT count(*) FROM lineitem
+           WHERE NOT (l_tax < 0.01) OR l_tax IS NULL)
+      ) ORDER BY rule""") { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      graft.operators.Profile.expect(li, Seq(
+        "orderkey_nonnull" -> col("l_orderkey").isNotNull,
+        "qty_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "tax_low" -> (col("l_tax") < 0.01)))
+    }
+
     // ---- z-order (Morton) clustering key: engine-replayable bit
     //      interleave of two join/filter columns — the multi-dimensional
     //      layout key (Delta/Iceberg OPTIMIZE ZORDER) whose range

@@ -58,4 +58,30 @@ object Profile {
           "(column, n_rows, n_nulls, n_distinct, min_val, max_val)"))
       .orderBy("column")
   }
+
+  /** Declarative data-quality EXPECTATIONS — the constraint-validation
+    * face (the Deequ/Great-Expectations pattern) a pipeline runs on every
+    * new drop before admitting it: named row-level predicates evaluated in
+    * ONE aggregation pass over one scan, each yielding (rule, n_rows,
+    * n_violations, pass). A predicate that is NULL for a row (e.g. a
+    * comparison over a null column) counts as a violation — unknown is
+    * not acceptance. Ordered by rule name.
+    */
+  def expect(df: DataFrame,
+             rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$name")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', `__n`, `__v_$name`, `__v_$name` = 0"
+    }.mkString(", ")
+    wide.select(expr(
+        s"stack(${rules.length}, $stackArgs) AS " +
+          "(rule, n_rows, n_violations, pass)"))
+      .orderBy("rule")
+  }
 }

@@ -32,6 +32,27 @@ class OperatorsSpec extends SparkSpec {
     assert(sub.length == 1 && sub.head.getString(0) == "tag")
   }
 
+  test("Profile.expect: violations counted per rule, null predicate = violation") {
+    val df = Seq(
+      (Some(1L), Some(10.0)),
+      (Some(2L), Some(60.0)), // range violation
+      (None, Some(5.0)),      // null id
+      (Some(4L), None)        // null value -> range predicate NULL = violation
+    ).toDF("id", "v")
+    val got = Profile.expect(df, Seq(
+        "id_nonnull" -> col("id").isNotNull,
+        "v_range" -> (col("v") >= 0 && col("v") <= 50)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("id_nonnull") == ((4L, 1L, false)))
+    assert(got("v_range") == ((4L, 2L, false))) // 60.0 out of range + null
+    val ok = Profile.expect(df.where(col("id").isNotNull),
+      Seq("id_nonnull" -> col("id").isNotNull)).head()
+    assert(ok.getLong(2) == 0L && ok.getBoolean(3))
+    intercept[IllegalArgumentException](
+      Profile.expect(df, Seq("a" -> lit(true), "a" -> lit(false))))
+  }
+
   test("ZOrder: hand-checked interleave; clustered boxes prune on the non-leading dim") {
     // bit-level hand check: x=2 (0b10), y=1 (0b01), d=2, bits=2 —
     // x bit1 -> pos 2, y bit0 -> pos 1: z = 0b110 = 6
