@@ -2432,8 +2432,13 @@ object SparkEntry {
       SELECT doc_id, CAST(nraw AS BIGINT) AS n_tokens_raw,
         CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens_bpe
       FROM e$bpeRounds ORDER BY doc_id""") { (s, d) =>
-      TextAnalysis.bpeEncode(s.read.parquet(s"$d/documents.parquet"),
-        "doc_id", "text", rounds = bpeRounds).orderBy("doc_id")
+      // Encode consumes a PRECOMPUTED merge table (the tokenizer artifact)
+      // and applies it in one map-side rank-loop pass per document — plan
+      // depth independent of the merge count.
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      TextAnalysis.bpeEncodeWith(docs, "doc_id", "text",
+        TextAnalysis.bpeMerges(docs, "text", rounds = bpeRounds))
+        .orderBy("doc_id")
     }
 
     // ---- RAG/pretraining chunking: 32-token windows every 8 tokens,

@@ -220,75 +220,193 @@ object TextAnalysis {
     * symbols can never collide with input tokens). Returns the learned
     * merge table (round, pair, n_pairs).
     *
-    * Scale shape: each round is one map-side pair expansion (zip_with over
-    * the split symbol stream), one count shuffle bounded by the PAIR
-    * VOCABULARY (map-side partial agg — never corpus rows), a 1-row
-    * TakeOrdered argmax, and a map-side regexp merge. The corpus itself
-    * never shuffles; the per-round driver collect is exactly one row (the
-    * argmax), so rounds compose as K vocabulary-sized aggregations. The
-    * symbol stream is localCheckpoint'd per round to keep lineage O(1) in
-    * rounds. The argmax pair is corpus-derived text, so it is `\Q...\E`
-    * quoted before splicing into the merge regex (and `$`/`\` escaped in
-    * the replacement) — correctness must not depend on the tokenizer two
-    * files away stripping every regex metacharacter.
+    * Scale shape: the tokenized corpus is cached ONCE as symbol arrays and
+    * never rewritten as a per-round plan. Each round is one mapPartitions
+    * scan that replays the merges learned so far in memory (left-to-right
+    * exhaustive, identical to [[mergePair]]'s regex semantics) and emits
+    * PARTIAL pair counts from a per-partition hash map — the shuffle is
+    * bounded by partitions × pair vocabulary, never corpus rows — followed
+    * by a 1-row TakeOrdered argmax. The per-round driver collect is exactly
+    * that one row. To keep the in-memory replay from growing quadratically
+    * in rounds, the merged corpus is folded back into the cache every
+    * [[BpeRematerializeEvery]] rounds, bounding replay depth per scan while
+    * keeping corpus materializations O(rounds / 32).
     */
   def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var txt = docs
-      .select(concat_ws(" ", tokens(col(textCol))).as("txt"))
-      .where(col("txt") =!= "")
-      .localCheckpoint(true)
+    def cache(ds: org.apache.spark.sql.Dataset[Seq[String]]) =
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var base = cache(docs
+      .select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .as[Seq[String]])
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    val pending = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var k = 1
     var exhausted = false
-    while (k <= rounds && !exhausted) {
-      val tk = split(col("txt"), " ")
-      val pairs = txt.where(size(tk) >= 2).select(explode(
-        zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("pair"))
-      val top = pairs.groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val pair = top(0).getString(0)
-        merges += ((k, pair, top(0).getLong(1)))
-        txt = txt.select(mergePair(col("txt"), pair).as("txt"))
-          .localCheckpoint(true)
-        k += 1
+    try {
+      while (k <= rounds && !exhausted) {
+        val bc = spark.sparkContext.broadcast(pending.toArray)
+        val counts = base.mapPartitions { it =>
+          val ms = bc.value
+          val acc = new java.util.HashMap[String, Long]()
+          it.foreach { ts =>
+            val arr = applyMergesInOrder(ts.toArray, ms)
+            var i = 0
+            while (i + 1 < arr.length) {
+              acc.merge(arr(i) + " " + arr(i + 1), 1L, (a, b) => a + b)
+              i += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+        }.toDF("pair", "n").groupBy("pair").agg(sum("n").as("n"))
+        val top = counts.orderBy(col("n").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val pair = top(0).getString(0)
+          merges += ((k, pair, top(0).getLong(1)))
+          val Array(a, b) = pair.split(" ", 2)
+          pending += ((a, b))
+          if (pending.length >= BpeRematerializeEvery) {
+            val bcm = spark.sparkContext.broadcast(pending.toArray)
+            val next = cache(base.mapPartitions { it =>
+              val ms = bcm.value
+              it.map(ts => applyMergesInOrder(ts.toArray, ms).toSeq)
+            })
+            next.count()
+            base.unpersist()
+            base = next
+            pending.clear()
+          }
+          k += 1
+        }
       }
-    }
+    } finally base.unpersist()
     merges.toSeq.toDF("round", "pair", "n_pairs")
   }
 
-  /** Apply the learned merge table to encode every document — the
-    * tokenizer-APPLICATION face that follows [[bpeMerges]]' training face:
-    * per-document token budgets after `rounds` merges, the number that
-    * drives sequence packing and training-cost accounting. Returns
-    * (doc_id, n_tokens_raw, n_tokens_bpe).
-    *
-    * Scale shape: the merge table is bounded (`rounds` rows — bpeMerges'
-    * per-round 1-row argmax), so the driver-side collect is O(rounds), and
-    * applying it is a chain of `rounds` map-side [[mergePair]] regexes over
-    * the corpus — the encode pass itself shuffles nothing; the only
-    * exchanges are bpeMerges' own pair-vocabulary counts.
+  /** Fold the merged corpus back into the cache every this-many rounds of
+    * [[bpeMerges]] — bounds the per-scan in-memory replay depth.
     */
-  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                rounds: Int = 6): DataFrame = {
-    val merges = bpeMerges(docs, textCol, rounds)
-      .orderBy("round").select("pair").collect().map(_.getString(0))
-    val base = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+  private[pipeline] val BpeRematerializeEvery = 32
+
+  /** Replay a merge list in round order over a symbol array, each merge
+    * applied exhaustively left-to-right non-overlapping — byte-for-byte the
+    * semantics of chaining [[mergePair]] regexes, kept in memory so the
+    * corpus is never rewritten as a plan.
+    */
+  private[pipeline] def applyMergesInOrder(
+      toks: Array[String], merges: Array[(String, String)]): Array[String] = {
+    var arr = toks
+    var m = 0
+    while (m < merges.length) {
+      arr = applyOneMerge(arr, merges(m)._1, merges(m)._2)
+      m += 1
+    }
+    arr
+  }
+
+  /** One exhaustive left-to-right non-overlapping merge of adjacent (a, b)
+    * into "a_b". Returns the input array unchanged (no allocation) when the
+    * pair is absent.
+    */
+  private[pipeline] def applyOneMerge(
+      arr: Array[String], a: String, b: String): Array[String] = {
+    var i = 0
+    var found = false
+    while (!found && i + 1 < arr.length) {
+      if (arr(i) == a && arr(i + 1) == b) found = true else i += 1
+    }
+    if (!found) return arr
+    val out = new scala.collection.mutable.ArrayBuffer[String](arr.length - 1)
+    i = 0
+    while (i < arr.length) {
+      if (i + 1 < arr.length && arr(i) == a && arr(i + 1) == b) {
+        out += a + "_" + b; i += 2
+      } else { out += arr(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode every document against a PRECOMPUTED merge table (the output of
+    * [[bpeMerges]], or any table trained the same way): per-document token
+    * budgets after all merges. Returns (doc_id, n_tokens_raw, n_tokens_bpe).
+    *
+    * Scale shape: the merge table is collected (rounds rows — tiny even at
+    * a 32k production vocabulary), broadcast as a rank table, and applied in
+    * ONE map-side pass per document with the standard tokenizer pair-merge
+    * loop (GPT-2 `bpe()`): repeatedly find the lowest-rank adjacent pair
+    * present and merge all its left-to-right occurrences, until no adjacent
+    * pair is in the table. Plan depth and job count are independent of the
+    * merge count — no per-round regexp chain, no corpus-wide rewrites — and
+    * the encode pass shuffles nothing.
+    *
+    * Equivalence to round-order exhaustive application (the SQL-replayable
+    * oracle face) holds for any TRAINED table: a merge can only create
+    * pairs involving its own output symbol, which did not exist when any
+    * lower-round pair was learned, so lower-rank occurrences are never
+    * created by higher-rank merges and min-rank-first == round order.
+    */
+  def bpeEncodeWith(docs: DataFrame, idCol: String, textCol: String,
+                    merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table: Array[(String, String)] = merges.orderBy("round")
+      .select("pair").as[String].collect()
+      .map { p => val Array(a, b) = p.split(" ", 2); (a, b) }
+    val bcTable = spark.sparkContext.broadcast(table)
+    val bcRank = spark.sparkContext.broadcast(
+      table.zipWithIndex.toMap)
+    val encodeLen = udf { toks: Seq[String] =>
+      bpeEncodeTokens(toks.toArray, bcTable.value, bcRank.value).length.toLong
+    }
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens_raw"),
-        concat_ws(" ", col("toks")).as("txt"))
-    val enc = merges.foldLeft(base) { (df, p) =>
-      df.withColumn("txt", mergePair(col("txt"), p))
-    }
-    enc.select(col("doc_id"), col("n_tokens_raw"),
-      size(split(col("txt"), " ")).cast("long").as("n_tokens_bpe"))
+        encodeLen(col("toks")).as("n_tokens_bpe"))
   }
+
+  /** The standard tokenizer encode loop over one document's symbols: find
+    * the minimum-rank adjacent pair present in the broadcast rank table,
+    * merge all its left-to-right occurrences, repeat until no adjacent pair
+    * is ranked. Iteration count is bounded by the number of DISTINCT ranks
+    * that actually fire in this document — independent of the table size.
+    */
+  private[pipeline] def bpeEncodeTokens(
+      toks: Array[String], table: Array[(String, String)],
+      rank: Map[(String, String), Int]): Array[String] = {
+    var arr = toks
+    var done = arr.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i + 1 < arr.length) {
+        val r = rank.getOrElse((arr(i), arr(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = table(best)
+        arr = applyOneMerge(arr, a, b)
+        if (arr.length < 2) done = true
+      }
+    }
+    arr
+  }
+
+  /** Train-then-encode convenience: induce `rounds` merges with
+    * [[bpeMerges]] and apply them with [[bpeEncodeWith]]. Prefer calling
+    * the two faces separately — training is the expensive part and its
+    * output table should be computed once and reused, exactly like a real
+    * tokenizer artifact.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int = 6): DataFrame =
+    bpeEncodeWith(docs, idCol, textCol, bpeMerges(docs, textCol, rounds))
 
   /** One BPE merge over a space-delimited symbol stream: occurrences of
     * `pair` bounded by spaces (or string ends) collapse to the `_`-joined

@@ -781,6 +781,61 @@ class PipelineSpec extends SparkSpec {
     assert(enc1 == Map(0L -> 3L, 1L -> 2L), enc1.toString)
   }
 
+  test("bpe one-pass encode at 200 merges: min-rank loop == round-order " +
+    "replay, plan depth flat in table size, no regexp-chain cost cliff") {
+    import spark.implicits._
+    // deterministic corpus with enough pair structure for 200+ merges:
+    // 80 docs x 60 tokens over a 29-symbol alphabet
+    val d = (0 until 80).map { i =>
+      (i.toLong,
+        (0 until 60).map(j => "w" + ((i * 13 + 7 * j + j * j) % 29)).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val merges = TextAnalysis.bpeMerges(d, "text", rounds = 200)
+    val table = merges.orderBy("round").select("pair").as[String].collect()
+      .map { p => val Array(a, b) = p.split(" ", 2); (a, b) }
+    assert(table.length == 200, s"expected 200 learned merges, got ${table.length}")
+
+    // the one-pass min-rank loop must equal the round-order exhaustive
+    // replay (the SQL-oracle semantics) on every document
+    val rank = table.zipWithIndex.toMap
+    d.select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().foreach { case (id, toks) =>
+        val onePass = TextAnalysis.bpeEncodeTokens(toks.toArray, table, rank)
+        val replay = TextAnalysis.applyMergesInOrder(toks.toArray, table)
+        assert(onePass.toSeq == replay.toSeq, s"doc $id diverged")
+      }
+
+    // the DataFrame face agrees with the driver-side replay
+    val enc = TextAnalysis.bpeEncodeWith(d, "doc_id", "text", merges)
+    val got = enc.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_tokens_bpe")).toMap
+    d.select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().foreach { case (id, toks) =>
+        assert(got(id) == TextAnalysis.applyMergesInOrder(toks.toArray, table).length.toLong)
+      }
+
+    // plan depth is INDEPENDENT of the merge-table size: the 200-merge
+    // encode plan has exactly as many nodes as a 3-merge one (no chained
+    // per-round rewrites in the plan)
+    def planLines(m: org.apache.spark.sql.DataFrame): Int =
+      TextAnalysis.bpeEncodeWith(d, "doc_id", "text", m)
+        .queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines(merges) == planLines(merges.limit(3)),
+      "encode plan depth grew with the merge count")
+
+    // and the cost does not cliff with table size: a 200-merge encode pass
+    // must stay within a generous constant of a 6-merge pass (the old
+    // regexp-chain shape was ~linear in rounds; the one-pass loop is not)
+    def encodeSecs(m: org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      TextAnalysis.bpeEncodeWith(d, "doc_id", "text", m).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t6 = encodeSecs(merges.limit(6)); val t200 = encodeSecs(merges)
+    assert(t200 < t6 * 10 + 2.0, s"encode cost grew with rounds: $t6 -> $t200")
+  }
+
   test("tfidf top-k and chunk windows match scala brute force") {
     val corpus = docs.collect().map(r => r.getLong(0) ->
       r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", " ")
