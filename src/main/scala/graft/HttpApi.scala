@@ -22,6 +22,10 @@ import graft.store.GraphStore
   *
   * Server/workspace routes:
   *  - `GET /health` — health.rs:7 (bare 200)
+  *  - `GET /metrics` — deployed-server Prometheus exposition
+  *    (http-server-deployed/src/endpoints/metrics.rs:8-18), public like
+  *    `/health`; request counter + latency histogram collected by the
+  *    dispatch middleware ([[graft.serve.Metrics]])
   *  - `GET /info` — info.rs:45 (`{"port":…,"version":…}`)
   *  - `GET /events` — events.rs:45 (SSE: one `gkg-connection` event, then
   *    `gkg-event` frames from the [[graft.serve.EventPublisher]] bus, which
@@ -99,6 +103,11 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
   /** Serving-layer event bus + workspace registry (reference: AppState's
     * event_bus + workspace_manager shared across endpoints).
     */
+  /** Prometheus request metrics, served at the public `/metrics` endpoint
+    * [[graft.serve.JwtAuth.PublicEndpoints]] whitelists.
+    */
+  val metrics = new graft.serve.Metrics
+
   val events = new graft.serve.EventPublisher
   // autoWatch: the serving face starts the watch → reindex loop after each
   // successful index, the reference desktop server's behavior
@@ -110,24 +119,32 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
     httpServer = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     httpServer.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
-      val denied = authorize(exchange.getRequestURI.getRawPath,
+      // request-metrics middleware (metrics.rs:18-34): count every request,
+      // time the non-streaming ones by method + raw path
+      metrics.incRequests()
+      val t0 = System.nanoTime()
+      val rawPath = exchange.getRequestURI.getRawPath
+      val denied = authorize(rawPath,
         Option(exchange.getRequestHeaders.getFirst("Authorization")))
-      if (denied.isEmpty && exchange.getRequestURI.getRawPath == "/events")
+      if (denied.isEmpty && rawPath == "/events")
         serveSse(exchange)
       else {
         val (status, body) = denied.getOrElse {
           val reqBody = new String(exchange.getRequestBody.readAllBytes(), "UTF-8")
-          try route(exchange.getRequestMethod, exchange.getRequestURI.getRawPath,
+          try route(exchange.getRequestMethod, rawPath,
             Option(exchange.getRequestURI.getRawQuery).getOrElse(""), reqBody)
           catch { case e: Exception =>
             (500, statusJson(s"internal_error: ${e.getMessage}")) }
         }
         val bytes = body.getBytes("UTF-8")
-        exchange.getResponseHeaders.set("Content-Type", "application/json")
+        exchange.getResponseHeaders.set("Content-Type",
+          if (rawPath == "/metrics") metrics.ContentType else "application/json")
         exchange.sendResponseHeaders(status,
           if (bytes.isEmpty) -1L else bytes.length.toLong)
         if (bytes.nonEmpty) exchange.getResponseBody.write(bytes)
         exchange.close()
+        metrics.observeDuration(exchange.getRequestMethod, rawPath,
+          (System.nanoTime() - t0) / 1e9)
       }
     })
     // without an executor the JDK server dispatches on a single thread;
@@ -200,6 +217,7 @@ final class GraphHttpServer(spark: SparkSession, storeDir: String,
     val params = parseQuery(rawQuery)
     (method, segs) match {
       case ("GET", Seq("health")) => (200, "") // health.rs: bare 200
+      case ("GET", Seq("metrics")) => (200, metrics.render) // metrics.rs:8-18
       case ("GET", Seq("info")) =>
         (200, JsonMethods.compact(JsonMethods.render(JObject(
           "port" -> JInt(boundPort), "version" -> JString(Version)))))

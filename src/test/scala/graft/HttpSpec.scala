@@ -124,6 +124,53 @@ class HttpSpec extends SparkSpec {
     assert((j \ "version").extract[String].nonEmpty)
   }
 
+  test("metrics: Prometheus text format, counters advance across requests") {
+    // mirrors the reference's metrics_route_returns_prometheus_format
+    // (http-server-deployed/src/endpoints/metrics.rs:20-45)
+    def getMetrics(): (Int, String, String) = {
+      val url = java.net.URI.create(s"http://127.0.0.1:$port/metrics").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      val status = conn.getResponseCode
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      val ct = conn.getHeaderField("Content-Type")
+      conn.disconnect()
+      (status, ct, body)
+    }
+    def total(body: String): Long = body.linesIterator
+      .find(_.startsWith("graft_http_requests_total "))
+      .map(_.split(" ").last.toLong).getOrElse(-1L)
+
+    val (st1, ct1, b1) = getMetrics()
+    assert(st1 == 200)
+    assert(ct1 == "text/plain; version=0.0.4", s"content type: $ct1")
+    assert(b1.contains("# HELP graft_http_requests_total"))
+    assert(b1.contains("# TYPE graft_http_requests_total counter"))
+    assert(b1.contains("# TYPE graft_http_request_duration_seconds histogram"))
+    val t1 = total(b1)
+    assert(t1 >= 1, b1)
+
+    // drive a measured request, then re-scrape: the counter advanced and
+    // the histogram carries the labeled route with a consistent
+    // bucket/sum/count block
+    assert(send("GET", "/health", "")._1 == 200)
+    val (_, _, b2) = getMetrics()
+    assert(total(b2) >= t1 + 2, s"counter did not advance: $t1 -> ${total(b2)}")
+    assert(b2.contains(
+      """graft_http_request_duration_seconds_count{method="GET",path="/health"}"""))
+    assert(b2.contains(
+      """graft_http_request_duration_seconds_bucket{method="GET",path="/health",le="+Inf"}"""))
+    // +Inf bucket equals the count for every labeled series
+    val infs = b2.linesIterator.filter(_.contains("""le="+Inf"""")).toSeq
+    infs.foreach { line =>
+      val labels = line.substring(line.indexOf("{") + 1, line.indexOf(",le="))
+      val cnt = b2.linesIterator
+        .find(_.startsWith(s"graft_http_request_duration_seconds_count{$labels}"))
+        .map(_.split(" ").last.toLong)
+      assert(cnt.contains(line.split(" ").last.toLong), line)
+    }
+  }
+
   test("workspace lifecycle over the wire: index -> events -> list -> delete") {
     // a workspace folder containing one git project
     val ws = Files.createTempDirectory("graft-ws")
@@ -226,8 +273,9 @@ class HttpSpec extends SparkSpec {
       (status, text)
     }
     try {
-      // health stays public (endpoints.rs:10)
+      // health and metrics stay public (endpoints.rs:10)
       assert(getAuth("/health", None)._1 == 200)
+      assert(getAuth("/metrics", None)._1 == 200)
       // protected endpoints: 401 without auth, with the {"error": …} shape
       val (s401, b401) = getAuth("/graph/stats/ws/proj", None)
       assert(s401 == 401)
