@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Column/rule names are spliced into a generated `stack(...)` SQL
+    * string (as a quoted literal AND a backticked identifier), so escape
+    * both quote kinds — a name containing `'` or a backtick must not
+    * break parsing or alter the generated SQL.
+    */
+  private def sqlLit(name: String): String =
+    "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def sqlIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** One (column, n_rows, n_nulls, n_distinct, min_val, max_val) row per
     * profiled column, ordered by column name. `cols` defaults to every
     * column of `df`. n_distinct counts non-null distinct values.
@@ -38,20 +48,26 @@ object Profile {
   def table(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "no columns to profile")
+    // col() PARSES attribute names (dots nest, lone backticks are a syntax
+    // error) — reference profiled columns through the escaped-identifier
+    // form so any legal DataFrame column name profiles cleanly
+    def c0(c: String) = col(sqlIdent(c))
     val countAggs = names.flatMap { c =>
       Seq(
         count(lit(1)).as(s"__rows_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        count_distinct(col(c)).as(s"__dist_$c"))
+        sum(when(c0(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(c0(c)).as(s"__dist_$c"))
     }
     val mmAggs = names.flatMap { c =>
-      Seq(min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
+      Seq(min(c0(c)).cast("string").as(s"__min_$c"),
+        max(c0(c)).cast("string").as(s"__max_$c"))
     }
     val wide = df.agg(countAggs.head, countAggs.tail: _*)
       .crossJoin(df.agg(mmAggs.head, mmAggs.tail: _*))
     val stackArgs = names.map(c =>
-      s"'$c', `__rows_$c`, `__nulls_$c`, `__dist_$c`, `__min_$c`, `__max_$c`"
+      s"${sqlLit(c)}, ${sqlIdent(s"__rows_$c")}, ${sqlIdent(s"__nulls_$c")}, " +
+        s"${sqlIdent(s"__dist_$c")}, ${sqlIdent(s"__min_$c")}, " +
+        sqlIdent(s"__max_$c")
     ).mkString(", ")
     wide.select(expr(
         s"stack(${names.length}, $stackArgs) AS " +
@@ -77,7 +93,8 @@ object Profile {
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.map { case (name, _) =>
-      s"'$name', `__n`, `__v_$name`, `__v_$name` = 0"
+      val v = sqlIdent(s"__v_$name")
+      s"${sqlLit(name)}, `__n`, $v, $v = 0"
     }.mkString(", ")
     wide.select(expr(
         s"stack(${rules.length}, $stackArgs) AS " +

@@ -893,6 +893,9 @@ object Dedup {
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: cosine undefined (NaN sorts high)
+    require((bits > 0) == (tables > 0),
+      s"bits and tables must be overridden together (got bits=$bits, " +
+        s"tables=$tables); leave both 0 to auto-plan")
     val (useBits, useTables) =
       if (bits > 0 && tables > 0) (bits, tables)
       else Similarity.lshPlanFor(v.count(), threshold)

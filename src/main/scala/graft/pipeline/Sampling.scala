@@ -62,8 +62,10 @@ object Sampling {
     */
   def weightedTopK(df: DataFrame, idCol: Column, weightCol: Column,
                    k: Int): DataFrame = {
+    // (P + 1) derived from the fold modulus so u stays in (0, 1] if
+    // HashMod ever changes — single source of truth
     val key = -log((idHash(idCol) + 1).cast("double") /
-      lit(1000000008.0)) / weightCol
+      lit((graft.functions.TextFunctions.HashMod + 1).toDouble)) / weightCol
     df.withColumn("__wk", key)
       .orderBy(col("__wk"), idCol)
       .limit(k)

@@ -260,6 +260,9 @@ object Similarity {
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0) // zero vectors: NaN cosine would rank first
+    require((bits > 0) == (tables > 0),
+      s"bits and tables must be overridden together (got bits=$bits, " +
+        s"tables=$tables); leave both 0 to auto-plan")
     val (useBits, useTables) =
       if (bits > 0 && tables > 0) (bits, tables)
       else lshPlanFor(v.count(), planThreshold)

@@ -31,7 +31,7 @@ import graft.pipeline.Similarity
 final class AnnIndexStore(val dir: String, spark: SparkSession) {
 
   def centroids: DataFrame = spark.read.parquet(s"$dir/centroids")
-  def cells: DataFrame = spark.read.parquet(s"$dir/cells")
+  def cells: DataFrame = StoreCompaction.read(spark, s"$dir/cells")
 
   /** (nlist, lloydIters) the index was built with. */
   def params: (Int, Int) = {

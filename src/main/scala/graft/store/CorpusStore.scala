@@ -70,6 +70,16 @@ object CorpusStore {
     * [[StoreCompaction]] discipline). Returns the merged manifest.
     * [[graft.stream.StreamingPublish]] is the continuous face. After many
     * admissions, [[compact]] re-clusters shard files.
+    *
+    * Crash contract: the docs append and the manifest merge are two steps,
+    * not one transaction. A crash between them leaves the batch's rows in
+    * the shards but not in the manifest — [[validate]] flags the
+    * divergence, and [[repair]] rebuilds the manifest from a full recount
+    * of the stored shards. Do NOT blindly replay the batch after a crash:
+    * the rows are already stored, and a re-append would double them while
+    * the census merges once. Replay-safe ingestion should dedup the batch
+    * against stored ids first (the [[DedupIndexStore]] exact face) or gate
+    * on validate() == 0 before admitting.
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
              idCol: String, textCol: String): DataFrame = {
@@ -98,20 +108,30 @@ object CorpusStore {
       _.repartition(col("shard")).sortWithinPartitions(col(idCol)))
 
   def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/docs")
+    StoreCompaction.read(spark, s"$dir/docs")
 
   def manifest(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/manifest")
+    StoreCompaction.read(spark, s"$dir/manifest")
+
+  /** Rebuild the manifest from a full recount of the stored shards — the
+    * recovery path for a half-applied admission ([[append]]'s crash
+    * contract): after a crash between the docs append and the manifest
+    * merge, [[validate]] reports divergence and this restores agreement
+    * from the data, which is the source of truth. A full shard scan — the
+    * exceptional path, never the steady-state admission cost.
+    */
+  def repair(spark: SparkSession, dir: String, textCol: String): DataFrame = {
+    StoreCompaction.swapIn(spark, s"$dir/manifest",
+      census(docs(spark, dir), textCol).coalesce(1))
+    manifest(spark, dir)
+  }
 
   /** Recompute the per-shard census from the stored data and compare with
     * the manifest; returns the number of divergent shards (0 = intact).
     */
   def validate(spark: SparkSession, dir: String, idCol: String,
                textCol: String): Long = {
-    val fromData = docs(spark, dir).groupBy("shard").agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(split(trim(col(textCol)), "\\s+"))
-        .cast("long")).as("n_tokens"))
+    val fromData = census(docs(spark, dir), textCol)
     fromData.alias("d").join(manifest(spark, dir).alias("m"),
         Seq("shard"), "full_outer")
       .where(col("d.n_docs").isNull || col("m.n_docs").isNull ||

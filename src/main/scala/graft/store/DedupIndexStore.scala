@@ -37,8 +37,8 @@ import graft.functions.TextFunctions._
   */
 final class DedupIndexStore(val dir: String, spark: SparkSession) {
 
-  def bands: DataFrame = spark.read.parquet(s"$dir/bands")
-  def shingles: DataFrame = spark.read.parquet(s"$dir/shingles")
+  def bands: DataFrame = StoreCompaction.read(spark, s"$dir/bands")
+  def shingles: DataFrame = StoreCompaction.read(spark, s"$dir/shingles")
 
   /** (n, numHashes, bands) the index was built with. */
   def params: (Int, Int, Int) = {
@@ -99,8 +99,16 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
   */
 private[store] object StoreCompaction {
   /** Write `df` (which may lazily READ from `path`) to a sibling temp dir,
-    * then atomically swap it over `path` (delete + rename on the same
-    * filesystem) — a crash before the rename leaves the live table intact.
+    * then swap it over `path` with a two-rename shuffle:
+    * live → `path__old`, tmp → `path`, delete `path__old`. The window in
+    * which `path` does not exist is a single rename (vs the naive
+    * delete-then-rename, whose window spans the whole delete), a crash at
+    * ANY point leaves the previous data recoverable (under `path`,
+    * `path__old`, or `__compacting` — [[resolve]] falls back in that
+    * order), and a reader that raced into the rename window recovers by
+    * re-resolving. On HDFS/POSIX each rename is atomic; on object stores
+    * rename is copy+delete and a fronting commit protocol is expected —
+    * same caveat as every rename-based committer.
     */
   def swapIn(spark: SparkSession, path: String, df: DataFrame,
              partitionCol: Option[String] = None): Unit = {
@@ -109,22 +117,47 @@ private[store] object StoreCompaction {
     partitionCol.fold(w)(w.partitionBy(_)).parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val hOld = new org.apache.hadoop.fs.Path(path + "__old")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
+    fs.delete(hOld, true) // stale leftover from an earlier crash
+    if (fs.exists(hPath))
+      require(fs.rename(hPath, hOld), s"store swap rename failed: $path -> $hOld")
     require(fs.rename(hTmp, hPath), s"store swap rename failed: $tmp -> $path")
+    fs.delete(hOld, true)
   }
+
+  /** Crash-recovery read resolution: the live `path` if present, else the
+    * displaced `path__old` (crash between swapIn's two renames), else the
+    * completed-but-unswapped `__compacting` temp (crash after write,
+    * before any rename). Lets a store survive any swapIn crash point
+    * without manual recovery.
+    */
+  def resolve(spark: SparkSession, path: String): String = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) path
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+      path + "__old"
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path + "__compacting")))
+      path + "__compacting"
+    else path // let the reader raise the normal path-not-found
+  }
+
+  /** Read a store table with [[resolve]] crash-recovery fallback. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(resolve(spark, path))
 
   /** Rewrite the parquet table at `path` through `cluster`, swap in. */
   def rewrite(spark: SparkSession, path: String)(
       cluster: DataFrame => DataFrame): Unit =
-    swapIn(spark, path, cluster(spark.read.parquet(path)))
+    swapIn(spark, path, cluster(read(spark, path)))
 
   /** Variant preserving a partitionBy layout (AnnIndexStore cells,
     * CorpusStore shards).
     */
   def rewritePartitioned(spark: SparkSession, path: String, partCol: String)(
       cluster: DataFrame => DataFrame): Unit =
-    swapIn(spark, path, cluster(spark.read.parquet(path)), Some(partCol))
+    swapIn(spark, path, cluster(read(spark, path)), Some(partCol))
 }
 
 object DedupIndexStore {

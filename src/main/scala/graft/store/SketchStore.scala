@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 final class SketchStore(val dir: String, spark: SparkSession) {
 
-  def sketches: DataFrame = spark.read.parquet(s"$dir/sketches")
+  def sketches: DataFrame = StoreCompaction.read(spark, s"$dir/sketches")
 
   def params: (String, String, Int) = {
     val m = spark.read.parquet(s"$dir/meta").head()

@@ -53,6 +53,21 @@ class OperatorsSpec extends SparkSpec {
       Profile.expect(df, Seq("a" -> lit(true), "a" -> lit(false))))
   }
 
+  test("Profile: hostile column and rule names (quotes, backticks) are escaped") {
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("it's", "back`tick")
+    val got = Profile.table(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("it's" -> 2L, "back`tick" -> 2L), got.toString)
+    // caller-side: a lone backtick needs the escaped-identifier form
+    // (col() parses attribute names); Profile does this internally
+    val exp = Profile.expect(df, Seq(
+        "rule'with\"quotes" -> col("`it's`").isNotNull,
+        "rule`tick" -> (col("`back``tick`") =!= "")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(exp == Map("rule'with\"quotes" -> true, "rule`tick" -> true))
+  }
+
   test("ZOrder: hand-checked interleave; clustered boxes prune on the non-leading dim") {
     // bit-level hand check: x=2 (0b10), y=1 (0b01), d=2, bits=2 —
     // x bit1 -> pos 2, y bit0 -> pos 1: z = 0b110 = 6

@@ -189,6 +189,13 @@ class PipelineSpec extends SparkSpec {
       bits = 2, tables = 8)
       .where(col("query_id") === 0).collect()
     assert(lsh.headOption.map(_.getAs[Long]("neighbor_id")).contains(1L))
+    // a half-specified (bits, tables) override is an error, not a silent
+    // fall-through to the auto-planner
+    intercept[IllegalArgumentException](
+      Similarity.annLsh(vecs, "vec_id", "embedding", dim = 3, k = 1, bits = 6))
+    intercept[IllegalArgumentException](
+      graft.pipeline.Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+        tables = 4))
   }
 
   test("ivf ann recalls the brute-force top-1 on real embeddings") {

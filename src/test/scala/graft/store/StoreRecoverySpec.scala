@@ -1,0 +1,72 @@
+package graft.store
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Crash-recovery contract of the persisted stores: the two-rename swap
+  * keeps data readable at every crash point, and a half-applied corpus
+  * admission is detectable (validate) and repairable (repair).
+  */
+class StoreRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs =
+    new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("swapIn survives a crash between its two renames: read falls back " +
+    "to path__old, the next swap heals") {
+    val dir = Files.createTempDirectory("graft-swap").toString
+    val path = s"$dir/t"
+    Seq(1, 2, 3).toDF("v").write.parquet(path)
+    StoreCompaction.swapIn(spark, path, Seq(4, 5).toDF("v"))
+    assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
+      .toSeq == Seq(4, 5))
+    // simulate the crash window: live displaced to __old, tmp never renamed
+    assert(fs.rename(new Path(path), new Path(path + "__old")))
+    assert(StoreCompaction.resolve(spark, path) == path + "__old")
+    assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
+      .toSeq == Seq(4, 5))
+    // the next swap starts from the recovered data and heals the layout
+    StoreCompaction.rewrite(spark, path)(_.where(col("v") > 4))
+    assert(StoreCompaction.resolve(spark, path) == path)
+    assert(StoreCompaction.read(spark, path).as[Int].collect().toSeq == Seq(5))
+    assert(!fs.exists(new Path(path + "__old")))
+  }
+
+  test("swapIn crash before any rename: read falls back to __compacting") {
+    val dir = Files.createTempDirectory("graft-swap2").toString
+    val path = s"$dir/t"
+    // a completed write that never got swapped (crash after write): only
+    // the temp dir exists
+    Seq(7, 8).toDF("v").write.parquet(path + "__compacting")
+    assert(StoreCompaction.resolve(spark, path) == path + "__compacting")
+    assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
+      .toSeq == Seq(7, 8))
+  }
+
+  test("corpus half-applied admission: validate flags it, repair rebuilds " +
+    "the manifest from the shards") {
+    val dir = Files.createTempDirectory("graft-corpus-repair").toString
+    val docs = (0L until 40L).map(i => (i, s"doc $i body words")).toDF("doc_id", "text")
+    CorpusStore.write(spark, dir, docs, "doc_id", "text", nShards = 4)
+    assert(CorpusStore.validate(spark, dir, "doc_id", "text") == 0L)
+
+    // simulate append's crash window: the batch's rows land in the shards
+    // but the manifest merge never runs
+    val batch = (40L until 55L).map(i => (i, s"late doc $i")).toDF("doc_id", "text")
+    val shard = (graft.functions.TextFunctions.charFold(col("doc_id")
+      .cast("string")) % 4).cast("int")
+    batch.withColumn("shard", shard)
+      .repartition(col("shard")).sortWithinPartitions(col("doc_id"))
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/docs")
+    assert(CorpusStore.validate(spark, dir, "doc_id", "text") > 0L,
+      "half-applied admission must be detected")
+
+    // repair: the data is the source of truth
+    val repaired = CorpusStore.repair(spark, dir, "text")
+    assert(CorpusStore.validate(spark, dir, "doc_id", "text") == 0L)
+    assert(repaired.agg(sum("n_docs")).head().getLong(0) == 55L)
+  }
+}
