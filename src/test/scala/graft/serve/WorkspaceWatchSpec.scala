@@ -50,4 +50,58 @@ class WorkspaceWatchSpec extends SparkSpec {
       assert(names.contains("second"), s"store not reindexed: $names")
     } finally mgr.shutdown()
   }
+
+  test("concurrent index requests on one workspace serialize: event pairs " +
+    "never interleave, the store stays consistent") {
+    // the reference serializes per-project indexing through its queue
+    // worker (queue/worker.rs); the Spark side uses a single-threaded job
+    // dispatcher — prove the *observable* contract: N racing requests
+    // produce N strictly consecutive Started/Completed pairs on the bus
+    val ws = Files.createTempDirectory("graft-race")
+    val proj = ws.resolve("svc")
+    Files.createDirectories(proj.resolve(".git"))
+    Files.writeString(proj.resolve("m.py"), "def races():\n    return 1\n")
+
+    val bus = new EventPublisher
+    val (_, events) = bus.subscribe()
+    val mgr = new WorkspaceManager(spark,
+      Files.createTempDirectory("graft-race-data").toString, bus)
+    val state = mgr.getOrRegister(ws.toString).getOrElse(fail("register failed"))
+    try {
+      val n = 4
+      // racing dispatchers, the same call the POST /workspace/index
+      // handler makes from the HTTP pool threads
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      (1 to n).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = { gate.await(); mgr.dispatchIndex(state) }
+        })
+      }
+      gate.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+
+      // collect 2n lifecycle events (generous deadline under parallel suites)
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      val deadline = System.currentTimeMillis() + 240000
+      while (seen.length < 2 * n && System.currentTimeMillis() < deadline) {
+        val e = events.poll(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (e != null) {
+          if (e.contains("\"WorkspaceIndexingFailed\"")) fail(s"job failed: $e")
+          if (e.contains("\"WorkspaceIndexingStarted\"")) seen += "S"
+          if (e.contains("\"WorkspaceIndexingCompleted\"")) seen += "C"
+        }
+      }
+      // strict serialization: every Started is followed by its own
+      // Completed before the next job's Started appears
+      assert(seen.toSeq == Seq.fill(n)(Seq("S", "C")).flatten,
+        s"interleaved lifecycle: ${seen.mkString(",")}")
+      assert(state.status == "Indexed")
+      assert(state.projects.forall(_.status == "Indexed"))
+      val store = graft.store.GraphStore.read(spark,
+        mgr.storeDirFor(state, state.projects.head))
+      assert(store.definitions.where(col("name") === "races").count() == 1)
+    } finally mgr.shutdown()
+  }
 }

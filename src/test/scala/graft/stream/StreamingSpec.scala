@@ -188,6 +188,69 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 4), (3L, 3), (5L, 4)))
   }
 
+  test("streaming expectations: clean batches admitted, failing batches " +
+    "quarantined whole, verdicts equal the batch expect, events published") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val quarantine = java.nio.file.Files
+      .createTempDirectory("graft-quarantine").toString + "/q"
+    val rules = Seq(
+      "id_nonnull" -> col("doc_id").isNotNull,
+      "text_nonempty" -> (length(col("text")) > 0))
+    val admitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val verdicts = scala.collection.mutable.ArrayBuffer[
+      graft.stream.StreamingExpect.BatchVerdict]()
+    val bus = new graft.serve.EventPublisher
+    val (_, busQueue) = bus.subscribe()
+
+    val input = MemoryStream[(java.lang.Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.stream.StreamingExpect.writer(docs, rules,
+        admit = b => admitted.synchronized {
+          admitted ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        },
+        quarantineDir = quarantine, bus = Some(bus),
+        onVerdict = v => verdicts.synchronized { verdicts += v })
+      .start()
+    try {
+      val clean = Seq[(java.lang.Long, String)](
+        (1L, "alpha"), (2L, "beta"))
+      val dirty = Seq[(java.lang.Long, String)](
+        (3L, "gamma"), (null, "delta"), (4L, ""))
+      input.addData(clean: _*); q.processAllAvailable()
+      input.addData(dirty: _*); q.processAllAvailable()
+
+      // the streamed verdicts equal the batch expect on the same data
+      for ((data, verdict) <- Seq(clean, dirty).zip(verdicts.sortBy(_.batchId))) {
+        val batchDf = data.toDF("doc_id", "text")
+        val batchRows = graft.operators.Profile.expect(batchDf, rules)
+          .collect()
+        val expectFailing = batchRows.filter(!_.getAs[Boolean]("pass"))
+          .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+          .toMap
+        assert(verdict.nRows == data.size.toLong)
+        assert(verdict.violations == expectFailing,
+          s"batch ${verdict.batchId}: ${verdict.violations} vs $expectFailing")
+        assert(verdict.passed == expectFailing.isEmpty)
+      }
+
+      // the clean batch was admitted, the dirty one was NOT
+      assert(admitted.sorted.toSeq == Seq((1L, "alpha"), (2L, "beta")))
+      // the dirty batch landed whole in quarantine with its batch id
+      val quarantined = spark.read.parquet(quarantine)
+      assert(quarantined.count() == 3)
+      assert(quarantined.select("__batch_id").distinct().count() == 1)
+
+      // the event bus saw one pass and one quarantine, with the rule detail
+      val events = Iterator.continually(busQueue.poll()).takeWhile(_ != null).toSeq
+      assert(events.exists(e => e.contains("\"ExpectationsPassed\"")))
+      val quarEvent = events.find(_.contains("\"BatchQuarantined\""))
+      assert(quarEvent.isDefined, events.mkString("\n"))
+      assert(quarEvent.get.contains("\"id_nonnull\":1"), quarEvent.get)
+      assert(quarEvent.get.contains("\"text_nonempty\":1"), quarEvent.get)
+    } finally q.stop()
+  }
+
   test("streaming corpus filter: dedup + repetition verdict in one query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
