@@ -41,6 +41,26 @@ class StoreScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("bucketed store stays exchange-free at sf1 (14M-edge graph)") {
+    // the sf1 witness of the fixture-scale property above: regenerate the
+    // data with `runMain graft.tools.ScaleUp` if absent (bench-data/ is
+    // not tracked). Round8Probe's bucketed mode measured the same layout:
+    // 0 exchanges, and the bucketed-from-disk join beating the cached
+    // store's shuffling join 3.8 s vs 7.2 s.
+    val sf1 = "/root/repo/bench-data/sf1"
+    assume(new java.io.File(s"$sf1/lineitem.parquet").isDirectory,
+      "sf1 bench data not generated")
+    val big = graft.SparkEntry.storeFor(spark, sf1)
+    GraphStore.writeBucketed(spark, big, "graft_sf1_db", buckets = 32)
+    val b = GraphStore.readBucketed(spark, "graft_sf1_db")
+    val joined = b.edges.join(
+      b.definitions.withColumnRenamed("id", "source_id"), "source_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sf1 bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("dynamic partition overwrite rewrites only changed file buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpo").toString
     val nBuckets = 16
