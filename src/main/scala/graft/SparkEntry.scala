@@ -1327,6 +1327,53 @@ object SparkEntry {
         .orderBy("n_new_edges")
     }
 
+    // ---- graph: PERSISTED incremental-triangle store — the admission-time
+    //      face of the delta (census paid once at build, maintained exactly
+    //      per admission; no O(m) seen-side materialization per batch).
+    //      DEF_TO_DEF subgraph keeps the in-gate census bench-bounded. The
+    //      oracle recomputes both censuses; replay_ok additionally audits
+    //      in-query that re-admitting the same batch is a no-op and the
+    //      maintained count survives a recount (store.validate).
+    q("g_tri_store", P +
+      s""", tgs AS (SELECT 3 * 4294967296 + e.source_id AS a,
+                     3 * 4294967296 + e.target_id AS b,
+                     (e.source_id + e.target_id) % 4 AS spl
+              FROM g_edges e WHERE e.kind = 'DEF_TO_DEF'),
+      undAll AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                 FROM tgs WHERE a <> b),
+      undSeen AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                  FROM tgs WHERE a <> b AND spl <> 0),
+      tAll AS (SELECT count(*) AS c FROM undAll e1
+               JOIN undAll e2 ON e2.u = e1.v
+               JOIN undAll e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tSeen AS (SELECT count(*) AS c FROM undSeen e1
+                JOIN undSeen e2 ON e2.u = e1.v
+                JOIN undSeen e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT CAST((SELECT count(*) FROM undAll) -
+                  (SELECT count(*) FROM undSeen) AS BIGINT) AS n_new_edges,
+             CAST(tAll.c - tSeen.c AS BIGINT) AS n_delta_triangles,
+             CAST(tAll.c AS BIGINT) AS n_total_triangles,
+             true AS replay_ok
+      FROM tAll, tSeen ORDER BY n_new_edges""") { (s, d) =>
+      import s.implicits._
+      val e = storeFor(s, d).edges.where(col("kind") === "DEF_TO_DEF")
+      val spl = (col("source_id") + col("target_id")) % 4
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tristore_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.TriangleStore.build(s, base, e.where(spl =!= 0))
+      val (nNew, delta) = st.admit(e.where(spl === 0))
+      val (_, total) = st.stats
+      val (nNew2, delta2) = st.admit(e.where(spl === 0)) // crash-replay twin
+      Seq((nNew, delta, total,
+          nNew2 == 0L && delta2 == 0L && st.validate()))
+        .toDF("n_new_edges", "n_delta_triangles", "n_total_triangles",
+          "replay_ok")
+        .orderBy("n_new_edges")
+    }
+
     q("g_triangles", P +
       s""", $kmTagSql,
       tgv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,

@@ -1,0 +1,112 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental-triangle store — the admission-time pattern
+  * ([[DedupIndexStore]], [[AnnIndexStore]], [[SketchStore]],
+  * [[CorpusStore]]) applied to the triangle census: the canonical
+  * undirected edge set lives as parquet clustered by endpoint, the exact
+  * triangle total lives as a 1-row meta table, and admitting a batch of
+  * edges costs the MARGINAL [[graft.graph.GraphOps.triangleDeltaCanonical]]
+  * wedge join (∝ Σ min-degree over truly-new edges) plus a batch-sized
+  * append — never a recount, and never the O(m) canonicalize+checkpoint
+  * floor the one-shot `triangleDelta` face pays to materialize its seen
+  * side (measured ~20 s of the sf1 delta, SCALE.md round-8: that floor is
+  * exactly what this store amortizes into the build).
+  *
+  * Layout under `dir`:
+  *   - `edges/` (u, v): canonical (u < v, distinct, loop-free)
+  *     packed-vertex edges, repartitioned by `u` at build/compact so the
+  *     delta's wedge probe starts from endpoint-clustered files;
+  *   - `meta/` one row (n_edges, n_triangles): the exact census, paid once
+  *     at build and maintained exactly by every admission.
+  *
+  * Idempotent re-admission: already-stored edges are anti-joined away
+  * inside the delta core, so replaying a batch admits 0 edges and adds 0
+  * triangles — the crash-replay story. The edges append and the meta swap
+  * are two steps (same contract as [[CorpusStore.append]]): a crash
+  * between them leaves the count behind the edges; [[validate]] detects
+  * it and [[repair]] re-censuses from the stored edges (the data is the
+  * source of truth).
+  */
+final class TriangleStore(val dir: String, spark: SparkSession) {
+
+  /** The stored canonical undirected edge set. */
+  def edges: DataFrame = StoreCompaction.read(spark, s"$dir/edges")
+
+  /** (n_edges, n_triangles) — the maintained exact census. */
+  def stats: (Long, Long) = {
+    val m = StoreCompaction.read(spark, s"$dir/meta").head()
+    (m.getAs[Long]("n_edges"), m.getAs[Long]("n_triangles"))
+  }
+
+  /** Admit a batch of kind-tagged edges: compute the exact triangle delta
+    * against the stored graph, append the truly-new canonical edges, and
+    * update the census. Returns (truly-new edges, triangle delta).
+    */
+  def admit(newEdges: DataFrame): (Long, Long) = {
+    val stored = edges.localCheckpoint(true) // two consumers: delta + meta guard
+    val (trulyNew, delta) = graft.graph.GraphOps.triangleDeltaCanonical(
+      graft.graph.GraphOps.canonicalUndirected(newEdges), stored)
+    val nNew = trulyNew.count()
+    if (nNew > 0) {
+      trulyNew.repartition(col("u"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/edges")
+      val (e0, t0) = stats
+      import spark.implicits._
+      StoreCompaction.swapIn(spark, s"$dir/meta",
+        Seq((e0 + nNew, t0 + delta)).toDF("n_edges", "n_triangles"))
+    }
+    (nNew, delta)
+  }
+
+  /** Recount from the stored edges and compare with the maintained census;
+    * true = intact.
+    */
+  def validate(): Boolean = {
+    val (e, t) = stats
+    edges.count() == e &&
+      graft.graph.GraphOps.enumerateTriangles(
+        edges.localCheckpoint(true)).count() == t
+  }
+
+  /** Rebuild the census from the stored edges — recovery for a
+    * half-applied admission (crash between the edges append and the meta
+    * swap). Full-census cost; the exceptional path.
+    */
+  def repair(): Unit = {
+    import spark.implicits._
+    val stored = edges.localCheckpoint(true)
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((stored.count(),
+        graft.graph.GraphOps.enumerateTriangles(stored).count()))
+        .toDF("n_edges", "n_triangles"))
+  }
+
+  /** Re-cluster accumulated appends by endpoint (each admission lands its
+    * own file set; after many the wedge probe's scan opens ~N small files
+    * per cluster). Results identical; offline like the other stores.
+    */
+  def compact(): Unit =
+    StoreCompaction.rewrite(spark, s"$dir/edges")(_.repartition(col("u")))
+}
+
+object TriangleStore {
+
+  /** Build (overwrite) the store from a kind-tagged edge table: canonical
+    * edges + the one-time exact census.
+    */
+  def build(spark: SparkSession, dir: String, edges: DataFrame): TriangleStore = {
+    val canon = graft.graph.GraphOps.canonicalUndirected(edges)
+      .localCheckpoint(true)
+    canon.repartition(col("u"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/edges")
+    import spark.implicits._
+    Seq((canon.count(),
+      graft.graph.GraphOps.enumerateTriangles(canon).count()))
+      .toDF("n_edges", "n_triangles")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    new TriangleStore(dir, spark)
+  }
+}
