@@ -34,6 +34,7 @@ object Round8Probe {
       case "hll" => hllCurve(spark, sfDir)
       case "publish" => publishCurve(spark, sfDir)
       case "tridelta" => triDeltaCurve(spark, sfDir)
+      case "tristore" => triStoreCurve(spark, sfDir)
       case "bucketed" => bucketedPlans(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
@@ -142,6 +143,35 @@ object Round8Probe {
       println(s"""{"mode":"tridelta","new_pct":$pct,"n_new_edges":$nNew,""" +
         s""""delta":$delta,"time_s":${f(s)}}""")
     }
+  }
+
+  /** Persisted triangle store at sf1: build once on the seen split, then
+    * time per-batch admissions — the floor-free twin of [[triDeltaCurve]]
+    * (which re-materializes its seen side every call).
+    */
+  private def triStoreCurve(spark: SparkSession, sfDir: String): Unit = {
+    val edges = graft.SparkEntry.storeFor(spark, sfDir).edges
+      .localCheckpoint(true)
+    val spl = abs(hash(col("source_id"), col("target_id"))) % 100
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8_tri").toString
+    val (st, buildS) = timed {
+      graft.store.TriangleStore.build(spark, s"$dir/s", edges.where(spl >= 10))
+    }
+    val (e0, t0) = st.stats
+    println(s"""{"mode":"tristore","face":"build","n_edges":$e0,""" +
+      s""""n_triangles":$t0,"time_s":${f(buildS)}}""")
+    // ten 1%-batches admitted in sequence — steady-state daily ingest
+    for (b <- 0 until 10) {
+      val ((nNew, delta), s) = timed {
+        st.admit(edges.where(spl === b))
+      }
+      println(s"""{"mode":"tristore","batch":$b,"n_new_edges":$nNew,""" +
+        s""""delta":$delta,"time_s":${f(s)}}""")
+    }
+    val (e1, t1) = st.stats
+    println(s"""{"mode":"tristore","face":"final","n_edges":$e1,""" +
+      s""""n_triangles":$t1}""")
+    graft.store.GraphStore.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   /** Bucketed store at sf1: node-edge joins must stay exchange-free on the

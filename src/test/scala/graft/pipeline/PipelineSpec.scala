@@ -822,6 +822,17 @@ class PipelineSpec extends SparkSpec {
         assert(got(id) == TextAnalysis.applyMergesInOrder(toks.toArray, table).length.toLong)
       }
 
+    // the merge table is a real tokenizer ARTIFACT: persisted to parquet,
+    // read back by a different job, encode lands on identical budgets
+    val artDir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-artifact").toString + "/merges"
+    merges.write.parquet(artDir)
+    val viaArtifact = TextAnalysis
+      .bpeEncodeWith(d, "doc_id", "text", spark.read.parquet(artDir))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_tokens_bpe")).toMap
+    assert(viaArtifact == got, "artifact round-trip changed the encoding")
+
     // plan depth is INDEPENDENT of the merge-table size: the 200-merge
     // encode plan has exactly as many nodes as a 3-merge one (no chained
     // per-round rewrites in the plan)
