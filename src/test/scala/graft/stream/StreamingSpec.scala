@@ -251,6 +251,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end streaming ingest: expectations gate -> idempotent " +
+    "corpus admission -> manifest integrity") {
+    // the full admission pipeline a production feed runs: every
+    // micro-batch audited (StreamingExpect), clean batches admitted into
+    // the published corpus via the replay-safe discipline CorpusStore.append
+    // documents (dedup against stored ids first), dirty batches
+    // quarantined — then the store validates end-to-end
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-corpus").toString + "/c"
+    val quarantine = java.nio.file.Files
+      .createTempDirectory("graft-ingest-quar").toString + "/q"
+    // seed corpus: docs 0-9
+    graft.store.CorpusStore.write(spark, corpusDir,
+      (0L until 10L).map(i => (i, s"seed doc $i")).toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 4)
+
+    val rules = Seq("text_nonempty" -> (length(col("text")) > 0))
+    def admit(batch: org.apache.spark.sql.DataFrame): Unit = {
+      // replay-safe: drop rows whose ids are already stored, then append
+      val fresh = batch.join(
+        graft.store.CorpusStore.docs(spark, corpusDir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      if (!fresh.isEmpty)
+        graft.store.CorpusStore.append(spark, corpusDir, fresh,
+          "doc_id", "text")
+      ()
+    }
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.stream.StreamingExpect.writer(
+        input.toDF().toDF("doc_id", "text"), rules, admit, quarantine)
+      .start()
+    try {
+      input.addData((10L, "fresh ten"), (11L, "fresh eleven"))
+      q.processAllAvailable()
+      // crash-replay: the same batch again — admission must be a no-op
+      input.addData((10L, "fresh ten"), (11L, "fresh eleven"))
+      q.processAllAvailable()
+      // a dirty batch: quarantined whole, corpus untouched
+      input.addData((12L, ""), (13L, "would be fine"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stored = graft.store.CorpusStore.docs(spark, corpusDir)
+    assert(stored.count() == 12, "seed 10 + the two admitted docs, once")
+    assert(stored.where(col("doc_id") === 10L).count() == 1)
+    assert(stored.where(col("doc_id") >= 12L).count() == 0)
+    // manifest stayed exact through admission + replay
+    assert(graft.store.CorpusStore.validate(spark, corpusDir,
+      "doc_id", "text") == 0L)
+    // the dirty batch is intact in quarantine for triage
+    assert(spark.read.parquet(quarantine).count() == 2)
+  }
+
   test("streaming corpus filter: dedup + repetition verdict in one query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
