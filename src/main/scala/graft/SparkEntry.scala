@@ -1374,6 +1374,40 @@ object SparkEntry {
         .orderBy("n_new_edges")
     }
 
+    // ---- graph: k-CORE (Matula-Beck peeling restricted to one k) — the
+    //      graph-curation backbone filter. The oracle unrolls 16 parallel
+    //      peel rounds (a fixpoint's extra rounds are no-ops, so a fixed
+    //      unroll depth is exact whenever Spark's loop converges within
+    //      it — which kCore asserts with a hard require).
+    // MATERIALIZED: each round references its predecessor 3x; inlined,
+    // the 16-level chain would expand exponentially and exhaust file
+    // handles re-opening the base parquet
+    val kcPeelSql = (1 to 16).map { r =>
+      s"""kcd$r AS MATERIALIZED (SELECT vid, count(*) AS c FROM (
+            SELECT u AS vid FROM kc${r - 1} UNION ALL SELECT v FROM kc${r - 1})
+          GROUP BY 1),
+      kck$r AS MATERIALIZED (SELECT vid FROM kcd$r WHERE c >= 5),
+      kc$r AS MATERIALIZED (SELECT e.u, e.v FROM kc${r - 1} e
+               JOIN kck$r a ON a.vid = e.u JOIN kck$r b ON b.vid = e.v)"""
+    }.mkString(",\n      ")
+    q("g_kcore", P +
+      s""", $kmTagSql,
+      kctv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,
+                      km2.dtag * 4294967296 + e.target_id AS b
+               FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      kc0 AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,
+              greatest(a, b) AS v FROM kctv WHERE a <> b),
+      $kcPeelSql
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id,
+             CAST(c AS BIGINT) AS core_degree
+      FROM (SELECT vid, count(*) AS c FROM (
+              SELECT u AS vid FROM kc16 UNION ALL SELECT v FROM kc16)
+            GROUP BY 1)
+      ORDER BY core_degree DESC, tag, id""") { (s, d) =>
+      graft.graph.GraphOps.kCore(storeFor(s, d).edges, k = 5)
+    }
+
     q("g_triangles", P +
       s""", $kmTagSql,
       tgv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,

@@ -190,6 +190,50 @@ object GraphOps {
         col("n_triangles"), col("rank"))
   }
 
+  /** k-CORE of the undirected graph — the standard graph-curation
+    * subgraph (every vertex of the k-core has >= k neighbors INSIDE it):
+    * the dense backbone that survives when leaves and near-leaves are
+    * recursively peeled, the filter a graph-sampling / embedding pipeline
+    * applies before expensive per-vertex work. Returns one row per core
+    * vertex: (tag, id, core_degree), core_degree = its degree within the
+    * k-core, ordered by (core_degree desc, vid).
+    *
+    * Method: parallel peeling — drop every vertex with current degree
+    * < k, recompute, repeat to fixpoint (Matula & Beck 1983's decomposition
+    * restricted to one k; each round is one degree aggregation + two
+    * semi-joins, all keyed on vertex ids; rounds = peel depth, bounded by
+    * `maxRounds` with a hard require so a pathological graph fails loudly
+    * rather than silently returning a non-core). The edge frame is
+    * localCheckpoint'd per round — lineage stays O(1) in rounds; the only
+    * driver traffic is one count per round.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    var und = canonicalUndirected(edges).localCheckpoint(true)
+    var prev = und.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val deg = und.select(explode(array(col("u"), col("v"))).as("vid"))
+        .groupBy("vid").agg(count(lit(1)).as("dg"))
+      val keep = deg.where(col("dg") >= k).select("vid")
+      val pruned = und
+        .join(keep.select(col("vid").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("vid").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      if (n == prev) converged = true
+      else { und = pruned; prev = n; r += 1 }
+    }
+    require(converged, s"k-core peeling did not converge in $maxRounds rounds")
+    und.select(explode(array(col("u"), col("v"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("core_degree"))
+      .select(shiftright(col("vid"), 32).as("tag"),
+        (col("vid") % lit(1L << 32)).as("id"),
+        col("core_degree"))
+      .orderBy(col("core_degree").desc, col("tag"), col("id"))
+  }
+
   /** Canonical undirected (u < v, distinct, loop-free) packed-vertex edges
     * from the kind-tagged edge table.
     */

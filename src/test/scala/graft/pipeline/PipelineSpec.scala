@@ -1294,6 +1294,23 @@ class PipelineSpec extends SparkSpec {
     assert(a(4L) == 0)
   }
 
+  test("k-core peels to the known dense backbone of a toy graph") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} with a path tail 4-5-6 and a pendant 3-7: the
+    // 3-core is exactly the clique (tail and pendant peel away, and
+    // removing them must not drag clique members below k)
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (3L, 7L)))
+      .map { case (s, t) => ("DEF_TO_DEF", s, t) }
+      .toDF("kind", "source_id", "target_id")
+    val core3 = graft.graph.GraphOps.kCore(edges, k = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree"))
+      .toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3.toString)
+    // k above the densest substructure: the core is empty
+    assert(graft.graph.GraphOps.kCore(edges, k = 4).count() == 0)
+  }
+
   test("triangle census finds the known triangles of a toy graph") {
     import spark.implicits._
     // DEF_TO_DEF triangle 1-2-3 plus a pendant edge 3-4; duplicate and
