@@ -2314,6 +2314,42 @@ object SparkEntry {
         Seq("spark", "join", "window", "fast"), k = 20).orderBy("rank")
     }
 
+    // ---- retrieval SERVING: the same BM25 ranking answered from the
+    //      PERSISTED inverted index (build on half the corpus, append the
+    //      other half — the admission path runs in-gate) — query-term-
+    //      pruned postings reads instead of a per-query corpus scan. The
+    //      oracle is the full-corpus derivation: hash equality proves the
+    //      index path reproduces it exactly across the append seam.
+    q("srch_bm25_indexed", docPrelude +
+      s""", base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d_toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+      hits AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains(['spark','join','window','fast'], t))) AS term
+          FROM base)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM hits GROUP BY 1),
+      sc AS (SELECT doc_id, round(sum(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM hits JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1)
+      SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT doc_id, score,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+      WHERE rank <= 20 ORDER BY rank""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.SearchIndexStore.build(s, base,
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      st.append(docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      st.topK(Seq("spark", "join", "window", "fast"), k = 20).orderBy("rank")
+    }
+
     // ---- hybrid retrieval: BM25 top-50 fused with embedding-cosine top-50
     //      by reciprocal-rank fusion (1/(60+rank) per list, absent -> 0).
     //      The doc/vec tables share an id space; the query is (terms, vec 7).

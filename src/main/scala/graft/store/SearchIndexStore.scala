@@ -1,0 +1,134 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Persisted BM25 inverted index — the retrieval-SERVING face of
+  * [[graft.pipeline.Search.bm25TopK]] and the admission-time pattern
+  * ([[DedupIndexStore]], [[AnnIndexStore]], [[SketchStore]],
+  * [[CorpusStore]], [[TriangleStore]]) applied to lexical search: the
+  * postings live as parquet clustered by term, so a query's handful of
+  * terms reads term-pruned row groups instead of tokenizing the corpus
+  * per query — the full-corpus scan `bm25TopK` pays every call is paid
+  * ONCE at admission.
+  *
+  * Layout under `dir`:
+  *   - `postings/` (term, doc_id, tf): one row per distinct (term, doc),
+  *     repartitioned + sorted by term so parquet min/max stats prune a
+  *     query's term lookups to their clusters;
+  *   - `doclens/`  (doc_id, dl): BM25's length normalization;
+  *   - `meta/`     one row (n_docs, sum_dl): the corpus scalars,
+  *     maintained exactly on append (dl is an integer token count, so
+  *     sum_dl is order-independent-exact in doubles and avgdl =
+  *     sum_dl / n_docs reproduces the batch path's avg()).
+  *
+  * Scoring is byte-identical to `bm25TopK` (same idf/tf formula, same
+  * round-then-rank discipline), with document frequencies computed from
+  * the stored postings restricted to the query terms — the same numbers
+  * the full-corpus pass derives. Appends are batch-sized parquet appends
+  * plus a 1-row meta swap; the caller dedups replays by doc id (the
+  * [[CorpusStore.append]] contract). [[compact]] re-clusters accumulated
+  * appends by term.
+  */
+final class SearchIndexStore(val dir: String, spark: SparkSession) {
+
+  def postings: DataFrame = StoreCompaction.read(spark, s"$dir/postings")
+  def doclens: DataFrame = StoreCompaction.read(spark, s"$dir/doclens")
+
+  /** (n_docs, sum_dl) — the maintained corpus scalars. */
+  def stats: (Long, Double) = {
+    val m = StoreCompaction.read(spark, s"$dir/meta").head()
+    (m.getAs[Long]("n_docs"), m.getAs[Double]("sum_dl"))
+  }
+
+  /** Admit a batch of documents (caller guarantees ids are new — replay
+    * dedup is the ingest pipeline's job, as with the corpus store).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val base = SearchIndexStore.tokenized(docs, idCol, textCol).cache()
+    SearchIndexStore.postingsOf(base)
+      .write.mode(SaveMode.Append).parquet(s"$dir/postings")
+    base.select("doc_id", "dl")
+      .write.mode(SaveMode.Append).parquet(s"$dir/doclens")
+    val add = base.agg(count(lit(1)), sum("dl")).head()
+    base.unpersist()
+    val (n0, s0) = stats
+    import spark.implicits._
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((n0 + add.getLong(0), s0 + add.getAs[Double](1)))
+        .toDF("n_docs", "sum_dl"))
+  }
+
+  /** BM25 top-k over the stored index: postings pruned to the query
+    * terms, document frequencies from the pruned postings, scalars from
+    * meta — no corpus tokenization, no full scan. Identical scoring and
+    * rounding to [[graft.pipeline.Search.bm25TopK]].
+    */
+  def topK(queryTerms: Seq[String], k: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (nDocs, sumDl) = stats
+    val avgdl = sumDl / nDocs
+    val hits = postings
+      .where(col("term").isin(queryTerms.distinct: _*))
+      .join(doclens, "doc_id")
+    val dfreq = hits.groupBy("term")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val scored = hits.join(broadcast(dfreq), "term")
+      .withColumn("idf",
+        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("doc_id", "score", "rank")
+  }
+
+  /** Recount the corpus scalars from doclens; true = meta intact. */
+  def validate(): Boolean = {
+    val (n, s) = stats
+    val r = doclens.agg(count(lit(1)), sum("dl")).head()
+    r.getLong(0) == n && r.getAs[Double](1) == s
+  }
+
+  /** Re-cluster accumulated appends by term / doc id. */
+  def compact(): Unit = {
+    StoreCompaction.rewrite(spark, s"$dir/postings")(
+      _.repartition(col("term")).sortWithinPartitions("term"))
+    StoreCompaction.rewrite(spark, s"$dir/doclens")(
+      _.repartition(col("doc_id")))
+  }
+}
+
+object SearchIndexStore {
+
+  private[store] def tokenized(docs: DataFrame, idCol: String,
+                               textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+  private[store] def postingsOf(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("double").as("tf"))
+      .repartition(col("term")).sortWithinPartitions("term")
+
+  /** Build (overwrite) the index from a corpus. */
+  def build(spark: SparkSession, dir: String, docs: DataFrame,
+            idCol: String, textCol: String): SearchIndexStore = {
+    val base = tokenized(docs, idCol, textCol).cache()
+    postingsOf(base).write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
+    base.select("doc_id", "dl")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
+    val t = base.agg(count(lit(1)), sum("dl")).head()
+    base.unpersist()
+    import spark.implicits._
+    Seq((t.getLong(0), t.getAs[Double](1))).toDF("n_docs", "sum_dl")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    new SearchIndexStore(dir, spark)
+  }
+}
