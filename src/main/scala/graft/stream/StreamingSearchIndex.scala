@@ -1,0 +1,51 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import graft.store.SearchIndexStore
+
+/** Continuous lexical-index maintenance — the streaming face of
+  * [[graft.store.SearchIndexStore]]: each micro-batch of documents is
+  * admitted into the persisted BM25 index (postings + doclens appends and
+  * an exact 1-row scalar update), so retrieval serves from an
+  * always-current index with NO stream-side state — the same
+  * admission-time discipline as [[StreamingSketch]] / [[StreamingPublish]].
+  *
+  * Replay guard: a crash-replayed batch would re-append its postings, so
+  * the writer anti-joins batch ids against the stored doclens first —
+  * admission is idempotent per document id (the guard the corpus store
+  * documents as the caller's job is built in here, because a duplicated
+  * posting silently inflates tf, which is worse than a duplicated corpus
+  * row: it corrupts every future ranking the doc appears in).
+  */
+object StreamingSearchIndex {
+
+  /** Writer admitting each micro-batch of `docs` (idCol, textCol columns)
+    * into the index at `dir` (must exist — [[SearchIndexStore.build]]).
+    */
+  def writer(docs: DataFrame, dir: String, idCol: String,
+             textCol: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val store = new SearchIndexStore(dir, batch.sparkSession)
+          // localCheckpoint severs the plan's doclens dependency BEFORE
+          // append writes into doclens — an un-materialized anti-join
+          // would re-list the very files the append is creating
+          // (self-referencing append, undefined results)
+          val fresh = batch.join(
+            store.doclens.select(col("doc_id").as(idCol)),
+            Seq(idCol), "left_anti").localCheckpoint(true)
+          if (!fresh.isEmpty) store.append(fresh, idCol, textCol)
+        }
+        ()
+      }
+
+  /** Convenience: start admitting with a processing-time trigger. */
+  def start(docs: DataFrame, dir: String, idCol: String, textCol: String,
+            triggerMs: Long = 1000L): StreamingQuery =
+    writer(docs, dir, idCol, textCol)
+      .trigger(Trigger.ProcessingTime(triggerMs)).start()
+}

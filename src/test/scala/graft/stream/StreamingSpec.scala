@@ -251,6 +251,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming search index: admissions keep rankings equal to a batch " +
+    "rebuild; replayed batches admit nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25").toString + "/idx"
+    val seed = Seq((0L, "spark join fast"), (1L, "window functions"))
+      .toDF("doc_id", "text")
+    graft.store.SearchIndexStore.build(spark, dir, seed, "doc_id", "text")
+
+    val input = MemoryStream[(Long, String)]
+    val q = graft.stream.StreamingSearchIndex.writer(
+      input.toDF().toDF("doc_id", "text"), dir, "doc_id", "text").start()
+    val batch2 = Seq((2L, "spark window join"), (3L, "fast spark spark"))
+    try {
+      input.addData(batch2: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable() // crash replay
+      input.addData((4L, "join window fast spark")); q.processAllAvailable()
+    } finally q.stop()
+
+    val st = new graft.store.SearchIndexStore(dir, spark)
+    assert(st.validate())
+    assert(st.doclens.count() == 5, "replay must not re-admit")
+    // the streamed index ranks exactly like a one-shot batch rebuild
+    val all = seed.unionByName(batch2.toDF("doc_id", "text"))
+      .unionByName(Seq((4L, "join window fast spark")).toDF("doc_id", "text"))
+    val rebuildDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-bm25-rebuild").toString + "/idx"
+    val rebuilt = graft.store.SearchIndexStore
+      .build(spark, rebuildDir, all, "doc_id", "text")
+    val terms = Seq("spark", "join")
+    assert(st.topK(terms, 5).collect().toSeq ==
+      rebuilt.topK(terms, 5).collect().toSeq)
+  }
+
   test("end-to-end streaming ingest: expectations gate -> idempotent " +
     "corpus admission -> manifest integrity") {
     // the full admission pipeline a production feed runs: every
