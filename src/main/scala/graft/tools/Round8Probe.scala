@@ -35,6 +35,7 @@ object Round8Probe {
       case "publish" => publishCurve(spark, sfDir)
       case "tridelta" => triDeltaCurve(spark, sfDir)
       case "tristore" => triStoreCurve(spark, sfDir)
+      case "bm25" => bm25Serving(spark, sfDir)
       case "bucketed" => bucketedPlans(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
@@ -171,6 +172,37 @@ object Round8Probe {
     val (e1, t1) = st.stats
     println(s"""{"mode":"tristore","face":"final","n_edges":$e1,""" +
       s""""n_triangles":$t1}""")
+    graft.store.GraphStore.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  /** BM25 serving split: one-time index build vs per-query cost from the
+    * prebuilt index vs the per-query full-corpus batch path — the number
+    * the srch_bm25_indexed gate (which builds in-gate for the oracle)
+    * can't show.
+    */
+  private def bm25Serving(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_r8_bm25").toString
+    val (st, buildS) = timed {
+      graft.store.SearchIndexStore.build(spark, s"$dir/i", docs,
+        "doc_id", "text")
+    }
+    val terms = Seq("spark", "join", "window", "fast")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    noop(st.topK(terms, 20)) // warm
+    val qTimes = (1 to 3).map { _ =>
+      val (_, s) = timed { noop(st.topK(terms, 20)) }; s
+    }
+    noop(graft.pipeline.Search.bm25TopK(docs, "doc_id", "text", terms, 20))
+    val bTimes = (1 to 3).map { _ =>
+      val (_, s) = timed {
+        noop(graft.pipeline.Search.bm25TopK(docs, "doc_id", "text", terms, 20))
+      }; s
+    }
+    println(s"""{"mode":"bm25","build_s":${f(buildS)},""" +
+      s""""indexed_query_s":${f(qTimes.min)},"batch_query_s":${f(bTimes.min)}}""")
     graft.store.GraphStore.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
