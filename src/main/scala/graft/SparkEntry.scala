@@ -1408,6 +1408,38 @@ object SparkEntry {
       graft.graph.GraphOps.kCore(storeFor(s, d).edges, k = 5)
     }
 
+    // ---- graph: synchronous label propagation, fixed 4 rounds — the
+    //      deterministic community face (ties to the smallest label; the
+    //      round count IS the contract, as with GraphX's maxSteps). The
+    //      oracle unrolls each round as a MATERIALIZED count + ranked
+    //      argmax over the previous round's labels.
+    val lpPeelSql = (1 to 4).map { r =>
+      s"""lpc$r AS MATERIALIZED (SELECT adj.a AS vid, l.lbl, count(*) AS n
+            FROM adj JOIN lp${r - 1} l ON l.vid = adj.b GROUP BY 1, 2),
+      lp$r AS MATERIALIZED (SELECT vid, lbl FROM (
+            SELECT vid, lbl, row_number() OVER (
+              PARTITION BY vid ORDER BY n DESC, lbl) AS rn FROM lpc$r)
+          WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    q("g_label_prop", P +
+      s""", $kmTagSql,
+      lptv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,
+                      km2.dtag * 4294967296 + e.target_id AS b
+               FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      lpund AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,
+              greatest(a, b) AS v FROM lptv WHERE a <> b),
+      adj AS MATERIALIZED (SELECT u AS a, v AS b FROM lpund
+            UNION ALL SELECT v, u FROM lpund),
+      lp0 AS MATERIALIZED (SELECT vid, vid AS lbl FROM (
+            SELECT DISTINCT a AS vid FROM adj)),
+      $lpPeelSql
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id,
+             CAST(lbl AS BIGINT) AS label
+      FROM lp4 ORDER BY tag, id""") { (s, d) =>
+      graft.graph.GraphOps.labelPropagation(storeFor(s, d).edges, rounds = 4)
+    }
+
     q("g_triangles", P +
       s""", $kmTagSql,
       tgv AS (SELECT km2.stag * 4294967296 + e.source_id AS a,

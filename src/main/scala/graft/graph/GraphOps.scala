@@ -234,6 +234,49 @@ object GraphOps {
       .orderBy(col("core_degree").desc, col("tag"), col("id"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected graph, run for a FIXED `rounds` — the community-detection
+    * face (modules, file clusters, shared-utility hubs emerge as label
+    * plateaus). Deterministic by construction: labels start as the packed
+    * vertex id, every round each vertex adopts its neighbors' most
+    * frequent previous-round label with ties broken to the SMALLEST label
+    * (sync LPA can oscillate on bipartite structure, so the operator is
+    * DEFINED as R-round propagation — the same contract as GraphX's own
+    * `LabelPropagation.run(maxSteps)` — rather than run-to-convergence).
+    * Returns (tag, id, label) for every vertex with >= 1 edge.
+    *
+    * Scale shape per round: one label join keyed on vertex id, one
+    * (vid, label)-keyed partial-agg count, one max(struct) argmax — no
+    * windows over unbounded partitions; labels checkpointed per round so
+    * lineage stays O(1) in rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    val und = canonicalUndirected(edges)
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var labels = adj.select(col("a").as("vid")).distinct()
+      .withColumn("lbl", col("vid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = adj
+        .join(labels.select(col("vid").as("b"), col("lbl")), "b")
+        .groupBy(col("a").as("vid"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+      // argmax with min-label tie-break as one max(struct): highest n,
+      // then highest -lbl == lowest lbl
+      labels = counts
+        .groupBy("vid")
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("vid"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(shiftright(col("vid"), 32).as("tag"),
+        (col("vid") % lit(1L << 32)).as("id"), col("lbl").as("label"))
+      .orderBy("tag", "id")
+  }
+
   /** Canonical undirected (u < v, distinct, loop-free) packed-vertex edges
     * from the kind-tagged edge table.
     */

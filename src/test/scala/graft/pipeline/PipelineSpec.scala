@@ -1311,6 +1311,24 @@ class PipelineSpec extends SparkSpec {
     assert(graft.graph.GraphOps.kCore(edges, k = 4).count() == 0)
   }
 
+  test("label propagation: two bridged triangles settle into their own " +
+    "communities (hand-simulated sync rounds)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {5,6,7} bridged by 3-5; hand-running 4 sync
+    // rounds (min-label ties) lands {1,2,3} on label(1), {5,6,7} on
+    // label(3) and round 4 is a fixpoint
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L),
+      (7L, 5L), (3L, 5L))
+      .map { case (s, t) => ("DEF_TO_DEF", s, t) }
+      .toDF("kind", "source_id", "target_id")
+    val got = graft.graph.GraphOps.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+    val defTag = 3L << 32
+    assert(got == Map(1L -> (defTag + 1), 2L -> (defTag + 1),
+      3L -> (defTag + 1), 5L -> (defTag + 3), 6L -> (defTag + 3),
+      7L -> (defTag + 3)), got.toString)
+  }
+
   test("triangle census finds the known triangles of a toy graph") {
     import spark.implicits._
     // DEF_TO_DEF triangle 1-2-3 plus a pendant edge 3-4; duplicate and
