@@ -25,6 +25,101 @@ class PipelinePropertySpec extends SparkSpec {
     cs <- Gen.listOfN(len, Gen.alphaLowerChar)
   } yield cs.mkString
 
+  // random kind-tagged edge list over `n` vertices (DEF_TO_DEF ids)
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(6, 14)
+    m <- Gen.choose(n, 3 * n)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(1, n); b <- Gen.choose(1, n)
+    } yield (a.toLong, b.toLong))
+  } yield es
+
+  private def edgeDfOf(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.map { case (s, t) => ("DEF_TO_DEF", s, t) }
+      .toDF("kind", "source_id", "target_id")
+  }
+
+  // driver-side canonical undirected edge set (packed DEF ids)
+  private def canonOf(es: Seq[(Long, Long)]): Set[(Long, Long)] =
+    es.collect { case (a, b) if a != b =>
+      val (u, v) = (math.min(a, b), math.max(a, b))
+      ((3L << 32) + u, (3L << 32) + v)
+    }.toSet
+
+  private def triCountOf(canon: Set[(Long, Long)]): Long = {
+    val vs = canon.flatMap { case (u, v) => Seq(u, v) }.toSeq.sorted
+    val has = (a: Long, b: Long) => canon((math.min(a, b), math.max(a, b)))
+    (for {
+      i <- vs.indices; j <- (i + 1) until vs.size; k <- (j + 1) until vs.size
+      if has(vs(i), vs(j)) && has(vs(j), vs(k)) && has(vs(i), vs(k))
+    } yield 1).size.toLong
+  }
+
+  test("property: TriangleStore admissions in any split order equal the " +
+    "brute-force census of the union") {
+    forAllSeeded(graphGen, 8) { es =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tri-prop").toString + "/s"
+      // random-ish 3-way split by a simple hash of the edge
+      val parts = es.groupBy { case (a, b) => ((a * 31 + b) % 3).toInt }
+      val st = graft.store.TriangleStore.build(spark, dir,
+        edgeDfOf(parts.getOrElse(0, Nil)))
+      st.admit(edgeDfOf(parts.getOrElse(1, Nil)))
+      st.admit(edgeDfOf(parts.getOrElse(2, Nil)))
+      val canon = canonOf(es)
+      assert(st.stats == ((canon.size.toLong, triCountOf(canon))),
+        s"edges=$es")
+      assert(st.validate())
+    }
+  }
+
+  test("property: kCore equals the brute-force peel on random graphs") {
+    forAllSeeded(graphGen, 8) { es =>
+      val k = 3
+      // driver-side reference peel
+      var canon = canonOf(es)
+      var changed = true
+      while (changed) {
+        val deg = canon.toSeq.flatMap { case (u, v) => Seq(u, v) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val pruned = canon.filter { case (u, v) => keep(u) && keep(v) }
+        changed = pruned.size != canon.size
+        canon = pruned
+      }
+      val wantDeg = canon.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.graph.GraphOps.kCore(edgeDfOf(es), k)
+        .collect()
+        .map(r => ((r.getAs[Long]("tag") << 32) + r.getAs[Long]("id")) ->
+          r.getAs[Long]("core_degree")).toMap
+      assert(got == wantDeg, s"edges=$es")
+    }
+  }
+
+  test("property: labelPropagation equals a driver-side sync simulation") {
+    forAllSeeded(graphGen, 8) { es =>
+      val rounds = 3
+      val canon = canonOf(es)
+      val adj = canon.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+      (1 to rounds).foreach { _ =>
+        lbl = adj.map { case (v, ns) =>
+          val counts = ns.map(lbl).groupBy(identity).view.mapValues(_.size)
+          // most frequent, ties to smallest label
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val got = graft.graph.GraphOps.labelPropagation(edgeDfOf(es), rounds)
+        .collect()
+        .map(r => ((r.getAs[Long]("tag") << 32) + r.getAs[Long]("id")) ->
+          r.getAs[Long]("label")).toMap
+      assert(got == lbl, s"edges=$es")
+    }
+  }
+
   test("property: z-values of every point in a box lie within the corner z-range") {
     import spark.implicits._
     // Morton order is monotone per coordinate (a coordinate's bits occupy
