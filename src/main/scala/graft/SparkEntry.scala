@@ -876,6 +876,30 @@ object SparkEntry {
         Seq("ts", "event_id"), "value", alpha = 0.3).orderBy("user_id")
     }
 
+    // ---- resample each user's series onto a daily grid with LOCF gap
+    //      fill — the regularization every window/forecast model assumes.
+    //      Dense grid spans each key's OWN active range (per-key sequence
+    //      explode, no global calendar cross join); the fill is a
+    //      key-partitioned window. The bucket average is rounded BEFORE
+    //      the fill so both engines carry identical doubles forward.
+    q("evt_resample", """WITH ragg AS (
+        SELECT user_id AS k, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+          CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+      rdense AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket
+        FROM (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM ragg
+              GROUP BY 1))
+      SELECT d.k AS user_id, CAST(d.bucket * 86400 AS BIGINT) AS bucket_start,
+        CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+        last_value(a.v IGNORE NULLS) OVER (PARTITION BY d.k ORDER BY d.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        a.v IS NULL AS gap_filled
+      FROM rdense d LEFT JOIN ragg a ON a.k = d.k AND a.bucket = d.bucket
+      ORDER BY user_id, bucket_start""") { (s, d) =>
+      TimeSeries.resample(readEvents(s, d), "user_id", "ts", "value",
+        bucketSeconds = 86400L).orderBy("user_id", "bucket_start")
+    }
+
     // ---- persisted mergeable HLL sketch store (distinct-cardinality
     //      tracking at admission time): per-group DataSketches sketches on
     //      disk; a day's batch merges against the nGroups-row table, never

@@ -97,4 +97,40 @@ object TimeSeries {
           (acc: Column, x: Column) => lit(alpha) * x + lit(1.0 - alpha) * acc),
           4).as("ewma"))
   }
+
+  /** Resample each entity's series onto a FIXED bucket grid with
+    * last-observation-carried-forward gap fill — the regularization step
+    * every downstream window/forecast/drift model assumes (irregular
+    * event times → one row per (key, bucket) from the key's first to last
+    * active bucket, empty buckets carrying the previous bucket's value and
+    * flagged `gap_filled`). Returns (key, bucket_start epoch-seconds,
+    * n_events, v, gap_filled), v = round(avg(valueCol), 4) per bucket
+    * before the fill so both engines fill from identical doubles.
+    *
+    * Plan shape: one (key, bucket)-keyed partial-agg shuffle; the dense
+    * grid is a per-key `sequence` explode bounded by the key's own active
+    * span (never a global calendar cross join); the LOCF fill is a window
+    * partitioned BY KEY ordered by bucket — per-entity state, the same
+    * parallelism unit as the rest of the family, no single-partition
+    * global window anywhere.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(unix_timestamp(col(tsCol)) / bucketSeconds)
+    val agg = df.groupBy(col(keyCol).as("k"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col(valueCol)), 4).as("v"))
+    val dense = agg.groupBy("k")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy("k").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(agg, Seq("k", "bucket"), "left_outer")
+      .select(col("k").as(keyCol),
+        (col("bucket") * bucketSeconds).cast("long").as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v"),
+        col("v").isNull.as("gap_filled"))
+  }
 }

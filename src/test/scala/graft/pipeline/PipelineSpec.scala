@@ -528,6 +528,33 @@ class PipelineSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), rel.toString)
   }
 
+  test("resample: daily grid per key with LOCF gap fill, hand-checked") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val e = Seq(
+      // user 10: active day 0 and day 3 -> days 1, 2 gap-filled with 2.0
+      (1L, t("2024-01-01 05:00:00"), 10L, 1.0),
+      (2L, t("2024-01-01 09:00:00"), 10L, 3.0),
+      (3L, t("2024-01-04 00:00:00"), 10L, 9.0),
+      // user 20: one day only -> a single ungapped row
+      (4L, t("2024-01-02 12:00:00"), 20L, 5.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.resample(e, "user_id", "ts", "value", 86400L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("bucket_start")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("v"),
+          r.getAs[Boolean]("gap_filled"))).toMap
+    val day = 86400L
+    val d0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    assert(got.size == 5)
+    assert(got((10L, d0)) == ((2L, 2.0, false)))            // avg(1, 3)
+    assert(got((10L, d0 + day)) == ((0L, 2.0, true)))       // carried
+    assert(got((10L, d0 + 2 * day)) == ((0L, 2.0, true)))   // carried
+    assert(got((10L, d0 + 3 * day)) == ((1L, 9.0, false)))
+    assert(got((20L, d0 + day)) == ((1L, 5.0, false)))
+  }
+
   test("ewma by key: sequential fold in event order, hand-checked") {
     import spark.implicits._
     import java.sql.Timestamp
