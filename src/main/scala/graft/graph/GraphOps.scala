@@ -234,6 +234,59 @@ object GraphOps {
       .orderBy(col("core_degree").desc, col("tag"), col("id"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the directed typed
+    * graph, fixed `iters` mutual-reinforcement rounds with MAX
+    * normalization (divide by the max score each half-step — one
+    * deterministic division per vertex from a 1-row aggregate, instead of
+    * the L2 norm's order-sensitive sqrt-of-sum): authority(v) = Σ hub of
+    * in-neighbors, hub(u) = Σ authority of out-neighbors. Returns the
+    * top-k by (authority, hub) with scores rounded to 6 — the ranking
+    * face PageRank's single score can't express (a file that CALLS many
+    * central definitions is a hub even when nothing points at it).
+    *
+    * Plan shape per half-step: one edge join keyed on the vertex id, one
+    * partial-agg sum, a 1-row max; scores checkpointed per iteration.
+    */
+  def hitsTop(edges: DataFrame, iters: Int = 5, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pe = edges.select(
+      (tagOf(col("kind"), from = true) * lit(1L << 32) + col("source_id")).as("src"),
+      (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("dst"))
+      .localCheckpoint(true)
+    val verts = pe.select(col("src").as("vid"))
+      .unionByName(pe.select(col("dst").as("vid"))).distinct()
+      .localCheckpoint(true)
+    var scores = verts.select(col("vid"), lit(1.0).as("auth"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val authRaw = pe.join(scores.select(col("vid").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("vid")).agg(sum("hub").as("a"))
+      val aMax = authRaw.agg(max("a").as("am"))
+      val auth = verts
+        .join(authRaw, Seq("vid"), "left_outer").crossJoin(aMax)
+        .select(col("vid"), (coalesce(col("a"), lit(0.0)) / col("am")).as("auth"))
+        .localCheckpoint(true)
+      val hubRaw = pe.join(auth.select(col("vid").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("vid")).agg(sum("auth").as("h"))
+      val hMax = hubRaw.agg(max("h").as("hm"))
+      scores = verts
+        .join(auth, "vid")
+        .join(hubRaw, Seq("vid"), "left_outer").crossJoin(hMax)
+        .select(col("vid"), col("auth"),
+          (coalesce(col("h"), lit(0.0)) / col("hm")).as("hub"))
+        .localCheckpoint(true)
+    }
+    val w = Window.orderBy(col("auth").desc, col("hub").desc, col("vid"))
+    scores
+      .select(col("vid"), round(col("auth"), 6).as("auth"),
+        round(col("hub"), 6).as("hub"))
+      .orderBy(col("auth").desc, col("hub").desc, col("vid")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(shiftright(col("vid"), 32).as("tag"),
+        (col("vid") % lit(1L << 32)).as("id"),
+        col("auth"), col("hub"), col("rank"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * undirected graph, run for a FIXED `rounds` — the community-detection
     * face (modules, file clusters, shared-utility hubs emerge as label

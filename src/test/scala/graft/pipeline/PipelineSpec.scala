@@ -1338,6 +1338,26 @@ class PipelineSpec extends SparkSpec {
     assert(graft.graph.GraphOps.kCore(edges, k = 4).count() == 0)
   }
 
+  test("HITS: star hub and shared authority, hand-computed 5 rounds") {
+    import spark.implicits._
+    // 10 -> {11,12,13}, 14 -> 11: vertex 11 is the top authority (two
+    // in-edges), 10 the top hub; hand-iterating the max-normalized
+    // recurrence 5 times gives auth(12)=auth(13)=41/58, hub(14)=29/70
+    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), (14L, 11L))
+      .map { case (s, t) => ("DEF_TO_DEF", s, t) }
+      .toDF("kind", "source_id", "target_id")
+    val got = graft.graph.GraphOps.hitsTop(edges, iters = 5, topK = 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("auth"), r.getAs[Double]("hub"),
+          r.getAs[Int]("rank"))).toMap
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(got(11L) == ((1.0, 0.0, 1)))
+    assert(got(12L) == ((r6(41.0 / 58), 0.0, 2)))
+    assert(got(13L) == ((r6(41.0 / 58), 0.0, 3)))
+    assert(got(10L) == ((0.0, 1.0, 4)))
+    assert(got(14L) == ((0.0, r6(29.0 / 70), 5)))
+  }
+
   test("label propagation: two bridged triangles settle into their own " +
     "communities (hand-simulated sync rounds)") {
     import spark.implicits._
