@@ -1254,17 +1254,17 @@ object SparkEntry {
     //      reinforcement ranking PageRank's single score can't express.
     //      Oracle unrolls each half-step as a MATERIALIZED sum + 1-row max
     //      division; scores round to 6 before the rank, vid tie-break.
+    // deferred normalization (each half-step is linear, so the per-round
+    // max divisions are one scalar at the end — matches the lazy GraphX
+    // chain's arithmetic exactly)
     val hitsIterSql = (1 to 5).map { i =>
       s"""ar$i AS MATERIALIZED (SELECT pe.dst AS vid, sum(s.hub) AS a
             FROM pe JOIN hs${i - 1} s ON s.vid = pe.src GROUP BY 1),
-      aa$i AS MATERIALIZED (SELECT hv.vid,
-            coalesce(ar.a, 0) / (SELECT max(a) FROM ar$i) AS auth
-          FROM hv LEFT JOIN ar$i ar ON ar.vid = hv.vid),
-      hr$i AS MATERIALIZED (SELECT pe.src AS vid, sum(a.auth) AS h
-            FROM pe JOIN aa$i a ON a.vid = pe.dst GROUP BY 1),
-      hs$i AS MATERIALIZED (SELECT hv.vid, aa.auth,
-            coalesce(hr.h, 0) / (SELECT max(h) FROM hr$i) AS hub
-          FROM hv JOIN aa$i aa ON aa.vid = hv.vid
+      hr$i AS MATERIALIZED (SELECT pe.src AS vid, sum(ar.a) AS h
+            FROM pe JOIN ar$i ar ON ar.vid = pe.dst GROUP BY 1),
+      hs$i AS MATERIALIZED (SELECT hv.vid, coalesce(ar.a, 0) AS auth,
+            coalesce(hr.h, 0) AS hub
+          FROM hv LEFT JOIN ar$i ar ON ar.vid = hv.vid
           LEFT JOIN hr$i hr ON hr.vid = hv.vid)"""
     }.mkString(",\n      ")
     q("g_hits_top", P +
@@ -1277,14 +1277,16 @@ object SparkEntry {
         SELECT src AS vid FROM pe UNION ALL SELECT dst FROM pe)),
       hs0 AS MATERIALIZED (SELECT vid, 1.0 AS auth, 1.0 AS hub FROM hv),
       $hitsIterSql,
-      fin AS (SELECT vid, round(auth, 6) AS auth, round(hub, 6) AS hub
+      fin AS (SELECT vid,
+              round(auth / (SELECT max(auth) FROM hs5), 6) AS auth,
+              round(hub / (SELECT max(hub) FROM hs5), 6) AS hub
               FROM hs5)
       SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
              CAST(vid % 4294967296 AS BIGINT) AS id, auth, hub,
              CAST(row_number() OVER (
                ORDER BY auth DESC, hub DESC, vid) AS INT) AS rank
       FROM fin ORDER BY rank LIMIT 20""") { (s, d) =>
-      graft.graph.GraphOps.hitsTop(storeFor(s, d).edges, iters = 5, topK = 20)
+      graft.graph.GraphOps.hitsTopOf(graphFor(s, d), s, iters = 5, topK = 20)
         .orderBy("rank")
     }
 
