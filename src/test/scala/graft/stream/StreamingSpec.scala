@@ -251,6 +251,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming triangles: per-batch admissions maintain the exact " +
+    "census; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-tri").toString + "/s"
+    def edf(pairs: (Long, Long)*) = pairs
+      .map { case (s, t) => ("DEF_TO_DEF", s, t) }
+      .toDF("kind", "source_id", "target_id")
+    // base: triangle 1-2-3 + pendant 3-4
+    graft.store.TriangleStore.build(spark, dir,
+      edf((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)))
+
+    val deltas = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val input = MemoryStream[(String, Long, Long)]
+    val q = graft.stream.StreamingTriangles.writer(
+        input.toDF().toDF("kind", "source_id", "target_id"), dir,
+        onDelta = (n, d) => deltas.synchronized { deltas += ((n, d)) })
+      .start()
+    try {
+      input.addData(("DEF_TO_DEF", 2L, 4L)) // closes 2-3-4
+      q.processAllAvailable()
+      input.addData(("DEF_TO_DEF", 2L, 4L)) // replay: no-op
+      q.processAllAvailable()
+      input.addData(("DEF_TO_DEF", 1L, 4L)) // closes 1-2-4 and 1-3-4
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(deltas.toSeq == Seq((1L, 1L), (0L, 0L), (1L, 2L)), deltas.toString)
+    val st = new graft.store.TriangleStore(dir, spark)
+    assert(st.stats == ((6L, 4L)))
+    assert(st.validate())
+  }
+
   test("streaming search index: admissions keep rankings equal to a batch " +
     "rebuild; replayed batches admit nothing") {
     import spark.implicits._
