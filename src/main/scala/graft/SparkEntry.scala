@@ -1250,6 +1250,44 @@ object SparkEntry {
         .limit(20)
     }
 
+    // ---- personalized PageRank from def vertex 42 (the g_khop_from
+    //      anchor) — relatedness relative to ONE definition. Standard
+    //      point-reset power iteration, 5 rounds, ranks rounded to 6.
+    val pprIterSql = (1 to 5).map { i =>
+      s"""ppr$i AS MATERIALIZED (SELECT pv.vid,
+            (CASE WHEN pv.vid = 12884901930 THEN 0.15 ELSE 0.0 END) +
+              0.85 * coalesce(m.s, 0) AS rank
+          FROM pv LEFT JOIN (
+            SELECT pw.dst AS vid, sum(pr.rank * pw.w) AS s
+            FROM pw JOIN ppr${i - 1} pr ON pr.vid = pw.src GROUP BY 1) m
+          ON m.vid = pv.vid)"""
+    }.mkString(",\n      ")
+    q("g_ppr_top", P +
+      s""", $kmTagSql,
+      pv AS (
+        SELECT CAST(1 AS BIGINT) * 4294967296 + id AS vid FROM g_dirs
+        UNION ALL SELECT CAST(2 AS BIGINT) * 4294967296 + id FROM g_files
+        UNION ALL SELECT CAST(3 AS BIGINT) * 4294967296 + id FROM g_defs
+        UNION ALL SELECT CAST(4 AS BIGINT) * 4294967296 + id FROM g_imps
+      ),
+      pe AS (SELECT CAST(km2.stag AS BIGINT) * 4294967296 + e.source_id AS src,
+                    CAST(km2.dtag AS BIGINT) * 4294967296 + e.target_id AS dst
+             FROM g_edges e JOIN km2 ON e.kind = km2.kind),
+      od AS (SELECT src, count(*) AS odeg FROM pe GROUP BY src),
+      pw AS (SELECT pe.src, pe.dst, 1.0 / od.odeg AS w
+             FROM pe JOIN od ON pe.src = od.src),
+      ppr0 AS (SELECT vid,
+        CASE WHEN vid = 12884901930 THEN 1.0 ELSE 0.0 END AS rank FROM pv),
+      $pprIterSql
+      SELECT CAST(vid // 4294967296 AS BIGINT) AS tag,
+             CAST(vid % 4294967296 AS BIGINT) AS id,
+             round(rank, 6) AS rank
+      FROM ppr5 ORDER BY rank DESC, tag, id LIMIT 20""") { (s, d) =>
+      graft.graph.GraphOps.personalizedPageRankTop(graphFor(s, d), s,
+        src = (3L << 32) + 42L, iters = 5, topK = 20)
+        .orderBy(col("rank").desc, col("tag"), col("id"))
+    }
+
     // ---- HITS hubs/authorities, 5 max-normalized rounds — the mutual-
     //      reinforcement ranking PageRank's single score can't express.
     //      Oracle unrolls each half-step as a MATERIALIZED sum + 1-row max

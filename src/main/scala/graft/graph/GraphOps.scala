@@ -234,6 +234,41 @@ object GraphOps {
       .orderBy(col("core_degree").desc, col("tag"), col("id"))
   }
 
+  /** Personalized PageRank from one source vertex — "importance relative
+    * to THIS definition", the recommendation/relatedness face the global
+    * PageRank can't express. Standard power iteration with a point reset:
+    * ppr_0(v) = I(v = src); ppr_{k+1}(v) = resetProb · I(v = src) +
+    * (1 − resetProb) · Σ_{u→v} ppr_k(u) / outdeg(u), run a fixed `iters`
+    * rounds. Returns the top-k (tag, id, rank) with ranks rounded to 6.
+    *
+    * Execution: the same lazy GraphX chain as [[hitsTopOf]] — vertex attr
+    * carries (rank, outdeg), each round is one aggregateMessages + one
+    * outerJoinVertices, no driver action until the terminal top-k.
+    */
+  def personalizedPageRankTop[VD: scala.reflect.ClassTag,
+      ED: scala.reflect.ClassTag](
+      graph: Graph[VD, ED], spark: SparkSession, src: VertexId,
+      iters: Int = 5, resetProb: Double = 0.15,
+      topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    var g = graph.outerJoinVertices(graph.outDegrees) { (vid, _, d) =>
+      (if (vid == src) 1.0 else 0.0, d.getOrElse(0))
+    }.cache()
+    for (_ <- 1 to iters) {
+      val msgs = g.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2), _ + _)
+      g = g.outerJoinVertices(msgs) { (vid, old, m) =>
+        ((if (vid == src) resetProb else 0.0) +
+          (1.0 - resetProb) * m.getOrElse(0.0), old._2)
+      }.cache()
+    }
+    g.vertices
+      .map { case (vid, (r, _)) => (vid >> 32, vid & 0xffffffffL, r) }
+      .toDF("tag", "id", "r")
+      .select(col("tag"), col("id"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("tag"), col("id")).limit(topK)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over the directed typed
     * graph, fixed `iters` mutual-reinforcement rounds with MAX
     * normalization (divide by the max score each half-step — one

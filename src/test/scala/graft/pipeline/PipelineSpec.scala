@@ -1338,6 +1338,25 @@ class PipelineSpec extends SparkSpec {
     assert(graft.graph.GraphOps.kCore(edges, k = 4).count() == 0)
   }
 
+  test("personalized PageRank: point-reset recurrence, hand-computed " +
+    "to its fixpoint on a 3-vertex chain") {
+    import spark.implicits._
+    // 1 -> {2, 3}, 2 -> 3, src = 1: the recurrence stabilizes by round 3
+    // at (0.15, 0.06375, 0.1179375); the double 0.85 * 0.13875 lands a
+    // hair BELOW the decimal .5 boundary, so round(6) gives ...937 — the
+    // same on both engines, which is the property the gates rest on
+    val edges = spark.sparkContext.parallelize(Seq(
+      org.apache.spark.graphx.Edge(1L, 2L, ()),
+      org.apache.spark.graphx.Edge(2L, 3L, ()),
+      org.apache.spark.graphx.Edge(1L, 3L, ())))
+    val g = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+    val got = graft.graph.GraphOps.personalizedPageRankTop(
+        g, spark, src = 1L, iters = 5, topK = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(got == Map(1L -> 0.15, 2L -> 0.06375, 3L -> 0.117937),
+      got.toString)
+  }
+
   test("HITS: star hub and shared authority, hand-computed 5 rounds") {
     import spark.implicits._
     // 10 -> {11,12,13}, 14 -> 11: vertex 11 is the top authority (two
