@@ -876,6 +876,28 @@ object SparkEntry {
         Seq("ts", "event_id"), "value", alpha = 0.3).orderBy("user_id")
     }
 
+    // ---- robust per-user anomaly flags: modified z-score on median/MAD
+    //      (Iglewicz-Hoaglin), |z| > 3.5; EXACT percentiles both engines
+    //      (Spark `percentile` / DuckDB `quantile_cont`, same linear
+    //      interpolation), constant series (MAD 0) flag nothing.
+    q("evt_anomalies", """WITH amed AS (
+        SELECT user_id AS k, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      amad AS (SELECT e.user_id AS k,
+          quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN amed m ON m.k = e.user_id GROUP BY 1)
+      SELECT e.user_id, e.event_id, e.value,
+        round(m.med, 4) AS med, round(d.mad, 4) AS mad,
+        round(0.6745 * (e.value - m.med) / d.mad, 4) AS z
+      FROM events e JOIN amed m ON m.k = e.user_id
+        JOIN amad d ON d.k = e.user_id
+      WHERE d.mad > 0
+        AND abs(round(0.6745 * (e.value - m.med) / d.mad, 4)) > 3.5
+      ORDER BY user_id, event_id""") { (s, d) =>
+      TimeSeries.anomalies(readEvents(s, d), "user_id", "event_id", "value",
+        k = 3.5).orderBy("user_id", "event_id")
+    }
+
     // ---- resample each user's series onto a daily grid with LOCF gap
     //      fill — the regularization every window/forecast model assumes.
     //      Dense grid spans each key's OWN active range (per-key sequence

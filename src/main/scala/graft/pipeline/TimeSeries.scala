@@ -98,6 +98,37 @@ object TimeSeries {
           4).as("ewma"))
   }
 
+  /** Robust per-entity anomaly detection — the modified z-score on the
+    * median/MAD (Iglewicz & Hoaglin 1993): z = 0.6745 · (x − median) /
+    * MAD, flagging |z| > k (3.5 is the standard cut). Median-based, so a
+    * burst of outliers cannot drag its own baseline the way a mean/stddev
+    * z-score does — the drift/abuse monitor face of the events family.
+    * Returns the flagged rows (key, id, value, med, mad, z) with z
+    * rounded to 4; keys whose MAD is 0 (constant series) flag nothing —
+    * deviation from a degenerate baseline is unscorable, not infinite.
+    *
+    * Plan shape: two key-keyed EXACT-percentile aggregations (the second
+    * over |x − med|, joined back by key) and a map-side score — percentile
+    * state is O(values per key), the same per-key-bounded contract as
+    * [[ewmaByKey]]; feed windowed slices for unbounded histories.
+    */
+  def anomalies(df: DataFrame, keyCol: String, idCol: String,
+                valueCol: String, k: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(keyCol).as("__k"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(med, col(keyCol) === col("__k")).drop("__k")
+    val mad = withMed.groupBy(col(keyCol).as("__k"))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    withMed.join(mad, col(keyCol) === col("__k")).drop("__k")
+      .where(col("mad") > 0)
+      .withColumn("z", round(
+        lit(0.6745) * (col(valueCol) - col("med")) / col("mad"), 4))
+      .where(abs(col("z")) > k)
+      .select(col(keyCol), col(idCol), col(valueCol),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        col("z"))
+  }
+
   /** Resample each entity's series onto a FIXED bucket grid with
     * last-observation-carried-forward gap fill — the regularization step
     * every downstream window/forecast/drift model assumes (irregular

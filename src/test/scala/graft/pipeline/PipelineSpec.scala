@@ -528,6 +528,22 @@ class PipelineSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L), rel.toString)
   }
 
+  test("anomalies: modified z-score flags the outlier, constant series " +
+    "flag nothing") {
+    import spark.implicits._
+    val e = Seq(
+      // key 10: med=3, MAD=1 -> only the 100 crosses |z| > 3.5
+      (1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (4L, 10L, 4.0),
+      (5L, 10L, 100.0),
+      // key 20: constant -> MAD 0 -> unscorable, flags nothing
+      (6L, 20L, 7.0), (7L, 20L, 7.0), (8L, 20L, 7.0)
+    ).toDF("event_id", "user_id", "value")
+    val got = TimeSeries.anomalies(e, "user_id", "event_id", "value")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"), r.getAs[Double]("z")))
+    assert(got.toSeq == Seq((10L, 5L, 3.0, 1.0, 0.6745 * 97)), got.toSeq)
+  }
+
   test("resample: daily grid per key with LOCF gap fill, hand-checked") {
     import spark.implicits._
     import java.sql.Timestamp
