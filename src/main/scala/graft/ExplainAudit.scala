@@ -13,7 +13,9 @@ object ExplainAudit {
     graft.functions.VectorExpressions.register(spark)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("s5_scan_pushdown", "join_revenue_by_nation",
-        "q04_file_definitions", "dd_minhash_lsh", "dsir_weights")
+        "q04_file_definitions", "dd_minhash_lsh", "dsir_weights",
+        // round-8 representatives
+        "g_kcore", "srch_bm25_indexed", "evt_anomalies", "evt_resample")
     names.foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
