@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** `col()` PARSES attribute names (dots nest, a lone backtick is a
+    * syntax error) — every caller-supplied column name is referenced
+    * through the escaped-identifier form, the same discipline as
+    * [[graft.operators.Profile]], so any legal DataFrame column name
+    * (dots, hyphens, spaces) resolves as ONE column.
+    */
+  private def c(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Ordered conversion funnel — the classic product-analytics sequence
     * query: for each entity, how far through `steps` (e.g. view → click →
     * purchase) its event history advances, where step i counts only at or
@@ -114,19 +123,26 @@ object TimeSeries {
     */
   def anomalies(df: DataFrame, keyCol: String, idCol: String,
                 valueCol: String, k: Double = 3.5): DataFrame = {
-    val med = df.groupBy(col(keyCol).as("__k"))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withMed = df.join(med, col(keyCol) === col("__k")).drop("__k")
-    val mad = withMed.groupBy(col(keyCol).as("__k"))
-      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
-    withMed.join(mad, col(keyCol) === col("__k")).drop("__k")
-      .where(col("mad") > 0)
-      .withColumn("z", round(
-        lit(0.6745) * (col(valueCol) - col("med")) / col("mad"), 4))
-      .where(abs(col("z")) > k)
-      .select(col(keyCol), col(idCol), col(valueCol),
-        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
-        col("z"))
+    // Column API end to end (no name splicing into SQL text) and every
+    // intermediate under a __graft_ prefix, so caller columns named
+    // med/mad/z/__k neither break parsing nor get silently shadowed.
+    val v = c(valueCol)
+    val med = df.groupBy(c(keyCol).as("__graft_k"))
+      .agg(percentile(v, lit(0.5)).as("__graft_med"))
+    val withMed = df.join(med, c(keyCol) === col("__graft_k"))
+      .drop("__graft_k")
+    val mad = withMed.groupBy(c(keyCol).as("__graft_k"))
+      .agg(percentile(abs(v - col("__graft_med")), lit(0.5))
+        .as("__graft_mad"))
+    withMed.join(mad, c(keyCol) === col("__graft_k")).drop("__graft_k")
+      .where(col("__graft_mad") > 0)
+      .withColumn("__graft_z", round(
+        lit(0.6745) * (v - col("__graft_med")) / col("__graft_mad"), 4))
+      .where(abs(col("__graft_z")) > k)
+      .select(c(keyCol), c(idCol), v,
+        round(col("__graft_med"), 4).as("med"),
+        round(col("__graft_mad"), 4).as("mad"),
+        col("__graft_z").as("z"))
   }
 
   /** Resample each entity's series onto a FIXED bucket grid with
@@ -149,19 +165,21 @@ object TimeSeries {
                valueCol: String, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive")
     import org.apache.spark.sql.expressions.Window
-    val bucket = floor(unix_timestamp(col(tsCol)) / bucketSeconds)
-    val agg = df.groupBy(col(keyCol).as("k"), bucket.as("bucket"))
-      .agg(count(lit(1)).as("n"), round(avg(col(valueCol)), 4).as("v"))
-    val dense = agg.groupBy("k")
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val w = Window.partitionBy("k").orderBy("bucket")
+    val bucket = floor(unix_timestamp(c(tsCol)) / bucketSeconds)
+    val agg = df.groupBy(c(keyCol).as("__graft_k"), bucket.as("__graft_b"))
+      .agg(count(lit(1)).as("__graft_n"),
+        round(avg(c(valueCol)), 4).as("__graft_v"))
+    val dense = agg.groupBy("__graft_k")
+      .agg(min("__graft_b").as("b0"), max("__graft_b").as("b1"))
+      .select(col("__graft_k"),
+        explode(sequence(col("b0"), col("b1"))).as("__graft_b"))
+    val w = Window.partitionBy("__graft_k").orderBy("__graft_b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dense.join(agg, Seq("k", "bucket"), "left_outer")
-      .select(col("k").as(keyCol),
-        (col("bucket") * bucketSeconds).cast("long").as("bucket_start"),
-        coalesce(col("n"), lit(0L)).as("n_events"),
-        last(col("v"), ignoreNulls = true).over(w).as("v"),
-        col("v").isNull.as("gap_filled"))
+    dense.join(agg, Seq("__graft_k", "__graft_b"), "left_outer")
+      .select(col("__graft_k").as(keyCol),
+        (col("__graft_b") * bucketSeconds).cast("long").as("bucket_start"),
+        coalesce(col("__graft_n"), lit(0L)).as("n_events"),
+        last(col("__graft_v"), ignoreNulls = true).over(w).as("v"),
+        col("__graft_v").isNull.as("gap_filled"))
   }
 }

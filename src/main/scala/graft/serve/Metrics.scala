@@ -15,8 +15,11 @@ import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
   * [[render]] emits the standard exposition format — `# HELP`/`# TYPE`
   * headers, cumulative `_bucket{le=...}` rows ending in `+Inf`, `_sum`,
   * `_count`. Like the reference middleware, the path label is the raw
-  * request path; a fronting scrape config is expected to bound label
-  * cardinality (the reference has the same property).
+  * request path, but the series map is CAPPED ([[MaxSeries]]): once the
+  * cap is reached, unseen (method, path) pairs — 404 probes, crawler
+  * noise on public-metrics servers — fold into an `other` catch-all
+  * series, so an attacker cannot grow driver memory through label
+  * cardinality.
   */
 final class Metrics {
 
@@ -34,12 +37,26 @@ final class Metrics {
 
   private val durations = new ConcurrentHashMap[(String, String), Hist]()
 
+  /** Label-cardinality bound: the route surface is ~a dozen paths, so 64
+    * distinct (method, path) series is generous headroom — beyond it every
+    * NEW label pair (unauthenticated 404 probes, crawler noise) folds into
+    * one `path="other"` catch-all series instead of growing driver memory
+    * without bound. A scrape config bounds scrape OUTPUT, not server
+    * memory, so the cap has to live here.
+    */
+  val MaxSeries = 64
+  val OverflowLabel: (String, String) = ("other", "other")
+
   /** Middleware face: count one request. */
   def incRequests(): Unit = requestsTotal.increment()
 
   /** Middleware face: record one request's latency in seconds. */
   def observeDuration(method: String, path: String, seconds: Double): Unit = {
-    val h = durations.computeIfAbsent((method, path), _ => new Hist)
+    val key0 = (method, path)
+    val key =
+      if (durations.containsKey(key0) || durations.size < MaxSeries) key0
+      else OverflowLabel
+    val h = durations.computeIfAbsent(key, _ => new Hist)
     var i = 0
     while (i < Buckets.length) {
       if (seconds <= Buckets(i)) h.bucketCounts(i).increment()

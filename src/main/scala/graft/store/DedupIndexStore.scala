@@ -143,9 +143,24 @@ private[store] object StoreCompaction {
     else path // let the reader raise the normal path-not-found
   }
 
-  /** Read a store table with [[resolve]] crash-recovery fallback. */
+  /** Read a store table with [[resolve]] crash-recovery fallback. A reader
+    * racing a concurrent [[swapIn]] can resolve the live `path`, have it
+    * renamed to `path__old` underneath it, and fail the parquet listing —
+    * so the initial read (where Spark eagerly lists files for schema
+    * inference) retries ONCE through a fresh [[resolve]], which lands on
+    * the swapped-in table. One retry suffices because stores are
+    * single-writer (the serving layer serializes compactions per store):
+    * at most one swap can be in flight, so the second resolve is stable.
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(resolve(spark, path))
+    try spark.read.parquet(resolve(spark, path))
+    catch {
+      case e @ (_: java.io.FileNotFoundException |
+                _: org.apache.spark.sql.AnalysisException)
+          if e.getMessage != null && (e.getMessage.contains(path) ||
+            e.getMessage.contains("PATH_NOT_FOUND")) =>
+        spark.read.parquet(resolve(spark, path))
+    }
 
   /** Rewrite the parquet table at `path` through `cluster`, swap in. */
   def rewrite(spark: SparkSession, path: String)(

@@ -37,6 +37,20 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
   def postings: DataFrame = StoreCompaction.read(spark, s"$dir/postings")
   def doclens: DataFrame = StoreCompaction.read(spark, s"$dir/doclens")
 
+  /** Doc ids present in EITHER table — the replay-guard key set. `append`
+    * writes postings before doclens, so a crash between the two leaves
+    * postings durable with no doclens row; a replay guard keyed on doclens
+    * alone would see those docs as fresh and re-append their postings,
+    * permanently inflating tf. Keyed on the union, the half-landed batch
+    * is SKIPPED on replay (no duplication — the unrecoverable corruption)
+    * and the missing doclens rows are reconstructed exactly by [[repair]]
+    * (dl = Σ tf over the doc's postings, the identity that makes
+    * postings-before-doclens the repairable write order; the reverse
+    * order would lose postings, which doclens cannot reconstruct).
+    */
+  def admittedDocIds: DataFrame =
+    doclens.select("doc_id").union(postings.select("doc_id")).distinct()
+
   /** (n_docs, sum_dl) — the maintained corpus scalars. */
   def stats: (Long, Double) = {
     val m = StoreCompaction.read(spark, s"$dir/meta").head()
@@ -89,11 +103,46 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
       .select("doc_id", "score", "rank")
   }
 
-  /** Recount the corpus scalars from doclens; true = meta intact. */
+  /** True = the three tables are mutually consistent: meta matches a
+    * doclens recount, doclens ids are unique, and no posting references a
+    * doc absent from doclens — so EVERY append crash window (postings
+    * landed without doclens; doclens landed without the meta swap) fails
+    * validation and is healed by [[repair]].
+    */
   def validate(): Boolean = {
     val (n, s) = stats
-    val r = doclens.agg(count(lit(1)), sum("dl")).head()
-    r.getLong(0) == n && r.getAs[Double](1) == s
+    val r = doclens
+      .agg(count(lit(1)), sum("dl"), countDistinct("doc_id")).head()
+    val noOrphans = postings.select("doc_id").distinct()
+      .join(doclens.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
+    r.getLong(0) == n && r.getAs[Double](1) == s &&
+      r.getLong(2) == r.getLong(0) && noOrphans
+  }
+
+  /** Reconcile the three tables from stored data — the recovery face for
+    * any append crash window (run offline, before resuming admission):
+    * collapse duplicated (term, doc) postings rows (a pre-union-guard
+    * double append), reconstruct missing doclens rows from postings
+    * (dl = Σ tf, exact — dl IS the doc's token count and tf partitions
+    * it by term; zero-token docs have no postings and keep their stored
+    * row), dedup doclens, and recompute meta from the repaired doclens.
+    * Each table rewrite goes through the crash-safe two-rename swap.
+    */
+  def repair(): Unit = {
+    StoreCompaction.rewrite(spark, s"$dir/postings")(
+      _.groupBy("term", "doc_id").agg(max("tf").as("tf"))
+        .repartition(col("term")).sortWithinPartitions("term"))
+    val fromPostings = postings.groupBy("doc_id").agg(sum("tf").as("__dl_p"))
+    StoreCompaction.rewrite(spark, s"$dir/doclens") { dl =>
+      dl.groupBy("doc_id").agg(max("dl").as("dl"))
+        .join(fromPostings, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), coalesce(col("dl"), col("__dl_p")).as("dl"))
+        .repartition(col("doc_id"))
+    }
+    val t = doclens.agg(count(lit(1)), sum("dl")).head()
+    import spark.implicits._
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((t.getLong(0), t.getAs[Double](1))).toDF("n_docs", "sum_dl"))
   }
 
   /** Re-cluster accumulated appends by term / doc id. */

@@ -13,11 +13,13 @@ import graft.store.SearchIndexStore
   * admission-time discipline as [[StreamingSketch]] / [[StreamingPublish]].
   *
   * Replay guard: a crash-replayed batch would re-append its postings, so
-  * the writer anti-joins batch ids against the stored doclens first —
-  * admission is idempotent per document id (the guard the corpus store
-  * documents as the caller's job is built in here, because a duplicated
-  * posting silently inflates tf, which is worse than a duplicated corpus
-  * row: it corrupts every future ranking the doc appears in).
+  * the writer anti-joins batch ids against
+  * [[SearchIndexStore.admittedDocIds]] — the UNION of doclens and postings
+  * ids, so even a batch whose append crashed between the two table writes
+  * (postings durable, doclens not yet) is recognized and skipped rather
+  * than re-appended, which would permanently inflate tf. The skipped
+  * half-landed docs fail [[SearchIndexStore.validate]] and are healed
+  * exactly by [[SearchIndexStore.repair]] before admission resumes.
   */
 object StreamingSearchIndex {
 
@@ -31,12 +33,12 @@ object StreamingSearchIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val store = new SearchIndexStore(dir, batch.sparkSession)
-          // localCheckpoint severs the plan's doclens dependency BEFORE
-          // append writes into doclens — an un-materialized anti-join
+          // localCheckpoint severs the plan's store dependency BEFORE
+          // append writes into those tables — an un-materialized anti-join
           // would re-list the very files the append is creating
           // (self-referencing append, undefined results)
           val fresh = batch.join(
-            store.doclens.select(col("doc_id").as(idCol)),
+            store.admittedDocIds.select(col("doc_id").as(idCol)),
             Seq(idCol), "left_anti").localCheckpoint(true)
           if (!fresh.isEmpty) store.append(fresh, idCol, textCol)
         }

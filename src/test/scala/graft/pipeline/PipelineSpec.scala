@@ -544,6 +544,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 5L, 3.0, 1.0, 0.6745 * 97)), got.toSeq)
   }
 
+  test("anomalies: hostile column names (dots, hyphens, med/mad/z " +
+    "collisions) resolve cleanly") {
+    import spark.implicits._
+    // "med" and "z" are DECOY columns: present in the input, unrelated to
+    // the operator's internals — they must neither break resolution nor
+    // leak into the computation
+    val e = Seq(
+      (1L, 10L, 1.0, 9.9, 0.0), (2L, 10L, 2.0, 9.9, 0.0),
+      (3L, 10L, 3.0, 9.9, 0.0), (4L, 10L, 4.0, 9.9, 0.0),
+      (5L, 10L, 100.0, 9.9, 0.0))
+      .toDF("id.with.dots", "the-key", "va.lue", "med", "z")
+    val got = TimeSeries.anomalies(e, "the-key", "id.with.dots", "va.lue")
+      .collect().map(r => (r.getAs[Long]("the-key"),
+        r.getAs[Long]("id.with.dots"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Double]("z")))
+    assert(got.toSeq == Seq((10L, 5L, 3.0, 1.0, 0.6745 * 97)), got.toSeq)
+  }
+
   test("resample: daily grid per key with LOCF gap fill, hand-checked") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -46,6 +46,44 @@ class StoreRecoverySpec extends SparkSpec {
       .toSeq == Seq(7, 8))
   }
 
+  test("BM25 index crash between postings and doclens appends: the union " +
+    "replay guard skips the batch, validate flags it, repair reconstructs " +
+    "doclens exactly from postings") {
+    val dir = Files.createTempDirectory("graft-bm25-repair").toString + "/idx"
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val first = docs.where(col("doc_id") % 2 === 0)
+    val late = docs.where(col("doc_id") % 2 =!= 0)
+    val st = SearchIndexStore.build(spark, dir, first, "doc_id", "text")
+
+    // simulate append's crash window: the batch's postings land, the
+    // doclens append and meta swap never run
+    val base = SearchIndexStore.tokenized(late, "doc_id", "text")
+    SearchIndexStore.postingsOf(base)
+      .write.mode("append").parquet(s"$dir/postings")
+    assert(!st.validate(), "orphaned postings must fail validation")
+
+    // the replay guard key set covers the half-landed docs, so a replayed
+    // batch anti-joined against it admits NOTHING (no tf inflation)
+    val replayFresh = late.join(
+      st.admittedDocIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    assert(replayFresh.isEmpty,
+      "half-landed batch must be recognized by the union guard")
+
+    st.repair()
+    assert(st.validate(), "repair must restore consistency")
+
+    // repaired index scores identically to one built from ALL docs at once
+    val full = SearchIndexStore.build(spark,
+      Files.createTempDirectory("graft-bm25-full").toString + "/idx",
+      docs, "doc_id", "text")
+    val terms = Seq("spark", "join", "window", "fast")
+    assert(st.topK(terms, 10).collect().toSeq ==
+      full.topK(terms, 10).collect().toSeq,
+      "repaired index must equal a from-scratch build")
+  }
+
   test("corpus half-applied admission: validate flags it, repair rebuilds " +
     "the manifest from the shards") {
     val dir = Files.createTempDirectory("graft-corpus-repair").toString
