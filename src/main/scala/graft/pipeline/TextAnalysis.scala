@@ -220,27 +220,146 @@ object TextAnalysis {
     * symbols can never collide with input tokens). Returns the learned
     * merge table (round, pair, n_pairs).
     *
-    * Scale shape: the tokenized corpus is cached ONCE as symbol arrays and
-    * never rewritten as a per-round plan. Each round is one mapPartitions
-    * scan that replays the merges learned so far in memory (left-to-right
-    * exhaustive, identical to [[mergePair]]'s regex semantics) and emits
-    * PARTIAL pair counts from a per-partition hash map — the shuffle is
-    * bounded by partitions × pair vocabulary, never corpus rows — followed
-    * by a 1-row TakeOrdered argmax. The per-round driver collect is exactly
-    * that one row. To keep the in-memory replay from growing quadratically
-    * in rounds, the merged corpus is folded back into the cache every
-    * [[BpeRematerializeEvery]] rounds, bounding replay depth per scan while
-    * keeping corpus materializations O(rounds / 32).
+    * Scale shape (the Sennrich 2016 weight-table formulation, generalized
+    * from words to symbol sequences): the corpus is folded ONCE into a
+    * `(sequence, weight)` DISTINCT-sequence table — one shuffle, bounded
+    * by distinct sequences, never corpus rows — and every merge round runs
+    * over that weighted table. When the table fits a driver bound
+    * (`driverMaxDistinctSeqs`), it is collected once and the whole merge
+    * loop runs driver-side with incrementally-maintained pair counts and a
+    * lazy max-heap ([[trainBpeDriver]]) — the real tokenizer-trainer
+    * shape: ZERO Spark jobs per round, per-round cost proportional to the
+    * occurrences of the merged pair, so a production 32k-merge vocabulary
+    * is 32k heap pops, not 32k corpus scans. Above the bound, the rounds
+    * run distributed over the weight table ([[bpeMergesDistributed]]),
+    * each a weighted partial-count scan + 1-row argmax.
     */
-  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int = 6,
+                driverMaxDistinctSeqs: Long = 2L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def cache(ds: org.apache.spark.sql.Dataset[Seq[String]]) =
-      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var base = cache(docs
+    val weighted = docs
       .select(tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
-      .as[Seq[String]])
+      .groupBy("toks").agg(count(lit(1)).as("w"))
+      .as[(Seq[String], Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val distinctSeqs = weighted.count()
+      val merges =
+        if (distinctSeqs <= driverMaxDistinctSeqs)
+          trainBpeDriver(
+            weighted.collect().map { case (s, w) => (s.toArray, w) }, rounds)
+        else bpeMergesDistributed(weighted, rounds)
+      merges.toDF("round", "pair", "n_pairs")
+    } finally { weighted.unpersist(); () }
+  }
+
+  /** Driver-side BPE merge induction over the collected weight table — the
+    * shape every production tokenizer trainer uses once the distinct-unit
+    * table fits in memory. Pair counts (every adjacent occurrence, weighted
+    * by sequence multiplicity — identical to the corpus-wide count) are
+    * maintained INCREMENTALLY: applying a merge subtracts the old
+    * adjacencies and adds the new ones for exactly the sequences that
+    * contain the pair (tracked by an only-grows inverted index whose stale
+    * entries are skipped via a no-change reference check). The argmax is a
+    * lazy max-heap — every count update pushes a fresh entry; pops that
+    * disagree with the live count are discarded — so a round costs
+    * O(occurrences of the merged pair + heap churn), independent of both
+    * corpus size and table size. Tie order matches the distributed face:
+    * count desc, then pair string asc.
+    */
+  private[pipeline] def trainBpeDriver(
+      seqs: Array[(Array[String], Long)],
+      rounds: Int): Seq[(Int, String, Long)] = {
+    val cur = seqs.map(_._1)
+    val w = seqs.map(_._2)
+    val counts = new java.util.HashMap[String, Long]()
+    val index = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+    // heap of (pair, count-at-push); stale entries discarded at pop
+    val heap = new java.util.PriorityQueue[(String, Long)](
+      11, new java.util.Comparator[(String, Long)] {
+        def compare(x: (String, Long), y: (String, Long)): Int = {
+          val c = java.lang.Long.compare(y._2, x._2) // count desc
+          if (c != 0) c else x._1.compareTo(y._1)    // pair asc
+        }
+      })
+    def bump(key: String, delta: Long, seqIdx: Int): Unit = {
+      val nv = counts.merge(key, delta, (a, b) => a + b)
+      if (nv == 0L) counts.remove(key) else heap.offer((key, nv))
+      if (delta > 0 && seqIdx >= 0) {
+        val lst = index.computeIfAbsent(key,
+          _ => new java.util.ArrayList[Integer]())
+        // tail-dedup bounds repeat entries from a sequence's multiple
+        // occurrences; non-adjacent repeats are tolerated (the no-change
+        // reference check makes reprocessing a no-op)
+        if (lst.isEmpty || lst.get(lst.size - 1).intValue != seqIdx)
+          lst.add(seqIdx)
+      }
+    }
+    def addPairs(i: Int, arr: Array[String], sign: Long): Unit = {
+      var j = 0
+      while (j + 1 < arr.length) {
+        bump(arr(j) + " " + arr(j + 1), sign * w(i), if (sign > 0) i else -1)
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < cur.length) { addPairs(i, cur(i), 1L); i += 1 }
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var k = 1
+    var exhausted = counts.isEmpty
+    while (k <= rounds && !exhausted) {
+      // pop to the first heap entry whose count is still live
+      var top: (String, Long) = null
+      while (top == null && !heap.isEmpty) {
+        val cand = heap.poll()
+        if (counts.get(cand._1) == cand._2) top = cand
+      }
+      if (top == null) exhausted = true
+      else {
+        val (pair, n) = top
+        merges += ((k, pair, n))
+        val sp = pair.indexOf(' ')
+        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
+        val affected = index.remove(pair)
+        if (affected != null) {
+          var x = 0
+          while (x < affected.size) {
+            val si = affected.get(x).intValue()
+            val old = cur(si)
+            val merged = applyOneMerge(old, a, b)
+            if (merged ne old) { // stale index entry ⇒ no-op, skipped
+              addPairs(si, old, -1L)
+              addPairs(si, merged, 1L)
+              cur(si) = merged
+            }
+            x += 1
+          }
+        }
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed merge rounds over the `(sequence, weight)` table — the
+    * above-driver-bound fallback and the oracle-replayable face. Each
+    * round is one mapPartitions scan emitting WEIGHTED partial pair counts
+    * from a per-partition hash map (shuffle bounded by partitions × pair
+    * vocabulary) + a 1-row TakeOrdered argmax; learned merges are replayed
+    * in memory and folded back into the cache every
+    * [[BpeRematerializeEvery]] rounds, bounding replay depth.
+    */
+  private[pipeline] def bpeMergesDistributed(
+      weighted: org.apache.spark.sql.Dataset[(Seq[String], Long)],
+      rounds: Int): Seq[(Int, String, Long)] = {
+    val spark = weighted.sparkSession
+    import spark.implicits._
+    def cache(ds: org.apache.spark.sql.Dataset[(Seq[String], Long)]) =
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var base = weighted
+    var owned = false // the caller's table is not ours to unpersist
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
     val pending = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var k = 1
@@ -251,11 +370,11 @@ object TextAnalysis {
         val counts = base.mapPartitions { it =>
           val ms = bc.value
           val acc = new java.util.HashMap[String, Long]()
-          it.foreach { ts =>
+          it.foreach { case (ts, n) =>
             val arr = applyMergesInOrder(ts.toArray, ms)
             var i = 0
             while (i + 1 < arr.length) {
-              acc.merge(arr(i) + " " + arr(i + 1), 1L, (a, b) => a + b)
+              acc.merge(arr(i) + " " + arr(i + 1), n, (a, b) => a + b)
               i += 1
             }
           }
@@ -273,18 +392,20 @@ object TextAnalysis {
             val bcm = spark.sparkContext.broadcast(pending.toArray)
             val next = cache(base.mapPartitions { it =>
               val ms = bcm.value
-              it.map(ts => applyMergesInOrder(ts.toArray, ms).toSeq)
+              it.map { case (ts, n) =>
+                (applyMergesInOrder(ts.toArray, ms).toSeq, n) }
             })
             next.count()
-            base.unpersist()
+            if (owned) base.unpersist()
             base = next
+            owned = true
             pending.clear()
           }
           k += 1
         }
       }
-    } finally base.unpersist()
-    merges.toSeq.toDF("round", "pair", "n_pairs")
+    } finally if (owned) { base.unpersist(); () }
+    merges.toSeq
   }
 
   /** Fold the merged corpus back into the cache every this-many rounds of

@@ -830,6 +830,57 @@ class PipelineSpec extends SparkSpec {
     assert(!ranked.contains(0L)) // the query's own vector is not a neighbor
   }
 
+  test("bpe training: driver weight-table trainer == distributed rounds " +
+    "on a real corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // driver path (default: the weight table fits) vs the distributed
+    // fallback (forced by a zero driver bound) must learn the identical
+    // merge table — counts, pairs, and order
+    val driver = TextAnalysis.bpeMerges(docs, "text", rounds = 8)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val dist = TextAnalysis
+      .bpeMerges(docs, "text", rounds = 8, driverMaxDistinctSeqs = 0L)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    assert(driver == dist, s"paths diverged:\n$driver\nvs\n$dist")
+    assert(driver.size == 8)
+  }
+
+  test("bpe training: Spark job count is independent of the merge-round " +
+    "count and of corpus row count (per-round cost is driver-side)") {
+    import spark.implicits._
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try f finally {
+        // listener bus is async — drain before unregistering
+        Thread.sleep(1500)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get
+    }
+    val body = (1 to 40).map(i => s"tok${i % 7} tok${(i + 1) % 7}").mkString(" ")
+    val small = (0L until 50L).map(i => (i, s"doc $i $body"))
+      .toDF("doc_id", "text").cache()
+    val big = (0L until 500L).map(i => (i, s"doc ${i % 50} $body"))
+      .toDF("doc_id", "text").cache()
+    small.count(); big.count()
+    val jSmallFew = jobsDuring(TextAnalysis.bpeMerges(small, "text", 3).count())
+    val jSmallMany = jobsDuring(TextAnalysis.bpeMerges(small, "text", 24).count())
+    val jBigMany = jobsDuring(TextAnalysis.bpeMerges(big, "text", 24).count())
+    small.unpersist(); big.unpersist()
+    assert(jSmallMany == jSmallFew,
+      s"8x the rounds changed the job count: $jSmallFew -> $jSmallMany")
+    assert(jBigMany == jSmallMany,
+      s"10x the corpus changed the job count: $jSmallMany -> $jBigMany")
+  }
+
   test("bpe encode: per-doc token budgets follow the learned merges") {
     import spark.implicits._
     val d = Seq(
