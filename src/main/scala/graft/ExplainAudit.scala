@@ -15,7 +15,9 @@ object ExplainAudit {
       else Seq("s5_scan_pushdown", "join_revenue_by_nation",
         "q04_file_definitions", "dd_minhash_lsh", "dsir_weights",
         // round-8 representatives
-        "g_kcore", "srch_bm25_indexed", "evt_anomalies", "evt_resample")
+        "g_kcore", "srch_bm25_indexed", "evt_anomalies", "evt_resample",
+        // round-9 representatives
+        "srch_bm25_retire", "g_tri_retire")
     names.foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

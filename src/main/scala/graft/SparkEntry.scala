@@ -1498,6 +1498,53 @@ object SparkEntry {
         .orderBy("n_new_edges")
     }
 
+    // ---- graph: triangle-store RETIREMENT — the DETACH-delete face:
+    //      build the census on the WHOLE def graph, retire the spl==0
+    //      edge slice via the negative wedge delta, and report what was
+    //      removed plus the maintained total. The oracle censuses both
+    //      graphs independently: hash equality proves the subtracted
+    //      delta lands the store exactly on the survivors' census (also
+    //      cross-checking g_tri_store's seam from the opposite side).
+    q("g_tri_retire", P +
+      s""", tgr AS (SELECT 3 * 4294967296 + e.source_id AS a,
+                     3 * 4294967296 + e.target_id AS b,
+                     (e.source_id + e.target_id) % 4 AS spl
+              FROM g_edges e WHERE e.kind = 'DEF_TO_DEF'),
+      rAll AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+               FROM tgr WHERE a <> b),
+      rKeep AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM tgr WHERE a <> b AND spl <> 0),
+      rtAll AS (SELECT count(*) AS c FROM rAll e1
+                JOIN rAll e2 ON e2.u = e1.v
+                JOIN rAll e3 ON e3.u = e1.u AND e3.v = e2.v),
+      rtKeep AS (SELECT count(*) AS c FROM rKeep e1
+                 JOIN rKeep e2 ON e2.u = e1.v
+                 JOIN rKeep e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT CAST((SELECT count(*) FROM rAll) -
+                  (SELECT count(*) FROM rKeep) AS BIGINT) AS n_retired,
+             CAST(rtAll.c - rtKeep.c AS BIGINT) AS n_removed_triangles,
+             CAST(rtKeep.c AS BIGINT) AS n_total_triangles,
+             true AS replay_ok
+      FROM rtAll, rtKeep ORDER BY n_retired""") { (s, d) =>
+      import s.implicits._
+      val e = storeFor(s, d).edges.where(col("kind") === "DEF_TO_DEF")
+      val spl = (col("source_id") + col("target_id")) % 4
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_triret_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.TriangleStore.build(s, base, e)
+      val (nGone, removed) = st.retire(e.where(spl === 0))
+      val (_, total) = st.stats
+      val (nGone2, removed2) = st.retire(e.where(spl === 0)) // replay twin
+      Seq((nGone, removed, total,
+          nGone2 == 0L && removed2 == 0L && st.validate()))
+        .toDF("n_retired", "n_removed_triangles", "n_total_triangles",
+          "replay_ok")
+        .orderBy("n_retired")
+    }
+
     // ---- graph: k-CORE (Matula-Beck peeling restricted to one k) — the
     //      graph-curation backbone filter. The oracle unrolls 16 parallel
     //      peel rounds (a fixpoint's extra rounds are no-ops, so a fixed
@@ -2503,6 +2550,45 @@ object SparkEntry {
       val st = graft.store.SearchIndexStore.build(s, base,
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
       st.append(docs.where(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      st.topK(Seq("spark", "join", "window", "fast"), k = 20).orderBy("rank")
+    }
+
+    // ---- retrieval DELETION: the same ranking after an admit/RETIRE seam
+    //      (build on two thirds, append the rest, retire every doc_id%5==0
+    //      — the reindex-loop's deleted files leaving the index). The
+    //      oracle derives BM25 over the SURVIVORS from scratch: hash
+    //      equality proves tombstoned retirement reproduces a corpus that
+    //      never contained the retired docs (idf, avgdl, and ranks all
+    //      shift exactly).
+    q("srch_bm25_retire", docPrelude +
+      s""", base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+        FROM d_toks WHERE doc_id % 5 <> 0),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+      hits AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains(['spark','join','window','fast'], t))) AS term
+          FROM base)
+        GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        FROM hits GROUP BY 1),
+      sc AS (SELECT doc_id, round(sum(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM hits JOIN dfreq USING (term) CROSS JOIN stats GROUP BY 1)
+      SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT doc_id, score,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+      WHERE rank <= 20 ORDER BY rank""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bm25ret_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.SearchIndexStore.build(s, base,
+        docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text")
+      st.append(docs.where(col("doc_id") % 3 === 2), "doc_id", "text")
+      st.retire(docs.where(col("doc_id") % 5 === 0), "doc_id")
       st.topK(Seq("spark", "join", "window", "fast"), k = 20).orderBy("rank")
     }
 

@@ -37,8 +37,43 @@ import graft.functions.TextFunctions._
   */
 final class DedupIndexStore(val dir: String, spark: SparkSession) {
 
-  def bands: DataFrame = StoreCompaction.read(spark, s"$dir/bands")
-  def shingles: DataFrame = StoreCompaction.read(spark, s"$dir/shingles")
+  /** LIVE views: physical rows minus the retirement tombstones — a
+    * retired document stops generating candidates and stops verifying
+    * immediately, without rewriting history ([[compact]] purges the rows
+    * physically and frees the ids for re-admission).
+    */
+  def bands: DataFrame = minusRetired(
+    StoreCompaction.read(spark, s"$dir/bands"))
+  def shingles: DataFrame = minusRetired(
+    StoreCompaction.read(spark, s"$dir/shingles"))
+
+  /** Retired doc ids (empty when the table was never created). */
+  def retired: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) StoreCompaction.read(spark, s"$dir/retired")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  private def minusRetired(df: DataFrame): DataFrame =
+    df.join(broadcast(retired.select("doc_id")), Seq("doc_id"), "left_anti")
+
+  /** Retire documents (the deletion face the incremental reindex loop
+    * needs — a deleted file's shingles and band keys must stop matching):
+    * append the ids to the tombstone table. Idempotent — re-retiring is a
+    * duplicate tombstone row, harmless to the anti-join and removed by
+    * [[compact]]. A retired id must not be re-admitted before a
+    * compaction purges its physical rows (the tombstone would hide the
+    * new rows too — same terminal-until-compact contract as
+    * [[SearchIndexStore.retire]]).
+    */
+  def retire(docIds: DataFrame, idCol: String): Unit =
+    docIds.select(col(idCol).as("doc_id")).distinct()
+      .join(broadcast(retired.select("doc_id")), Seq("doc_id"), "left_anti")
+      // materialize BEFORE the append: the anti-join reads the very table
+      // the write appends to (self-referencing append otherwise)
+      .localCheckpoint(true)
+      .write.mode(SaveMode.Append).parquet(s"$dir/retired")
 
   /** (n, numHashes, bands) the index was built with. */
   def params: (Int, Int, Int) = {
@@ -88,9 +123,16 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     * complete).
     */
   def compact(): Unit = {
-    StoreCompaction.rewrite(spark, s"$dir/bands")(_.repartition(col("key")))
+    val gone = retired.select("doc_id").localCheckpoint(true)
+    StoreCompaction.rewrite(spark, s"$dir/bands")(
+      _.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .repartition(col("key")))
     StoreCompaction.rewrite(spark, s"$dir/shingles")(
-      _.repartition(col("doc_id")))
+      _.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .repartition(col("doc_id")))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 }
 

@@ -20,9 +20,10 @@ import graft.functions.TextFunctions.tokens
   *     query's term lookups to their clusters;
   *   - `doclens/`  (doc_id, dl): BM25's length normalization;
   *   - `meta/`     one row (n_docs, sum_dl): the corpus scalars,
-  *     maintained exactly on append (dl is an integer token count, so
-  *     sum_dl is order-independent-exact in doubles and avgdl =
-  *     sum_dl / n_docs reproduces the batch path's avg()).
+  *     maintained exactly on append AND retire (dl is an integer token
+  *     count, so sum_dl is order-independent-exact in doubles and avgdl =
+  *     sum_dl / n_docs reproduces the batch path's avg());
+  *   - `retired/`  (doc_id) retirement tombstones — see [[retire]].
   *
   * Scoring is byte-identical to `bm25TopK` (same idf/tf formula, same
   * round-then-rank discipline), with document frequencies computed from
@@ -34,8 +35,26 @@ import graft.functions.TextFunctions.tokens
   */
 final class SearchIndexStore(val dir: String, spark: SparkSession) {
 
-  def postings: DataFrame = StoreCompaction.read(spark, s"$dir/postings")
-  def doclens: DataFrame = StoreCompaction.read(spark, s"$dir/doclens")
+  /** LIVE views: physical rows minus the retirement tombstones, so every
+    * reader (scoring, validation, the replay guard) sees only surviving
+    * docs. The anti-join broadcasts the (small, compaction-bounded)
+    * tombstone set; [[compact]] folds it into the physical files.
+    */
+  def postings: DataFrame = minusRetired(
+    StoreCompaction.read(spark, s"$dir/postings"))
+  def doclens: DataFrame = minusRetired(
+    StoreCompaction.read(spark, s"$dir/doclens"))
+
+  /** Retired doc ids (empty when the table was never created). */
+  def retired: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) StoreCompaction.read(spark, s"$dir/retired")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  private def minusRetired(df: DataFrame): DataFrame =
+    df.join(broadcast(retired.select("doc_id")), Seq("doc_id"), "left_anti")
 
   /** Doc ids present in EITHER table — the replay-guard key set. `append`
     * writes postings before doclens, so a crash between the two leaves
@@ -47,9 +66,39 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
     * (dl = Σ tf over the doc's postings, the identity that makes
     * postings-before-doclens the repairable write order; the reverse
     * order would lose postings, which doclens cannot reconstruct).
+    * RETIRED ids stay in this set: a retired doc's physical rows survive
+    * until [[compact]], so re-admitting its id before compaction would
+    * resurrect the tombstoned rows alongside the new ones — retirement is
+    * terminal per id until a compaction purges it.
     */
   def admittedDocIds: DataFrame =
-    doclens.select("doc_id").union(postings.select("doc_id")).distinct()
+    doclens.select("doc_id").union(postings.select("doc_id"))
+      .union(retired.select("doc_id")).distinct()
+
+  /** Retire documents (the DETACH-delete face the incremental reindex
+    * loop needs — a deleted file's chunks must leave the index): tombstone
+    * the ids and subtract their EXACT (count, Σ dl) contribution from the
+    * corpus scalars, so idf/avgdl immediately reflect the surviving corpus
+    * without touching the physical postings (those are purged by the next
+    * [[compact]]). Idempotent: already-retired or never-admitted ids
+    * contribute nothing. Returns the number of docs actually retired.
+    */
+  def retire(docIds: DataFrame, idCol: String): Unit = {
+    val gone = doclens // live view: already-retired ids drop out here
+      .join(docIds.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi")
+      .localCheckpoint(true) // two consumers; sever before we write
+    val r = gone.agg(count(lit(1)), sum("dl")).head()
+    if (r.getLong(0) > 0) {
+      gone.select("doc_id")
+        .write.mode(SaveMode.Append).parquet(s"$dir/retired")
+      val (n0, s0) = stats
+      import spark.implicits._
+      StoreCompaction.swapIn(spark, s"$dir/meta",
+        Seq((n0 - r.getLong(0), s0 - r.getAs[Double](1)))
+          .toDF("n_docs", "sum_dl"))
+    }
+  }
 
   /** (n_docs, sum_dl) — the maintained corpus scalars. */
   def stats: (Long, Double) = {
@@ -145,12 +194,22 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
       Seq((t.getLong(0), t.getAs[Double](1))).toDF("n_docs", "sum_dl"))
   }
 
-  /** Re-cluster accumulated appends by term / doc id. */
+  /** Re-cluster accumulated appends by term / doc id, folding the
+    * retirement tombstones into the physical files (after which the
+    * retired ids are fresh again). Every crash window is safe: a
+    * tombstone that outlives its purged rows anti-joins nothing.
+    */
   def compact(): Unit = {
+    val gone = retired.select("doc_id").localCheckpoint(true)
     StoreCompaction.rewrite(spark, s"$dir/postings")(
-      _.repartition(col("term")).sortWithinPartitions("term"))
+      _.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .repartition(col("term")).sortWithinPartitions("term"))
     StoreCompaction.rewrite(spark, s"$dir/doclens")(
-      _.repartition(col("doc_id")))
+      _.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        .repartition(col("doc_id")))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 }
 

@@ -61,6 +61,40 @@ final class TriangleStore(val dir: String, spark: SparkSession) {
     (nNew, delta)
   }
 
+  /** Retire a batch of kind-tagged edges (the DETACH-delete face: when
+    * the incremental reindex deletes a file, its call edges must leave
+    * the census): the triangles destroyed by removing edge set R from
+    * graph G are EXACTLY the triangles created by adding R to G \ R, so
+    * the same wedge-join delta runs with the roles swapped and its result
+    * is subtracted — a negative delta costing Σ min-degree over the
+    * retired edges, never a recount. The surviving edge set is swapped in
+    * whole (a write-only pass, the same cost class as [[compact]] and
+    * crash-safe under the two-rename protocol; a crash between the swap
+    * and the meta update leaves the count ahead of the edges, which
+    * [[validate]] detects and [[repair]] re-censuses). Returns (edges
+    * actually retired, triangles removed); edges not present are ignored
+    * (idempotent — a replayed retirement removes nothing).
+    */
+  def retire(oldEdges: DataFrame): (Long, Long) = {
+    val stored = edges.localCheckpoint(true)
+    val present = graft.graph.GraphOps.canonicalUndirected(oldEdges)
+      .join(stored, Seq("u", "v"), "left_semi")
+      .localCheckpoint(true)
+    val nGone = present.count()
+    if (nGone == 0) return (0L, 0L)
+    val survivors = stored.join(present, Seq("u", "v"), "left_anti")
+      .localCheckpoint(true) // consumed by the delta AND the swap
+    val (_, delta) = graft.graph.GraphOps.triangleDeltaCanonical(
+      present, survivors)
+    StoreCompaction.swapIn(spark, s"$dir/edges",
+      survivors.repartition(col("u")))
+    val (e0, t0) = stats
+    import spark.implicits._
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((e0 - nGone, t0 - delta)).toDF("n_edges", "n_triangles"))
+    (nGone, delta)
+  }
+
   /** Recount from the stored edges and compare with the maintained census;
     * true = intact.
     */
