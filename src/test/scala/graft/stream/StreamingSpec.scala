@@ -789,4 +789,101 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq((1L, 0.0), (2L, 0.0)), s"selected: ${kept.toSeq}")
   }
 
+  test("streaming resample: sealed buckets + LOCF gaps across micro-batch " +
+    "seams equal the batch grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value").as[ResampleEvent]
+    val out = StreamingResample.resampled(events, bucketSeconds = 86400L,
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("resamp")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 10 day 0 (two events), user 20 day 1
+      input.addData(
+        (10L, t("2024-01-01 05:00:00"), 1.0),
+        (10L, t("2024-01-01 09:00:00"), 3.0),
+        (20L, t("2024-01-02 12:00:00"), 5.0))
+      q.processAllAvailable()
+      // batch 2: user 10 reactivates at day 3 — days 1-2 are the gap
+      input.addData((10L, t("2024-01-04 00:00:00"), 9.0))
+      q.processAllAvailable()
+      // watermark pusher, then one more trigger so event-time timeouts
+      // seal the remaining buckets of the silent keys
+      input.addData((99L, t("2024-02-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((99L, t("2024-02-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM resamp WHERE user_id < 99 " +
+        "ORDER BY user_id, bucket_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val batch = graft.pipeline.TimeSeries.resample(
+      Seq((10L, t("2024-01-01 05:00:00"), 1.0),
+        (10L, t("2024-01-01 09:00:00"), 3.0),
+        (20L, t("2024-01-02 12:00:00"), 5.0),
+        (10L, t("2024-01-04 00:00:00"), 9.0))
+        .toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", 86400L)
+      .orderBy("user_id", "bucket_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream/batch diverged:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+    assert(streamed.length == 5) // day0 + 2 gap days + day3, and user 20
+  }
+
+  test("streaming anomalies: reference-fitted med/MAD baseline scores " +
+    "map-side; batch-mode parity with TimeSeries.anomalies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val reference = Seq(
+      (1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0), (4L, 10L, 4.0),
+      (5L, 10L, 100.0), // outlier in the reference slice
+      (6L, 20L, 7.0), (7L, 20L, 7.0), (8L, 20L, 7.0) // constant: MAD 0
+    ).toDF("event_id", "user_id", "value")
+    val baseline = StreamingAnomalies.fitBaseline(reference, "user_id", "value")
+
+    // batch-mode parity: scoring the reference against its own baseline
+    // reproduces the batch face exactly (same flags, same med/mad/z)
+    val viaStream = StreamingAnomalies.flagged(reference, baseline,
+      "user_id", "event_id", "value").orderBy("event_id").collect().map(_.toSeq)
+    val viaBatch = graft.pipeline.TimeSeries.anomalies(reference,
+      "user_id", "event_id", "value").orderBy("event_id").collect().map(_.toSeq)
+    assert(viaStream.toSeq == viaBatch.toSeq,
+      s"baseline scoring diverged:\n${viaStream.toSeq}\nvs\n${viaBatch.toSeq}")
+
+    // streaming face: unseen keys and MAD-0 keys flag nothing; the known
+    // key flags against the REFERENCE baseline (med 3.0, mad 1.0 — the
+    // reference outlier cannot drag the median baseline)
+    val input = MemoryStream[(Long, Long, Double, Timestamp)]
+    val events = input.toDF().toDF("event_id", "user_id", "value", "ts")
+    val q = StreamingAnomalies.flagged(events, baseline,
+      "user_id", "event_id", "value")
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (100L, 10L, 50.0, t("2024-01-01 00:00:00")), // |z| huge -> flag
+        (101L, 10L, 3.0, t("2024-01-01 00:01:00")),  // in range -> quiet
+        (102L, 20L, 999.0, t("2024-01-01 00:02:00")), // MAD-0 key -> quiet
+        (103L, 30L, 999.0, t("2024-01-01 00:03:00"))) // unseen key -> quiet
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.sql(
+        "SELECT user_id, event_id, value, med, mad, z FROM anom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(flagged.toSeq ==
+      Seq((10L, 100L, 50.0, 3.0, 1.0, round4(0.6745 * 47))),
+      flagged.toSeq.toString)
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
 }
