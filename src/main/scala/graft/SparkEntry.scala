@@ -3212,6 +3212,63 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }
 
+    // ---- multimodal: DCT perceptual near-dup pairs — the screen AFTER
+    //      mm_exact_dedup's byte hash: the gate plants deterministic
+    //      RE-ENCODES (every 50th byte ±1, same length — lossy
+    //      re-compression noise, which the md5 screen provably misses)
+    //      for every 7th doc and must find exactly those twins. The stub
+    //      decode (8x8 chunk byte-sum cells), the scaled-integer 2D
+    //      DCT-II, the median threshold, the 9x7 pigeonhole bands, and
+    //      the XOR popcount verify are ALL replayed in SQL over the same
+    //      integer constants, so the 63-bit hashes and the surviving
+    //      pairs match bit-for-bit across engines.
+    q("mm_phash_pairs", s"""WITH mb0 AS (SELECT doc_id AS media_id,
+        list_transform(generate_series(1, length(text)),
+          i -> CAST(unicode(text[i]) AS BIGINT)) AS bs
+      FROM documents),
+      mb AS (SELECT media_id, bs FROM mb0
+        UNION ALL
+        SELECT media_id + 10000000, list_transform(generate_series(1, len(bs)),
+          i -> CASE WHEN (i - 1) % 50 = 0
+               THEN CASE WHEN bs[i] <= 110 THEN bs[i] + 1 ELSE bs[i] - 1 END
+               ELSE bs[i] END) AS bs
+        FROM mb0 WHERE media_id % 7 = 0),
+      mc AS (SELECT media_id, len(bs) AS L, list_transform(generate_series(0, 63),
+          j -> coalesce(list_sum(list_slice(bs,
+            (j * len(bs)) // 64 + 1, ((j + 1) * len(bs)) // 64)), 0)) AS cells
+        FROM mb),
+      mt AS (SELECT ${Multimodal.dctTable.mkString("[", ", ", "]")} AS tl),
+      mcoef AS (SELECT media_id, list_transform(generate_series(1, 63), k ->
+          list_sum(list_transform(generate_series(0, 63), c ->
+            cells[c + 1] * tl[(k // 8) * 8 + (c // 8) + 1]
+                         * tl[(k % 8) * 8 + (c % 8) + 1]))) AS coefs
+        FROM mc CROSS JOIN mt),
+      mph AS (SELECT media_id, list_sum(list_transform(generate_series(1, 63),
+          k -> CASE WHEN coefs[k] > list_sort(coefs)[32]
+               THEN CAST(1 AS BIGINT) << (k - 1) ELSE CAST(0 AS BIGINT) END))
+          AS phash
+        FROM mcoef),
+      pband AS (SELECT media_id, phash, g.b,
+          (phash >> (g.b * 7)) % 128 AS key
+        FROM mph, LATERAL (SELECT unnest(generate_series(0, 8)) AS b) g)
+      SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+        CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS dist
+      FROM pband x JOIN pband y
+        ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id
+      WHERE bit_count(xor(x.phash, y.phash)) <= 8
+      ORDER BY id_a, id_b""") { (s, d) =>
+      val media = Multimodal.fromDocuments(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", "source")
+      val reenc = Multimodal.reencodeStub(
+        media.where(col("media_id") % 7 === 0), idOffset = 10000000L,
+        every = 50)
+      Multimodal.phashPairs(
+        media.select("media_id", "media_type", "payload", "meta")
+          .unionByName(reenc),
+        maxDist = 8)
+        .orderBy("id_a", "id_b")
+    }
+
     // ---- A2 directory-hierarchy derivation (analysis/mod.rs:201-236)
     q("a2_dir_hierarchy", P +
       """SELECT path, parent_path, name, depth FROM (
