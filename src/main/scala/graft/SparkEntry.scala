@@ -48,6 +48,9 @@ object SparkEntry {
     String, org.apache.spark.graphx.Graph[(String, String), (String, String)]]()
   private def graphFor(spark: SparkSession, sfDir: String) =
     graphs.getOrElseUpdate(sfDir, {
+      // storage level is decided INSIDE toGraph (GRAFT_GRAPH_STORAGE env;
+      // default MEMORY_ONLY = the interactive-serving protocol); cache()
+      // here re-applies the graph's recorded target level
       val g = graft.graph.GraphOps.toGraph(storeFor(spark, sfDir))
       g.cache(); g
     })
@@ -920,6 +923,55 @@ object SparkEntry {
       ORDER BY user_id, bucket_start""") { (s, d) =>
       TimeSeries.resample(readEvents(s, d), "user_id", "ts", "value",
         bucketSeconds = 86400L).orderBy("user_id", "bucket_start")
+    }
+
+    // ---- additive seasonal decomposition on the resampled daily grid:
+    //      trend = centered 7-bucket moving average (full windows only),
+    //      seasonal = re-centered per-(user, weekday-phase) mean of the
+    //      detrended series, resid = the rest. Every mean is rounded to 4
+    //      in EXACT 1e-4 fixed-point integer arithmetic (sign·floor((2|p|
+    //      +q)/(2q)) = half-away), because float means near a .00005 tie
+    //      round differently across engines
+    q("evt_seasonal", """WITH ragg AS (
+        SELECT user_id AS k, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+          round(avg(value), 4) AS v
+        FROM events GROUP BY 1, 2),
+      rdense AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket
+        FROM (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM ragg
+              GROUP BY 1)),
+      rs AS (SELECT d.k, d.bucket,
+          last_value(a.v IGNORE NULLS) OVER (PARTITION BY d.k ORDER BY d.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        FROM rdense d LEFT JOIN ragg a ON a.k = d.k AND a.bucket = d.bucket),
+      sd AS (SELECT k, bucket, v, CAST(round(v * 10000, 0) AS BIGINT) AS sv,
+          count(*) OVER w AS cnt,
+          sum(CAST(round(v * 10000, 0) AS BIGINT)) OVER w AS s7,
+          bucket % 7 AS ph
+        FROM rs
+        WINDOW w AS (PARTITION BY k ORDER BY bucket
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      sdf AS (SELECT k, bucket, v, ph, sv,
+          CAST(sign(s7) AS BIGINT)
+            * CAST(floor((2 * abs(s7) + cnt) / (2.0 * cnt)) AS BIGINT) AS ts
+        FROM sd WHERE cnt = 7),
+      sdd AS (SELECT k, bucket, v, ph, ts, sv - ts AS ds FROM sdf),
+      phm AS (SELECT k, ph, CAST(sign(sum(ds)) AS BIGINT)
+          * CAST(floor((2 * abs(sum(ds)) + count(*)) / (2.0 * count(*)))
+            AS BIGINT) AS sraw
+        FROM sdd GROUP BY 1, 2),
+      ctr AS (SELECT k, CAST(sign(sum(sraw)) AS BIGINT)
+          * CAST(floor((2 * abs(sum(sraw)) + count(*)) / (2.0 * count(*)))
+            AS BIGINT) AS s0
+        FROM phm GROUP BY 1)
+      SELECT f.k AS user_id, CAST(f.bucket * 86400 AS BIGINT) AS bucket_start,
+        f.v, f.ts / 10000.0 AS trend, (p.sraw - c.s0) / 10000.0 AS seasonal,
+        (f.ds - (p.sraw - c.s0)) / 10000.0 AS resid
+      FROM sdd f JOIN phm p ON f.k = p.k AND f.ph = p.ph
+        JOIN ctr c ON f.k = c.k
+      ORDER BY user_id, bucket_start""") { (s, d) =>
+      TimeSeries.seasonalDecompose(readEvents(s, d), "user_id", "ts",
+        "value", bucketSeconds = 86400L, period = 7)
+        .orderBy("user_id", "bucket_start")
     }
 
     // ---- persisted mergeable HLL sketch store (distinct-cardinality
@@ -2046,6 +2098,8 @@ object SparkEntry {
     }
 
     // ---- dedup: embedding-cosine near-dup pairs (exact, left-fold dot)
+    val sqlDotLR = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
     val vnSql = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
       vn AS (SELECT vec_id, vec,
         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(vec)), i -> vec[i] * vec[i])), (x, y) -> x + y)) AS nrm
@@ -2156,6 +2210,70 @@ object SparkEntry {
       val approx = idx.topK(embs.where(col("vec_id") < 100),
         "vec_id", "embedding", k = 5, nprobe = 12)
       Similarity.recallGate(embs, approx, "ivf_indexed", k = 5, bound = 0.9,
+        queryFilter = col("vec_id") < 100)
+    }
+
+    // ---- product quantization, exact codes gate: the deterministic
+    //      codebook (per-subspace k-means, seeded from the first ksub
+    //      vectors by id, 2 Lloyd rounds, means rounded to 4 per round)
+    //      and final code assignment replayed bit-for-bit by unrolled
+    //      CTE rounds — the same discipline as the BPE/k-core oracles
+    val pqM = 4; val pqK = 8; val pqDsub = 16
+    val pqIterSql = (1 to 2).map { it =>
+      val prev = s"c${it - 1}"
+      s"""pa$it AS (SELECT vec_id, s, cid, sv,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+         FROM (SELECT sub.vec_id, sub.s, c.cid, sub.sv,
+           ${sqlDotLR("sv", "sv")} + ${sqlDotLR("cvec", "cvec")}
+             - 2 * ${sqlDotLR("sv", "cvec")} AS d2
+         FROM sub JOIN $prev c ON sub.s = c.s)),
+      c$it AS (SELECT s, cid, list(cv ORDER BY i) AS cvec FROM (
+         SELECT s, cid, i, round(avg(sv[i]), 4) AS cv
+         FROM pa$it, LATERAL (SELECT unnest(generate_series(1, len(sv))) AS i) g
+         WHERE rn = 1 GROUP BY s, cid, i) GROUP BY s, cid)"""
+    }.mkString(",\n      ")
+    q("emb_pq_codes", s"""WITH v0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      v AS (SELECT vec_id, vec FROM v0 WHERE ${sqlDotLR("vec", "vec")} > 0),
+      sub AS (SELECT vec_id, CAST(s AS INT) AS s,
+          list_slice(vec, s * $pqDsub + 1, (s + 1) * $pqDsub) AS sv
+        FROM v, LATERAL (SELECT unnest(generate_series(0, ${pqM - 1})) AS s) g),
+      seed AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT $pqK)),
+      c0 AS (SELECT sub.s, seed.cid, sub.sv AS cvec
+        FROM sub JOIN seed USING (vec_id)),
+      $pqIterSql,
+      fin AS (SELECT vec_id, s, cid,
+          row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+        FROM (SELECT sub.vec_id, sub.s, c.cid,
+          ${sqlDotLR("sv", "sv")} + ${sqlDotLR("cvec", "cvec")}
+            - 2 * ${sqlDotLR("sv", "cvec")} AS d2
+        FROM sub JOIN c2 c ON sub.s = c.s))
+      SELECT vec_id, CAST(s AS INT) AS s, CAST(cid AS INT) AS cid
+      FROM fin WHERE rn = 1 ORDER BY vec_id, s""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val v = Similarity.normalizedVectors(embs, "vec_id", "embedding")
+      Similarity.pqCodes(embs, "vec_id", "embedding",
+        Similarity.pqTrain(v, m = pqM, ksub = pqK, lloydIters = 2), m = pqM)
+        .orderBy("vid", "s")
+        .select(col("vid").as("vec_id"), col("s"), col("cid"))
+    }
+
+    // ---- product quantization ANN with exact rerank: ADC shortlist
+    //      (m table lookups per corpus vector per query) re-scored
+    //      exactly; recall-bound contract like the LSH/IVF faces
+    q("ann_pq_topk", s"""$vnSql
+      SELECT 'pq' AS algo, CAST(5 AS INT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      // params from the measured recall curve (Round9Probe pqrecall,
+      // SCALE.md round 9): (8,32,192) -> 0.99 at sf0.01; bound 0.9
+      val approx = Similarity.pqTopK(embs, "vec_id", "embedding", k = 5,
+        m = 8, ksub = 32, lloydIters = 2, rerank = 192,
+        queryFilter = col("vid") < 100)
+      Similarity.recallGate(embs, approx, "pq", k = 5, bound = 0.9,
         queryFilter = col("vec_id") < 100)
     }
 
@@ -2800,6 +2918,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- training-sequence packing, concat-and-chunk (GPT-style): the
+    //      corpus token stream in doc-id order split into 256-token
+    //      chunks; the oracle replays the global offset as a window
+    //      cumulative sum and the chunk spread as a generate_series
+    q("tok_pack_chunks", docPrelude +
+      s""", pk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        CAST(sum(CAST(len(toks) AS BIGINT)) OVER (ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(toks) AS start_off
+        FROM d_toks WHERE len(toks) > 0)
+      SELECT doc_id, CAST(g.c AS BIGINT) AS chunk_id,
+        CAST(greatest(0, g.c * 256 - start_off) AS BIGINT) AS tok_start,
+        CAST(least(n_tok, (g.c + 1) * 256 - start_off)
+          - greatest(0, g.c * 256 - start_off) AS BIGINT) AS n_slice
+      FROM pk, LATERAL (SELECT unnest(generate_series(start_off // 256,
+        (start_off + n_tok - 1) // 256)) AS c) g
+      ORDER BY doc_id, chunk_id""") { (s, d) =>
+      graft.pipeline.Packing.packChunks(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        seqLen = 256).orderBy("doc_id", "chunk_id")
+    }
+
+    // ---- training-sequence packing, boundary-respecting first-fit:
+    //      docs (capped at 256 tokens) laid greedily into sequences in id
+    //      order within id-mod buckets; the oracle walks each bucket
+    //      row-by-row with a recursive CTE carrying the fill state
+    q("tok_pack_greedy", s"""WITH RECURSIVE pg AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+          least(CAST(len($sqlToks) AS BIGINT), 256) AS n,
+          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents WHERE len($sqlToks) > 0),
+      walk AS (
+        SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS seq_idx,
+          CAST(0 AS BIGINT) AS off_in_seq, n AS fill
+        FROM pg WHERE rn = 1
+        UNION ALL
+        SELECT p.bucket, p.rn, p.doc_id, p.n,
+          CASE WHEN w.fill + p.n > 256 THEN w.seq_idx + 1 ELSE w.seq_idx END,
+          CASE WHEN w.fill + p.n > 256 THEN CAST(0 AS BIGINT) ELSE w.fill END,
+          CASE WHEN w.fill + p.n > 256 THEN p.n ELSE w.fill + p.n END
+        FROM walk w JOIN pg p ON p.bucket = w.bucket AND p.rn = w.rn + 1)
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, seq_idx, off_in_seq,
+        CAST(n AS BIGINT) AS n_tok
+      FROM walk ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Packing.packGreedy(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+        seqLen = 256, buckets = 8).orderBy("doc_id")
+    }
+
     // ---- RAG/pretraining chunking: 32-token windows every 8 tokens,
     //      chunk content carried as md5 so the gate output stays bounded
     q("td_chunk_windows", docPrelude +
@@ -3131,8 +3297,6 @@ object SparkEntry {
 
     // ---- embeddings: per-label centroid table (the seed step of k-means /
     //      the class-prototype table of a labeled corpus)
-    val sqlDotLR = (a: String, b: String) =>
-      s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i])), (x, y) -> x + y)"
     q("emb_centroid_by_label", """WITH v AS (
         SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
       c AS (SELECT label, CAST(i - 1 AS INT) AS dim, avg(vec[i]) AS centroid

@@ -50,9 +50,20 @@ object GraphOps {
         col("kind"), col("type"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getString(2), r.getString(3))))
     // 2D edge partitioning bounds vertex replication at sqrt(numParts) —
-    // the standard GraphX layout for iterative algorithms (pagerank, Pregel)
-    Graph(vertices, edges).partitionBy(
-      org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    // the standard GraphX layout for iterative algorithms (pagerank, Pregel).
+    // Storage level: MEMORY_ONLY deserialized is the interactive default;
+    // when the graph outgrows the executor-heap storage fraction (the sf10
+    // probe on a single 106g-heap box), MEMORY_AND_DISK_SER is the honest
+    // production setting — serialized, spillable, ~3-4x smaller for
+    // string-attributed vertices/edges — selected via env so measurement
+    // runs state their protocol explicitly.
+    val lvl = sys.env.get("GRAFT_GRAPH_STORAGE")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    Graph(vertices, edges, defaultVertexAttr = null,
+        edgeStorageLevel = lvl, vertexStorageLevel = lvl)
+      .partitionBy(
+        org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }
 
   /** Vertices reachable from `start` within `maxHops` (directed), via Pregel.

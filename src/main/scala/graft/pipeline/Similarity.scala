@@ -292,4 +292,140 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebook training: split each vector into `m`
+    * subvectors of dim/m components and run an independent deterministic
+    * k-means (`ksub` centroids, seeded from the first `ksub` vectors in id
+    * order, `lloydIters` assignment/mean rounds) PER SUBSPACE — all `m`
+    * trainings as ONE DataFrame program with the subspace as a key column,
+    * not a per-subspace driver loop. Centroid components are rounded to 4
+    * after every mean step so the codebook is bit-reproducible across
+    * engines (the DuckDB oracle replays the unrolled rounds). Returns
+    * (s, cid, cvec) — m·ksub rows, broadcast-sized by construction.
+    *
+    * This is the memory story of ANN at 100 TB: a 64-dim float vector is
+    * 256 bytes; its PQ code is `m` small ints. The codebook is trained on
+    * (a sample of) the corpus once; encoding is one broadcast join.
+    */
+  def pqTrain(v: DataFrame, m: Int, ksub: Int,
+              lloydIters: Int = 2): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val sub = subvectors(v, m).cache()
+    def centroidDf(rows: Seq[(Int, Int, Seq[Double])]) =
+      broadcast(rows.toDF("s", "cid", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<double>")))
+    // seed: subvectors of the first ksub vectors in id order
+    var codebook = centroidDf(
+      sub.join(broadcast(v.orderBy("vid").limit(ksub)
+          .select(col("vid")).withColumn("cid",
+            (row_number().over(Window.orderBy("vid")) - 1).cast("int"))),
+        "vid")
+        .select(col("s"), col("cid"), col("sv"))
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq)
+    (1 to lloydIters).foreach { _ =>
+      val means = pqAssign(sub, codebook)
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("s", "cid", "i").agg(round(avg(col("x")), 4).as("c"))
+        .groupBy("s", "cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("p"))
+        .select(col("s"), col("cid"), expr("transform(p, q -> q.c)").as("cvec"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      codebook = centroidDf(means.toSeq)
+    }
+    sub.unpersist()
+    codebook
+  }
+
+  /** (vid, s, sv): vector `vid`'s `s`-th of `m` equal subvector slices. */
+  private def subvectors(v: DataFrame, m: Int): DataFrame = {
+    val dsub = expr(s"size(vec) DIV $m")
+    v.select(col("vid"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("vec"))
+      .select(col("vid"), col("s").cast("int").as("s"),
+        expr(s"slice(vec, s * (size(vec) DIV $m) + 1, size(vec) DIV $m)")
+          .as("sv"))
+  }
+
+  /** Nearest sub-centroid per (vector, subspace) by squared L2 —
+    * deterministic ties to the lower cid. Input `codebook` must be the
+    * broadcast-sized (s, cid, cvec) table.
+    */
+  private def pqAssign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val d2 = dot(col("sv"), col("sv")) + dot(col("cvec"), col("cvec")) -
+      lit(2.0) * dot(col("sv"), col("cvec"))
+    val w = Window.partitionBy(col("vid"), col("s"))
+      .orderBy(col("__d2"), col("cid"))
+    sub.join(codebook, "s")
+      .withColumn("__d2", d2)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("vid"), col("s"), col("cid"), col("sv"))
+  }
+
+  /** PQ-encode the corpus: (vid, s, cid) — one row per subspace code, the
+    * relational layout the ADC scorer joins on. `embs` is the raw
+    * (id, float vec) table.
+    */
+  def pqCodes(embs: DataFrame, idCol: String, vecCol: String,
+              codebook: DataFrame, m: Int): DataFrame =
+    pqAssign(subvectors(normalizedVectors(embs, idCol, vecCol), m), codebook)
+      .select(col("vid"), col("s"), col("cid"))
+
+  /** Approximate NN by asymmetric-distance PQ scoring with exact rerank:
+    * queries keep full precision; each candidate's approximate dot product
+    * is Σ_s dot(q_s, codeword(s, code_s)) — computed RELATIONALLY by
+    * joining the corpus's (vid, s, cid) code rows to the query's
+    * per-(s, cid) lookup table (broadcast: queries × m·ksub rows) and
+    * summing per (query, vid): the scan cost per query is m lookups per
+    * corpus vector instead of dim multiplies, the classic ADC trade. The
+    * top `rerank` approximate candidates per query are re-scored with the
+    * EXACT cosine and the top-k of those returned — same output shape and
+    * recall-gate contract as [[annLsh]]/[[ivfTopK]].
+    */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+             rerank: Int = 32, queryFilter: Column = lit(true)): DataFrame = {
+    val v = normalizedVectors(embs, idCol, vecCol).cache()
+    val codebook = pqTrain(v, m, ksub, lloydIters)
+    val codes = pqAssign(subvectors(v, m), codebook)
+      .select(col("vid"), col("s"), col("cid"))
+    val queries = v.where(queryFilter)
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    // per-query lookup table: dot(q_s, codeword) for every (s, cid)
+    val lut = queries
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("q_id"), col("q_nrm"), col("s").cast("int").as("s"),
+        expr(s"slice(q_vec, s * (size(q_vec) DIV $m) + 1, " +
+          s"size(q_vec) DIV $m)").as("qs"))
+      .join(codebook, "s")
+      .select(col("q_id"), col("q_nrm"), col("s"), col("cid"),
+        dot(col("qs"), col("cvec")).as("lv"))
+    val approx = codes.join(broadcast(lut), Seq("s", "cid"))
+      .where(col("vid") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vid"), col("q_nrm"))
+      .agg(sum("lv").as("adc"))
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vid"))
+    val shortlist = approx.withColumn("__rk", row_number().over(wa))
+      .where(col("__rk") <= rerank)
+      .select(col("q_id"), col("q_nrm"), col("vid"))
+    // exact rerank of the shortlist only
+    val exact = shortlist
+      .join(v.select(col("vid"), col("vec"), col("nrm")), "vid")
+      .join(queries.select(col("q_id"), col("q_vec")), "q_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm")))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vid"))
+    exact.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("vid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
 }

@@ -182,4 +182,66 @@ object TimeSeries {
         last(col("__graft_v"), ignoreNulls = true).over(w).as("v"),
         col("__graft_v").isNull.as("gap_filled"))
   }
+
+  /** Classic additive seasonal decomposition over the [[resample]]d grid:
+    * v = trend + seasonal + resid, with trend the centered moving average
+    * of width `period` (odd), seasonal the per-(key, phase) mean of the
+    * detrended series re-centered to sum to zero per key, and resid the
+    * remainder — the drift-vs-seasonality separator a metrics monitor
+    * needs before alerting on raw deltas (a weekly shape is not an
+    * anomaly). Emits only rows with a FULL trend window (the classic
+    * edge-trim).
+    *
+    * Every mean is rounded to 4 decimals in EXACT 1e-4 fixed-point
+    * integer arithmetic (half-away-from-zero), not float: a float mean
+    * whose true value sits near a .00005 tie rounds differently across
+    * engines (Java BigDecimal vs C++ `round(x·10⁴)/10⁴` disagree by one
+    * ulp of the scaled product), which showed up as last-digit seasonal
+    * flips in cross-engine runs. Integer sums and integer rounding are
+    * bit-identical everywhere.
+    *
+    * Plan shape: the resample's keyed shuffles, then ONE per-key window
+    * (state bounded by `period`) and two phase-keyed aggregations whose
+    * results broadcast back — parallelism stays per-entity, no global
+    * window, no extra full-history shuffle beyond the grid itself.
+    */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, bucketSeconds: Long,
+                        period: Int = 7): DataFrame = {
+    require(period > 1 && period % 2 == 1,
+      "period must be odd (centered moving average)")
+    import org.apache.spark.sql.expressions.Window
+    // round(p/q) to the nearest integer, half away from zero, in pure
+    // integer/exact arithmetic (q > 0; magnitudes far below 2^53 so the
+    // one double division is correctly rounded and engine-identical)
+    def rnd(p: Column, q: Column): Column =
+      signum(p).cast("long") *
+        floor((lit(2L) * abs(p) + q) / (lit(2L) * q)).cast("long")
+    val h = (period - 1) / 2
+    val rs = resample(df, keyCol, tsCol, valueCol, bucketSeconds)
+    val wT = Window.partitionBy(c(keyCol)).orderBy("bucket_start")
+      .rowsBetween(-h, h)
+    val det = rs
+      .withColumn("__graft_sv", round(col("v") * 10000).cast("long"))
+      .withColumn("__graft_cnt", count(lit(1)).over(wT))
+      .withColumn("__graft_ts",
+        rnd(sum("__graft_sv").over(wT), col("__graft_cnt")))
+      .where(col("__graft_cnt") === period)
+      .withColumn("__graft_ds", col("__graft_sv") - col("__graft_ts"))
+      .withColumn("__graft_ph",
+        pmod(expr(s"bucket_start DIV $bucketSeconds"), lit(period.toLong)))
+    val phase = det.groupBy(c(keyCol).as("__graft_k"), col("__graft_ph"))
+      .agg(rnd(sum("__graft_ds"), count(lit(1))).as("__graft_sraw"))
+    val center = phase.groupBy("__graft_k")
+      .agg(rnd(sum("__graft_sraw"), count(lit(1))).as("__graft_s0"))
+    det
+      .join(broadcast(phase.join(center, "__graft_k")),
+        c(keyCol) === col("__graft_k") &&
+          det("__graft_ph") === phase("__graft_ph"))
+      .withColumn("__graft_ss", col("__graft_sraw") - col("__graft_s0"))
+      .select(c(keyCol), col("bucket_start"), col("v"),
+        (col("__graft_ts") / 10000.0).as("trend"),
+        (col("__graft_ss") / 10000.0).as("seasonal"),
+        ((col("__graft_ds") - col("__graft_ss")) / 10000.0).as("resid"))
+  }
 }

@@ -22,13 +22,16 @@ import graft.pipeline.TimeSeries
   */
 object StreamingAnomalies {
 
+  private def esc(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   /** The deployable baseline artifact: one (key, med, mad) row per key of
     * the reference slice, MAD-0 keys dropped (unscorable).
     */
   def fitBaseline(reference: DataFrame, keyCol: String,
                   valueCol: String): DataFrame = {
-    val v = col("`" + valueCol.replace("`", "``") + "`")
-    val k = col("`" + keyCol.replace("`", "``") + "`")
+    val v = esc(valueCol)
+    val k = esc(keyCol)
     val med = reference.groupBy(k.as("__graft_k"))
       .agg(percentile(v, lit(0.5)).as("med"))
     reference.join(med, k === col("__graft_k")).drop("__graft_k")
@@ -36,7 +39,7 @@ object StreamingAnomalies {
       .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"),
         first(col("med")).as("med"))
       .where(col("mad") > 0)
-      .select(col(keyCol), col("med"), col("mad"))
+      .select(esc(keyCol), col("med"), col("mad"))
   }
 
   /** Flag anomalous events in a stream against a fitted baseline: keys
@@ -46,12 +49,12 @@ object StreamingAnomalies {
     */
   def flagged(events: DataFrame, baseline: DataFrame, keyCol: String,
               idCol: String, valueCol: String, k: Double = 3.5): DataFrame = {
-    val v = col("`" + valueCol.replace("`", "``") + "`")
+    val v = esc(valueCol)
     events.join(broadcast(baseline), Seq(keyCol))
       .withColumn("z",
         round(lit(0.6745) * (v - col("med")) / col("mad"), 4))
       .where(abs(col("z")) > k)
-      .select(col(keyCol), col(idCol), v,
+      .select(esc(keyCol), esc(idCol), v,
         round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
         col("z"))
   }

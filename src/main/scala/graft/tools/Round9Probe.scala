@@ -25,9 +25,14 @@ object Round9Probe {
     val mode = args.headOption.getOrElse("bpe")
     val sfDir = args.lift(1).getOrElse("/root/repo/bench-data/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // decoupled from the thread count: big-sf runs need more, smaller
+    // shuffle/cache partitions than cores so single-partition unrolls
+    // stay far below the executor heap
+    val shuffleParts = sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.default.parallelism", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,6 +44,8 @@ object Round9Probe {
       case "bpe" => bpeCurve(spark, sfDir)
       case "qlatency" => queryLatency(spark, sfDir)
       case "retire" => retireCost(spark, sfDir)
+      case "graph2" => graphSecondDecade(spark, sfDir)
+      case "pqrecall" => pqRecall(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
   }
@@ -90,6 +97,62 @@ object Round9Probe {
       println(s"""{"metric":"q_latency","query":"$name",""" +
         s""""p50_ms":${f"$p50%.0f"},"max_ms":${f"${times.last}%.0f"}}""")
     }
+  }
+
+  /** Second decade for the edge-linear graph family (VERDICT r8 item 3):
+    * warm the store + GraphX caches once (the Bench protocol), then run
+    * the four iterative whole-graph rankings WITHOUT swallowing
+    * exceptions — `Bench` eats per-query throwables, which is exactly how
+    * a failed sf10 run can masquerade as a sub-second success.
+    */
+  private def graphSecondDecade(spark: SparkSession, sfDir: String): Unit = {
+    val st = graft.SparkEntry.storeFor(spark, sfDir)
+    val (_, warmS) = timed {
+      Seq(st.directories, st.files, st.definitions, st.importedSymbols,
+        st.edges, st.symmetrizedEdges).foreach(_.count())
+      graft.SparkEntry.warmGraph(spark, sfDir)
+    }
+    println(s"""{"metric":"g2_warm","sec":${f"$warmS%.1f"}}""")
+    val wanted = sys.env.get("GRAFT_G2_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("g_pagerank_top", "g_hits_top", "g_label_prop",
+        "g_kcore", "g_ppr_top"))
+    for (name <- wanted) {
+      val fn = graft.SparkEntry.queries(name)
+      val (_, s) = timed {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      println(s"""{"metric":"g2","query":"$name","sec":${f"$s%.1f"}}""")
+    }
+  }
+
+  /** PQ recall calibration: measured recall of pqTopK against the exact
+    * brute-force top-k across (m, ksub, rerank) settings — picks the gate
+    * parameters empirically rather than by eye.
+    */
+  private def pqRecall(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    embs.count()
+    for ((m, ksub, rr) <- Seq((8, 16, 48), (8, 16, 96), (8, 32, 96),
+        (4, 32, 96), (8, 32, 192), (8, 64, 192))) {
+      val (row, s) = timed {
+        val approx = graft.pipeline.Similarity.pqTopK(embs, "vec_id",
+          "embedding", k = 5, m = m, ksub = ksub, lloydIters = 2,
+          rerank = rr, queryFilter = col("vid") < 100)
+        val brute = graft.pipeline.Similarity.bruteForceTopK(
+            embs.where(col("vec_id") < 100), embs, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        brute.join(approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .agg(avg(coalesce(col("hit"), lit(0))).as("recall")).head()
+      }
+      println(s"""{"metric":"pq_recall","m":$m,"ksub":$ksub,"rerank":$rr,""" +
+        s""""recall":${f"${row.getDouble(0)}%.4f"},"sec":${f"$s%.1f"}}""")
+    }
+    embs.unpersist()
+    ()
   }
 
   /** Store-deletion cost at scale: BM25 retire of a 10% id slice vs the

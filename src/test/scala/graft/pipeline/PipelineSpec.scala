@@ -1810,6 +1810,67 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == (4L, true))
   }
 
+  test("pq ann with exact rerank recalls the brute-force top-1") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 10), embs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Similarity.pqTopK(embs, "vec_id", "embedding", k = 1,
+        m = 8, ksub = 16, rerank = 48, queryFilter = col("vid") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = brute.count { case (q, n) => pq.get(q).contains(n) }
+    assert(recall >= 8, s"PQ top-1 recall too low: $recall/10 ($pq vs $brute)")
+  }
+
+  test("pq codes: every vector coded in every subspace, codebook bounded") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = Similarity.normalizedVectors(embs, "vec_id", "embedding")
+    val book = Similarity.pqTrain(v, m = 4, ksub = 8)
+    val b = book.collect()
+    assert(b.length <= 4 * 8 && b.length > 4,
+      s"codebook size ${b.length}")
+    assert(b.forall(_.getSeq[Double](2).length == 16)) // 64 / 4
+    val codes = Similarity.pqCodes(embs, "vec_id", "embedding", book, m = 4)
+      .collect()
+    val n = v.count()
+    assert(codes.length == n * 4, s"${codes.length} codes for $n vectors")
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
+    // codes are deterministic: a second train+encode is identical
+    val codes2 = Similarity.pqCodes(embs, "vec_id", "embedding",
+      Similarity.pqTrain(v, m = 4, ksub = 8), m = 4).collect()
+    assert(codes.map(_.toSeq).toSet == codes2.map(_.toSeq).toSet)
+  }
+
+  test("seasonal decomposition: v = trend + seasonal + resid on the grid") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user, 21 daily points with a period-7 sawtooth on a flat base:
+    // value(day) = 100 + (day % 7)
+    val e = (0 until 21).map { day =>
+      (day.toLong, new Timestamp(
+        (1704067200L + day * 86400L) * 1000L), 10L,
+        100.0 + (day % 7).toDouble)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.seasonalDecompose(e, "user_id", "ts", "value",
+      86400L, period = 7).collect()
+    // edge trim: 21 buckets - 2*3 partial windows
+    assert(got.length == 15, s"rows ${got.length}")
+    got.foreach { r =>
+      // the moving average of a full period of the sawtooth is flat 103
+      assert(r.getAs[Double]("trend") == 103.0, r.toString)
+      // decomposition identity holds exactly (all values 4-dec rounded)
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(recon - r.getAs[Double]("v")) < 1e-9, r.toString)
+    }
+    // the sawtooth phase is captured entirely by the seasonal component
+    val seas = got.map(r => (r.getAs[Long]("bucket_start") / 86400L % 7) ->
+      r.getAs[Double]("seasonal")).toMap
+    assert(seas.size == 7)
+    got.foreach(r => assert(math.abs(r.getAs[Double]("resid")) < 1e-9,
+      s"pure seasonal series must leave no residual: $r"))
+  }
+
   test("multimodal: stubbed decode features are pure functions of bytes") {
     import spark.implicits._
     val media = Multimodal.fromDocuments(docs, "doc_id", "text", "text")
