@@ -45,13 +45,16 @@ object SparkEntry {
     stores.getOrElseUpdate(sfDir, TpchGraphAdapter(spark, sfDir).cacheAll())
 
   private val graphs = scala.collection.concurrent.TrieMap[
-    String, org.apache.spark.graphx.Graph[(String, String), (String, String)]]()
+    String, org.apache.spark.graphx.Graph[Unit, Unit]]()
   private def graphFor(spark: SparkSession, sfDir: String) =
     graphs.getOrElseUpdate(sfDir, {
-      // storage level is decided INSIDE toGraph (GRAFT_GRAPH_STORAGE env;
-      // default MEMORY_ONLY = the interactive-serving protocol); cache()
-      // here re-applies the graph's recorded target level
-      val g = graft.graph.GraphOps.toGraph(storeFor(spark, sfDir))
+      // TOPOLOGY-ONLY graph: none of the GraphX consumers below reads
+      // vertex/edge attributes, and the attributed cache's strings are
+      // what overflowed the heap at the 140M-edge probe. Storage level
+      // is decided INSIDE toTopology (GRAFT_GRAPH_STORAGE env; default
+      // MEMORY_ONLY = the interactive-serving protocol); cache()
+      // re-applies the graph's recorded target level
+      val g = graft.graph.GraphOps.toTopology(storeFor(spark, sfDir))
       g.cache(); g
     })
 

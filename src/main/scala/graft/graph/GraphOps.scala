@@ -50,18 +50,55 @@ object GraphOps {
         col("kind"), col("type"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), (r.getString(2), r.getString(3))))
     // 2D edge partitioning bounds vertex replication at sqrt(numParts) —
-    // the standard GraphX layout for iterative algorithms (pagerank, Pregel).
-    // Storage level: MEMORY_ONLY deserialized is the interactive default;
-    // when the graph outgrows the executor-heap storage fraction (the sf10
-    // probe on a single 106g-heap box), MEMORY_AND_DISK_SER is the honest
-    // production setting — serialized, spillable, ~3-4x smaller for
-    // string-attributed vertices/edges — selected via env so measurement
-    // runs state their protocol explicitly.
-    val lvl = sys.env.get("GRAFT_GRAPH_STORAGE")
+    // the standard GraphX layout for iterative algorithms (pagerank, Pregel)
+    Graph(vertices, edges, defaultVertexAttr = null,
+        edgeStorageLevel = storageLevel, vertexStorageLevel = storageLevel)
+      .partitionBy(
+        org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+  }
+
+  /** Storage level for GraphX caches: MEMORY_ONLY deserialized is the
+    * interactive default; when the graph outgrows the executor-heap
+    * storage fraction, MEMORY_AND_DISK_SER is the honest production
+    * setting — serialized, spillable, several times smaller — selected
+    * via GRAFT_GRAPH_STORAGE so measurement runs state their protocol
+    * explicitly.
+    */
+  private[graft] def storageLevel: org.apache.spark.storage.StorageLevel =
+    sys.env.get("GRAFT_GRAPH_STORAGE")
       .map(org.apache.spark.storage.StorageLevel.fromString)
       .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    Graph(vertices, edges, defaultVertexAttr = null,
-        edgeStorageLevel = lvl, vertexStorageLevel = lvl)
+
+  /** TOPOLOGY-ONLY twin of [[toGraph]] — the SAME vertex universe (all
+    * four node tables, so rank ties at the no-in-edge floor keep the
+    * attributed graph's membership) and the same EdgePartition2D layout,
+    * but Unit attributes everywhere. None of the iterative consumers
+    * (PageRank/PPR/HITS/k-hop/degrees) ever reads the (kind, label) /
+    * (kind, type) strings, yet caching them dominated the attributed
+    * graph's footprint (~100+ bytes/element vs 16 bytes of packed ids):
+    * at the 140M-edge second-decade probe the string-attributed cache
+    * overflowed a 106 GiB heap while this one fits in memory. This is
+    * what a 1000-executor deployment should cache for bulk rankings —
+    * attributes live in the columnar store and join back by id AFTER
+    * the iteration, not inside it.
+    */
+  def toTopology(store: GraphStore): Graph[Unit, Unit] = {
+    val vertices = store.directories
+      .select(NodeTag.vertexIdCol(NodeTag.Directory, col("id")).as("vid"))
+      .unionByName(store.files
+        .select(NodeTag.vertexIdCol(NodeTag.File, col("id")).as("vid")))
+      .unionByName(store.definitions
+        .select(NodeTag.vertexIdCol(NodeTag.Definition, col("id")).as("vid")))
+      .unionByName(store.importedSymbols
+        .select(NodeTag.vertexIdCol(NodeTag.ImportedSymbol, col("id")).as("vid")))
+      .rdd.map(r => (r.getLong(0), ()))
+    val edges = store.edges
+      .select(
+        (tagOf(col("kind"), from = true) * lit(1L << 32) + col("source_id")).as("src"),
+        (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("dst"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph(vertices, edges, defaultVertexAttr = (),
+        edgeStorageLevel = storageLevel, vertexStorageLevel = storageLevel)
       .partitionBy(
         org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }
@@ -76,7 +113,8 @@ object GraphOps {
     * truncating). The distributed face for unbounded results is
     * [[kHopDf]] — that is what the gates use.
     */
-  def kHopFrom(graph: Graph[(String, String), (String, String)],
+  def kHopFrom[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
+               graph: Graph[VD, ED],
                start: VertexId, maxHops: Int,
                maxVertices: Int = 100000): Map[VertexId, Int] = {
     val capped = kHopVertices(graph, start, maxHops)
@@ -87,7 +125,8 @@ object GraphOps {
     capped.toMap
   }
 
-  private def kHopVertices(graph: Graph[(String, String), (String, String)],
+  private def kHopVertices[VD: scala.reflect.ClassTag,
+      ED: scala.reflect.ClassTag](graph: Graph[VD, ED],
       start: VertexId, maxHops: Int) = {
     val init = graph.mapVertices((vid, _) =>
       if (vid == start) 0 else Int.MaxValue)
@@ -104,7 +143,8 @@ object GraphOps {
     * from `start` in <= maxHops directed hops — the no-collect face of
     * [[kHopFrom]] for gate checks and large result sets.
     */
-  def kHopDf(graph: Graph[(String, String), (String, String)],
+  def kHopDf[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
+             graph: Graph[VD, ED],
              spark: SparkSession, start: VertexId, maxHops: Int): DataFrame = {
     import spark.implicits._
     kHopVertices(graph, start, maxHops)
@@ -133,7 +173,8 @@ object GraphOps {
                iters: Int = 10, resetProb: Double = 0.15): DataFrame =
     pageRankOf(toGraph(store), spark, iters, resetProb)
 
-  def pageRankOf(g: Graph[(String, String), (String, String)],
+  def pageRankOf[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
+                 g: Graph[VD, ED],
                  spark: SparkSession, iters: Int = 10,
                  resetProb: Double = 0.15): DataFrame =
     pageRankDf(g, spark, iters, resetProb)
@@ -143,7 +184,8 @@ object GraphOps {
     * Gate queries order by a *rounded* rank so the float summation-order
     * noise (~1e-15) can never flip the cross-engine comparison.
     */
-  def pageRankDf(g: Graph[(String, String), (String, String)],
+  def pageRankDf[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
+                 g: Graph[VD, ED],
                  spark: SparkSession, iters: Int = 10,
                  resetProb: Double = 0.15): DataFrame = {
     import spark.implicits._
@@ -157,7 +199,8 @@ object GraphOps {
     * view is metadata-only; no data movement). The impact-analysis query:
     * "what could be affected by changing this definition".
     */
-  def kHopToDf(graph: Graph[(String, String), (String, String)],
+  def kHopToDf[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
+               graph: Graph[VD, ED],
                spark: SparkSession, target: VertexId,
                maxHops: Int): DataFrame =
     kHopDf(graph.reverse, spark, target, maxHops)
@@ -168,7 +211,8 @@ object GraphOps {
   def degreeByKind(spark: SparkSession, store: GraphStore): DataFrame =
     degreeByKindOf(toGraph(store), spark)
 
-  def degreeByKindOf(g: Graph[(String, String), (String, String)],
+  def degreeByKindOf[VD: scala.reflect.ClassTag, ED: scala.reflect.ClassTag](
+                     g: Graph[VD, ED],
                      spark: SparkSession): DataFrame = {
     import spark.implicits._
     val deg = g.degrees.map { case (vid, d) => (vid >> 32, d) }
