@@ -2188,6 +2188,25 @@ object SparkEntry {
         queryFilter = col("vec_id") < 100)
     }
 
+    // IVF-PQ ANN (FAISS IVFADC composition: coarse cells bound WHICH
+    // vectors a query touches, residual PQ codes bound WHAT is read per
+    // touched vector): same recall-bound contract. Both index stages are
+    // deterministic (id-order seeding), so the measured recall is a
+    // constant; params from the measured curve (Round9Probe ivfpqrecall,
+    // SCALE.md round 9).
+    q("ann_ivfpq_topk", s"""$vnSql
+      SELECT 'ivfpq' AS algo, CAST(5 AS INT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      // measured curve @ sf0.01: nprobe=12 -> 0.934, nprobe=14 -> 0.978
+      val approx = Similarity.ivfPqTopK(embs, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 14, m = 8, ksub = 32, lloydIters = 2,
+        rerank = 192, queryFilter = col("vid") < 100)
+      Similarity.recallGate(embs, approx, "ivfpq", k = 5, bound = 0.9,
+        queryFilter = col("vec_id") < 100)
+    }
+
     // ---- persisted IVF index (the operational ANN store): build once at
     //      admission (quantizer + cell-partitioned vectors on disk), serve
     //      queries by probing stored cells. Same recall-bound contract as

@@ -428,4 +428,87 @@ object Similarity {
       .select(col("q_id").as("query_id"), col("vid").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** IVF-PQ: the production composition of the two index families —
+    * coarse IVF cells bound WHICH vectors a query touches (nprobe/nlist
+    * of the corpus), and a residual product-quantizer bounds WHAT is
+    * read per touched vector (m byte-codes instead of the full vector) —
+    * the FAISS IVFADC layout, expressed relationally.
+    *
+    * Scoring: each corpus vector x in cell c is stored as code(x − cvec_c)
+    * (the RESIDUAL is quantized — residuals cluster tighter than raw
+    * vectors, so the same codebook budget loses less). For query q the
+    * approximate score of x is dot(q, cvec_c) + Σ_s dot(q_s, codeword_s)
+    * — one per-(query, probed-cell) scalar plus m shared-codebook table
+    * lookups, so the ADC lookup table (queries × m·ksub, broadcast) is
+    * CELL-INDEPENDENT and built once. Top `rerank` candidates per query
+    * are re-scored with the exact cosine; same output shape and
+    * recall-bound contract as the other ANN faces.
+    *
+    * At 100 TB: the code table is (vid, cell, s, code) — bytes per
+    * vector, partitioned by cell like [[graft.store.AnnIndexStore]]'s
+    * lists, so the probe join prunes to probed cells AND never reads
+    * full vectors until the rerank's point lookups.
+    */
+  def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                ksub: Int = 16, lloydIters: Int = 2, rerank: Int = 32,
+                queryFilter: Column = lit(true)): DataFrame = {
+    val v = normalizedVectors(embs, idCol, vecCol).cache()
+    val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
+    val index = index0.cache()
+    // residual per vector w.r.t. its assigned cell centroid
+    val residuals = index.join(broadcast(centroids), "cid")
+      .select(col("vid"), col("cid").as("cell"),
+        expr("zip_with(vec, cvec, (a, b) -> a - b)").as("vec"))
+    val resV = residuals.select(col("vid"), col("vec")).cache()
+    val codebook = pqTrain(resV, m, ksub, lloydIters)
+    val codes = pqAssign(subvectors(resV, m), codebook)
+      .select(col("vid"), col("s"), col("cid"))
+      .join(residuals.select(col("vid"), col("cell")), "vid")
+      .cache()
+    val queries = v.where(queryFilter)
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    // coarse probe: nprobe best cells per query by centroid dot, plus the
+    // dot(q, cvec) scalar the residual decomposition owes each cell
+    val probes = queries.join(broadcast(centroids), lit(true), "cross")
+      .withColumn("qc", dot(col("q_vec"), col("cvec")))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc").desc, col("cid"))
+    val probed = probes.withColumn("__rk", row_number().over(wp))
+      .where(col("__rk") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"), col("qc"))
+    // shared ADC lookup table: dot(q_s, codeword) for every (s, cid)
+    val lut = queries
+      .select(col("q_id"), col("q_vec"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("q_id"), col("s").cast("int").as("s"),
+        expr(s"slice(q_vec, s * (size(q_vec) DIV $m) + 1, " +
+          s"size(q_vec) DIV $m)").as("qs"))
+      .join(codebook, "s")
+      .select(col("q_id"), col("s"), col("cid"), dot(col("qs"), col("cvec")).as("lv"))
+    // candidates: code rows of probed cells only; approx = qc + Σ lut
+    val approx = codes.join(broadcast(probed), Seq("cell"))
+      .where(col("vid") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "s", "cid"))
+      .groupBy(col("q_id"), col("vid"))
+      .agg((first(col("qc")) + sum(col("lv"))).as("adc"))
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vid"))
+    val shortlist = approx.withColumn("__rk", row_number().over(wa))
+      .where(col("__rk") <= rerank)
+      .select(col("q_id"), col("vid"))
+    val exact = shortlist
+      .join(v.select(col("vid"), col("vec"), col("nrm")), "vid")
+      .join(queries, "q_id")
+      .withColumn("cosine",
+        dot(col("q_vec"), col("vec")) / (col("q_nrm") * col("nrm")))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vid"))
+    exact.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("vid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
 }

@@ -46,6 +46,7 @@ object Round9Probe {
       case "retire" => retireCost(spark, sfDir)
       case "graph2" => graphSecondDecade(spark, sfDir)
       case "pqrecall" => pqRecall(spark, sfDir)
+      case "ivfpqrecall" => ivfPqRecall(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
   }
@@ -150,6 +151,37 @@ object Round9Probe {
       }
       println(s"""{"metric":"pq_recall","m":$m,"ksub":$ksub,"rerank":$rr,""" +
         s""""recall":${f"${row.getDouble(0)}%.4f"},"sec":${f"$s%.1f"}}""")
+    }
+    embs.unpersist()
+    ()
+  }
+
+  /** IVF-PQ recall calibration across (nlist, nprobe, m, ksub, rerank):
+    * the composed index loses recall at BOTH stages (cells not probed,
+    * residual codes misranking), so the gate parameters need their own
+    * measured curve, not the single-family ones.
+    */
+  private def ivfPqRecall(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    embs.count()
+    for ((nl, np, m, ksub, rr) <- Seq((16, 8, 8, 32, 96), (16, 12, 8, 32, 96),
+        (16, 12, 8, 32, 192), (16, 12, 8, 64, 192), (16, 14, 8, 32, 192))) {
+      val (row, s) = timed {
+        val approx = graft.pipeline.Similarity.ivfPqTopK(embs, "vec_id",
+          "embedding", k = 5, nlist = nl, nprobe = np, m = m, ksub = ksub,
+          lloydIters = 2, rerank = rr, queryFilter = col("vid") < 100)
+        val brute = graft.pipeline.Similarity.bruteForceTopK(
+            embs.where(col("vec_id") < 100), embs, "vec_id", "embedding", 5)
+          .select("query_id", "neighbor_id")
+        brute.join(approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .agg(avg(coalesce(col("hit"), lit(0))).as("recall")).head()
+      }
+      println(s"""{"metric":"ivfpq_recall","nlist":$nl,"nprobe":$np,"m":$m,""" +
+        s""""ksub":$ksub,"rerank":$rr,"recall":${f"${row.getDouble(0)}%.4f"},""" +
+        s""""sec":${f"$s%.1f"}}""")
     }
     embs.unpersist()
     ()

@@ -1841,6 +1841,25 @@ class PipelineSpec extends SparkSpec {
     assert(codes.map(_.toSeq).toSet == codes2.map(_.toSeq).toSet)
   }
 
+  test("ivf-pq ann: residual ADC shortlist + rerank recalls brute top-1") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 10), embs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.ivfPqTopK(embs, "vec_id", "embedding", k = 1,
+        nlist = 8, nprobe = 6, m = 8, ksub = 16, rerank = 48,
+        queryFilter = col("vid") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = brute.count { case (q, n) => got.get(q).contains(n) }
+    assert(recall >= 8, s"IVF-PQ top-1 recall too low: $recall/10 ($got vs $brute)")
+    // determinism: a second full build returns the identical result set
+    val got2 = Similarity.ivfPqTopK(embs, "vec_id", "embedding", k = 1,
+        nlist = 8, nprobe = 6, m = 8, ksub = 16, rerank = 48,
+        queryFilter = col("vid") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == got2)
+  }
+
   test("seasonal decomposition: v = trend + seasonal + resid on the grid") {
     import spark.implicits._
     import java.sql.Timestamp
