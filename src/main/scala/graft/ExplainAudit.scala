@@ -17,7 +17,9 @@ object ExplainAudit {
         // round-8 representatives
         "g_kcore", "srch_bm25_indexed", "evt_anomalies", "evt_resample",
         // round-9 representatives
-        "srch_bm25_retire", "g_tri_retire")
+        "srch_bm25_retire", "g_tri_retire", "mm_phash_pairs", "evt_seasonal",
+        "ann_pq_topk", "ann_ivfpq_topk", "tok_pack_greedy",
+        "td_heavy_hitters", "sk_cm_estimate")
     names.foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

@@ -2299,6 +2299,75 @@ object SparkEntry {
         queryFilter = col("vec_id") < 100)
     }
 
+    // ---- Misra-Gries heavy hitters over document word-bigrams: map-side
+    //      bounded candidate generation (<= ceil(1/phi) counters per
+    //      partition, provably a superset of the global phi-heavy items
+    //      since frequency is additive) + ONE exact recount of candidates
+    //      only. Output is exact, so the oracle is the plain census.
+    q("td_heavy_hitters", s"""$docPrelude, big AS (
+        SELECT toks[i] || ' ' || toks[i+1] AS item
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+      tot AS (SELECT count(*) AS n FROM big)
+      SELECT item, CAST(count(*) AS BIGINT) AS n_item,
+        CAST(tot.n AS BIGINT) AS n_total
+      FROM big, tot GROUP BY item, tot.n
+      HAVING count(*) >= ceil(0.001 * tot.n)
+      ORDER BY item""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val items = docs.select(explode(
+        graft.functions.TextFunctions.shingleList(col("text"), 2)).as("big"))
+      graft.pipeline.Sketches.heavyHitters(items, "big", phi = 0.001)
+        .orderBy("item")
+    }
+
+    // ---- Count-Min sketch estimates over document word-trigrams (16k+
+    //      distinct items into 4x2048 counters — real collisions): the
+    //      sketch is built as the MERGE of two independently-built halves
+    //      (even/odd doc_id — counter merge is cell-wise sum, so the split
+    //      build must EQUAL the one-shot build the oracle replays), and
+    //      the gate hash-compares the full estimate table — the hash
+    //      family is the same charFold/coeff construction as MinHash, so
+    //      DuckDB reproduces every collision deterministically.
+    q("sk_cm_estimate", {
+      val cjSql = (0 until 4).map(j =>
+        s"($j, ${graft.functions.TextFunctions.coeffA(j)}, " +
+          s"${graft.functions.TextFunctions.coeffB(j)})").mkString(", ")
+      s"""$docPrelude, tri AS (
+        SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS item
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+      cj(j, a, b) AS (VALUES $cjSql),
+      tf AS (SELECT item, ${sqlCharFold("item")} AS f, count(*) AS c
+             FROM tri GROUP BY item),
+      cells AS (SELECT cj.j AS j,
+          CAST(((cj.a * tf.f + cj.b) % 1000000007) % 2048 AS INT) AS bucket,
+          sum(tf.c) AS cnt
+        FROM tf, cj GROUP BY 1, 2),
+      hh AS (SELECT item, f, c AS n_exact FROM tf WHERE c >= 5)
+      SELECT hh.item, CAST(min(cells.cnt) AS BIGINT) AS est,
+        CAST(hh.n_exact AS BIGINT) AS n_exact,
+        min(cells.cnt) >= hh.n_exact AS over_ok
+      FROM hh JOIN cj ON true
+      JOIN cells ON cells.j = cj.j AND cells.bucket =
+        CAST(((cj.a * hh.f + cj.b) % 1000000007) % 2048 AS INT)
+      GROUP BY hh.item, hh.n_exact
+      ORDER BY item"""
+    }) { (s, d) =>
+      import graft.pipeline.Sketches
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val items = docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingleList(col("text"), 3)).as("item"))
+      val sketch = Sketches.cmMerge(
+        Sketches.countMin(items.where(col("doc_id") % 2 === 0), "item", 4, 2048),
+        Sketches.countMin(items.where(col("doc_id") % 2 =!= 0), "item", 4, 2048))
+      val exact = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+        .where(col("n_exact") >= 5)
+      Sketches.cmEstimate(sketch, exact.select("item"), "item", 4, 2048)
+        .join(exact, "item")
+        .select(col("item"), col("est"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("over_ok"))
+        .orderBy("item")
+    }
+
     // ---- text analysis: token counting
     q("td_token_counts", """SELECT doc_id,
         CAST(len(list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +'), x -> x <> '')) AS INT) AS n_ws_tokens,

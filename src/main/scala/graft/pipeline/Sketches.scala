@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Frequency sketches: Count-Min summaries (Cormode & Muthukrishnan 2005)
+  * and Misra-Gries heavy hitters — the fixed-memory frequency family next
+  * to [[graft.store.SketchStore]]'s HLL cardinality registers.
+  *
+  * The Count-Min sketch is a depth×width counter table: row j counts items
+  * by bucket h_j(x) = ((a_j · charFold(x) + b_j) mod P) mod width, the same
+  * deterministic pairwise-independent family as the MinHash slots
+  * ([[TextFunctions.coeffA]]/[[coeffB]]) — so the identical sketch is
+  * expressible in the DuckDB oracle and the gate hash-compares the full
+  * estimate table, not just a bound bit.
+  *
+  * Relational shape and the 100 TB story: building is ONE map-side
+  * expansion (explode of `depth` (j, bucket) pairs per item) followed by a
+  * groupBy over at most depth·width keys — partial aggregation means the
+  * shuffle carries the SKETCH's size per partition, never the corpus's.
+  * Sketches MERGE by cell-wise sum (the transform is linear), so
+  * per-partition / per-day / per-source sketches roll up without touching
+  * raw history — the same admission contract as the HLL store. Estimates
+  * are a broadcast join of candidates against the depth·width table.
+  *
+  * Error contract: est(x) ≥ true(x) always (counters only overcount);
+  * est(x) ≤ true(x) + ε·N with probability 1−δ at width=⌈e/ε⌉,
+  * depth=⌈ln(1/δ)⌉.
+  */
+object Sketches {
+
+  /** (j, bucket) hash pairs for one item column, j in [0, depth). */
+  private def cmBuckets(item: Column, depth: Int, width: Int): Column = {
+    val f = TextFunctions.charFold(item)
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (((lit(TextFunctions.coeffA(j)) * f + lit(TextFunctions.coeffB(j)))
+          % TextFunctions.HashMod) % width).cast("int").as("bucket"))
+    }: _*)
+  }
+
+  /** Build the sketch: (j, bucket, cnt) — at most depth·width rows.
+    * `weightCol` of None counts each row as 1 (plain frequency); pass a
+    * column name to sketch a pre-aggregated weighted stream.
+    */
+  def countMin(df: DataFrame, itemCol: String, depth: Int, width: Int,
+               weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    df.select(explode(cmBuckets(col(itemCol), depth, width)).as("jb"),
+        w.as("__w"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum("__w").as("cnt"))
+  }
+
+  /** Merge sketches built with the same (depth, width): cell-wise sum. */
+  def cmMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for a candidate item set: min over the depth rows of
+    * the item's counters. The sketch (≤ depth·width rows) broadcasts; a
+    * bucket no item hashed into estimates as 0.
+    */
+  def cmEstimate(sketch: DataFrame, candidates: DataFrame, itemCol: String,
+                 depth: Int, width: Int): DataFrame =
+    candidates
+      .select(col(itemCol).as("item"),
+        explode(cmBuckets(col(itemCol), depth, width)).as("jb"))
+      .join(broadcast(sketch),
+        col("jb.j") === col("j") && col("jb.bucket") === col("bucket"),
+        "left_outer")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Candidate generator for heavy hitters: per-partition Misra-Gries with
+    * k counters. Guarantee: an item whose count within a partition is
+    * > N_p/(k+1) ends the pass with a live counter, so with k = ⌈1/φ⌉
+    * every item at partition support ≥ φ survives — and since frequency is
+    * additive, any GLOBAL φ-heavy hitter is a φ-local one in at least one
+    * partition: the union over partitions is a complete candidate set, at
+    * most k items per partition, no shuffle of the item universe anywhere.
+    *
+    * This is the sanctioned `mapPartitions` case — MG's decrement step is
+    * genuinely imperative per-partition state with a hard k-entry memory
+    * bound. The emitted candidate set depends on partition layout (a
+    * SUPERSET, like the LSH candidate stage); callers must re-count
+    * exactly, which [[heavyHitters]] does.
+    */
+  def mgCandidates(items: DataFrame, k: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col("item").cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach { x =>
+          if (counters.contains(x)) counters(x) += 1L
+          else if (counters.size < k) counters(x) = 1L
+          else {
+            // decrement all; drop zeros (the classic MG step)
+            val dead = new scala.collection.mutable.ArrayBuffer[String]()
+            counters.mapValuesInPlace((_, v) => v - 1L)
+            counters.foreach { case (key, v) => if (v <= 0L) dead += key }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }.toDF("item").distinct()
+  }
+
+  /** Heavy hitters of `df`'s item column at support φ: all items whose
+    * TRUE frequency is ≥ ⌈φ·N⌉. Misra-Gries candidates (map-side, ≤ ⌈1/φ⌉
+    * entries per partition) prune the universe; ONE exact count over the
+    * candidate rows only (broadcast semi-join keeps the scan map-side)
+    * removes false positives. Output (item, n_item, n_total) is EXACT —
+    * the sketch machinery bounds WORK and MEMORY, not accuracy, which is
+    * what makes the operator oracle-checkable end to end.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, phi: Double): DataFrame = {
+    require(phi > 0 && phi < 1, s"support phi in (0,1): $phi")
+    val items = df.select(col(itemCol).as("item"))
+      .where(col("item").isNotNull)
+    val total = items.count()
+    val thresh = math.ceil(phi * total).toLong.max(1L)
+    val cands = mgCandidates(items, math.ceil(1.0 / phi).toInt)
+    items.join(broadcast(cands), Seq("item"), "left_semi")
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+      .where(col("n_item") >= thresh)
+      .withColumn("n_total", lit(total))
+  }
+}

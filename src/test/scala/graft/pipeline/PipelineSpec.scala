@@ -1860,6 +1860,58 @@ class PipelineSpec extends SparkSpec {
     assert(got == got2)
   }
 
+  test("count-min: never undercounts, exact when collision-free, merge == full") {
+    import spark.implicits._
+    // 4 items, small width to force SOME collisions at w=4, none at w=1024
+    val rows = (Seq.fill(100)("alpha") ++ Seq.fill(40)("beta") ++
+      Seq.fill(7)("gamma") ++ Seq("delta")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "item")
+    val exact = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    for (w <- Seq(4, 1024)) {
+      val sk = Sketches.countMin(df, "item", depth = 4, width = w)
+      val est = Sketches.cmEstimate(sk, df.select("item").distinct(), "item",
+          depth = 4, width = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, n) =>
+        assert(est(k) >= n, s"w=$w undercounted $k: ${est(k)} < $n") }
+      if (w == 1024) // 4 items in 1024 buckets x 4 rows: min row exact
+        exact.foreach { case (k, n) => assert(est(k) == n) }
+    }
+    // mergeability: sum of half-sketches == one-shot sketch, cell for cell
+    val full = Sketches.countMin(df, "item", 4, 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.cmMerge(
+        Sketches.countMin(df.where($"id" % 2 === 0), "item", 4, 64),
+        Sketches.countMin(df.where($"id" % 2 =!= 0), "item", 4, 64))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(full == merged)
+  }
+
+  test("misra-gries candidates survive the decrement path; heavy hitters exact") {
+    import spark.implicits._
+    // skewed stream in ONE partition with k=2 counters: 300 of 'hot' mixed
+    // with 250 distinct fillers — the decrement branch fires constantly but
+    // the heavy item must end with a live counter (MG guarantee)
+    val stream = scala.util.Random.shuffle(
+      (Seq.fill(300)("hot") ++ (0 until 250).map(i => s"cold$i")).toList)
+    val items = stream.toDF("item").coalesce(1)
+    val cands = Sketches.mgCandidates(items, k = 2).collect().map(_.getString(0))
+    assert(cands.contains("hot"), s"MG lost the heavy item: ${cands.toSeq}")
+    assert(cands.length <= 2)
+    // end-to-end on testdata bigrams: exact census parity
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val big = docs.select(explode(
+      graft.functions.TextFunctions.shingleList(col("text"), 2)).as("b"))
+    val got = Sketches.heavyHitters(big, "b", phi = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = big.count()
+    val want = big.groupBy("b").count()
+      .where(col("count") >= math.ceil(0.01 * n))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+  }
+
   test("seasonal decomposition: v = trend + seasonal + resid on the grid") {
     import spark.implicits._
     import java.sql.Timestamp
