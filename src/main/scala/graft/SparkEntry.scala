@@ -2951,6 +2951,28 @@ object SparkEntry {
         n = 3, k = 25).orderBy("rank")
     }
 
+    // ---- collocation (phrase) detection: word2phrase scoring with the
+    //      score as EXACT scaled-integer division — orderable and
+    //      hash-comparable bit-identically across engines (no float in
+    //      the pipeline). Top 20 by score, (w1, w2) tiebreak.
+    q("td_collocations", docPrelude +
+      s""", cu AS (SELECT unnest(toks) AS w FROM d_toks),
+      cun AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM cu GROUP BY 1),
+      ctot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cu),
+      cbg AS (SELECT toks[i] AS w1, toks[i+1] AS w2,
+          CAST(count(*) AS BIGINT) AS n_pair
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        GROUP BY 1, 2 HAVING count(*) > 5),
+      csc AS (SELECT w1, w2, n_pair, a.c AS n_w1, b.c AS n_w2, ctot.n AS n_total,
+          ((n_pair - 5) * ctot.n * 1000000) // (a.c * b.c) AS score6
+        FROM cbg JOIN cun a ON cbg.w1 = a.w JOIN cun b ON cbg.w2 = b.w, ctot)
+      SELECT w1, w2, n_pair, n_w1, n_w2, n_total, score6,
+        CAST(row_number() OVER (ORDER BY score6 DESC, w1, w2) AS INT) AS rank
+      FROM csc QUALIFY rank <= 20 ORDER BY rank""") { (s, d) =>
+      TextAnalysis.topCollocations(s.read.parquet(s"$d/documents.parquet"),
+        "text", delta = 5, k = 20).orderBy("rank")
+    }
+
     // ---- tokenizer training: BPE merge induction (6 rounds, word-level
     //      symbols). The oracle unrolls the merge loop as CTE chains — each
     //      round re-splits the merged symbol stream, counts adjacent pairs,

@@ -562,6 +562,49 @@ object TextAnalysis {
       .select(col("gram"), col("n"), col("rank"))
   }
 
+  /** Word2phrase collocation scores (Mikolov et al. 2013): for each
+    * adjacent word pair, score = (n_pair − δ)·N / (n_w1·n_w2) — ≈1 under
+    * independence, ≫1 for genuine phrases; δ discounts rare-pair noise.
+    * The score is emitted as EXACT scaled-integer `score6` =
+    * ⌊(n_pair − δ)·N·10⁶ / (n_w1·n_w2)⌋ (all-positive integer division,
+    * no float anywhere), so ordering and values replay bit-identically in
+    * any engine — the same fixed-point discipline as seasonalDecompose.
+    *
+    * Shape at scale: one bigram groupBy (partial-agg shuffle over distinct
+    * pairs), one vocab-bounded unigram groupBy, two key joins of the pair
+    * table against the unigram table — no N×N anything; N is one scalar
+    * count. Overflow bound: (n_pair·N·10⁶) needs n_pair·N < 9.2e12 —
+    * fine through ~1e10-token corpora per partition-of-analysis; shard the
+    * corpus (scores are per-shard comparable) or drop to 10³ scaling above.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   delta: Int = 5): DataFrame = {
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+    val total = uni.count() // 1-row scalar
+    val un = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    docs.select(explode(shingleList(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") > delta)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("n_pair"))
+      .join(un.select(col("w").as("w1"), col("c").as("n_w1")), "w1")
+      .join(un.select(col("w").as("w2"), col("c").as("n_w2")), "w2")
+      .withColumn("n_total", lit(total))
+      .withColumn("score6",
+        expr(s"((n_pair - $delta) * n_total * 1000000) DIV (n_w1 * n_w2)"))
+      .select("w1", "w2", "n_pair", "n_w1", "n_w2", "n_total", "score6")
+  }
+
+  /** Top-k collocations by the exact integer score, total-ordered. */
+  def topCollocations(docs: DataFrame, textCol: String, delta: Int = 5,
+                      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    collocations(docs, textCol, delta)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score6").desc, col("w1"), col("w2"))).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** PII masking patterns — the scrub every published pretraining pipeline
     * runs (C4/Dolma mask emails, IPs, phone numbers before training).
     * Patterns are deliberately restricted to the RE2 ∩ java.util.regex

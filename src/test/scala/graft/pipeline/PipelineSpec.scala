@@ -1860,6 +1860,23 @@ class PipelineSpec extends SparkSpec {
     assert(got == got2)
   }
 
+  test("collocations: exact integer word2phrase scores, total-ordered top-k") {
+    import spark.implicits._
+    // counts: foo 20, bar 18, baz 14; N = 52
+    val docs = (Seq.fill(12)("foo bar") ++ Seq.fill(8)("foo baz") ++
+      Seq.fill(6)("baz bar")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.topCollocations(docs, "text", delta = 5, k = 20)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(6),
+        r.getInt(7)))
+    // hand-computed: (n_pair-5)*52*1e6 DIV (c1*c2)
+    assert(got.toSeq == Seq(
+      ("foo", "bar", (12L - 5) * 52 * 1000000L / (20 * 18), 1),
+      ("foo", "baz", (8L - 5) * 52 * 1000000L / (20 * 14), 2),
+      ("baz", "bar", (6L - 5) * 52 * 1000000L / (14 * 18), 3)))
+    assert(got.head._3 == 1011111L) // floor(7*52e6/360)
+  }
+
   test("count-min: never undercounts, exact when collision-free, merge == full") {
     import spark.implicits._
     // 4 items, small width to force SOME collisions at w=4, none at w=1024
