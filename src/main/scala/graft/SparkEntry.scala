@@ -2328,7 +2328,7 @@ object SparkEntry {
     //      the gate hash-compares the full estimate table — the hash
     //      family is the same charFold/coeff construction as MinHash, so
     //      DuckDB reproduces every collision deterministically.
-    q("sk_cm_estimate", {
+    val cmOracleSql = {
       val cjSql = (0 until 4).map(j =>
         s"($j, ${graft.functions.TextFunctions.coeffA(j)}, " +
           s"${graft.functions.TextFunctions.coeffB(j)})").mkString(", ")
@@ -2351,7 +2351,8 @@ object SparkEntry {
         CAST(((cj.a * hh.f + cj.b) % 1000000007) % 2048 AS INT)
       GROUP BY hh.item, hh.n_exact
       ORDER BY item"""
-    }) { (s, d) =>
+    }
+    q("sk_cm_estimate", cmOracleSql) { (s, d) =>
       import graft.pipeline.Sketches
       val docs = s.read.parquet(s"$d/documents.parquet")
       val items = docs.select(col("doc_id"), explode(
@@ -2362,6 +2363,36 @@ object SparkEntry {
       val exact = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
         .where(col("n_exact") >= 5)
       Sketches.cmEstimate(sketch, exact.select("item"), "item", 4, 2048)
+        .join(exact, "item")
+        .select(col("item"), col("est"), col("n_exact"),
+          (col("est") >= col("n_exact")).as("over_ok"))
+        .orderBy("item")
+    }
+
+    // ---- the PERSISTED Count-Min path across an admit seam: build the
+    //      store on the even half, stream-admit the odd half, REPLAY the
+    //      same batch key (the guard must no-op — CM counters add, so a
+    //      double-landed batch would shift every estimate), then answer
+    //      the same estimate query from the folded on-disk counters. The
+    //      oracle is the identical one-shot replay: exactly-once admission
+    //      + merge linearity land the persisted path on the same counters.
+    q("sk_cm_store", cmOracleSql) { (s, d) =>
+      import graft.pipeline.Sketches
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val items = docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingleList(col("text"), 3)).as("item"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cm_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.CmStore.build(s, s"$base/cm",
+        items.where(col("doc_id") % 2 === 0), "item", depth = 4, width = 2048)
+      st.append(items.where(col("doc_id") % 2 =!= 0), "odd")
+      st.append(items.where(col("doc_id") % 2 =!= 0), "odd") // replayed: no-op
+      val exact = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+        .where(col("n_exact") >= 5)
+      st.estimate(exact.select("item"), "item")
         .join(exact, "item")
         .select(col("item"), col("est"), col("n_exact"),
           (col("est") >= col("n_exact")).as("over_ok"))
