@@ -257,36 +257,57 @@ object TextAnalysis {
 
   /** Driver-side BPE merge induction over the collected weight table — the
     * shape every production tokenizer trainer uses once the distinct-unit
-    * table fits in memory. Pair counts (every adjacent occurrence, weighted
-    * by sequence multiplicity — identical to the corpus-wide count) are
-    * maintained INCREMENTALLY: applying a merge subtracts the old
-    * adjacencies and adds the new ones for exactly the sequences that
-    * contain the pair (tracked by an only-grows inverted index whose stale
-    * entries are skipped via a no-change reference check). The argmax is a
-    * lazy max-heap — every count update pushes a fresh entry; pops that
-    * disagree with the live count are discarded — so a round costs
-    * O(occurrences of the merged pair + heap churn), independent of both
-    * corpus size and table size. Tie order matches the distributed face:
-    * count desc, then pair string asc.
+    * table fits in memory. Symbols are interned to ints and pairs packed
+    * into one Long key (hashing stays O(1) as merged symbols grow — with
+    * string keys, pair-key hashing cost grows with every round because
+    * merged symbol names concatenate). Pair counts (every adjacent
+    * occurrence, weighted by sequence multiplicity — identical to the
+    * corpus-wide count) are maintained by MERGE-SITE-LOCAL deltas: applying
+    * a merge touches only the 3 destroyed and 2 created adjacencies around
+    * each site, never recounting whole sequences, for exactly the
+    * sequences that contain the pair (tracked by an only-grows inverted
+    * index whose stale entries are skipped via a no-change reference
+    * check). The argmax is a lazy max-heap — every count update pushes a
+    * fresh entry; pops that disagree with the live count are discarded —
+    * so a round costs O(occurrences of the merged pair + heap churn),
+    * independent of corpus size, table size, AND round index. Tie order
+    * matches the distributed face: count desc, then pair string asc
+    * (tuple compare over the interned names — equivalent to comparing the
+    * space-joined pair strings because ' ' sorts below every symbol
+    * character).
     */
   private[pipeline] def trainBpeDriver(
       seqs: Array[(Array[String], Long)],
       rounds: Int): Seq[(Int, String, Long)] = {
-    val cur = seqs.map(_._1)
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    val ids = new java.util.HashMap[String, Integer]()
+    def intern(s: String): Int = {
+      val got = ids.get(s)
+      if (got != null) got.intValue
+      else { names += s; ids.put(s, names.length - 1); names.length - 1 }
+    }
+    def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    val cur: Array[Array[Int]] = seqs.map(_._1.map(intern))
     val w = seqs.map(_._2)
-    val counts = new java.util.HashMap[String, Long]()
-    val index = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
-    // heap of (pair, count-at-push); stale entries discarded at pop
-    val heap = new java.util.PriorityQueue[(String, Long)](
-      11, new java.util.Comparator[(String, Long)] {
-        def compare(x: (String, Long), y: (String, Long)): Int = {
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val index =
+      new java.util.HashMap[java.lang.Long, java.util.ArrayList[Integer]]()
+    // heap of (pairKey, count-at-push); stale entries discarded at pop
+    val heap = new java.util.PriorityQueue[(Long, Long)](
+      11, new java.util.Comparator[(Long, Long)] {
+        def compare(x: (Long, Long), y: (Long, Long)): Int = {
           val c = java.lang.Long.compare(y._2, x._2) // count desc
-          if (c != 0) c else x._1.compareTo(y._1)    // pair asc
+          if (c != 0) return c
+          // pair string asc == (first, second) name-tuple asc
+          val c1 = names((x._1 >>> 32).toInt).compareTo(
+            names((y._1 >>> 32).toInt))
+          if (c1 != 0) c1
+          else names(x._1.toInt).compareTo(names(y._1.toInt))
         }
       })
-    def bump(key: String, delta: Long, seqIdx: Int): Unit = {
+    def bump(key: Long, delta: Long, seqIdx: Int): Unit = {
       val nv = counts.merge(key, delta, (a, b) => a + b)
-      if (nv == 0L) counts.remove(key) else heap.offer((key, nv))
+      if (nv == 0L) { counts.remove(key); () } else heap.offer((key, nv))
       if (delta > 0 && seqIdx >= 0) {
         val lst = index.computeIfAbsent(key,
           _ => new java.util.ArrayList[Integer]())
@@ -297,43 +318,71 @@ object TextAnalysis {
           lst.add(seqIdx)
       }
     }
-    def addPairs(i: Int, arr: Array[String], sign: Long): Unit = {
-      var j = 0
-      while (j + 1 < arr.length) {
-        bump(arr(j) + " " + arr(j + 1), sign * w(i), if (sign > 0) i else -1)
-        j += 1
-      }
-    }
     var i = 0
-    while (i < cur.length) { addPairs(i, cur(i), 1L); i += 1 }
+    while (i < cur.length) {
+      val arr = cur(i); var j = 0
+      while (j + 1 < arr.length) { bump(pk(arr(j), arr(j + 1)), w(i), i); j += 1 }
+      i += 1
+    }
+    /** One exhaustive left-to-right non-overlapping merge of (a, b) → ab
+      * over sequence si, updating pair counts with site-local deltas.
+      * Returns false (and changes nothing) when the pair is absent — the
+      * stale-index no-op check.
+      */
+    def mergeSeq(si: Int, a: Int, b: Int, ab: Int): Boolean = {
+      val arr = cur(si); val ws = w(si); val len = arr.length
+      var j = 0; var found = false
+      while (!found && j + 1 < len) {
+        if (arr(j) == a && arr(j + 1) == b) found = true else j += 1
+      }
+      if (!found) return false
+      val out = new scala.collection.mutable.ArrayBuffer[Int](len - 1)
+      j = 0
+      var prevSiteEnd = -1 // index just past the previous site's b
+      var justMerged = false
+      while (j < len) {
+        if (j + 1 < len && arr(j) == a && arr(j + 1) == b) {
+          bump(pk(a, b), -ws, -1)
+          // left neighbor: unless the previous (adjacent) site already
+          // removed this adjacency as ITS right neighbor
+          if (j > 0 && prevSiteEnd != j) bump(pk(arr(j - 1), a), -ws, -1)
+          if (j + 2 < len) bump(pk(b, arr(j + 2)), -ws, -1)
+          if (out.nonEmpty) bump(pk(out(out.length - 1), ab), ws, si)
+          out += ab
+          prevSiteEnd = j + 2
+          justMerged = true
+          j += 2
+        } else {
+          if (justMerged) { bump(pk(ab, arr(j)), ws, si); justMerged = false }
+          out += arr(j)
+          j += 1
+        }
+      }
+      cur(si) = out.toArray
+      true
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
     var k = 1
     var exhausted = counts.isEmpty
     while (k <= rounds && !exhausted) {
       // pop to the first heap entry whose count is still live
-      var top: (String, Long) = null
+      var top: (Long, Long) = null
       while (top == null && !heap.isEmpty) {
         val cand = heap.poll()
-        if (counts.get(cand._1) == cand._2) top = cand
+        val live = counts.get(cand._1)
+        if (live != null && live.longValue == cand._2) top = cand
       }
       if (top == null) exhausted = true
       else {
-        val (pair, n) = top
-        merges += ((k, pair, n))
-        val sp = pair.indexOf(' ')
-        val (a, b) = (pair.substring(0, sp), pair.substring(sp + 1))
-        val affected = index.remove(pair)
+        val (key, n) = top
+        val (a, b) = ((key >>> 32).toInt, key.toInt)
+        merges += ((k, names(a) + " " + names(b), n))
+        val ab = intern(names(a) + "_" + names(b))
+        val affected = index.remove(key)
         if (affected != null) {
           var x = 0
           while (x < affected.size) {
-            val si = affected.get(x).intValue()
-            val old = cur(si)
-            val merged = applyOneMerge(old, a, b)
-            if (merged ne old) { // stale index entry ⇒ no-op, skipped
-              addPairs(si, old, -1L)
-              addPairs(si, merged, 1L)
-              cur(si) = merged
-            }
+            mergeSeq(affected.get(x).intValue(), a, b, ab)
             x += 1
           }
         }
