@@ -2369,6 +2369,46 @@ object SparkEntry {
         .orderBy("item")
     }
 
+    // ---- partitioned Bloom membership prefilter: the seen half's ids
+    //      compress to a set-bit table; every id probes it. The law the
+    //      gate hash-checks row by row: NO false negatives (every seen id
+    //      probes maybe_seen = true), with false positives deterministic
+    //      given the shared hash family — DuckDB replays the exact bit
+    //      table, so maybe_seen matches bit for bit, fps included.
+    q("sk_bloom_filter", {
+      val cjSql = (0 until 3).map(j =>
+        s"($j, ${graft.functions.TextFunctions.coeffA(j)}, " +
+          s"${graft.functions.TextFunctions.coeffB(j)})").mkString(", ")
+      s"""WITH ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+        FROM documents),
+      cj(j, a, b) AS (VALUES $cjSql),
+      f AS (SELECT doc_id, ${sqlCharFold("s")} AS fv FROM ids),
+      bbits AS (SELECT DISTINCT cj.j * 4096 +
+          ((cj.a * f.fv + cj.b) % 1000000007) % 4096 AS bit
+        FROM f, cj WHERE f.doc_id % 2 = 0),
+      probe AS (SELECT f.doc_id, cj.j * 4096 +
+          ((cj.a * f.fv + cj.b) % 1000000007) % 4096 AS bit
+        FROM f, cj),
+      hits AS (SELECT p.doc_id,
+          sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS h
+        FROM probe p LEFT JOIN bbits b ON p.bit = b.bit GROUP BY p.doc_id)
+      SELECT doc_id, (h = 3) AS maybe_seen, (doc_id % 2 = 0) AS is_seen,
+        ((doc_id % 2 <> 0) OR h = 3) AS no_false_negative
+      FROM hits ORDER BY doc_id"""
+    }) { (s, d) =>
+      import graft.pipeline.Sketches
+      val ids = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("doc_id").cast("string").as("s"))
+      val bits = Sketches.bloomBits(ids.where(col("doc_id") % 2 === 0), "s",
+        k = 3, m = 4096)
+      Sketches.bloomProbe(ids, "s", bits, k = 3, m = 4096)
+        .select(col("doc_id"), col("maybe_seen"),
+          (col("doc_id") % 2 === 0).as("is_seen"),
+          ((col("doc_id") % 2 =!= 0) || col("maybe_seen"))
+            .as("no_false_negative"))
+        .orderBy("doc_id")
+    }
+
     // ---- the PERSISTED Count-Min path across an admit seam: build the
     //      store on the even half, stream-admit the odd half, REPLAY the
     //      same batch key (the guard must no-op — CM counters add, so a

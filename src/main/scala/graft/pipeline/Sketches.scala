@@ -74,6 +74,46 @@ object Sketches {
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** PARTITIONED Bloom filter bit positions of an item set: k
+    * deterministic hashes (the same charFold/coeff family), each into its
+    * own m-bit partition (bit id = j·m + bucket), emitted as the DISTINCT
+    * set-bit table — ≤ k·m rows, broadcastable, mergeable by union, and
+    * expressible in the DuckDB oracle (builtin bloom_filter_agg is
+    * deliberately avoided for the same reason as xxhash64 everywhere
+    * else: the gate contract is cross-engine determinism).
+    *
+    * The 100 TB use is admission prefiltering: the seen-id set of a
+    * billion-row corpus compresses to an m-row bit table; a new batch
+    * probes it map-side (broadcast join) and only the maybe-seen sliver
+    * pays the exact anti-join against history ([[Dedup]] incremental
+    * faces). No false negatives ever (an admitted item's k bits are all
+    * set by construction); false-positive rate is the standard
+    * (1−e^(−kn/m))^k.
+    */
+  def bloomBits(df: DataFrame, itemCol: String, k: Int = 3,
+                m: Int = 4096): DataFrame =
+    df.select(explode(cmBuckets(col(itemCol), k, m)).as("jb"))
+      .select((col("jb.j") * m + col("jb.bucket")).cast("long").as("bit"))
+      .distinct()
+
+  /** Probe: tag each row of `batch` with maybe_seen = all k of its bits
+    * are set in `bits`. Definitely-unseen rows (maybe_seen = false) can
+    * skip the exact membership check entirely. No false negatives by
+    * construction; false-positive rate (1−e^(−n/m))^k. Batch rows are
+    * assumed distinct (id-keyed) — the probe groups back by all batch
+    * columns.
+    */
+  def bloomProbe(batch: DataFrame, itemCol: String, bits: DataFrame,
+                 k: Int = 3, m: Int = 4096): DataFrame =
+    batch
+      .withColumn("__jb", explode(cmBuckets(col(itemCol), k, m)))
+      .withColumn("__bit",
+        (col("__jb.j") * m + col("__jb.bucket")).cast("long"))
+      .join(broadcast(bits.withColumn("__hit", lit(1))),
+        col("__bit") === col("bit"), "left_outer")
+      .groupBy(batch.columns.map(col): _*)
+      .agg((sum(coalesce(col("__hit"), lit(0))) === k).as("maybe_seen"))
+
   /** Candidate generator for heavy hitters: per-partition Misra-Gries with
     * k counters. Guarantee: an item whose count within a partition is
     * > N_p/(k+1) ends the pass with a live counter, so with k = ⌈1/φ⌉

@@ -1905,6 +1905,27 @@ class PipelineSpec extends SparkSpec {
     assert(full == merged)
   }
 
+  test("bloom prefilter: no false negatives, mergeable by union, fp-bounded") {
+    import spark.implicits._
+    val seen = (0 until 200).map(i => s"seen$i").toDF("item")
+    val novel = (0 until 500).map(i => s"novel$i").toDF("item")
+    val bits = Sketches.bloomBits(seen, "item", k = 3, m = 4096)
+    val probed = Sketches.bloomProbe(seen.unionByName(novel), "item", bits,
+        k = 3, m = 4096)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // law: every admitted item probes maybe_seen (no false negatives)
+    assert((0 until 200).forall(i => probed(s"seen$i")))
+    // fp rate at n=200, m=4096, k=3: (1-e^-0.049)^3 ~ 1e-4 — allow slack
+    val fps = (0 until 500).count(i => probed(s"novel$i"))
+    assert(fps <= 5, s"$fps false positives out of 500")
+    // union-mergeable: bits(A) ∪ bits(B) == bits(A ∪ B)
+    val a = Sketches.bloomBits(seen.where($"item" < "seen5"), "item", 3, 4096)
+    val b = Sketches.bloomBits(seen.where($"item" >= "seen5"), "item", 3, 4096)
+    val merged = a.unionByName(b).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(merged == bits.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("misra-gries candidates survive the decrement path; heavy hitters exact") {
     import spark.implicits._
     // skewed stream in ONE partition with k=2 counters: 300 of 'hot' mixed
