@@ -21,19 +21,29 @@ object StreamingCm {
   /** Writer merging each micro-batch of `rows` into the CM store at
     * `dir` (must exist — one-time [[CmStore.build]] fixes the item column
     * and sketch shape).
+    *
+    * Idempotency key = `keyPrefix` + micro-batch id. Batch ids are
+    * monotonic ACROSS restarts only under a fixed `checkpointLocation`
+    * (the standard foreachBatch exactly-once contract); a query started
+    * with a FRESH checkpoint restarts ids at 0, so distinct query
+    * instances feeding one store must use distinct prefixes — otherwise
+    * the guard silently refuses their (new) batches as replays.
     */
-  def writer(rows: DataFrame, dir: String): DataStreamWriter[Row] =
+  def writer(rows: DataFrame, dir: String,
+             keyPrefix: String = "stream"): DataStreamWriter[Row] =
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
-          new CmStore(dir, batch.sparkSession).append(batch, s"stream_$id")
+          new CmStore(dir, batch.sparkSession)
+            .append(batch, s"${keyPrefix}_$id")
           ()
         }
       }
 
   /** Convenience: start merging with a processing-time trigger. */
-  def start(rows: DataFrame, dir: String,
+  def start(rows: DataFrame, dir: String, keyPrefix: String = "stream",
             triggerMs: Long = 1000L): StreamingQuery =
-    writer(rows, dir).trigger(Trigger.ProcessingTime(triggerMs)).start()
+    writer(rows, dir, keyPrefix)
+      .trigger(Trigger.ProcessingTime(triggerMs)).start()
 }

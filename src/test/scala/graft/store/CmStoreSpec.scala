@@ -83,6 +83,45 @@ class CmStoreSpec extends SparkSpec {
     assert(estMap(st) == before)
   }
 
+  test("streaming heavy hitters: superset of the true heavy set, " +
+    "estimates never undercount") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-shh").toString + "/hh"
+    graft.stream.StreamingHeavyHitters.init(spark, dir, "item",
+      depth = 4, width = 256)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = graft.stream.StreamingHeavyHitters
+      .writer(input.toDF().toDF("item"), dir, "item", mgK = 8)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // two waves: 'hot' heavy across both, 'warm' heavy in wave 2 only
+    input.addData(Seq.fill(60)("hot") ++ (0 until 40).map(i => s"c$i"): _*)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    // a separate query instance must (a) namespace its keys — a fresh
+    // checkpoint restarts batch ids at 0 and the guard would refuse its
+    // batches — and (b) read its OWN source: an uncheckpointed query on
+    // the same MemoryStream would re-deliver wave 1 under the new prefix
+    // and double-count (the documented id-based exactly-once contract)
+    val input2 = MemoryStream[String]
+    val q2 = graft.stream.StreamingHeavyHitters
+      .writer(input2.toDF().toDF("item"), dir, "item", mgK = 8,
+        keyPrefix = "wave2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    input2.addData(Seq.fill(30)("hot") ++ Seq.fill(50)("warm") ++
+      (40 until 60).map(i => s"c$i"): _*)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    val got = graft.stream.StreamingHeavyHitters.topK(spark, dir, phi = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stream total 200; phi=0.2 -> threshold 40: true heavy = hot(90), warm(50)
+    val truth = Map("hot" -> 90L, "warm" -> 50L)
+    truth.foreach { case (k, n) =>
+      assert(got.contains(k), s"missing true heavy item $k in $got")
+      assert(got(k) >= n, s"undercounted $k: ${got(k)} < $n")
+    }
+    // and nothing wildly infrequent sneaks in below the CM floor
+    assert(got.keySet.forall(k => truth.contains(k) || got(k) >= 40L))
+  }
+
   test("streaming admission: micro-batches land exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = Files.createTempDirectory("graft-cm4").toString + "/cm"
