@@ -2369,6 +2369,68 @@ object SparkEntry {
         .orderBy("item")
     }
 
+    // ---- decimal histogram quantile sketch (the DDSketch shape with
+    //      string-exact bucketing): per event type, the buckets containing
+    //      the rank-q values for q in {0.5, 0.9, 0.99}. Everything stays
+    //      in 1e-4 fixed-point integers; the oracle replays the bucketing,
+    //      the cumulative pick, AND the exact rank value's containment.
+    q("sk_quantile_hist", """WITH ev AS (
+        SELECT CAST(event_type AS VARCHAR) AS key,
+          CAST(round(value * 10000) AS BIGINT) AS iv
+        FROM events WHERE value IS NOT NULL),
+      eb AS (SELECT key, iv, CAST(abs(iv) AS VARCHAR) AS s FROM ev),
+      b AS (SELECT key, CAST(sign(iv) AS INT) AS sgn, length(s) AS nd,
+          CAST(substr(s, 1, 2) AS BIGINT) AS p2,
+          CAST(substr(s, 1, 2) ||
+            repeat('0', greatest(length(s) - 2, 0)) AS BIGINT) AS lo4,
+          CAST(CAST(CAST(substr(s, 1, 2) AS BIGINT) + 1 AS VARCHAR) ||
+            repeat('0', greatest(length(s) - 2, 0)) AS BIGINT) AS hi4
+        FROM eb),
+      sk AS (SELECT key, sgn, nd, p2, lo4, hi4, count(*) AS cnt
+        FROM b GROUP BY 1, 2, 3, 4, 5, 6),
+      tot AS (SELECT key, sum(cnt) AS n FROM sk GROUP BY 1),
+      qq(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        (CAST(0.99 AS DOUBLE))),
+      cums AS (SELECT key, sgn, lo4, hi4,
+          sum(cnt) OVER (PARTITION BY key ORDER BY sgn, sgn * lo4
+            ROWS UNBOUNDED PRECEDING) AS cum FROM sk),
+      pick AS (SELECT c.key, qq.q, t.n, c.sgn, c.lo4, c.hi4,
+          row_number() OVER (PARTITION BY c.key, qq.q
+            ORDER BY c.sgn, c.sgn * c.lo4) AS rk
+        FROM cums c JOIN tot t ON c.key = t.key, qq
+        WHERE c.cum >= ceil(qq.q * t.n)),
+      qb AS (SELECT key, q, n,
+          CASE WHEN sgn < 0 THEN -hi4 ELSE sgn * lo4 END AS qlo4,
+          CASE WHEN sgn < 0 THEN -lo4 ELSE sgn * hi4 END AS qhi4
+        FROM pick WHERE rk = 1),
+      rnk AS (SELECT key, iv,
+          row_number() OVER (PARTITION BY key ORDER BY iv) AS r FROM ev)
+      SELECT qb.key AS event_type, qb.q, CAST(qb.n AS BIGINT) AS n,
+        qb.qlo4, qb.qhi4,
+        (x.iv BETWEEN qb.qlo4 AND qb.qhi4) AS contains_exact
+      FROM qb JOIN rnk x ON x.key = qb.key
+        AND x.r = CAST(ceil(qb.q * qb.n) AS BIGINT)
+      ORDER BY event_type, q""") { (s, d) =>
+      import graft.pipeline.Sketches
+      import org.apache.spark.sql.expressions.Window
+      val ev = readEvents(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type").cast("string").as("key"), col("value"))
+      val sk = Sketches.histSketch(ev, "key", "value")
+      val qb = Sketches.histQuantiles(sk, Seq(0.5, 0.9, 0.99))
+      val ranked = ev
+        .select(col("key"), round(col("value") * 10000).cast("long").as("iv"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("key").orderBy("iv")))
+      qb.join(ranked,
+          ranked("key") === qb("key") &&
+            ranked("r") === ceil(qb("q") * qb("n")).cast("long"))
+        .select(qb("key").as("event_type"), col("q"), col("n"),
+          col("qlo4"), col("qhi4"),
+          col("iv").between(col("qlo4"), col("qhi4")).as("contains_exact"))
+        .orderBy("event_type", "q")
+    }
+
     // ---- partitioned Bloom membership prefilter: the seen half's ids
     //      compress to a set-bit table; every id probes it. The law the
     //      gate hash-checks row by row: NO false negatives (every seen id

@@ -1905,6 +1905,34 @@ class PipelineSpec extends SparkSpec {
     assert(full == merged)
   }
 
+  test("histogram quantile sketch: rank value inside bucket bounds, " +
+    "relative error bounded, merge == one-shot") {
+    import spark.implicits._
+    // mixed signs, zero, and a wide magnitude spread
+    val vals = Seq(-123.4567, -0.5, 0.0, 0.0003, 1.0, 2.5, 17.0, 17.0,
+      999.99, 54321.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", v, i) }
+      .toDF("key", "value", "id")
+    val sk = Sketches.histSketch(df, "key", "value")
+    val got = Sketches.histQuantiles(sk, Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(1) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val sorted = vals.map(v => math.round(v * 10000)).sorted
+    for ((q, (lo, hi)) <- got) {
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+      assert(exact >= lo && exact <= hi, s"q=$q: $exact not in [$lo, $hi]")
+      // relative error bound: interval width <= 10% of |lo| for |lo|>=10
+      if (math.abs(lo) >= 10)
+        assert((hi - lo).toDouble / math.abs(lo) <= 0.101, s"q=$q [$lo,$hi]")
+    }
+    // mergeability: half-sketches sum to the one-shot sketch
+    val m = Sketches.histMerge(
+        Sketches.histSketch(df.where($"id" % 2 === 0), "key", "value"),
+        Sketches.histSketch(df.where($"id" % 2 =!= 0), "key", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(m == sk.collect().map(_.toSeq).toSet)
+  }
+
   test("bloom prefilter: no false negatives, mergeable by union, fp-bounded") {
     import spark.implicits._
     val seen = (0 until 200).map(i => s"seen$i").toDF("item")
