@@ -19,7 +19,8 @@ object ExplainAudit {
         // round-9 representatives
         "srch_bm25_retire", "g_tri_retire", "mm_phash_pairs", "evt_seasonal",
         "ann_pq_topk", "ann_ivfpq_topk", "tok_pack_greedy",
-        "td_heavy_hitters", "sk_cm_estimate")
+        "td_heavy_hitters", "sk_cm_estimate", "sk_cm_store",
+        "sk_bloom_filter", "sk_quantile_hist", "td_collocations")
     names.foreach { name =>
       println(s"===== $name")
       println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(

@@ -2374,7 +2374,7 @@ object SparkEntry {
     //      the rank-q values for q in {0.5, 0.9, 0.99}. Everything stays
     //      in 1e-4 fixed-point integers; the oracle replays the bucketing,
     //      the cumulative pick, AND the exact rank value's containment.
-    q("sk_quantile_hist", """WITH ev AS (
+    val histOracleSql = """WITH ev AS (
         SELECT CAST(event_type AS VARCHAR) AS key,
           CAST(round(value * 10000) AS BIGINT) AS iv
         FROM events WHERE value IS NOT NULL),
@@ -2410,16 +2410,15 @@ object SparkEntry {
         (x.iv BETWEEN qb.qlo4 AND qb.qhi4) AS contains_exact
       FROM qb JOIN rnk x ON x.key = qb.key
         AND x.r = CAST(ceil(qb.q * qb.n) AS BIGINT)
-      ORDER BY event_type, q""") { (s, d) =>
-      import graft.pipeline.Sketches
+      ORDER BY event_type, q"""
+
+    def histGateResult(s: SparkSession, d: String,
+                       qb: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val ev = readEvents(s, d)
+      val ranked = readEvents(s, d)
         .where(col("value").isNotNull)
-        .select(col("event_type").cast("string").as("key"), col("value"))
-      val sk = Sketches.histSketch(ev, "key", "value")
-      val qb = Sketches.histQuantiles(sk, Seq(0.5, 0.9, 0.99))
-      val ranked = ev
-        .select(col("key"), round(col("value") * 10000).cast("long").as("iv"))
+        .select(col("event_type").cast("string").as("key"),
+          round(col("value") * 10000).cast("long").as("iv"))
         .withColumn("r",
           row_number().over(Window.partitionBy("key").orderBy("iv")))
       qb.join(ranked,
@@ -2429,6 +2428,37 @@ object SparkEntry {
           col("qlo4"), col("qhi4"),
           col("iv").between(col("qlo4"), col("qhi4")).as("contains_exact"))
         .orderBy("event_type", "q")
+    }
+
+    q("sk_quantile_hist", histOracleSql) { (s, d) =>
+      import graft.pipeline.Sketches
+      val ev = readEvents(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type").cast("string").as("key"), col("value"))
+      histGateResult(s, d, Sketches.histQuantiles(
+        Sketches.histSketch(ev, "key", "value"), Seq(0.5, 0.9, 0.99)))
+    }
+
+    // ---- the PERSISTED quantile path across an admit seam: build on the
+    //      even user_id half, admit the odd half, replay the same key (the
+    //      guard must no-op — bucket counts add), answer from the folded
+    //      on-disk buckets. Same oracle: exactly-once + merge linearity
+    //      land the persisted path on the one-shot truth.
+    q("sk_hist_store", histOracleSql) { (s, d) =>
+      val ev = readEvents(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type").cast("string").as("key"), col("value"),
+          col("user_id"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_hist_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.HistStore.build(s, s"$base/hs",
+        ev.where(col("user_id") % 2 === 0), "key", "value")
+      st.append(ev.where(col("user_id") % 2 =!= 0), "odd")
+      st.append(ev.where(col("user_id") % 2 =!= 0), "odd") // replay: no-op
+      histGateResult(s, d, st.quantiles(Seq(0.5, 0.9, 0.99)))
     }
 
     // ---- partitioned Bloom membership prefilter: the seen half's ids

@@ -1,0 +1,96 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared admission machinery for ADDITIVE sketch stores ([[CmStore]],
+  * [[HistStore]]): sketches whose cells are counters that SUM on merge,
+  * so — unlike HLL's per-item-max registers — a replayed batch would
+  * double-count and exactly-once admission is load-bearing.
+  *
+  * Layout under `<dir>/batches`: one parquet FILE per admission
+  * (coalesce(1)) carrying the batch's cell rows tagged with a batch key,
+  * PLUS one marker row (dims = the `markerRow` sentinel, cnt = nCells). A
+  * parquet file is readable only once its footer lands, so a crash
+  * mid-append leaves either nothing or a file whose marker disagrees with
+  * its cell count — both directions detectable, half-landed cells
+  * excluded from every read, droppable by [[repair]], re-admittable under
+  * the same key afterwards.
+  *
+  * `dims` are the sketch's cell-identity columns (e.g. (j, bucket) for
+  * Count-Min); `cnt` is the additive counter. The marker sentinel lives in
+  * an extra int column `__marker` (1 = marker row) so dims keep their
+  * natural types.
+  */
+private[store] object BatchLedger {
+
+  def raw(spark: SparkSession, dir: String): DataFrame =
+    StoreCompaction.read(spark, s"$dir/batches")
+
+  /** Keys of fully-landed batches: marker present AND cell count agrees. */
+  def validKeys(raw: DataFrame): DataFrame =
+    raw.groupBy("batch_key")
+      .agg(sum(when(col("__marker") === 1, col("cnt"))).as("marked"),
+        sum(when(col("__marker") =!= 1, 1L).otherwise(0L)).as("actual"))
+      .where(col("marked") === col("actual"))
+      .select("batch_key")
+
+  /** The folded cell table over fully-landed batches only. */
+  def foldValid(raw: DataFrame, dims: Seq[String]): DataFrame =
+    raw.join(broadcast(validKeys(raw)), Seq("batch_key"), "left_semi")
+      .where(col("__marker") =!= 1)
+      .groupBy(dims.map(col): _*).agg(sum("cnt").as("cnt"))
+
+  def isAdmitted(raw: DataFrame, batchKey: String): Boolean =
+    validKeys(raw).where(col("batch_key") === batchKey).limit(1).count() > 0
+
+  /** Append one batch's cells (+ marker) as a single file. `sketch` must
+    * have columns dims :+ cnt.
+    */
+  def writeBatch(spark: SparkSession, dir: String, sketch: DataFrame,
+                 dims: Seq[String], batchKey: String,
+                 mode: SaveMode = SaveMode.Append): Unit = {
+    val cells = sketch.select(lit(batchKey).as("batch_key") +:
+      lit(0).as("__marker") +: dims.map(col) :+ col("cnt"): _*)
+    val n = sketch.count()
+    // dims are irrelevant on the marker row: allowMissingColumns nulls them
+    val marker = spark.range(1).select(lit(batchKey).as("batch_key"),
+      lit(1).as("__marker"), lit(n).as("cnt"))
+    cells.unionByName(marker, allowMissingColumns = true).coalesce(1)
+      .write.mode(mode).parquet(s"$dir/batches")
+  }
+
+  /** Marker/cell agreement for every stored batch. */
+  def validate(raw: DataFrame): Boolean =
+    raw.select(countDistinct("batch_key")).head().getLong(0) ==
+      validKeys(raw).count()
+
+  /** Drop half-landed batches (swap the survivors in whole). */
+  def repair(spark: SparkSession, dir: String): Unit = {
+    val r = raw(spark, dir)
+    StoreCompaction.swapIn(spark, s"$dir/batches",
+      r.join(broadcast(validKeys(r)), Seq("batch_key"), "left_semi")
+        .coalesce(1))
+  }
+
+  /** Fold history into one batch under `foldedKey`, retaining every other
+    * admitted key as a zero-cell guard batch so replays stay refused.
+    */
+  def compact(spark: SparkSession, dir: String, dims: Seq[String],
+              foldedKey: String): Unit = {
+    import spark.implicits._
+    val r = raw(spark, dir)
+    val keys = validKeys(r).collect().map(_.getString(0))
+      .filterNot(_ == foldedKey)
+    val folded = foldValid(r, dims)
+      .select(lit(foldedKey).as("batch_key") +: lit(0).as("__marker") +:
+        dims.map(col) :+ col("cnt"): _*)
+    val nCells = folded.count()
+    val guards = keys.toSeq.toDF("batch_key")
+      .select(col("batch_key"), lit(1).as("__marker"), lit(0L).as("cnt"))
+    val marker = Seq((foldedKey, 1, nCells)).toDF("batch_key", "__marker", "cnt")
+    StoreCompaction.swapIn(spark, s"$dir/batches",
+      folded.unionByName(marker, allowMissingColumns = true)
+        .unionByName(guards, allowMissingColumns = true).coalesce(1))
+  }
+}

@@ -13,25 +13,18 @@ import graft.pipeline.Sketches
   * per-source sketches roll up by cell-wise sum (the transform is linear).
   *
   * Unlike HLL registers (per-item maxima — replay-idempotent for free),
-  * CM counters ADD, so a replayed batch would double-count. The store
-  * therefore owns the replay guard and makes each admission atomic:
-  *
-  *  - `batches/` (batch_key, j, bucket, cnt): one parquet FILE per
-  *    admission (coalesce(1)) carrying the batch's ≤ depth·width cells
-  *    PLUS one marker row (j = -1, bucket = -1, cnt = nCells). A parquet
-  *    file is readable only once its footer is written, so a crash
-  *    mid-append leaves either nothing or a file whose marker count
-  *    disagrees with its cell count — [[validate]] catches both
-  *    directions and [[repair]] drops the half-landed batch, after which
-  *    the replay guard re-admits it (exactly-once across crashes).
-  *  - `meta/` one row (item_col, depth, width), immutable after build —
-  *    a mismatched-family merge is an error, not silent garbage.
-  *
-  * [[compact]] folds accumulated batches into a single one (estimates
-  * unchanged by linearity), bounding the read amplification of long
-  * admission histories.
+  * CM counters ADD, so a replayed batch would double-count. Admission
+  * atomicity, the replay guard, half-landed-batch detection/repair, and
+  * guard-preserving compaction are [[BatchLedger]]'s single-file marker
+  * protocol; this class contributes the sketch shape: cells keyed by
+  * (j, bucket), built by [[Sketches.countMin]], probed by
+  * [[Sketches.cmEstimate]]. `meta/` holds (item_col, depth, width),
+  * immutable after build — a mismatched-family merge is an error, not
+  * silent garbage.
   */
 final class CmStore(val dir: String, spark: SparkSession) {
+
+  private val Dims = Seq("j", "bucket")
 
   def params: (String, Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta").head()
@@ -39,23 +32,13 @@ final class CmStore(val dir: String, spark: SparkSession) {
       m.getAs[Int]("width"))
   }
 
-  private def raw: DataFrame = StoreCompaction.read(spark, s"$dir/batches")
-
-  /** Keys of fully-landed batches: marker present AND cell count agrees
-    * with it. Half-landed appends fail one of the two.
-    */
+  /** Keys of fully-landed batches (see [[BatchLedger.validKeys]]). */
   def validBatchKeys: DataFrame =
-    raw.groupBy("batch_key")
-      .agg(sum(when(col("j") === -1, col("cnt"))).as("marked"),
-        sum(when(col("j") =!= -1, 1L).otherwise(0L)).as("actual"))
-      .where(col("marked") === col("actual"))
-      .select("batch_key")
+    BatchLedger.validKeys(BatchLedger.raw(spark, dir))
 
   /** The folded counter table over fully-landed batches only. */
   def cells: DataFrame =
-    raw.join(broadcast(validBatchKeys), Seq("batch_key"), "left_semi")
-      .where(col("j") =!= -1)
-      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+    BatchLedger.foldValid(BatchLedger.raw(spark, dir), Dims)
 
   /** Point estimates for a candidate item set against the folded table. */
   def estimate(candidates: DataFrame, itemCol: String): DataFrame = {
@@ -79,66 +62,33 @@ final class CmStore(val dir: String, spark: SparkSession) {
     require(!batchKey.isEmpty && batchKey != CmStore.FoldedKey,
       s"reserved batch key: '$batchKey'")
     val (itemCol, depth, width) = params
-    if (validBatchKeys.where(col("batch_key") === batchKey).limit(1)
-        .count() > 0) return false
-    CmStore.writeBatch(spark, dir,
-      Sketches.countMin(batch, itemCol, depth, width), batchKey)
+    if (BatchLedger.isAdmitted(BatchLedger.raw(spark, dir), batchKey))
+      return false
+    BatchLedger.writeBatch(spark, dir,
+      Sketches.countMin(batch, itemCol, depth, width), Dims, batchKey)
     true
   }
 
   /** Marker/cell agreement for every stored batch; false = a half-landed
     * append is present (its cells are already excluded from [[cells]]).
     */
-  def validate(): Boolean =
-    raw.select(countDistinct("batch_key")).head().getLong(0) ==
-      validBatchKeys.count()
+  def validate(): Boolean = BatchLedger.validate(BatchLedger.raw(spark, dir))
 
-  /** Drop half-landed batches (the only invalid state an append crash can
-    * leave). The surviving table is swapped in whole; the dropped keys'
-    * next [[append]] re-admits them.
-    */
-  def repair(): Unit =
-    StoreCompaction.swapIn(spark, s"$dir/batches",
-      raw.join(broadcast(validBatchKeys), Seq("batch_key"), "left_semi")
-        .coalesce(1))
+  /** Drop half-landed batches; their keys' next [[append]] re-admits. */
+  def repair(): Unit = BatchLedger.repair(spark, dir)
 
   /** Fold the admission history into one batch (estimates unchanged by
-    * linearity); admitted keys are retained in `keys/` so the replay
-    * guard survives compaction.
+    * linearity); admitted keys are retained as zero-cell guards so the
+    * replay guard survives compaction.
     */
-  def compact(): Unit = {
-    val keys = validBatchKeys.collect().map(_.getString(0))
-    val folded = cells.withColumn("batch_key", lit(CmStore.FoldedKey))
-      .select("batch_key", "j", "bucket", "cnt")
-    // keep guard rows: zero-cell marker batches for each retained key
-    import spark.implicits._
-    val guards = keys.filterNot(_ == CmStore.FoldedKey).toSeq
-      .map(k => (k, -1, -1, 0L)).toDF("batch_key", "j", "bucket", "cnt")
-    val nCells = folded.count()
-    val marker = Seq((CmStore.FoldedKey, -1, -1, nCells))
-      .toDF("batch_key", "j", "bucket", "cnt")
-    StoreCompaction.swapIn(spark, s"$dir/batches",
-      folded.unionByName(marker).unionByName(guards).coalesce(1))
-  }
+  def compact(): Unit =
+    BatchLedger.compact(spark, dir, Dims, CmStore.FoldedKey)
 }
 
 object CmStore {
 
   /** Reserved key the folded history lands under after [[CmStore.compact]]. */
   val FoldedKey = "__folded"
-
-  private def writeBatch(spark: SparkSession, dir: String, sketch: DataFrame,
-                         batchKey: String,
-                         mode: SaveMode = SaveMode.Append): Unit = {
-    import spark.implicits._
-    val cellsRows = sketch.select(lit(batchKey).as("batch_key"), col("j"),
-      col("bucket"), col("cnt"))
-    val n = sketch.count()
-    val marker = Seq((batchKey, -1, -1, n))
-      .toDF("batch_key", "j", "bucket", "cnt")
-    cellsRows.unionByName(marker).coalesce(1)
-      .write.mode(mode).parquet(s"$dir/batches")
-  }
 
   /** Build (overwrite) the store at `dir` from an initial batch. */
   def build(spark: SparkSession, dir: String, df: DataFrame, itemCol: String,
@@ -149,9 +99,9 @@ object CmStore {
     import spark.implicits._
     Seq((itemCol, depth, width)).toDF("item_col", "depth", "width")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
-    writeBatch(spark, dir,
-      Sketches.countMin(df, itemCol, depth, width), batchKey,
-      SaveMode.Overwrite)
+    BatchLedger.writeBatch(spark, dir,
+      Sketches.countMin(df, itemCol, depth, width), Seq("j", "bucket"),
+      batchKey, SaveMode.Overwrite)
     new CmStore(dir, spark)
   }
 }

@@ -52,7 +52,8 @@ class CmStoreSpec extends SparkSpec {
     // manufacture the crash artifact: a batch's cell rows WITHOUT the
     // marker row (object-store partial append / manual tampering)
     Sketches.countMin(df.where($"id" >= 50), "item", 4, 64)
-      .select(lit("b_crash").as("batch_key"), $"j", $"bucket", $"cnt")
+      .select(lit("b_crash").as("batch_key"), lit(0).as("__marker"),
+        $"j", $"bucket", $"cnt")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/batches")
     assert(!st.validate())
     assert(estMap(st) == clean, "half-landed cells must not be readable")
@@ -81,6 +82,49 @@ class CmStoreSpec extends SparkSpec {
     // guard survives compaction: the folded keys still refuse replays
     assert(!st.append(df.where($"id" >= 60), "b2"))
     assert(estMap(st) == before)
+  }
+
+  test("hist store: append/replay/compact preserve quantiles; crash " +
+    "artifact detected and repaired") {
+    val dir = Files.createTempDirectory("graft-hs").toString + "/hs"
+    import spark.implicits._
+    val vals = (1 to 100).map(i => ("g", i * 1.5)) ++
+      Seq(("g", -42.0), ("g", 0.0), ("h", 7.0))
+    val df = vals.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("key", "value", "id")
+    val st = HistStore.build(spark, dir, df.where($"id" % 2 === 0),
+      "key", "value")
+    assert(st.append(df.where($"id" % 2 =!= 0), "b1"))
+    assert(!st.append(df.where($"id" % 2 =!= 0), "b1")) // replay refused
+    def qmap(s: HistStore) = s.quantiles(Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val got = qmap(st)
+    // one-shot parity via linearity
+    val oneShot = Sketches.histQuantiles(
+        Sketches.histSketch(df, "key", "value"), Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == oneShot)
+    // containment of the true rank values
+    val g = vals.filter(_._1 == "g").map(v => math.round(v._2 * 10000)).sorted
+    for (q <- Seq(0.5, 0.9)) {
+      val exact = g(math.ceil(q * g.size).toInt - 1)
+      val (lo, hi) = got(("g", q))
+      assert(exact >= lo && exact <= hi, s"q=$q: $exact not in [$lo,$hi]")
+    }
+    st.compact()
+    assert(qmap(st) == got && st.validate())
+    assert(!st.append(df.where($"id" % 2 =!= 0), "b1")) // guard survives
+    // crash artifact: cells without marker -> flagged, excluded, repaired
+    Sketches.histSketch(df, "key", "value")
+      .select(lit("b_crash").as("batch_key"), lit(0).as("__marker"),
+        $"key", $"sgn", $"nd", $"p2", $"lo4", $"hi4", $"cnt")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/batches")
+    assert(!st.validate())
+    assert(qmap(st) == got)
+    st.repair()
+    assert(st.validate() && qmap(st) == got)
   }
 
   test("streaming heavy hitters: superset of the true heavy set, " +
