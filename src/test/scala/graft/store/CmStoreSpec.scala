@@ -186,4 +186,26 @@ class CmStoreSpec extends SparkSpec {
     assert(estMap(st) == oneShot)
     assert(st.totalItems == 95L)
   }
+
+  test("streaming hist admission: streamed quantiles == one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-hs2").toString + "/hs"
+    import spark.implicits._
+    val all = (1 to 100).map(i => ("g", i * 2.0))
+    val df = all.toDF("key", "value")
+    HistStore.build(spark, dir, df.where($"value" <= 100), "key", "value")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = graft.stream.StreamingHist
+      .writer(input.toDF().toDF("key", "value"), dir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    input.addData(all.filter(_._2 > 100): _*)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val got = new HistStore(dir, spark).quantiles(Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(1) -> (r.getLong(3), r.getLong(4))).toMap
+    val oneShot = Sketches.histQuantiles(
+        Sketches.histSketch(df, "key", "value"), Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got == oneShot)
+  }
 }
