@@ -99,20 +99,29 @@ object Sketches {
   /** Probe: tag each row of `batch` with maybe_seen = all k of its bits
     * are set in `bits`. Definitely-unseen rows (maybe_seen = false) can
     * skip the exact membership check entirely. No false negatives by
-    * construction; false-positive rate (1−e^(−n/m))^k. Batch rows are
-    * assumed distinct (id-keyed) — the probe groups back by all batch
-    * columns.
+    * construction; false-positive rate (1−e^(−n/m))^k.
+    *
+    * ZERO-shuffle by design: the bit table is bounded at k·m rows (its
+    * whole point), so it collects to the driver and each of the k checks
+    * compiles to a codegen'd `InSet` membership test — the probe is a
+    * pure map over the batch, no explode, no groupBy, no width-of-batch
+    * shuffle. (An earlier explode + broadcast-join + group-back shape
+    * re-shuffled every batch column; the collect is the same bounded cost
+    * the broadcast already paid.)
     */
   def bloomProbe(batch: DataFrame, itemCol: String, bits: DataFrame,
-                 k: Int = 3, m: Int = 4096): DataFrame =
-    batch
-      .withColumn("__jb", explode(cmBuckets(col(itemCol), k, m)))
-      .withColumn("__bit",
-        (col("__jb.j") * m + col("__jb.bucket")).cast("long"))
-      .join(broadcast(bits.withColumn("__hit", lit(1))),
-        col("__bit") === col("bit"), "left_outer")
-      .groupBy(batch.columns.map(col): _*)
-      .agg((sum(coalesce(col("__hit"), lit(0))) === k).as("maybe_seen"))
+                 k: Int = 3, m: Int = 4096): DataFrame = {
+    val bitSet = bits.select(col("bit")).collect().map(_.getLong(0)).toSeq
+    val f = TextFunctions.charFold(col(itemCol))
+    val cond =
+      if (bitSet.isEmpty) lit(false)
+      else (0 until k).map { j =>
+        ((((lit(TextFunctions.coeffA(j)) * f + lit(TextFunctions.coeffB(j)))
+          % TextFunctions.HashMod) % m).cast("long") + j.toLong * m)
+          .isInCollection(bitSet)
+      }.reduce(_ && _)
+    batch.withColumn("maybe_seen", cond)
+  }
 
   // -------------------------------------------------------- quantile hist
 
