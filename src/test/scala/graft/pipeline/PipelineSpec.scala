@@ -1952,6 +1952,12 @@ class PipelineSpec extends SparkSpec {
     val merged = a.unionByName(b).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(merged == bits.collect().map(_.getLong(0)).sorted.toSeq)
+    // empty seen set: everything is definitely-unseen
+    val none = Sketches.bloomProbe(novel,
+        "item", Sketches.bloomBits(seen.where(lit(false)), "item", 3, 4096),
+        k = 3, m = 4096)
+      .collect().map(_.getBoolean(1))
+    assert(none.forall(!_))
   }
 
   test("misra-gries candidates survive the decrement path; heavy hitters exact") {
