@@ -2467,7 +2467,7 @@ object SparkEntry {
     //      probes maybe_seen = true), with false positives deterministic
     //      given the shared hash family — DuckDB replays the exact bit
     //      table, so maybe_seen matches bit for bit, fps included.
-    q("sk_bloom_filter", {
+    val bloomOracleSql = {
       val cjSql = (0 until 3).map(j =>
         s"($j, ${graft.functions.TextFunctions.coeffA(j)}, " +
           s"${graft.functions.TextFunctions.coeffB(j)})").mkString(", ")
@@ -2487,18 +2487,40 @@ object SparkEntry {
       SELECT doc_id, (h = 3) AS maybe_seen, (doc_id % 2 = 0) AS is_seen,
         ((doc_id % 2 <> 0) OR h = 3) AS no_false_negative
       FROM hits ORDER BY doc_id"""
-    }) { (s, d) =>
+    }
+    def bloomGateRow(probed: DataFrame): DataFrame = probed
+      .select(col("doc_id"), col("maybe_seen"),
+        (col("doc_id") % 2 === 0).as("is_seen"),
+        ((col("doc_id") % 2 =!= 0) || col("maybe_seen"))
+          .as("no_false_negative"))
+      .orderBy("doc_id")
+    q("sk_bloom_filter", bloomOracleSql) { (s, d) =>
       import graft.pipeline.Sketches
       val ids = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("doc_id").cast("string").as("s"))
       val bits = Sketches.bloomBits(ids.where(col("doc_id") % 2 === 0), "s",
         k = 3, m = 4096)
-      Sketches.bloomProbe(ids, "s", bits, k = 3, m = 4096)
-        .select(col("doc_id"), col("maybe_seen"),
-          (col("doc_id") % 2 === 0).as("is_seen"),
-          ((col("doc_id") % 2 =!= 0) || col("maybe_seen"))
-            .as("no_false_negative"))
-        .orderBy("doc_id")
+      bloomGateRow(Sketches.bloomProbe(ids, "s", bits, k = 3, m = 4096))
+    }
+
+    // ---- the PERSISTED Bloom path: the seen set accretes across TWO
+    //      admissions (even quarters 0 and 2 of doc_id — together the
+    //      even half the oracle expects), one of them replayed — bit-OR
+    //      is idempotent, so unlike the CM/histogram stores no batch
+    //      ledger is involved and the replay must land on identical bits.
+    q("sk_bloom_store", bloomOracleSql) { (s, d) =>
+      val ids = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("doc_id").cast("string").as("s"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.BloomStore.build(s, s"$base/bf",
+        ids.where(col("doc_id") % 4 === 0), "s", k = 3, width = 4096)
+      st.admit(ids.where(col("doc_id") % 4 === 2))
+      st.admit(ids.where(col("doc_id") % 4 === 2)) // replay: idempotent
+      bloomGateRow(st.probe(ids))
     }
 
     // ---- the PERSISTED Count-Min path across an admit seam: build the

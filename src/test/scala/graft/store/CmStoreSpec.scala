@@ -187,6 +187,36 @@ class CmStoreSpec extends SparkSpec {
     assert(st.totalItems == 95L)
   }
 
+  test("bloom store: idempotent admission, streamed == one-shot bits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-bf").toString + "/bf"
+    import spark.implicits._
+    val all = (0 until 300).map(i => s"id$i").toDF("item")
+    val st = BloomStore.build(spark, dir, all.where($"item" < "id2"),
+      "item", k = 3, width = 1024)
+    st.admit(all.where($"item" >= "id2"))
+    st.admit(all.where($"item" >= "id2")) // replay: bit-OR idempotent
+    val oneShot = Sketches.bloomBits(all, "item", 3, 1024)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(st.bits.collect().map(_.getLong(0)).sorted.toSeq == oneShot)
+    // every admitted id probes maybe_seen
+    assert(st.probe(all).collect().forall(_.getBoolean(1)))
+    // streaming face: a second store fed by micro-batches lands on the
+    // same bits (no ledger, no key discipline needed)
+    val dir2 = Files.createTempDirectory("graft-bf2").toString + "/bf"
+    BloomStore.build(spark, dir2, all.where($"item" < "id2"), "item",
+      k = 3, width = 1024)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = graft.stream.StreamingBloom
+      .writer(input.toDF().toDF("item"), dir2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    input.addData((0 until 300).map(i => s"id$i").filter(_ >= "id2"): _*)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert(new BloomStore(dir2, spark).bits
+      .collect().map(_.getLong(0)).sorted.toSeq == oneShot)
+  }
+
   test("streaming hist admission: streamed quantiles == one-shot") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = Files.createTempDirectory("graft-hs2").toString + "/hs"
