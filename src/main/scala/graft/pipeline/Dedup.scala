@@ -386,10 +386,90 @@ object Dedup {
     * demands full-jaccard. The lossless candidate-pruning alternative is
     * [[ngramJaccardPairs]]'s prefix filter.
     */
+  /** Banding plan for [[minhashLshPairs]] at corpus size `n` — the MinHash
+    * twin of [[Similarity.lshPlanFor]], prompted by the same measurement:
+    * FIXED banding (128 hashes, 32 bands of 4 rows) measured 24× per
+    * decade at the sf10 second decade, because the background term —
+    * C(n,2) · bands · bgJaccard^rowsPerBand random collisions (Round9Probe
+    * minhashvol: candidate pairs 178k → 12.4M for 10× docs, max bucket
+    * population 54 → 480) — is quadratic in n at any fixed rowsPerBand.
+    *
+    * The plan grows ROWS PER BAND with the corpus until the expected
+    * background candidate volume is back under `budgetPerDoc` pairs per
+    * document (each +1 row multiplies the background by bgJaccard), then
+    * sizes BANDS so a true pair at `threshold` is missed with probability
+    * at most `targetMiss` (miss = (1 − t^r)^b). numHashes = r·b grows
+    * only logarithmically in n.
+    *
+    * `bgJaccard` is the corpus's typical unrelated-pair Jaccard;
+    * [[estimateBackgroundJaccard]] measures it from a bounded sample.
+    */
+  def minhashPlanFor(n: Long, threshold: Double, bgJaccard: Double,
+                     targetMiss: Double = 1e-4,
+                     budgetPerDoc: Long = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && bgJaccard > 0 && bgJaccard < 1)
+    var r = 2
+    while (r < 64) {
+      val pBand = math.pow(threshold, r)
+      val b = math.max(1,
+        math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+      val background =
+        n.toDouble * (n - 1) / 2 * b * math.pow(bgJaccard, r)
+      if (background <= budgetPerDoc.toDouble * n) return (r * b, b)
+      r += 1
+    }
+    (64, 1)
+  }
+
+  /** Mean Jaccard of unrelated document pairs, estimated from the first
+    * `sample` docs by id (deterministic): the background-collision input
+    * to [[minhashPlanFor]]. One bounded job — sample² pair comparisons on
+    * ≤ sample shingle sets.
+    */
+  def estimateBackgroundJaccard(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int = 3,
+                                sample: Int = 200): Double = {
+    val s = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .orderBy("doc_id").limit(sample).cache()
+    val r = s.alias("a").join(s.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select((size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+        / (size(col("a.sh")) + size(col("b.sh"))
+          - size(array_intersect(col("a.sh"), col("b.sh")))))
+        .as("j"))
+      .agg(avg("j")).head()
+    s.unpersist()
+    if (r.isNullAt(0)) 0.05 else math.max(1e-4, math.min(0.99, r.getDouble(0)))
+  }
+
+  /** numHashes = 0 auto-plans (numHashes, bands) from the corpus count and
+    * a measured background Jaccard via [[minhashPlanFor]] — the scale-safe
+    * default path; explicit parameters (the gate's verified-recall
+    * small-corpus setting) override.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8,
                       dfCap: Option[Long] = None): DataFrame = {
+    require((numHashes == 0) == (bands == 0),
+      s"numHashes and bands must be overridden together (got $numHashes, " +
+        s"$bands); set both 0 to auto-plan")
+    val (useHashes, useBands) =
+      if (numHashes > 0) (numHashes, bands)
+      else {
+        val bg = estimateBackgroundJaccard(docs, idCol, textCol, n)
+        minhashPlanFor(docs.count(), threshold, bg)
+      }
+    minhashLshPairsWith(docs, idCol, textCol, n, useHashes, useBands,
+      threshold, dfCap)
+  }
+
+  private def minhashLshPairsWith(docs: DataFrame, idCol: String,
+                                  textCol: String, n: Int, numHashes: Int,
+                                  bands: Int, threshold: Double,
+                                  dfCap: Option[Long]): DataFrame = {
     val rowsPerBand = numHashes / bands
     val uncapped = docs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))

@@ -47,6 +47,8 @@ object Round9Probe {
       case "graph2" => graphSecondDecade(spark, sfDir)
       case "pqrecall" => pqRecall(spark, sfDir)
       case "ivfpqrecall" => ivfPqRecall(spark, sfDir)
+      case "minhashvol" => minhashVolume(spark, sfDir)
+      case "minhashauto" => minhashAuto(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
   }
@@ -154,6 +156,63 @@ object Round9Probe {
     }
     embs.unpersist()
     ()
+  }
+
+  /** MinHash-LSH candidate-volume decomposition: where does the fixed
+    * (numHashes=128, bands=32) banding's cost go as the corpus scales?
+    * Reports band-bucket population stats and the candidate-pair count —
+    * the quadratic-in-bucket-population term is the scale risk.
+    */
+  private def minhashVolume(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = docs.select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val bandRows = base.select(col("doc_id"),
+        minhashSig(col("sh"), 128).as("mh"))
+      .select(col("doc_id"),
+        posexplode(bandKeys(col("mh"), 32, 4)).as(Seq("band", "key")))
+      .cache()
+    val nDocs = base.count()
+    val buckets = bandRows.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).cache()
+    val r = buckets.agg(count(lit(1)).as("nb"), max("n").as("maxPop"),
+      sum(expr("n * (n - 1) / 2")).as("pairSlots")).head()
+    val cand = bandRows.alias("x").join(bandRows.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select("x.doc_id", "y.doc_id").distinct().count()
+    println(s"""{"metric":"minhash_vol","docs":$nDocs,""" +
+      s""""collidingBuckets":${r.getLong(0)},"maxPop":${r.getLong(1)},""" +
+      s""""pairSlots":${r.getAs[java.math.BigDecimal](2)},""" +
+      s""""distinctCandidates":$cand}""")
+    bandRows.unpersist(); buckets.unpersist()
+    ()
+  }
+
+  /** Auto-planned vs fixed minhash banding at scale: wall time and pair
+    * parity of the minhashPlanFor path against the fixed gate banding.
+    */
+  private def minhashAuto(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bg = graft.pipeline.Dedup.estimateBackgroundJaccard(
+      docs, "doc_id", "text")
+    val nDocs = docs.count()
+    val (h, b) = graft.pipeline.Dedup.minhashPlanFor(nDocs, 0.8, bg)
+    val (nAuto, sAuto) = timed {
+      graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 0, bands = 0, threshold = 0.8).count()
+    }
+    val (nFixed, sFixed) = timed {
+      graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 128, bands = 32, threshold = 0.8).count()
+    }
+    println(s"""{"metric":"minhash_auto","docs":$nDocs,""" +
+      s""""bg":${f"$bg%.4f"},"planned_hashes":$h,"planned_bands":$b,""" +
+      s""""auto_pairs":$nAuto,"auto_sec":${f"$sAuto%.1f"},""" +
+      s""""fixed_pairs":$nFixed,"fixed_sec":${f"$sFixed%.1f"}}""")
   }
 
   /** IVF-PQ recall calibration across (nlist, nprobe, m, ksub, rerank):

@@ -1860,6 +1860,35 @@ class PipelineSpec extends SparkSpec {
     assert(got == got2)
   }
 
+  test("minhash banding planner: background bounded, recall preserved, " +
+    "auto == fixed pairs on testdata") {
+    // rows-per-band must grow with corpus size at fixed background Jaccard
+    def rOf(n: Long) = {
+      val (h, b) = Dedup.minhashPlanFor(n, threshold = 0.8, bgJaccard = 0.05)
+      h / b
+    }
+    assert(rOf(1000000000L) > rOf(10000L))
+    // returned plan satisfies both bounds by construction — verify directly
+    for (n <- Seq(10000L, 10000000L, 1000000000L)) {
+      val (h, b) = Dedup.minhashPlanFor(n, 0.8, 0.05)
+      val r = h / b
+      assert(h == r * b)
+      val miss = math.pow(1 - math.pow(0.8, r), b)
+      assert(miss <= 1e-4 * 1.0001, s"n=$n miss=$miss")
+      val bg = n.toDouble * (n - 1) / 2 * b * math.pow(0.05, r)
+      assert(bg <= 64.0 * n, s"n=$n background=$bg")
+    }
+    // the auto-planned path finds the SAME verified pairs as the fixed
+    // gate banding on real testdata (exact-Jaccard verify downstream of
+    // either candidate generator; recall near-total both ways)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairs(nh: Int, b: Int) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = nh,
+          bands = b, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0, 0) == pairs(128, 32))
+  }
+
   test("collocations: exact integer word2phrase scores, total-ordered top-k") {
     import spark.implicits._
     // counts: foo 20, bar 18, baz 14; N = 52
