@@ -395,6 +395,111 @@ case class MinHashSig(child: Expression, nExpr: Expression)
     copy(child = newLeft, nExpr = newRight)
 }
 
+/** All `tables` random-hyperplane LSH bucket ids of a vector in ONE
+  * generated loop — the signature stage of
+  * [[graft.pipeline.Similarity.annLsh]] and
+  * [[graft.pipeline.Dedup.embeddingCosinePairs]].
+  *
+  * The expression-tree formulation (per-(table, bit) literal plane arrays
+  * dotted via [[DotProduct]]) is bit-identical but materializes
+  * tables×bits×dim literals in the plan: at the auto-planned sf10 setting
+  * (~100 tables × 10 bits × 64 dims) the fused projection blew the 64 KB
+  * JVM method limit and whole-stage codegen FELL BACK TO INTERPRETED for
+  * the hottest stage. Here the plane components are derived in-loop from
+  * the same splitmix64 finalizer over (table·1000 + bit, dim) — zero
+  * literals, plan size constant in (bits, tables), and the dot
+  * accumulates left-to-right in index order over min(dim, |vec|) exactly
+  * like the DotProduct path, so bucket ids are unchanged bit for bit.
+  */
+case class LshBuckets(vec: Expression, dimExpr: Expression,
+                      bitsExpr: Expression, tablesExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = vec
+  override def second: Expression = dimExpr
+  override def third: Expression = bitsExpr
+  override def fourth: Expression = tablesExpr
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  private lazy val dim: Int = dimExpr.eval(null).asInstanceOf[Number].intValue()
+  private lazy val bits: Int = bitsExpr.eval(null).asInstanceOf[Number].intValue()
+  private lazy val tables: Int =
+    tablesExpr.eval(null).asInstanceOf[Number].intValue()
+
+  override def nullSafeEval(v: Any, d: Any, b: Any, t: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, arr.numElements())
+    val out = new Array[Long](tables)
+    var tt = 0
+    while (tt < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          acc += arr.getDouble(i) * LshBuckets.plane(tt * 1000 + j, i)
+          i += 1
+        }
+        if (acc >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(tt) = bucket
+      tt += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, _, _, _) => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val tt = ctx.freshName("tt")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val cls = classOf[LshBuckets].getName
+      s"""
+         |long[] $out = new long[$tables];
+         |int $n = java.lang.Math.min($dim, $v.numElements());
+         |for (int $tt = 0; $tt < $tables; $tt++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $v.getDouble($i) * $cls.plane($tt * 1000 + $j, $i);
+         |    }
+         |    if ($acc >= 0) $bucket |= (1L << $j);
+         |  }
+         |  $out[$tt] = $bucket;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(vec = f, dimExpr = s, bitsExpr = t, tablesExpr = q)
+}
+
+object LshBuckets {
+  /** splitmix64-derived plane component — the single source shared with
+    * [[graft.pipeline.Similarity.planeComponent]] (called from generated
+    * code, hence public + JVM-static-friendly).
+    */
+  def plane(j: Int, i: Int): Double = {
+    var z = ((j.toLong & 0xffffffffL) << 32 | (i.toLong & 0xffffffffL)) +
+      0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+}
+
 /** Unicode NFC normalization (canonical composition) — the standard
   * corpus-cleaning canonicalization: decomposed sequences (e + combining
   * acute) compose to their canonical form (é), so hashing/dedup/shingling
@@ -444,6 +549,7 @@ object VectorExpressions {
   val MinHashSigName = "graft_minhash_sig"
   val NgramStatsName = "graft_ngram_stats"
   val NfcName = "graft_nfc"
+  val LshBucketsName = "graft_lsh_buckets"
 
   /** Register the expressions in the session's function registry (idempotent);
     * needed because Column construction from a raw Expression is not part of
@@ -464,6 +570,9 @@ object VectorExpressions {
       NgramStatsName, exprs => NgramStats(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NfcName, exprs => NfcNormalize(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      LshBucketsName,
+      exprs => LshBuckets(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
   }
 
   /** Codegen'd Unicode NFC normalization; requires [[register]]. */
@@ -491,4 +600,12 @@ object VectorExpressions {
   /** Per-doc n-gram struct(total, distinct, max_freq); requires [[register]]. */
   def ngramStats(c: Column, n: Int): Column =
     call_function(NgramStatsName, c, org.apache.spark.sql.functions.lit(n))
+
+  /** All hyperplane-LSH bucket ids in one generated loop; requires
+    * [[register]].
+    */
+  def lshBuckets(vec: Column, dim: Int, bits: Int, tables: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(LshBucketsName, vec, lit(dim), lit(bits), lit(tables))
+  }
 }

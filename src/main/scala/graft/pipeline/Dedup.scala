@@ -985,8 +985,8 @@ object Dedup {
     // tables×bits hyperplane dot products (a broadcast exchange can't reuse
     // a shuffle exchange — same reason simhashPairs caches its band table)
     val buckets = v.select(col("vid"), col("vec"), col("nrm"),
-      posexplode(array((0 until useTables).map(t =>
-        Similarity.lshBucket(col("vec"), dim, useBits, t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(Similarity.lshBucketArray(col("vec"), dim, useBits,
+        useTables)).as(Seq("tbl", "bucket")))
       .cache()
     buckets.alias("a").join(buckets.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -237,6 +237,23 @@ object Similarity {
       when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All `tables` bucket ids as ONE array column. With a session active
+    * this is the native [[graft.functions.LshBuckets]] generated loop —
+    * plan size constant in (bits, tables); the per-table expression tree
+    * above materializes tables×bits×dim plane literals, which at the
+    * auto-planned sf10 setting blew the 64 KB codegen method limit and
+    * dropped the hottest stage to interpreted. Bit-identical outputs
+    * (same splitmix64 planes, same fold order).
+    */
+  def lshBucketArray(vec: Column, dim: Int, bits: Int, tables: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.VectorExpressions.register(s)
+        graft.functions.VectorExpressions.lshBuckets(vec, dim, bits, tables)
+      case None =>
+        array((0 until tables).map(t => lshBucket(vec, dim, bits, t)): _*)
+    }
+
   /** Approximate NN via hyperplane LSH: vectors sharing a bucket in any of
     * `tables` hash tables become candidates; exact cosine on candidates only;
     * top-k per query. Scale path for the 100 TB case: the candidate join
@@ -266,15 +283,11 @@ object Similarity {
     val (useBits, useTables) =
       if (bits > 0 && tables > 0) (bits, tables)
       else lshPlanFor(v.count(), planThreshold)
-    // all `tables` bucket ids in ONE projection + explode — a per-table
-    // union would rescan the corpus `tables` times (one stage per branch);
-    // this is a single scan with map-side expansion
+    // all `tables` bucket ids in ONE projection + posexplode (position ==
+    // table id) — a per-table union would rescan the corpus `tables` times
     val buckets = v.select(col("vid"), col("vec"), col("nrm"),
-      explode(array((0 until useTables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshBucket(col("vec"), dim, useBits, t).as("bucket"))): _*)).as("tb"))
-      .select(col("vid"), col("vec"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      posexplode(lshBucketArray(col("vec"), dim, useBits, useTables))
+        .as(Seq("tbl", "bucket")))
     // score before dedup: the cosine is map-side codegen over the bucket
     // join output, so the dropDuplicates shuffle carries (ids, cosine) rows
     // instead of both 64-dim vectors (~15x narrower)

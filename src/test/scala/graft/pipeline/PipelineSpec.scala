@@ -1860,6 +1860,26 @@ class PipelineSpec extends SparkSpec {
     assert(got == got2)
   }
 
+  test("native lsh bucket loop == per-table expression tree, bit for bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0, -0.5, 0.25, 3.0)),
+      (1L, Array(-2.0, 0.0, 1.5, -0.125)),
+      (2L, Array(0.001, 0.002, -0.003, 0.004)),
+      (3L, Array(-1.0, -1.0, -1.0, -1.0))
+    ).toDF("vid", "vec")
+    val native = vecs.select($"vid",
+        Similarity.lshBucketArray($"vec", dim = 4, bits = 7, tables = 9)
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the expression-tree path, forced (what the native loop replaced)
+    val tree = vecs.select($"vid", array((0 until 9).map(t =>
+        Similarity.lshBucket($"vec", 4, 7, t)): _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == tree)
+    assert(native.values.flatten.forall(b => b >= 0 && b < 128))
+  }
+
   test("minhash banding planner: background bounded, recall preserved, " +
     "auto == fixed pairs on testdata") {
     // rows-per-band must grow with corpus size at fixed background Jaccard
