@@ -87,8 +87,10 @@ object Sketches {
     * probes it map-side (broadcast join) and only the maybe-seen sliver
     * pays the exact anti-join against history ([[Dedup]] incremental
     * faces). No false negatives ever (an admitted item's k bits are all
-    * set by construction); false-positive rate is the standard
-    * (1−e^(−kn/m))^k.
+    * set by construction); false-positive rate is the PARTITIONED-filter
+    * (1−e^(−n/m))^k — each hash owns its own m-bit partition, slightly
+    * above the classic shared-array (1−e^(−kn/m))^k at equal total bits,
+    * in exchange for the oracle-expressible (j, bucket) layout.
     */
   def bloomBits(df: DataFrame, itemCol: String, k: Int = 3,
                 m: Int = 4096): DataFrame =
@@ -135,8 +137,11 @@ object Sketches {
     * bucketing: values quantize to 1e-4 fixed point (the repo-wide
     * discipline), and a bucket is (sign, digit-count, first-2-digits) of
     * the magnitude — pure string/integer ops, bit-identical in any
-    * engine, ≤ ~3.4k buckets per group regardless of data, relative
-    * error ≤ 10% by construction (bucket width / lower bound ≤ 1/10).
+    * engine, ≤ ~3.4k buckets per group regardless of data. Relative
+    * error is ≤ 10% by construction (bucket width / lower bound ≤ 1/10)
+    * for magnitudes of at least 10 quanta, i.e. |value| ≥ 1e-3; below
+    * that (single-digit quantized magnitudes, nd=1 buckets like [1,2) in
+    * 1e-4 units) the bound is ABSOLUTE instead: error < 1e-4.
     *
     * Returns (key, sgn, nd, p2, lo4, hi4, cnt): the value's quantized
     * magnitude lies in [lo4, hi4); signed fixed-point bounds are

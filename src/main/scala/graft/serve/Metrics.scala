@@ -50,13 +50,25 @@ final class Metrics {
   /** Middleware face: count one request. */
   def incRequests(): Unit = requestsTotal.increment()
 
-  /** Middleware face: record one request's latency in seconds. */
+  /** Middleware face: record one request's latency in seconds. The hot
+    * path (an already-seen series) is a lock-free map read; only the FIRST
+    * observation of a new (method, path) pair takes a short lock, which
+    * makes the [[MaxSeries]] cap strict — a naive check-then-act here
+    * would let concurrent first observations overshoot the cap.
+    */
   def observeDuration(method: String, path: String, seconds: Double): Unit = {
     val key0 = (method, path)
-    val key =
-      if (durations.containsKey(key0) || durations.size < MaxSeries) key0
-      else OverflowLabel
-    val h = durations.computeIfAbsent(key, _ => new Hist)
+    val h = {
+      val existing = durations.get(key0)
+      if (existing != null) existing
+      else durations.synchronized {
+        val again = durations.get(key0)
+        if (again != null) again
+        else if (durations.size < MaxSeries) {
+          val fresh = new Hist; durations.put(key0, fresh); fresh
+        } else durations.computeIfAbsent(OverflowLabel, _ => new Hist)
+      }
+    }
     var i = 0
     while (i < Buckets.length) {
       if (seconds <= Buckets(i)) h.bucketCounts(i).increment()

@@ -33,15 +33,25 @@ import graft.store.CmStore
 object StreamingHeavyHitters {
 
   /** Start (or reuse) the state layout under `dir`: a [[CmStore]] at
-    * `dir/cm` and a candidate parquet at `dir/cands`.
+    * `dir/cm` and a candidate parquet at `dir/cands`. If a store already
+    * exists (its `meta` is present) it is REOPENED, never rebuilt —
+    * accumulated counters and candidates survive a process restart; pass a
+    * fresh `dir` to start from empty.
     */
   def init(spark: SparkSession, dir: String, itemCol: String,
            depth: Int = 4, width: Int = 2048): (CmStore, String) = {
     import spark.implicits._
-    val cm = CmStore.build(spark, s"$dir/cm",
-      Seq.empty[String].toDF(itemCol), itemCol, depth, width)
-    Seq.empty[String].toDF("item")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/cands")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/cm/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cm =
+      if (fs.exists(metaPath)) new CmStore(s"$dir/cm", spark)
+      else {
+        val built = CmStore.build(spark, s"$dir/cm",
+          Seq.empty[String].toDF(itemCol), itemCol, depth, width)
+        Seq.empty[String].toDF("item")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/cands")
+        built
+      }
     (cm, s"$dir/cands")
   }
 
@@ -58,20 +68,29 @@ object StreamingHeavyHitters {
     rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val st = new CmStore(s"$dir/cm", spark)
-          // counters first: the candidate union is idempotent (distinct
-          // fold), so a crash between the two steps only re-appends
-          // already-present candidate rows on replay — harmless
-          if (st.append(batch, s"${keyPrefix}_$id")) {
-            val items = batch.select(col(itemCol).as("item"))
-              .where(col("item").isNotNull)
-            Sketches.mgCandidates(items, mgK)
-              .write.mode(SaveMode.Append).parquet(s"$dir/cands")
-          }
-        }
+        processBatch(batch, dir, itemCol, mgK, s"${keyPrefix}_$id")
       }
+
+  /** One micro-batch's fold — candidates FIRST: duplicate candidate rows
+    * are harmless (topK distincts), but a lost candidate is unrecoverable.
+    * If the CM append committed and THEN the process crashed before the
+    * candidate write, a replayed batch would see append()==false and that
+    * batch's Misra-Gries candidates would be dropped forever, breaking the
+    * superset guarantee. Writing candidates before the idempotency check
+    * means a replay only re-appends already-present rows.
+    */
+  private[graft] def processBatch(batch: DataFrame, dir: String,
+                                  itemCol: String, mgK: Int,
+                                  batchKey: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val st = new CmStore(s"$dir/cm", spark)
+      val items = batch.select(col(itemCol).as("item"))
+        .where(col("item").isNotNull)
+      Sketches.mgCandidates(items, mgK)
+        .write.mode(SaveMode.Append).parquet(s"$dir/cands")
+      st.append(batch, batchKey)
+    }
 
   def start(rows: DataFrame, dir: String, itemCol: String, mgK: Int = 256,
             keyPrefix: String = "stream",

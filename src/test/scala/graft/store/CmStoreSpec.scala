@@ -238,4 +238,35 @@ class CmStoreSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1) -> (r.getLong(3), r.getLong(4))).toMap
     assert(got == oneShot)
   }
+
+  test("heavy-hitter init reopens an existing store instead of wiping it") {
+    val dir = Files.createTempDirectory("graft-hh-init").toString + "/hh"
+    val (st, _) = graft.stream.StreamingHeavyHitters.init(spark, dir, "item")
+    graft.stream.StreamingHeavyHitters.processBatch(
+      corpus.toDF("id", "item"), dir, "item", mgK = 8, batchKey = "b0")
+    val before = estMap(st)
+    assert(before("alpha") >= 40L)
+    // a restart calls init() again — counters and candidates must survive
+    val (st2, _) = graft.stream.StreamingHeavyHitters.init(spark, dir, "item")
+    assert(estMap(st2) == before, "init on existing store must reopen, not wipe")
+    assert(graft.stream.StreamingHeavyHitters.topK(spark, dir, 0.2)
+      .collect().map(_.getString(0)).toSet == Set("alpha", "beta"))
+  }
+
+  test("crash between CM append and candidate write cannot lose candidates " +
+    "(candidates are written before the idempotency check)") {
+    val dir = Files.createTempDirectory("graft-hh-crash").toString + "/hh"
+    graft.stream.StreamingHeavyHitters.init(spark, dir, "item")
+    val batch = corpus.toDF("id", "item")
+    // simulate the OLD failure mode: the CM append for batch key b1 has
+    // already committed (crash happened after it, before candidates)
+    new CmStore(s"$dir/cm", spark).append(batch, "b1")
+    // the replayed batch sees append()==false — candidates must land anyway
+    graft.stream.StreamingHeavyHitters.processBatch(
+      batch, dir, "item", mgK = 8, batchKey = "b1")
+    val hh = graft.stream.StreamingHeavyHitters.topK(spark, dir, 0.2)
+      .collect().map(_.getString(0)).toSet
+    assert(hh == Set("alpha", "beta"),
+      s"replay after partial commit must preserve candidates, got $hh")
+  }
 }
