@@ -20,12 +20,37 @@ object ExplainAudit {
         "srch_bm25_retire", "g_tri_retire", "mm_phash_pairs", "evt_seasonal",
         "ann_pq_topk", "ann_ivfpq_topk", "tok_pack_greedy",
         "td_heavy_hitters", "sk_cm_estimate", "sk_cm_store",
-        "sk_bloom_filter", "sk_quantile_hist", "td_collocations")
+        "sk_bloom_filter", "sk_quantile_hist", "td_collocations",
+        // round-10: the COMPOSED curation DAG (stages 1-6 as one plan)
+        "e2e_curated_plan")
     names.foreach { name =>
       println(s"===== $name")
-      println(SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+      val df =
+        if (name == "e2e_curated_plan") e2eCuratedPlan(spark, d)
+        else SparkEntry.queries(name)(spark, d)
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
+  }
+
+  /** The e2e curation pipeline's composed pre-publish plan (stages 1-6 of
+    * [[graft.pipeline.CurationPipeline]]) over the testdata corpus —
+    * audited as ONE DataFrame so stage-boundary plan pathologies
+    * (cartesian products, unpushed filters, redundant exchanges) are
+    * visible across stage seams, not just within each operator.
+    */
+  private def e2eCuratedPlan(spark: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_audit_idx_" +
+      ProcessHandle.current().pid()
+    val idx = graft.store.DedupIndexStore.build(spark, idxDir,
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+    graft.pipeline.CurationPipeline.curatedPlan(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      benchmark = docs.where(col("doc_id") < 10), benchTextCol = "text",
+      dsirTarget = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      index = idx, cfg = graft.pipeline.CurationPipeline.Config())
   }
 }

@@ -3579,6 +3579,161 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- END-TO-END curation-pipeline rehearsal: the full LLM-data DAG
+    //      (scrub → gopher/quality/langid → exact dedup → incremental
+    //      MinHash dedup against a PERSISTED index + within-batch clusters
+    //      → contamination → DSIR resample → BPE train+encode → per-shard
+    //      pack → publish to CorpusStore behind an expectations gate) as
+    //      ONE orchestrated job. New batch = doc_id % 5 <> 0; history (the
+    //      already-admitted persisted index) = doc_id % 5 = 0; benchmark =
+    //      doc_id < 10 raw. The gate row is the per-shard summary read
+    //      BACK from the published store (census, BPE token budget, pack
+    //      count, content checksum, integrity + expectations verdicts) —
+    //      the oracle replays every stage in SQL, so a wrong verdict in
+    //      ANY stage shifts the surviving set and hash-mismatches.
+    val e2eStop = "['the','a','of','and','to','in','is']"
+    val e2eLblIter = (1 to 6).map { k =>
+      s"""zlp$k AS (SELECT zsps.u AS doc_id, min(r.lbl) AS lbl
+         FROM zsps JOIN zlp${k - 1} r ON zsps.v = r.doc_id GROUP BY zsps.u)"""
+    }.mkString(",\n      ")
+    q("td_pipeline_e2e", docPrelude + s"""
+      , znew AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
+      zsp AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM znew),
+      zln AS (SELECT doc_id, i AS pos, ls[i] AS line
+        FROM zsp, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+      zbo AS (SELECT trim(line) AS key FROM zln WHERE trim(line) <> ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      zkp AS (SELECT l.doc_id, l.pos, l.line FROM zln l
+        LEFT JOIN zbo ON trim(l.line) = zbo.key WHERE zbo.key IS NULL),
+      zscr AS (SELECT s.doc_id, s.source, coalesce(r.txt, '') AS text
+        FROM zsp s LEFT JOIN (SELECT doc_id,
+          string_agg(line, chr(10) ORDER BY pos) AS txt
+          FROM zkp GROUP BY 1) r USING (doc_id)),
+      zstk AS MATERIALIZED (SELECT doc_id, source, text,
+        lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')) AS t,
+        $sqlToks AS toks FROM zscr),
+      zfg AS (SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS nw,
+        CAST(length(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) AS wchars,
+        len(list_intersect(list_distinct(toks), $e2eStop)) AS stop_hits,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS sym,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS aw,
+        CAST(length(text) AS DOUBLE) AS nchars,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+        CAST(len(list_filter(toks, x -> list_contains($e2eStop, x))) AS DOUBLE) AS allstop,
+        len(list_intersect(list_distinct(toks), $e2eStop)) AS s_en,
+        len(list_intersect(list_distinct(toks), ['el','la','de','que','y','en','un'])) AS s_es,
+        len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','mit','von'])) AS s_de,
+        len(list_intersect(list_distinct(toks), ['le','la','les','des','et','du','est'])) AS s_fr
+        FROM zstk),
+      zflt AS (SELECT k.* FROM zstk k JOIN zfg f USING (doc_id)
+        WHERE f.nw >= 50 AND f.nw <= 100000
+          AND round(f.wchars / f.nw, 4) >= 3.0 AND round(f.wchars / f.nw, 4) <= 10.0
+          AND round(f.sym / f.nw, 4) < 0.1 AND round(f.aw / f.nw, 4) > 0.8
+          AND f.stop_hits >= 2
+          AND round(0.4 * (f.nalpha / f.nchars) + 0.3 * (f.allstop / f.nw)
+            + 0.3 * least(1.0, f.nw / 100.0), 4) >= 0.5
+          AND f.s_en >= f.s_es AND f.s_en >= f.s_de AND f.s_en >= f.s_fr
+          AND f.s_en > 0),
+      zek AS (SELECT min(doc_id) AS doc_id FROM
+        (SELECT doc_id, ${sqlCharFold("t")} AS f FROM zflt) GROUP BY f),
+      zex AS MATERIALIZED (SELECT zflt.* FROM zflt JOIN zek USING (doc_id)),
+      zallt AS (SELECT doc_id, toks FROM zex
+        UNION ALL SELECT doc_id, toks FROM d_toks WHERE doc_id % 5 = 0),
+      zsh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM zallt, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+      zshd AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM zsh),
+      zsizes AS (SELECT doc_id, count(*) AS n FROM zshd GROUP BY doc_id),
+      zcommon AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        FROM zshd a JOIN zshd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      zjac AS MATERIALIZED (SELECT ida, idb FROM
+        (SELECT ida, idb, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+         FROM zcommon JOIN zsizes sa ON ida = sa.doc_id
+           JOIN zsizes sb ON idb = sb.doc_id)
+        WHERE j >= 0.8),
+      zxd AS MATERIALIZED (SELECT DISTINCT
+        CASE WHEN ida % 5 = 0 THEN idb ELSE ida END AS doc_id
+        FROM zjac WHERE (ida % 5 = 0) <> (idb % 5 = 0)),
+      zjp AS (SELECT ida AS a, idb AS b FROM zjac
+        WHERE ida % 5 <> 0 AND idb % 5 <> 0
+          AND ida NOT IN (SELECT doc_id FROM zxd)
+          AND idb NOT IN (SELECT doc_id FROM zxd)),
+      zsp2 AS (SELECT a AS u, b AS v FROM zjp UNION SELECT b, a FROM zjp),
+      zsps AS MATERIALIZED (SELECT u, v FROM zsp2 UNION SELECT u, u FROM zsp2),
+      zlp0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM zsps),
+      $e2eLblIter,
+      zwd AS (SELECT doc_id FROM zlp6 WHERE lbl <> doc_id),
+      zdd AS MATERIALIZED (SELECT * FROM zex
+        WHERE doc_id NOT IN (SELECT doc_id FROM zxd)
+          AND doc_id NOT IN (SELECT doc_id FROM zwd)),
+      zds4 AS (SELECT DISTINCT doc_id,
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+        FROM zdd, LATERAL (SELECT unnest(generate_series(1, len(toks) - 3)) AS i) g),
+      zbs4 AS (SELECT DISTINCT
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 3)) AS i) g
+        WHERE doc_id < 10),
+      zcd AS (SELECT DISTINCT d.doc_id FROM zds4 d JOIN zbs4 USING (shingle)),
+      zcl AS MATERIALIZED (SELECT * FROM zdd
+        WHERE doc_id NOT IN (SELECT doc_id FROM zcd)),
+      zng AS (SELECT doc_id, source, unnest(toks) AS g FROM zcl
+        UNION ALL
+        SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS g
+        FROM zcl, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),
+      zbk AS MATERIALIZED (SELECT doc_id, source, ${sqlCharFold("g")} % 256 AS b FROM zng),
+      zm AS (SELECT b, count(*) AS rc,
+        sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+          THEN 1 ELSE 0 END) AS tc
+        FROM zbk GROUP BY 1),
+      ztot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM zm),
+      zdlp AS (SELECT b, ln(tc + 1) - ln(ttot + 256) - ln(rc + 1) + ln(rtot + 256) AS dl
+        FROM zm CROSS JOIN ztot),
+      zbc AS (SELECT doc_id, b, count(*) AS c FROM zbk GROUP BY 1, 2),
+      zsc AS (SELECT doc_id, round(sum(c * dl), 4) AS logw
+        FROM zbc JOIN zdlp USING (b) GROUP BY 1),
+      zsamp AS (SELECT c.doc_id FROM zcl c LEFT JOIN zsc USING (doc_id)
+        ORDER BY coalesce(zsc.logw, 0.0) DESC, c.doc_id LIMIT 80),
+      zpub AS MATERIALIZED (SELECT zcl.* FROM zcl JOIN zsamp USING (doc_id)),
+      e0 AS (SELECT doc_id, len(toks) AS nraw, array_to_string(toks, ' ') AS txt
+        FROM zpub WHERE len(toks) > 0),
+      $bpeEncIterSql,
+      zenc AS (SELECT doc_id, CAST(len(string_split(txt, ' ')) AS BIGINT) AS nbpe
+        FROM e$bpeRounds),
+      zsh8 AS MATERIALIZED (SELECT p.doc_id, p.text,
+        CAST(${sqlCharFold("CAST(p.doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+        len(string_split_regex(trim(p.text), '\\s+')) AS nt,
+        e.nbpe, ${sqlCharFold("p.text")} AS cs
+        FROM zpub p JOIN zenc e USING (doc_id)),
+      zpk AS (SELECT shard, doc_id, nbpe,
+        sum(nbpe) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - nbpe AS st
+        FROM zsh8),
+      znp AS (SELECT shard, count(DISTINCT st // 256) AS n_packs FROM zpk GROUP BY 1)
+      SELECT s.shard, count(*) AS n_docs, CAST(sum(s.nt) AS BIGINT) AS n_tokens,
+        CAST(sum(s.nbpe) AS BIGINT) AS n_bpe_tokens,
+        CAST(max(np.n_packs) AS BIGINT) AS n_packs,
+        CAST(sum(s.cs) AS BIGINT) AS checksum,
+        true AS intact, true AS expect_ok
+      FROM zsh8 s JOIN znp np USING (shard)
+      GROUP BY s.shard ORDER BY s.shard""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_e2e_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(s"$base/idx")
+      SparkEntry.registerTmpCleanup(s"$base/pub")
+      val idx = graft.store.DedupIndexStore.build(s, s"$base/idx",
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      graft.pipeline.CurationPipeline.run(s,
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        benchmark = docs.where(col("doc_id") < 10), benchTextCol = "text",
+        dsirTarget = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        index = idx, publishDir = s"$base/pub",
+        cfg = graft.pipeline.CurationPipeline.Config(dsirK = 80)).summary
+    }
+
     // ---- embedding int8 quantization (exploded to scalar rows: integer-
     //      exact cross-engine compare, no float-array hashing)
     q("emb_quantize_int8", s"""$vnSql,

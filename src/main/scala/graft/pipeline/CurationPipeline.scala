@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions.charFold
+import graft.store.{CorpusStore, DedupIndexStore}
+
+/** The end-to-end LLM-data curation DAG — every stage the repo gates
+  * individually, composed into ONE orchestrated job, the way the
+  * reference's indexing ETL composes its extract→resolve→store stages
+  * into one pipeline rather than a query menu
+  * (crates/indexer/src/indexer.rs:155-216):
+  *
+  *   line scrub → Gopher rules + quality + language ID → exact dedup →
+  *   incremental MinHash dedup against a PERSISTED band index (+ within-
+  *   batch near-dup clusters) → benchmark-contamination scrub → DSIR
+  *   importance resampling → BPE tokenizer train + encode → per-shard
+  *   sequence packing → publish to [[CorpusStore]] behind an
+  *   expectations gate.
+  *
+  * Composition discipline (the part that matters at 100 TB):
+  *
+  *   - Every stage output consumed by more than one downstream subtree is
+  *     persisted (MEMORY_AND_DISK) so no stage boundary recomputes the
+  *     upstream chain — the scrub explode, the shingle sets, and the
+  *     MinHash signatures are each computed exactly once per run.
+  *   - All intermediates are unpersisted once the corpus is PUBLISHED;
+  *     the returned summary plan reads only the store (the gate-row
+  *     discipline: what you audit is what's on disk, not what was in
+  *     flight).
+  *   - The per-stage shapes are the ones their standalone operators
+  *     carry: map-side column math for the filters, banded LSH (never
+  *     all-pairs) for fuzzy dedup, a broadcast benchmark shingle set for
+  *     contamination, bounded-model broadcast scoring for DSIR,
+  *     one-collect merge table + map-side encode for BPE, and an
+  *     exclusive-prefix-sum per shard for packing.
+  *
+  * In `staged` mode each stage is additionally forced (count) and timed —
+  * the SCALE.md measurement face; composed mode (default) leaves Spark
+  * free to pipeline stages into shared jobs.
+  */
+object CurationPipeline {
+
+  /** Pipeline knobs; defaults mirror the standalone gates' choices. */
+  final case class Config(
+      minBoilerDocs: Int = 2,
+      qualityMin: Double = 0.5,
+      keepLangs: Seq[String] = Seq("en"),
+      jaccardN: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      contamN: Int = 4,
+      dsirK: Int = 80,
+      dsirBuckets: Int = 256,
+      bpeRounds: Int = 6,
+      seqLen: Int = 256,
+      nShards: Int = 8)
+
+  final case class StageStat(stage: String, rows: Long, seconds: Double)
+
+  final case class Result(summary: DataFrame, stats: Seq[StageStat])
+
+  /** Run the full DAG over `docs`, publishing the curated corpus under
+    * `publishDir` and admitting the published set into `index` (the
+    * persisted cross-snapshot dedup index a later batch will check
+    * against). Returns the per-shard summary read back FROM THE STORE —
+    * (shard, n_docs, n_tokens, n_bpe_tokens, n_packs, checksum, intact,
+    * expect_ok) — and, in `staged` mode, per-stage timings.
+    */
+  def run(spark: SparkSession, docs: DataFrame, idCol: String,
+          textCol: String, benchmark: DataFrame, benchTextCol: String,
+          dsirTarget: Column, index: DedupIndexStore, publishDir: String,
+          cfg: Config = Config(), staged: Boolean = false): Result = {
+    val stats = scala.collection.mutable.ListBuffer.empty[StageStat]
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+    // a stage boundary: persist (every stage output here feeds >1
+    // downstream consumer or an action-bearing operator), optionally
+    // force + time
+    def stageFn(name: String)(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      live += p
+      if (staged) {
+        val t0 = System.nanoTime()
+        val n = p.count()
+        stats += StageStat(name, n, (System.nanoTime() - t0) / 1e9)
+      }
+      p
+    }
+
+    val sampled = curatedPlan(docs, idCol, textCol, benchmark, benchTextCol,
+      dsirTarget, index, cfg, stageFn)
+    // ---- 7. BPE tokenizer: train the merge table on the sampled corpus
+    //      (one corpus fold + driver heap loop), keep it as the artifact
+    //      the read-back encode reuses
+    val tBpe = System.nanoTime()
+    val merges = TextAnalysis.bpeMerges(sampled, "text",
+      rounds = cfg.bpeRounds)
+    if (staged)
+      stats += StageStat("7_bpe_train", cfg.bpeRounds.toLong,
+        (System.nanoTime() - tBpe) / 1e9)
+
+    // ---- 8. publish + admit: shard-partitioned parquet corpus with a
+    //      manifest census, then record the published docs in the dedup
+    //      index so the NEXT batch's incremental stage sees them
+    val tPub = System.nanoTime()
+    CorpusStore.write(spark, publishDir, sampled, "doc_id", "text",
+      nShards = cfg.nShards)
+    index.append(sampled, "doc_id", "text")
+    if (staged) {
+      val n = CorpusStore.manifest(spark, publishDir)
+        .agg(sum("n_docs")).head().getLong(0)
+      stats += StageStat("8_publish", n, (System.nanoTime() - tPub) / 1e9)
+    }
+
+    // everything below reads the STORE — release the in-flight chain
+    live.foreach(_.unpersist(false))
+
+    // ---- 9. read-back summary: encode the STORED text with the trained
+    //      merges, pack per shard, census + checksum, and gate on
+    //      expectations over the published corpus
+    val t9 = System.nanoTime()
+    val stored = CorpusStore.docs(spark, publishDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val expectOk = graft.operators.Profile.expect(stored, Seq(
+        "id_present" -> col("doc_id").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0),
+        "shard_in_range" ->
+          (col("shard") >= 0 && col("shard") < cfg.nShards)))
+      .agg(min(when(col("pass"), 1).otherwise(0))).head().getInt(0) == 1
+    val intact = CorpusStore.validate(spark, publishDir, "doc_id", "text") == 0
+    val enc = TextAnalysis.bpeEncodeWith(stored, "doc_id", "text", merges)
+      .join(stored.select(col("doc_id"), col("shard"), col("text")), "doc_id")
+    val packed = Packing.sequentialPacks(enc, col("shard"), col("doc_id"),
+      col("n_tokens_bpe"), cfg.seqLen)
+    val perShard = packed.groupBy("shard").agg(
+      sum("n_tokens_bpe").as("n_bpe_tokens"),
+      countDistinct("pack_id").as("n_packs"),
+      sum(charFold(col("text"))).as("checksum"))
+    val summary = CorpusStore.manifest(spark, publishDir)
+      .join(perShard, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_bpe_tokens"), col("n_packs"), col("checksum"))
+      .withColumn("intact", lit(intact))
+      .withColumn("expect_ok", lit(expectOk))
+      .orderBy("shard")
+    if (staged) {
+      val n = summary.count()
+      stats += StageStat("9_pack_summary", n, (System.nanoTime() - t9) / 1e9)
+    }
+    Result(summary, stats.toList)
+  }
+
+  /** The composed curation plan, stages 1-6 (everything before the
+    * tokenizer artifact and the store write): returns the sampled
+    * publishable set as ONE declarative DataFrame. `stage` wraps each
+    * stage boundary — [[run]] injects persist(+time); the audit face
+    * (identity) gets the full composed plan for `.explain`.
+    */
+  private[graft] def curatedPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, dsirTarget: Column,
+      index: DedupIndexStore, cfg: Config,
+      stage: String => DataFrame => DataFrame = _ => identity): DataFrame = {
+
+    // ---- 1. line-level boilerplate scrub (text-preserving face)
+    val scrubbed = stage("1_scrub") {
+      TextAnalysis
+        .scrubCommonLinesText(docs, idCol, textCol, cfg.minBoilerDocs)
+        .join(docs.drop(textCol).withColumnRenamed(idCol, "doc_id"),
+          Seq("doc_id"))
+        .withColumnRenamed("clean_text", "text")
+    }
+
+    // ---- 2. document filters: Gopher rules ∧ quality ∧ language — one
+    //      map-side pass, no shuffle
+    val filtered = stage("2_filter") {
+      val ruled = TextAnalysis.withGopherRules(scrubbed, "text")
+        .withColumnRenamed("keep", "gopher_keep")
+      TextAnalysis.withQuality(ruled, "text")
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .where(col("gopher_keep") && col("quality_score") >= cfg.qualityMin &&
+          col("pred_lang").isin(cfg.keepLangs: _*))
+        .select(col("doc_id"), col("text"), col("source"))
+    }
+
+    // ---- 3. exact dedup: survivor = min doc id of each fingerprint
+    val exact = stage("3_exact_dedup") {
+      filtered.join(
+        Dedup.exact(filtered, "doc_id", "text")
+          .select(col("kept_doc_id").as("doc_id")),
+        Seq("doc_id"))
+    }
+
+    // ---- 4. fuzzy dedup — incremental face first (new×seen against the
+    //      persisted band index; history never reshingled), then
+    //      within-batch near-dup clusters (banded LSH candidates + exact
+    //      verify + O(log n) component labels, keep the min-id keeper)
+    val deduped = stage("4_fuzzy_dedup") {
+      val crossDropped = Dedup.crossCorpusPairsIndexed(
+        exact, "doc_id", "text", index,
+        n = cfg.jaccardN, threshold = cfg.jaccardThreshold)
+        .select(col("new_id").as("doc_id")).distinct()
+      val afterCross = stage("4a_after_cross")(
+        exact.join(crossDropped, Seq("doc_id"), "left_anti"))
+      val pairs = Dedup.minhashLshPairs(afterCross, "doc_id", "text",
+        n = cfg.jaccardN, threshold = cfg.jaccardThreshold)
+      val dropWithin = Dedup.clusterKeepers(pairs)
+        .where(col("doc_id") =!= col("keeper_id")).select("doc_id")
+      afterCross.join(dropWithin, Seq("doc_id"), "left_anti")
+    }
+
+    // ---- 5. benchmark contamination scrub: drop any document sharing a
+    //      contamN-gram with the (broadcast) benchmark shingle set
+    val clean = stage("5_contamination") {
+      deduped.join(
+        Dedup.benchmarkOverlap(deduped, "doc_id", "text",
+          benchmark, benchTextCol, n = cfg.contamN).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    }
+
+    // ---- 6. DSIR importance resampling toward the target distribution
+    stage("6_dsir_sample") {
+      Dsir.resample(clean, "doc_id", "text", dsirTarget,
+        k = cfg.dsirK, buckets = cfg.dsirBuckets)
+        .select("doc_id", "text")
+    }
+  }
+}

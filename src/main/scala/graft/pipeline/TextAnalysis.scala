@@ -723,7 +723,18 @@ object TextAnalysis {
     * O(total lines) end to end.
     */
   def scrubCommonLines(docs: DataFrame, idCol: String, textCol: String,
-                       minDocs: Int = 3): DataFrame = {
+                       minDocs: Int = 3): DataFrame =
+    scrubCommonLinesText(docs, idCol, textCol, minDocs)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+        col("n_removed"))
+
+  /** [[scrubCommonLines]] keeping the rebuilt TEXT itself — the form a
+    * composed curation pipeline consumes (the md5 face exists for bounded
+    * gate outputs). Returns (doc_id, clean_text, n_removed); a document
+    * whose every line was boilerplate survives with clean_text = "".
+    */
+  def scrubCommonLinesText(docs: DataFrame, idCol: String, textCol: String,
+                           minDocs: Int = 3): DataFrame = {
     val lines = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
@@ -735,15 +746,15 @@ object TextAnalysis {
     val rebuilt = lines.join(boiler, Seq("key"), "left_anti")
       .groupBy("doc_id")
       .agg(
-        md5(array_join(expr("transform(array_sort(collect_list(" +
-          "struct(pos, line))), x -> x.line)"), "\n")).as("clean_md5"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(pos, line))), x -> x.line)"), "\n").as("clean_text"),
         count(lit(1)).as("n_kept"))
     docs
       .select(col(idCol).as("doc_id"),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 }

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.{CorpusStore, DedupIndexStore}
+
+/** The composed end-to-end curation DAG: per-stage verdicts land on the
+  * right documents, composed == staged, the persisted dedup index carries
+  * admission across batches (batch 2 drops near-dups of batch 1's
+  * PUBLISHED docs), and the published store passes its own integrity +
+  * expectations gates.
+  */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 words, gopher-compliant (stopwords present, mean word length in
+  // band, alphabetic, no symbols), seeded per doc for distinct content
+  private def words(seed: Int): Seq[String] = {
+    val vocab = Vector("system", "window", "garden", "filter", "motion",
+      "stream", "sample", "record", "butter", "craft", "signal", "marble",
+      "copper", "thread", "sketch", "bridge", "violet", "hammer", "laptop",
+      "bottle")
+    (0 until 60).map { i =>
+      if (i % 7 == 0) Seq("the", "of", "and", "to", "in", "is")(i % 6)
+      else vocab((seed * 13 + i * 5) % vocab.size)
+    }
+  }
+
+  private def doc(id: Long, seed: Int, source: String = "srcA",
+                  mutate: Int = -1): (Long, String, String) = {
+    val ws = words(seed).zipWithIndex.map { case (w, i) =>
+      if (i == mutate) "changedword" else w
+    }
+    // two lines so the scrub stage has line structure to work with
+    (id, ws.take(30).mkString(" ") + "\n" + ws.drop(30).mkString(" "), source)
+  }
+
+  private val boiler = "subscribe to our newsletter today friend"
+
+  // benchmark vocabulary is DISJOINT from the doc vocabulary so the only
+  // contamination is the intentional one
+  private val benchText = (0 until 60).map(i => s"benchitem$i").mkString(" ")
+
+  private def withBoiler(d: (Long, String, String)) =
+    (d._1, boiler + "\n" + d._2, d._3)
+
+  private def runBatch(docs: DataFrame, idxDir: String, pubDir: String,
+                       bench: DataFrame, staged: Boolean = false,
+                       k: Int = 100): CurationPipeline.Result = {
+    val idx = new DedupIndexStore(idxDir, spark)
+    CurationPipeline.run(spark, docs, "doc_id", "text", bench, "text",
+      dsirTarget = col("source") === "srcA", index = idx,
+      publishDir = pubDir,
+      cfg = CurationPipeline.Config(dsirK = k, minBoilerDocs = 3),
+      staged = staged)
+  }
+
+  private def emptyIndex(dir: String): Unit =
+    DedupIndexStore.build(spark, dir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+
+  test("stage verdicts: boilerplate scrubbed, exact dup dropped, near-dup " +
+    "clustered to min id, contaminated doc dropped, store gates pass") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    emptyIndex(s"$root/idx")
+    // 1,2,8: boilerplate carriers (distinct bodies; >= minBoilerDocs=3);
+    // 3 = exact dup of 4; 5 = near-dup of 6 (one word changed);
+    // 7 contaminated
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val contaminated = {
+      val b = doc(7, 7)
+      (b._1, b._2 + "\n" + (0 until 8).map(i => s"benchitem$i").mkString(" "),
+        b._3)
+    }
+    val batch = Seq(
+      withBoiler(doc(1, 1)), withBoiler(doc(2, 2)),
+      doc(3, 3), (4L, doc(3, 3)._2, "srcA"),
+      doc(5, 5), (6L, doc(5, 5, mutate = 17)._2, "srcA"),
+      contaminated, withBoiler(doc(8, 8))
+    ).toDF("doc_id", "text", "source")
+    val res = runBatch(batch, s"$root/idx", s"$root/pub", bench)
+    val stored = CorpusStore.docs(spark, s"$root/pub")
+    val ids = stored.select("doc_id").as[Long].collect().toSet
+    // survivors: 1,2 (scrubbed, kept), 3 (min id of {3,4}), 5 (min id of
+    // {5,6}), 8; dropped: 4 exact, 6 near-dup, 7 contaminated
+    assert(ids == Set(1L, 2L, 3L, 5L, 8L), s"got $ids")
+    // the boilerplate line must not survive into the published text
+    val t1 = stored.where($"doc_id" === 1).select("text").as[String].head()
+    assert(!t1.contains(boiler))
+    val summary = res.summary.collect()
+    assert(summary.map(_.getAs[Long]("n_docs")).sum == 5L)
+    assert(summary.forall(_.getAs[Boolean]("intact")))
+    assert(summary.forall(_.getAs[Boolean]("expect_ok")))
+  }
+
+  test("composed == staged, and staged reports per-stage attrition") {
+    val root = Files.createTempDirectory("graft-e2e2").toString
+    emptyIndex(s"$root/idxA"); emptyIndex(s"$root/idxB")
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val batch = ((1 to 12).map(i => doc(i.toLong, i)) :+
+      (13L, doc(3, 3)._2, "srcA")).toDF("doc_id", "text", "source")
+    val a = runBatch(batch, s"$root/idxA", s"$root/pubA", bench)
+    val b = runBatch(batch, s"$root/idxB", s"$root/pubB", bench,
+      staged = true)
+    assert(a.summary.collect().toSeq == b.summary.collect().toSeq)
+    assert(a.stats.isEmpty)
+    val byStage = b.stats.map(s => s.stage -> s.rows).toMap
+    assert(byStage("2_filter") == 13L)
+    assert(byStage("3_exact_dedup") == 12L) // 13 is an exact copy of 3
+    assert(byStage.contains("8_publish") && byStage("8_publish") == 12L)
+  }
+
+  test("persisted index carries admission: batch 2 drops near-dups of " +
+    "batch 1's published docs and admits only fresh content") {
+    val root = Files.createTempDirectory("graft-e2e3").toString
+    emptyIndex(s"$root/idx")
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val b1 = Seq(doc(1, 1), doc(2, 2)).toDF("doc_id", "text", "source")
+    runBatch(b1, s"$root/idx", s"$root/pub1", bench)
+    assert(CorpusStore.docs(spark, s"$root/pub1")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: 11 = near-copy of published doc 1, 12 = fresh
+    val b2 = Seq((11L, doc(1, 1, mutate = 9)._2, "srcA"), doc(12, 12))
+      .toDF("doc_id", "text", "source")
+    runBatch(b2, s"$root/idx", s"$root/pub2", bench)
+    val ids2 = CorpusStore.docs(spark, s"$root/pub2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(12L), s"near-dup of admitted history must drop: $ids2")
+  }
+}
