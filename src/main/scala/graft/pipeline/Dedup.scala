@@ -452,7 +452,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8,
-                      dfCap: Option[Long] = None): DataFrame = {
+                      dfCap: Option[Long] = None,
+                      candidateBudget: Long = 100_000_000_000L,
+                      force: Boolean = false): DataFrame = {
     require((numHashes == 0) == (bands == 0),
       s"numHashes and bands must be overridden together (got $numHashes, " +
         s"$bands); set both 0 to auto-plan")
@@ -460,7 +462,25 @@ object Dedup {
       if (numHashes > 0) (numHashes, bands)
       else {
         val bg = estimateBackgroundJaccard(docs, idCol, textCol, n)
-        minhashPlanFor(docs.count(), threshold, bg)
+        val nDocs = docs.count()
+        val plan = minhashPlanFor(nDocs, threshold, bg)
+        // cost guardrail, same contract as embeddingCosinePairs: the
+        // planner caps background volume at budgetPerDoc·n, but when it
+        // hits the rows-per-band ceiling (r=64) on a pathological corpus
+        // (background Jaccard near the threshold) the residual volume is
+        // unbounded — predict it and refuse over-budget runs up front
+        val r = plan._1 / plan._2
+        val predicted = nDocs.toDouble * (nDocs - 1) / 2 *
+          plan._2 * math.pow(bg, r)
+        require(force || predicted <= candidateBudget.toDouble,
+          f"minhashLshPairs: predicted background candidate volume " +
+            f"$predicted%.3g exceeds budget $candidateBudget at n=$nDocs " +
+            f"(numHashes=${plan._1}, bands=${plan._2}, background " +
+            f"jaccard=$bg%.3f). The corpus's unrelated-pair similarity is " +
+            "too close to the threshold for banding to separate; scrub " +
+            "shared boilerplate first (scrubCommonLines / dfCap), use the " +
+            "incremental new-vs-seen path, or pass force=true to run anyway.")
+        plan
       }
     minhashLshPairsWith(docs, idCol, textCol, n, useHashes, useBands,
       threshold, dfCap)
@@ -968,7 +988,9 @@ object Dedup {
     */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double = 0.45, dim: Int = 64,
-                           bits: Int = 0, tables: Int = 0): DataFrame = {
+                           bits: Int = 0, tables: Int = 0,
+                           candidateBudget: Long = 100_000_000_000L,
+                           force: Boolean = false): DataFrame = {
     val v = embs.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
@@ -976,9 +998,26 @@ object Dedup {
     require((bits > 0) == (tables > 0),
       s"bits and tables must be overridden together (got bits=$bits, " +
         s"tables=$tables); leave both 0 to auto-plan")
+    val nVecs = v.count()
     val (useBits, useTables) =
       if (bits > 0 && tables > 0) (bits, tables)
-      else Similarity.lshPlanFor(v.count(), threshold)
+      else Similarity.lshPlanFor(nVecs, threshold)
+    // cost guardrail: the exact-threshold pair join's candidate volume
+    // grows super-linearly (n^1.62 at threshold 0.45 — SCALE.md sf10); a
+    // predicted volume over budget means a job that cannot finish at this
+    // scale, so REFUSE it up front and steer to the bounded faces, unless
+    // the caller explicitly forces (the reference analog: Kuzu's
+    // per-section LIMITs bound every exploration query, library.rs:495-526)
+    val cost = Similarity.lshCostFor(nVecs, threshold, useBits, useTables)
+    require(force || cost.predictedCandidates <= candidateBudget.toDouble,
+      f"embeddingCosinePairs: predicted candidate volume " +
+        f"${cost.predictedCandidates}%.3g exceeds budget $candidateBudget " +
+        f"at n=$nVecs (bits=$useBits, tables=$useTables, predicted miss " +
+        f"${cost.predictedMiss}%.2g). The exact-threshold pair join is " +
+        "super-linear by nature; at this scale use the bounded faces — " +
+        "AnnIndexStore/Similarity.annIvf top-k per vector, " +
+        "Dedup.semanticKeepers over a pre-clustered corpus, or the " +
+        "incremental new-vs-seen path — or pass force=true to run anyway.")
     // all table buckets in ONE pass over v (posexplode of the per-table
     // bucket-id array), rather than a tables-way union re-scanning the input.
     // cache: the self-join's two sides would otherwise EACH evaluate the
@@ -1017,9 +1056,12 @@ object Dedup {
     */
   def semanticKeepers(embs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.45, dim: Int = 64,
-                      bits: Int = 0, tables: Int = 0): DataFrame = {
+                      bits: Int = 0, tables: Int = 0,
+                      candidateBudget: Long = 100_000_000_000L,
+                      force: Boolean = false): DataFrame = {
     val clusters = clusterKeepers(
-      embeddingCosinePairs(embs, idCol, vecCol, threshold, dim, bits, tables))
+      embeddingCosinePairs(embs, idCol, vecCol, threshold, dim, bits, tables,
+        candidateBudget, force))
     embs.select(col(idCol).as("vid"))
       .join(clusters.withColumnRenamed("doc_id", "vid"), Seq("vid"), "left_outer")
       .select(col("vid").as(idCol),

@@ -230,6 +230,30 @@ object Similarity {
     (bits, tables)
   }
 
+  /** Predicted cost of a banded hyperplane-LSH pair join at corpus size
+    * `n` with the given parameters: the expected RANDOM (background)
+    * candidate-pair count tables·n²/2^(bits+1) — the term that made the
+    * fixed-parameter face quadratic and still grows as n^(1−log2 p1)
+    * under [[lshPlanFor]]'s auto-banding — and the probability a TRUE
+    * pair at `threshold` is never co-bucketed. This is the planner's
+    * cost OUTPUT: guardrails compare `predictedCandidates` against a
+    * budget BEFORE launching a join that cannot finish (sf10 measured
+    * ~2.3e10 predicted ↔ 410 s wall; the default budgets below cap jobs
+    * around the tens-of-minutes mark).
+    */
+  final case class LshCost(bits: Int, tables: Int,
+                           predictedCandidates: Double,
+                           predictedMiss: Double)
+
+  def lshCostFor(n: Long, threshold: Double, bits: Int,
+                 tables: Int): LshCost = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    LshCost(bits, tables,
+      tables.toDouble * n.toDouble * n.toDouble / math.pow(2.0, bits + 1),
+      math.pow(1.0 - math.pow(p1, bits), tables))
+  }
+
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int): Column =
     (0 until bits).map { j =>
       val plane = array((0 until dim).map(i =>

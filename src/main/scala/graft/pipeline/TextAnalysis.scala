@@ -47,10 +47,14 @@ object TextAnalysis {
   def withQuality(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    val nChars = length(t).cast("double")
+    // null denominators instead of zero: empty/token-less documents (legal
+    // after an upstream line scrub) get null ratios and a null score —
+    // which every downstream `>= threshold` filter drops — rather than an
+    // ANSI DIVIDE_BY_ZERO job failure
+    val nChars = nullif(length(t).cast("double"), lit(0.0))
     val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
     val nPunct = length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("double")
-    val nToks = size(toks).cast("double")
+    val nToks = nullif(size(toks).cast("double"), lit(0.0))
     val stopHits = size(filter(toks,
       x => array_contains(array(stopwords("en").map(lit): _*), x))).cast("double")
     docs
@@ -92,7 +96,9 @@ object TextAnalysis {
   def withGopherRules(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    val nWords = size(toks).cast("double")
+    // null denominator for word-less documents (legal after a line scrub):
+    // null ratios + keep=false, not an ANSI DIVIDE_BY_ZERO job failure
+    val nWords = nullif(size(toks).cast("double"), lit(0.0))
     val wordChars = length(regexp_replace(normText(t), " ", "")).cast("double")
     val stopHits = size(array_intersect(array_distinct(toks),
       array(stopwords("en").map(lit): _*)))
@@ -104,11 +110,11 @@ object TextAnalysis {
       .withColumn("stop_hits", stopHits)
       .withColumn("symbol_ratio", round(symbolHits / nWords, 4))
       .withColumn("alpha_frac", round(alphaWords / nWords, 4))
-      .withColumn("keep",
+      .withColumn("keep", coalesce(
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
           col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8 &&
-          col("stop_hits") >= 2)
+          col("stop_hits") >= 2, lit(false)))
   }
 
   /** Gopher-style intra-document repetition signals (Rae et al. 2021,

@@ -144,6 +144,48 @@ class PipelineSpec extends SparkSpec {
     assert(planned === naive, s"planned (bits=$pBits tables=$pTables)")
   }
 
+  test("cost guardrail: over-budget exact similarity joins refuse with a " +
+    "steer, force=true overrides, and the cost model is monotone") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // budget 0: any predicted volume is over — the refusal path
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.45,
+        candidateBudget = 0L).collect()
+    }
+    assert(e.getMessage.contains("predicted candidate volume"))
+    assert(e.getMessage.contains("force=true"))
+    // force: same answer as the unguarded run
+    val forced = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.45,
+        candidateBudget = 0L, force = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val free = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(forced === free)
+    // minhash auto-plan face: same refusal + override contract
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, numHashes = 0,
+        bands = 0, threshold = 0.8, candidateBudget = 0L).collect()
+    }
+    assert(m.getMessage.contains("predicted background candidate volume"))
+    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, numHashes = 0,
+      bands = 0, threshold = 0.8, candidateBudget = 0L, force = true).count()
+    // the cost model: predicted candidates grow ~n^(1-log2 p1) under the
+    // plan (super-linear, sub-quadratic) and the miss bound holds
+    val c1 = {
+      val (b, t) = Similarity.lshPlanFor(100000, 0.45)
+      Similarity.lshCostFor(100000, 0.45, b, t)
+    }
+    val c2 = {
+      val (b, t) = Similarity.lshPlanFor(1000000, 0.45)
+      Similarity.lshCostFor(1000000, 0.45, b, t)
+    }
+    val growth = c2.predictedCandidates / c1.predictedCandidates
+    assert(growth > 10.0 && growth < 100.0, s"growth per decade $growth")
+    assert(c1.predictedMiss <= 1e-4 && c2.predictedMiss <= 1e-4)
+  }
+
   test("lsh parameter plan: bits tracks corpus size, miss bound holds") {
     // bits grows one per doubling past the bucket target
     val (b1, t1) = Similarity.lshPlanFor(1024, 0.45)
