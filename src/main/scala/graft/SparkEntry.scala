@@ -2235,6 +2235,40 @@ object SparkEntry {
         queryFilter = col("vec_id") < 100)
     }
 
+    // ---- persisted-ANN RETIRE (deletion crossing the admit/retire seam):
+    //      index the full corpus, retire vec_id % 7 = 0 (among non-query
+    //      ids), then probe with nprobe = nlist — probing EVERY cell makes
+    //      IVF exact, so the store's answer must hash-match a brute-force
+    //      cosine top-k over the SURVIVORS replayed in SQL. A ghost
+    //      neighbor the tombstone failed to hide, or a live one the
+    //      anti-join over-hid, breaks the hash.
+    q("ann_retire", s"""$vnSql,
+      ar_surv AS (SELECT vec_id, vec, nrm FROM vn
+        WHERE nrm > 0 AND NOT (vec_id % 7 = 0 AND vec_id >= 10)),
+      ar_scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM vn a JOIN ar_surv b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 AND a.nrm > 0),
+      ar_ranked AS (SELECT qid, nid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        FROM ar_scored)
+      SELECT qid AS query_id, nid AS neighbor_id, round(cos, 4) AS cosine, rank
+      FROM ar_ranked WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_annret_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(idxDir)
+      val idx = graft.store.AnnIndexStore.build(s, idxDir, embs,
+        "vec_id", "embedding", nlist = 16, lloydIters = 2)
+      idx.retire(embs.where(col("vec_id") % 7 === 0 &&
+        col("vec_id") >= 10).select("vec_id"), "vec_id")
+      idx.topK(embs.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }
+
     // ---- product quantization, exact codes gate: the deterministic
     //      codebook (per-subspace k-means, seeded from the first ksub
     //      vectors by id, 2 Lloyd rounds, means rounded to 4 per round)
@@ -2769,6 +2803,39 @@ object SparkEntry {
       SparkEntry.registerTmpCleanup(dir)
       graft.store.CorpusStore.write(s, dir, docs.join(keepers, "doc_id"),
         "doc_id", "text", nShards = 8)
+      val intact =
+        graft.store.CorpusStore.validate(s, dir, "doc_id", "text") == 0
+      graft.store.CorpusStore.manifest(s, dir)
+        .withColumn("intact", lit(intact))
+        .orderBy("shard")
+    }
+
+    // ---- published-corpus RETIRE (deletion crossing the admit/retire
+    //      seam): publish the full corpus, retire doc_id % 5 = 0 (tombstone
+    //      + manifest decrement, no shard rewrite), and return the stored
+    //      manifest + the validate() integrity bit. The oracle replays the
+    //      survivors' shard census from scratch — a ghost row the tombstone
+    //      failed to hide, a stale manifest count, or a manifest/data
+    //      divergence all hash-mismatch.
+    q("corpus_retire", docPrelude +
+      s""", cr_sh AS (SELECT doc_id,
+          CAST(${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+          len(string_split_regex(trim(text), '\\s+')) AS nt
+        FROM documents WHERE doc_id % 5 <> 0)
+      SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        true AS intact
+      FROM cr_sh GROUP BY shard ORDER BY shard""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_corpret_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(dir)
+      graft.store.CorpusStore.write(s, dir, docs, "doc_id", "text",
+        nShards = 8)
+      graft.store.CorpusStore.retire(s, dir,
+        docs.where(col("doc_id") % 5 === 0).select("doc_id"),
+        "doc_id", "text")
       val intact =
         graft.store.CorpusStore.validate(s, dir, "doc_id", "text") == 0
       graft.store.CorpusStore.manifest(s, dir)

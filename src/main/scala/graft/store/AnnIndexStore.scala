@@ -31,7 +31,42 @@ import graft.pipeline.Similarity
 final class AnnIndexStore(val dir: String, spark: SparkSession) {
 
   def centroids: DataFrame = spark.read.parquet(s"$dir/centroids")
-  def cells: DataFrame = StoreCompaction.read(spark, s"$dir/cells")
+
+  /** LIVE cells: physical rows minus the retirement tombstones — a retired
+    * vector stops appearing in probe results immediately, without
+    * rewriting any cell directory ([[compact]] purges the rows physically
+    * and frees the ids for re-admission).
+    */
+  def cells: DataFrame = minusRetired(
+    StoreCompaction.read(spark, s"$dir/cells"))
+
+  /** Retired vector ids (empty when the table was never created). */
+  def retired: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) StoreCompaction.read(spark, s"$dir/retired")
+    else spark.range(0).select(col("id").as("vid"))
+  }
+
+  private def minusRetired(df: DataFrame): DataFrame =
+    df.join(broadcast(retired.select("vid")), Seq("vid"), "left_anti")
+
+  /** Retire vectors (the deletion face — an embedding of a deleted or
+    * re-curated document must stop matching queries): append the ids to
+    * the tombstone table. Idempotent — re-retiring is a duplicate
+    * tombstone row, harmless to the anti-join and removed by [[compact]].
+    * A retired id must not be re-admitted before a compaction purges its
+    * physical cell rows (the tombstone would hide the new rows too — the
+    * terminal-until-compact contract shared with
+    * [[DedupIndexStore.retire]] and [[SearchIndexStore.retire]]).
+    */
+  def retire(ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).as("vid")).distinct()
+      .join(broadcast(retired.select("vid")), Seq("vid"), "left_anti")
+      // materialize BEFORE the append: the anti-join reads the very table
+      // the write appends to (self-referencing append otherwise)
+      .localCheckpoint(true)
+      .write.mode(SaveMode.Append).parquet(s"$dir/retired")
 
   /** (nlist, lloydIters) the index was built with. */
   def params: (Int, Int) = {
@@ -65,12 +100,20 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     * partition holds a compact file set again (every append writes its own
     * files under each touched cell, so after N admissions a probe of
     * nprobe cells opens ~N files per cell — file-open overhead growing with
-    * history). Same rewrite-then-swap discipline as
-    * [[DedupIndexStore.compact]]; centroids/meta are tiny and immutable.
+    * history), purging retired vectors' physical rows and dropping the
+    * tombstone table (freeing their ids for re-admission). Same
+    * rewrite-then-swap discipline as [[DedupIndexStore.compact]];
+    * centroids/meta are tiny and immutable.
     */
-  def compact(): Unit =
+  def compact(): Unit = {
+    val gone = retired.select("vid").localCheckpoint(true)
     StoreCompaction.rewritePartitioned(spark, s"$dir/cells", "cid")(
-      _.repartition(col("cid")))
+      _.join(broadcast(gone), Seq("vid"), "left_anti")
+        .repartition(col("cid")))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
 
   /** Top-k approximate neighbors of each query vector against the stored
     * index. `queries`: (id, vec) — any vector source, not necessarily

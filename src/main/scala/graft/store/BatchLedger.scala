@@ -73,6 +73,36 @@ private[store] object BatchLedger {
         .coalesce(1))
   }
 
+  /** Retire one admitted batch — the DELETION face additive sketches get
+    * for free from linearity: dropping a batch's cell rows from the ledger
+    * leaves a fold identical to never having admitted it (exact, not
+    * approximate). Granularity is the BATCH, never the item — a single
+    * item's contribution is not recoverable from summed counters, which is
+    * the whole point of a sketch. Returns false when the key names no
+    * stored batch. Refuses a key whose cells were folded away by
+    * [[compact]] (it survives only as a zero-cell replay guard): its
+    * contribution is no longer separable, so the deletion path there is a
+    * rebuild — replay the surviving batches from their sources under fresh
+    * keys into a new store. The retired key becomes re-admittable (the
+    * guard row leaves with the batch).
+    */
+  def retireBatch(spark: SparkSession, dir: String,
+                  batchKey: String): Boolean = {
+    val r = raw(spark, dir)
+    val mine = r.where(col("batch_key") === batchKey)
+    if (mine.limit(1).isEmpty) return false
+    val hasCells = !mine.where(col("__marker") =!= 1).limit(1).isEmpty
+    val markerCnt = mine.where(col("__marker") === 1)
+      .agg(coalesce(max("cnt"), lit(-1L))).head().getLong(0)
+    require(hasCells || markerCnt != 0L,
+      s"batch '$batchKey' was folded by compaction (zero-cell guard); its " +
+        "cells are no longer separable — rebuild the store by replaying " +
+        "the surviving batches from their sources")
+    StoreCompaction.swapIn(spark, s"$dir/batches",
+      r.where(col("batch_key") =!= batchKey).coalesce(1))
+    true
+  }
+
   /** Fold history into one batch under `foldedKey`, retaining every other
     * admitted key as a zero-cell guard batch so replays stay refused.
     */

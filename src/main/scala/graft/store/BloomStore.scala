@@ -42,6 +42,22 @@ final class BloomStore(val dir: String, spark: SparkSession) {
     val (itemCol, k, width) = params
     Sketches.bloomProbe(batch, itemCol, bits, k, width)
   }
+
+  /** DELETION contract: a Bloom filter cannot delete — the set-bit table
+    * is an OR-fold, and clearing a bit would un-see every OTHER item that
+    * hashed to it, so neither item- nor batch-level retirement exists by
+    * construction (contrast [[CmStore.retireBatch]], whose counters
+    * subtract). The deletion path is this rebuild: re-sketch the SURVIVING
+    * items (replayed from the authoritative source — the corpus /
+    * [[CorpusStore]] the filter fronts) under the stored parameters and
+    * swap the bit table whole. Bit-identical to a fresh [[BloomStore.build]]
+    * over the same survivors (asserted by spec).
+    */
+  def rebuild(survivors: DataFrame): Unit = {
+    val (itemCol, k, width) = params
+    StoreCompaction.swapIn(spark, s"$dir/bits",
+      Sketches.bloomBits(survivors, itemCol, k, width).coalesce(1))
+  }
 }
 
 object BloomStore {

@@ -69,6 +69,20 @@ final class CmStore(val dir: String, spark: SparkSession) {
     true
   }
 
+  /** Retire an admitted batch exactly (counter linearity — see
+    * [[BatchLedger.retireBatch]]): estimates afterwards equal a store that
+    * never saw the batch. ITEM-level deletion does not exist for a
+    * Count-Min store by construction (cells are sums over colliding
+    * items); the unit of deletion is the admission batch, and a batch
+    * folded away by [[compact]] requires a source-replay rebuild instead.
+    */
+  def retireBatch(batchKey: String): Boolean = {
+    require(batchKey != CmStore.FoldedKey,
+      s"'$batchKey' is the folded history, not an admission batch; " +
+        "deleting compacted history is a source-replay rebuild")
+    BatchLedger.retireBatch(spark, dir, batchKey)
+  }
+
   /** Marker/cell agreement for every stored batch; false = a half-landed
     * append is present (its cells are already excluded from [[cells]]).
     */

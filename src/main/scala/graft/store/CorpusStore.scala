@@ -79,7 +79,9 @@ object CorpusStore {
     * the rows are already stored, and a re-append would double them while
     * the census merges once. Replay-safe ingestion should dedup the batch
     * against stored ids first (the [[DedupIndexStore]] exact face) or gate
-    * on validate() == 0 before admitting.
+    * on validate() == 0 before admitting. Re-admitting a RETIRED id is
+    * invalid before a [[compact]] (the tombstone hides the new rows) —
+    * same contract as [[retire]] documents.
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
              idCol: String, textCol: String): DataFrame = {
@@ -98,17 +100,85 @@ object CorpusStore {
     manifest(spark, dir)
   }
 
+  /** Retired doc ids (empty when the table was never created). */
+  def retired(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) StoreCompaction.read(spark, s"$dir/retired")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** Retire published documents (the deletion face — a document withdrawn
+    * after publish, e.g. a takedown or a re-curation verdict, must stop
+    * reaching the trainer's loader): append the ids to the tombstone
+    * table, then decrement the manifest by the retired rows' census so the
+    * loader's epoch sizing stays truthful WITHOUT recounting history — the
+    * retired rows are found by an id-pruned scan of their (deterministic)
+    * shards, an nShards-bounded merge like [[append]]'s. Idempotent:
+    * already-retired ids are dropped before either step. A retired id must
+    * not be re-admitted before [[compact]] purges its physical rows (the
+    * tombstone would hide the new rows too — the terminal-until-compact
+    * contract shared with [[DedupIndexStore.retire]]).
+    *
+    * Crash contract (mirrors [[append]]'s): the tombstone append and the
+    * manifest decrement are two steps. A crash between them leaves the
+    * docs view already shrunk but the manifest overstated — [[validate]]
+    * flags the divergence and [[repair]] rebuilds the manifest from the
+    * live docs, which are the source of truth.
+    */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String, textCol: String): DataFrame = {
+    val newIds = ids.select(col(idCol).as("doc_id")).distinct()
+      .join(broadcast(retired(spark, dir)), Seq("doc_id"), "left_anti")
+      // materialize BEFORE the append: the anti-join reads the very table
+      // the write appends to (self-referencing append otherwise)
+      .localCheckpoint(true)
+    val goneCensus = census(
+      physicalDocs(spark, dir).join(
+        broadcast(newIds.withColumnRenamed("doc_id", idCol)), Seq(idCol)),
+      textCol).localCheckpoint(true)
+    newIds.write.mode(SaveMode.Append).parquet(s"$dir/retired")
+    val merged = manifest(spark, dir).alias("m")
+      .join(goneCensus.alias("g"), Seq("shard"), "left_outer")
+      .select(col("shard"),
+        (col("m.n_docs") - coalesce(col("g.n_docs"), lit(0L))).as("n_docs"),
+        (col("m.n_tokens") - coalesce(col("g.n_tokens"), lit(0L)))
+          .as("n_tokens"))
+      .where(col("n_docs") > 0)
+    StoreCompaction.swapIn(spark, s"$dir/manifest", merged.coalesce(1))
+    manifest(spark, dir)
+  }
+
   /** Re-cluster accumulated appends: rewrite the shard directories so each
     * holds a compact file set again, preserving the layout and the sorted-
-    * by-id property. Results are byte-equivalent to a fresh publish.
+    * by-id property, purging retired documents' physical rows, and
+    * dropping the tombstone table (freeing their ids for re-admission).
+    * Results are byte-equivalent to a fresh publish of the surviving docs.
     */
   def compact(spark: SparkSession, dir: String,
-              idCol: String = "doc_id"): Unit =
+              idCol: String = "doc_id"): Unit = {
+    val gone = retired(spark, dir).localCheckpoint(true)
     StoreCompaction.rewritePartitioned(spark, s"$dir/docs", "shard")(
-      _.repartition(col("shard")).sortWithinPartitions(col(idCol)))
+      _.join(broadcast(gone.withColumnRenamed("doc_id", idCol)),
+          Seq(idCol), "left_anti")
+        .repartition(col("shard")).sortWithinPartitions(col(idCol)))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
 
-  def docs(spark: SparkSession, dir: String): DataFrame =
+  private def physicalDocs(spark: SparkSession, dir: String): DataFrame =
     StoreCompaction.read(spark, s"$dir/docs")
+
+  /** LIVE view: physical rows minus the retirement tombstones — what the
+    * trainer's loader reads. `idCol` names the published id column the
+    * tombstones hold.
+    */
+  def docs(spark: SparkSession, dir: String,
+           idCol: String = "doc_id"): DataFrame =
+    physicalDocs(spark, dir).join(
+      broadcast(retired(spark, dir).withColumnRenamed("doc_id", idCol)),
+      Seq(idCol), "left_anti")
 
   def manifest(spark: SparkSession, dir: String): DataFrame =
     StoreCompaction.read(spark, s"$dir/manifest")
@@ -120,18 +190,21 @@ object CorpusStore {
     * from the data, which is the source of truth. A full shard scan — the
     * exceptional path, never the steady-state admission cost.
     */
-  def repair(spark: SparkSession, dir: String, textCol: String): DataFrame = {
+  def repair(spark: SparkSession, dir: String, textCol: String,
+             idCol: String = "doc_id"): DataFrame = {
     StoreCompaction.swapIn(spark, s"$dir/manifest",
-      census(docs(spark, dir), textCol).coalesce(1))
+      census(docs(spark, dir, idCol), textCol).coalesce(1))
     manifest(spark, dir)
   }
 
-  /** Recompute the per-shard census from the stored data and compare with
-    * the manifest; returns the number of divergent shards (0 = intact).
+  /** Recompute the per-shard census from the LIVE data (physical minus
+    * tombstones — the manifest tracks what a loader would read) and
+    * compare with the manifest; returns the number of divergent shards
+    * (0 = intact).
     */
   def validate(spark: SparkSession, dir: String, idCol: String,
                textCol: String): Long = {
-    val fromData = census(docs(spark, dir), textCol)
+    val fromData = census(docs(spark, dir, idCol), textCol)
     fromData.alias("d").join(manifest(spark, dir).alias("m"),
         Seq("shard"), "full_outer")
       .where(col("d.n_docs").isNull || col("m.n_docs").isNull ||

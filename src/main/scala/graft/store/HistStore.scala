@@ -56,6 +56,18 @@ final class HistStore(val dir: String, spark: SparkSession) {
     true
   }
 
+  /** Retire an admitted batch exactly (bucket-count linearity — see
+    * [[BatchLedger.retireBatch]]); item-level deletion does not exist for
+    * summed bucket counters, and a compacted-away batch needs a
+    * source-replay rebuild.
+    */
+  def retireBatch(batchKey: String): Boolean = {
+    require(batchKey != CmStore.FoldedKey,
+      s"'$batchKey' is the folded history, not an admission batch; " +
+        "deleting compacted history is a source-replay rebuild")
+    BatchLedger.retireBatch(spark, dir, batchKey)
+  }
+
   def validate(): Boolean = BatchLedger.validate(BatchLedger.raw(spark, dir))
 
   def repair(): Unit = BatchLedger.repair(spark, dir)

@@ -52,6 +52,22 @@ final class SketchStore(val dir: String, spark: SparkSession) {
       .groupBy("group").agg(hll_union_agg(col("sk")).as("sk"))
     StoreCompaction.swapIn(spark, s"$dir/sketches", merged.coalesce(1))
   }
+
+  /** DELETION contract: HLL cannot delete — registers are a MAX-fold over
+    * per-item hashes, and lowering a register would forget every other
+    * item that set it, so neither item- nor batch-level retirement exists
+    * by construction (contrast [[CmStore.retireBatch]], whose counters
+    * subtract). The deletion path is this rebuild: re-sketch the SURVIVING
+    * rows (replayed from the authoritative source the sketches summarize)
+    * under the stored parameters and swap the table whole. Identical
+    * estimates to a fresh [[SketchStore.build]] over the same survivors
+    * (register state is insertion-order-independent — asserted by spec).
+    */
+  def rebuild(survivors: DataFrame): Unit = {
+    val (g, v, lgK) = params
+    StoreCompaction.swapIn(spark, s"$dir/sketches",
+      SketchStore.sketchOf(survivors, g, v, lgK).coalesce(1))
+  }
 }
 
 object SketchStore {
