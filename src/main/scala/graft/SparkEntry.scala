@@ -2269,6 +2269,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    // ---- streaming ANN admission (admit → query crosses the seam): the
+    //      index starts from a third of the corpus, the other two thirds
+    //      arrive as guarded micro-batch admissions (one batch replayed —
+    //      the exactly-once discipline must make it a no-op, or the
+    //      duplicate rows occupy two ranks of the top-k and break the
+    //      hash), then a full-cell probe must equal brute-force cosine
+    //      over the WHOLE corpus — i.e. admissions are indistinguishable
+    //      from having built over everything.
+    q("ann_ivf_stream", s"""$vnSql,
+      as_scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM vn a JOIN vn b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 AND a.nrm > 0 AND b.nrm > 0),
+      as_ranked AS (SELECT qid, nid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        FROM as_scored)
+      SELECT qid AS query_id, nid AS neighbor_id, round(cos, 4) AS cosine, rank
+      FROM as_ranked WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_annstr_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(idxDir)
+      val idx = graft.store.AnnIndexStore.build(s, idxDir,
+        embs.where(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        nlist = 16, lloydIters = 2)
+      graft.stream.StreamingAnnIndex.admitBatch(
+        embs.where(col("vec_id") % 3 === 1), idxDir, "vec_id", "embedding")
+      graft.stream.StreamingAnnIndex.admitBatch( // replayed: must no-op
+        embs.where(col("vec_id") % 3 === 1), idxDir, "vec_id", "embedding")
+      graft.stream.StreamingAnnIndex.admitBatch(
+        embs.where(col("vec_id") % 3 === 2), idxDir, "vec_id", "embedding")
+      idx.topK(embs.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }
+
     // ---- product quantization, exact codes gate: the deterministic
     //      codebook (per-subspace k-means, seeded from the first ksub
     //      vectors by id, 2 Lloyd rounds, means rounded to 4 per round)

@@ -68,6 +68,20 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
       .localCheckpoint(true)
       .write.mode(SaveMode.Append).parquet(s"$dir/retired")
 
+  /** Vector ids present in the physical cells OR tombstoned — the
+    * replay-guard key set for streaming admission
+    * ([[graft.stream.StreamingAnnIndex]]): a crash-replayed micro-batch
+    * anti-joins against this and skips ids already landed, so cells never
+    * hold duplicate vid rows (duplicates would occupy two ranks of a
+    * top-k). RETIRED ids stay in the set — their physical rows survive
+    * until [[compact]], and re-admitting one before compaction would hide
+    * the new rows under the same tombstone (the terminal-until-compact
+    * contract; same reasoning as [[SearchIndexStore.admittedDocIds]]).
+    */
+  def admittedVids: DataFrame =
+    StoreCompaction.read(spark, s"$dir/cells").select("vid")
+      .union(retired.select("vid")).distinct()
+
   /** (nlist, lloydIters) the index was built with. */
   def params: (Int, Int) = {
     val m = spark.read.parquet(s"$dir/meta").head()

@@ -538,6 +538,56 @@ class StreamingSpec extends SparkSpec {
       s"stream $streamed\nbatch  $batch")
   }
 
+  test("streaming ann admission: micro-batches land exactly-once in the " +
+    "persisted cells; cross-seam probe equals batch admission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sannadm")
+      .toString
+    val idx = graft.store.AnnIndexStore.build(spark, dir,
+      embs.where(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      nlist = 8, lloydIters = 2)
+
+    val rest = embs.where(col("vec_id") % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = rest.partition(_._1 % 3 == 1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.stream.StreamingAnnIndex.writer(
+        input.toDF().toDF("vec_id", "embedding"), dir,
+        "vec_id", "embedding")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    def drain(): Unit = { val s = q.start(); s.awaitTermination() }
+    input.addData(b1: _*); drain()
+    input.addData(b1: _*) // replayed micro-batch: the guard must no-op it
+    input.addData(b2: _*); drain()
+
+    // exactly-once: one cell row per distinct vector, none lost
+    val cellVids = idx.cells.select("vid").collect().map(_.getLong(0))
+    assert(cellVids.length == cellVids.distinct.length,
+      "replayed batch must not duplicate cell rows")
+    assert(cellVids.length == graft.pipeline.Similarity
+      .normalizedVectors(embs, "vec_id", "embedding").count(),
+      "every admitted (nonzero) vector must be present")
+
+    // cross-seam parity: streamed admission == batch append of the same
+    // vectors under the same frozen quantizer
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-sannadm2")
+      .toString
+    val batchIdx = graft.store.AnnIndexStore.build(spark, batchDir,
+      embs.where(col("vec_id") % 3 === 0), "vec_id", "embedding",
+      nlist = 8, lloydIters = 2)
+    batchIdx.append(embs.where(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding")
+    def probe(ix: graft.store.AnnIndexStore) =
+      ix.topK(embs.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 3, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+        .toMap
+    assert(probe(idx) == probe(batchIdx),
+      "streamed and batch admission must serve identical probes")
+  }
+
   test("streaming publish: micro-batches append shard-stably; manifest stays consistent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
