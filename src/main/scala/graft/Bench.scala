@@ -33,11 +33,16 @@ object Bench {
 
     // warm: build + materialize the graph-store and GraphX caches once —
     // these are the long-lived serving state (the reference's analog: the
-    // Kuzu DB stays open across queries)
-    val st = SparkEntry.storeFor(spark, sfDir)
-    Seq(st.directories, st.files, st.definitions, st.importedSymbols, st.edges,
-      st.symmetrizedEdges).foreach(_.count())
-    SparkEntry.warmGraph(spark, sfDir)
+    // Kuzu DB stays open across queries). SPARK_GRAFT_WARM_GRAPH=0 skips it
+    // for name-restricted runs over non-graph gates (the sf30 third-decade
+    // spot-checks: warming a 420M-edge GraphX cache to time five
+    // documents-table gates would measure the warmup, not the gates).
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_GRAPH", "1") != "0") {
+      val st = SparkEntry.storeFor(spark, sfDir)
+      Seq(st.directories, st.files, st.definitions, st.importedSymbols,
+        st.edges, st.symmetrizedEdges).foreach(_.count())
+      SparkEntry.warmGraph(spark, sfDir)
+    }
     // every RDD cached from here on is a per-query intermediate (e.g. the
     // dedup operators' candidate caches); drop them after each query so 63
     // queries' worth never accumulates into storage-eviction thrash

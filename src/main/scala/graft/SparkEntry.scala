@@ -2441,6 +2441,87 @@ object SparkEntry {
         .orderBy("item")
     }
 
+    // ---- KMV (bottom-k) distinct-cardinality sketch over document
+    //      word-bigrams — the set-OPERATION member of the sketch family
+    //      (HLL unions only; KMV also intersects). Built as the MERGE of
+    //      two independently-built halves (even/odd doc_id): bottom-k of a
+    //      union equals bottom-k of the merged bottom-k synopses, so the
+    //      split build must EQUAL the one-shot sketch the oracle replays.
+    //      All-integer estimator ((k−1)·P div f_(k)) — hash-compared, not
+    //      bound-checked; n_exact rides along to show estimate quality.
+    //      hash = slot-0 affine mix of charFold — order statistics need
+    //      uniformity, see Sketches.kmv's doc
+    val kmvFold = s"(${graft.functions.TextFunctions.coeffA(0)} * " +
+      s"(${sqlCharFold("item")}) + " +
+      s"${graft.functions.TextFunctions.coeffB(0)}) % 1000000007"
+    val kmvBigSql = s"""$docPrelude, big AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS item
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+      fs AS (SELECT DISTINCT $kmvFold AS f FROM big),
+      sk AS (SELECT f FROM fs ORDER BY f LIMIT 256)"""
+    q("sk_kmv_card", s"""$kmvBigSql,
+      agg AS (SELECT count(*) AS n_kept, max(f) AS f_kth FROM sk)
+      SELECT CAST(n_kept AS BIGINT) AS n_kept, CAST(f_kth AS BIGINT) AS f_kth,
+        CAST(CASE WHEN n_kept < 256 THEN n_kept
+          ELSE (CAST(255 AS BIGINT) * 1000000007) // f_kth END AS BIGINT) AS est,
+        (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM big) AS n_exact
+      FROM agg""") { (s, d) =>
+      import graft.pipeline.Sketches
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val items = docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingleList(col("text"), 2)).as("item"))
+      val sketch = Sketches.kmvMerge(256,
+        Sketches.kmv(items.where(col("doc_id") % 2 === 0), "item", 256),
+        Sketches.kmv(items.where(col("doc_id") % 2 =!= 0), "item", 256))
+      Sketches.kmvCardinality(sketch, 256)
+        .crossJoin(items.agg(
+          countDistinct(col("item")).cast("long").as("n_exact")))
+    }
+
+    // ---- KMV intersection estimate across two corpora (even vs odd
+    //      docs' bigram vocabularies): of the union synopsis's k values,
+    //      the fraction present in BOTH synopses estimates Jaccard,
+    //      scaled by the union-cardinality estimate — two k-row synopses
+    //      answer "how much vocabulary do these corpora share" without
+    //      re-touching raw history. Exact intersection rides along.
+    q("sk_kmv_intersect", s"""$kmvBigSql,
+      ska AS (SELECT f FROM (SELECT DISTINCT $kmvFold AS f
+        FROM big WHERE doc_id % 2 = 0) ORDER BY f LIMIT 256),
+      skb AS (SELECT f FROM (SELECT DISTINCT $kmvFold AS f
+        FROM big WHERE doc_id % 2 <> 0) ORDER BY f LIMIT 256),
+      u AS (SELECT f FROM (SELECT f FROM ska UNION SELECT f FROM skb)
+        ORDER BY f LIMIT 256),
+      uc AS (SELECT count(*) AS k_union, max(f) AS f_kth FROM u),
+      m AS (SELECT count(*) AS matched FROM u
+        WHERE f IN (SELECT f FROM ska) AND f IN (SELECT f FROM skb)),
+      eu AS (SELECT k_union, CASE WHEN k_union < 256 THEN k_union
+          ELSE (CAST(255 AS BIGINT) * 1000000007) // f_kth END AS est_union
+        FROM uc),
+      xact AS (SELECT count(*) AS n FROM
+        (SELECT DISTINCT item FROM big WHERE doc_id % 2 = 0) a
+        JOIN (SELECT DISTINCT item FROM big WHERE doc_id % 2 <> 0) b
+        USING (item))
+      SELECT CAST(eu.k_union AS BIGINT) AS k_union,
+        CAST(m.matched AS BIGINT) AS matched,
+        CAST(eu.est_union AS BIGINT) AS est_union,
+        CAST((m.matched * eu.est_union) // eu.k_union AS BIGINT)
+          AS est_intersection,
+        CAST(xact.n AS BIGINT) AS n_exact_intersection
+      FROM eu, m, xact""") { (s, d) =>
+      import graft.pipeline.Sketches
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val items = docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingleList(col("text"), 2)).as("item"))
+      val even = items.where(col("doc_id") % 2 === 0)
+      val odd = items.where(col("doc_id") % 2 =!= 0)
+      val exact = even.select("item").distinct()
+        .join(odd.select("item").distinct(), Seq("item"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_intersection"))
+      Sketches.kmvIntersect(Sketches.kmv(even, "item", 256),
+          Sketches.kmv(odd, "item", 256), 256)
+        .crossJoin(exact)
+    }
+
     // ---- decimal histogram quantile sketch (the DDSketch shape with
     //      string-exact bucketing): per event type, the buckets containing
     //      the rank-q values for q in {0.5, 0.9, 0.99}. Everything stays

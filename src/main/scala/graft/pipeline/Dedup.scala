@@ -765,6 +765,8 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       converged = next.where(col("lbl") =!= col("prev")).isEmpty
+      // superseded generation; `next` is materialized
+      graft.operators.LocalCp.free(labels)
       labels = next.select(col("doc_id"), col("lbl"))
       round += 1
     }
@@ -837,6 +839,10 @@ object Dedup {
         .distinct().localCheckpoint(true)
       converged = next.count() == edges.count() &&
         next.exceptAll(edges).isEmpty
+      // two-generation live set: the superseded round's checkpoint is
+      // unreferenced once the convergence probe has run (participants was
+      // materialized eagerly, so round 0's `base` has no other consumer)
+      graft.operators.LocalCp.free(edges)
       edges = next
       round += 1
     }

@@ -257,4 +257,93 @@ object Sketches {
       .where(col("n_item") >= thresh)
       .withColumn("n_total", lit(total))
   }
+
+  // ======================= KMV (bottom-k) sketch ==========================
+  //
+  // The set-OPERATION member of the sketch family: HLL registers answer
+  // union cardinality only; the k-minimum-values sketch (Bar-Yossef et al.
+  // 2002; Beyer et al. 2007 "On Synopses for Distinct-Value Estimation")
+  // additionally estimates INTERSECTION cardinality across corpora —
+  // "how many shingles do yesterday's and today's snapshots share" —
+  // from two k-row synopses, never re-touching raw history. Hash family
+  // is the repo-wide charFold mod 1e9+7, so the DuckDB oracle replays the
+  // identical sketch (bottom-k of a deterministic hash is order-free) and
+  // the gates hash-compare exact integer estimates, not bound bits.
+  //
+  // Relational shape and the 100 TB story: building is hash + distinct +
+  // global bottom-k. The distinct shuffles once keyed on the hash; the
+  // bottom-k is Spark's TakeOrderedAndProject — per-partition k-row heaps,
+  // then a k-row merge, so the driver never sees more than k values and
+  // the shuffle after partial aggregation carries at most k rows per
+  // partition. Merge is bottom-k of the unioned synopses (k rows each) —
+  // a driver-free LIMIT over 2k rows.
+
+  /** Bottom-k synopsis of `df`'s item column: the k smallest DISTINCT
+    * hash values, as (f) rows. Hash collisions collapse (the sketch lives
+    * in hash space — part of the estimator's error model and reproducible
+    * in any engine).
+    *
+    * The hash is charFold passed through the slot-0 affine mix
+    * ((a₀·fold + b₀) mod P): an ORDER-STATISTICS estimator needs values
+    * uniform in [0, P), and the raw polynomial fold clusters structured
+    * vocabularies (shared prefixes/suffixes and length strata perturb the
+    * fold by far less than P, so items stratify into narrow bands —
+    * measured 9× skew on a 5k synthetic vocabulary). The affine mix
+    * amplifies within-band variation past P, scattering bands across the
+    * full range — and it is the same pairwise-independent family the
+    * MinHash/Count-Min slots replay in the DuckDB oracle.
+    */
+  def kmv(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2: $k")
+    val fold = TextFunctions.charFold(col(itemCol))
+    val mixed = (lit(TextFunctions.coeffA(0)) * fold
+      + TextFunctions.coeffB(0)) % TextFunctions.HashMod
+    df.select(mixed.as("f"))
+      .where(col("f").isNotNull)
+      .distinct()
+      .orderBy("f").limit(k)
+  }
+
+  /** Merge synopses built with the same k: bottom-k of the union — valid
+    * because bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)).
+    */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _).distinct().orderBy("f").limit(k)
+
+  /** Distinct-cardinality estimate from a synopsis: if the sketch holds
+    * fewer than k values the count is EXACT (the whole hash set fit);
+    * otherwise est = (k−1)·P / f_(k) with the k-th smallest value f_(k) —
+    * the classic unbiased KMV estimator, in pure BIGINT arithmetic.
+    * Returns one row (n_kept, f_kth, est).
+    */
+  def kmvCardinality(sketch: DataFrame, k: Int): DataFrame = {
+    // BIGINT `div`, not `/`: double division of longs near an integer
+    // boundary can round UP across it (1/f_kth ≪ ulp of the quotient),
+    // and the oracle compares these estimates bit-for-bit
+    val num = (k - 1).toLong * TextFunctions.HashMod
+    sketch.agg(count(lit(1)).as("n_kept"), max(col("f")).as("f_kth"))
+      .select(col("n_kept"), col("f_kth"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST($num AS BIGINT) div f_kth"))
+          .as("est"))
+  }
+
+  /** Intersection-cardinality estimate from two synopses: over the k
+    * smallest values of the UNION, the fraction present in BOTH synopses
+    * estimates Jaccard, scaled by the union's cardinality estimate
+    * (Beyer et al. 2007 §4). Integer end-to-end:
+    * est_inter = ⌊matched · est_union / k_u⌋ where k_u = |union synopsis|.
+    * Returns one row (k_union, matched, est_union, est_intersection).
+    */
+  def kmvIntersect(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val u = kmvMerge(k, a, b).localCheckpoint(true)
+    val inBoth = u
+      .join(a.select(col("f").as("fa")), col("f") === col("fa"), "left_semi")
+      .join(b.select(col("f").as("fb")), col("f") === col("fb"), "left_semi")
+    val uCard = kmvCardinality(u, k)
+      .select(col("n_kept").as("k_union"), col("est").as("est_union"))
+    inBoth.agg(count(lit(1)).as("matched")).crossJoin(uCard)
+      .select(col("k_union"), col("matched"), col("est_union"),
+        expr("(matched * est_union) div k_union").as("est_intersection"))
+  }
 }
