@@ -3920,6 +3920,166 @@ object SparkEntry {
         cfg = graft.pipeline.CurationPipeline.Config(dsirK = 80)).summary
     }
 
+    // ---- STREAMING curation ingest: the cleaning half of the DAG
+    //      (scrub → gopher/quality/langid → exact dedup → incremental
+    //      MinHash vs the persisted index → contamination) run as TWO
+    //      sequential micro-batches through StreamingCuration.processBatch,
+    //      each publishing its survivors and admitting them into the dedup
+    //      index so batch 2's new×seen stage sees batch 1's output. The
+    //      gate row joins the store MANIFEST (exercising the nShards-row
+    //      incremental merge across two admissions) with a recounted
+    //      checksum; the oracle replays both batches in order — a wrong
+    //      verdict in any stage of either batch, or a manifest-merge
+    //      error, shifts the census and hash-mismatches. History = doc_id
+    //      % 5 = 0 (pre-admitted, the FULL slice — the cross-batch seam
+    //      needs the planted near-dup structure); batches = doc_id % 4 = 0
+    //      and % 4 = 1 among new ids (half the new corpus — the seam
+    //      semantics are per-doc, so the slice keeps the bench cost of a
+    //      SECOND composed-DAG gate proportionate; td_pipeline_e2e already
+    //      carries the full-corpus composed cost).
+    val wStop = "['the','a','of','and','to','in','is']"
+    def wBatchSql(sfx: Int, parity: Int, seenToksRel: String): String = {
+      val lblIter = (1 to 6).map { k =>
+        s"""wlp$sfx$k AS (SELECT wsps$sfx.u AS doc_id, min(r.lbl) AS lbl
+           FROM wsps$sfx JOIN wlp$sfx${k - 1} r ON wsps$sfx.v = r.doc_id
+           GROUP BY wsps$sfx.u)"""
+      }.mkString(",\n      ")
+      s"""
+      wnew$sfx AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 4 = $parity),
+      wsp$sfx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM wnew$sfx),
+      wln$sfx AS (SELECT doc_id, i AS pos, ls[i] AS line
+        FROM wsp$sfx, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g),
+      wbo$sfx AS (SELECT trim(line) AS key FROM wln$sfx WHERE trim(line) <> ''
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+      wkp$sfx AS (SELECT l.doc_id, l.pos, l.line FROM wln$sfx l
+        LEFT JOIN wbo$sfx ON trim(l.line) = wbo$sfx.key WHERE wbo$sfx.key IS NULL),
+      wscr$sfx AS (SELECT s.doc_id, coalesce(r.txt, '') AS text
+        FROM wsp$sfx s LEFT JOIN (SELECT doc_id,
+          string_agg(line, chr(10) ORDER BY pos) AS txt
+          FROM wkp$sfx GROUP BY 1) r USING (doc_id)),
+      wstk$sfx AS MATERIALIZED (SELECT doc_id, text,
+        lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')) AS t,
+        $sqlToks AS toks FROM wscr$sfx),
+      wfg$sfx AS (SELECT doc_id,
+        CAST(len(toks) AS DOUBLE) AS nw,
+        CAST(length(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) AS wchars,
+        len(list_intersect(list_distinct(toks), $wStop)) AS stop_hits,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS sym,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS aw,
+        CAST(length(text) AS DOUBLE) AS nchars,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS nalpha,
+        CAST(len(list_filter(toks, x -> list_contains($wStop, x))) AS DOUBLE) AS allstop,
+        len(list_intersect(list_distinct(toks), $wStop)) AS s_en,
+        len(list_intersect(list_distinct(toks), ['el','la','de','que','y','en','un'])) AS s_es,
+        len(list_intersect(list_distinct(toks), ['der','die','und','das','ist','mit','von'])) AS s_de,
+        len(list_intersect(list_distinct(toks), ['le','la','les','des','et','du','est'])) AS s_fr
+        FROM wstk$sfx),
+      wflt$sfx AS (SELECT k.* FROM wstk$sfx k JOIN wfg$sfx f USING (doc_id)
+        WHERE f.nw >= 50 AND f.nw <= 100000
+          AND round(f.wchars / f.nw, 4) >= 3.0 AND round(f.wchars / f.nw, 4) <= 10.0
+          AND round(f.sym / f.nw, 4) < 0.1 AND round(f.aw / f.nw, 4) > 0.8
+          AND f.stop_hits >= 2
+          AND round(0.4 * (f.nalpha / f.nchars) + 0.3 * (f.allstop / f.nw)
+            + 0.3 * least(1.0, f.nw / 100.0), 4) >= 0.5
+          AND f.s_en >= f.s_es AND f.s_en >= f.s_de AND f.s_en >= f.s_fr
+          AND f.s_en > 0),
+      wek$sfx AS (SELECT min(doc_id) AS doc_id FROM
+        (SELECT doc_id, ${sqlCharFold("t")} AS f FROM wflt$sfx) GROUP BY f),
+      wex$sfx AS MATERIALIZED (SELECT wflt$sfx.* FROM wflt$sfx JOIN wek$sfx USING (doc_id)),
+      wshd$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM wex$sfx, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+      wsz$sfx AS (SELECT doc_id, count(*) AS n FROM wshd$sfx GROUP BY doc_id),
+      wseen$sfx AS MATERIALIZED (SELECT DISTINCT doc_id,
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM $seenToksRel, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g),
+      wssz$sfx AS (SELECT doc_id, count(*) AS n FROM wseen$sfx GROUP BY doc_id),
+      wxc$sfx AS (SELECT a.doc_id AS ida, s.doc_id AS idb, count(*) AS c
+        FROM wshd$sfx a JOIN wseen$sfx s USING (shingle) GROUP BY 1, 2),
+      wxd$sfx AS MATERIALIZED (SELECT DISTINCT ida AS doc_id FROM
+        (SELECT ida, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+         FROM wxc$sfx JOIN wsz$sfx sa ON ida = sa.doc_id
+           JOIN wssz$sfx sb ON idb = sb.doc_id)
+        WHERE j >= 0.8),
+      wjc$sfx AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+        FROM wshd$sfx a JOIN wshd$sfx b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      wjp$sfx AS (SELECT ida AS a, idb AS b FROM
+        (SELECT ida, idb, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j
+         FROM wjc$sfx JOIN wsz$sfx sa ON ida = sa.doc_id
+           JOIN wsz$sfx sb ON idb = sb.doc_id)
+        WHERE j >= 0.8
+          AND ida NOT IN (SELECT doc_id FROM wxd$sfx)
+          AND idb NOT IN (SELECT doc_id FROM wxd$sfx)),
+      wsp2$sfx AS (SELECT a AS u, b AS v FROM wjp$sfx UNION SELECT b, a FROM wjp$sfx),
+      wsps$sfx AS MATERIALIZED (SELECT u, v FROM wsp2$sfx
+        UNION SELECT u, u FROM wsp2$sfx),
+      wlp${sfx}0 AS (SELECT DISTINCT u AS doc_id, u AS lbl FROM wsps$sfx),
+      $lblIter,
+      wwd$sfx AS (SELECT doc_id FROM wlp${sfx}6 WHERE lbl <> doc_id),
+      wdd$sfx AS MATERIALIZED (SELECT * FROM wex$sfx
+        WHERE doc_id NOT IN (SELECT doc_id FROM wxd$sfx)
+          AND doc_id NOT IN (SELECT doc_id FROM wwd$sfx)),
+      wd4$sfx AS (SELECT DISTINCT doc_id,
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+        FROM wdd$sfx, LATERAL (SELECT unnest(generate_series(1, len(toks) - 3)) AS i) g),
+      wcd$sfx AS (SELECT DISTINCT d.doc_id FROM wd4$sfx d JOIN wbs4 USING (shingle)),
+      wcl$sfx AS MATERIALIZED (SELECT * FROM wdd$sfx
+        WHERE doc_id NOT IN (SELECT doc_id FROM wcd$sfx))"""
+    }
+    q("td_curation_stream", docPrelude + s"""
+      , wbs4 AS MATERIALIZED (SELECT DISTINCT
+        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS shingle
+        FROM d_toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 3)) AS i) g
+        WHERE doc_id < 10),
+      whist AS (SELECT doc_id, toks FROM d_toks WHERE doc_id % 5 = 0),
+      ${wBatchSql(1, 0, "whist")},
+      wseen2src AS (SELECT doc_id, toks FROM whist
+        UNION ALL SELECT doc_id, toks FROM wcl1),
+      ${wBatchSql(2, 1, "wseen2src")},
+      wall AS (SELECT doc_id, text FROM wcl1
+        UNION ALL SELECT doc_id, text FROM wcl2),
+      wsh8 AS (SELECT doc_id, text,
+        CAST(${sqlCharFold("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+        len(string_split_regex(trim(text), '\\s+')) AS nt,
+        ${sqlCharFold("text")} AS cs
+        FROM wall)
+      SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        CAST(sum(cs) AS BIGINT) AS checksum, true AS intact
+      FROM wsh8 GROUP BY shard ORDER BY shard""") { (s, d) =>
+      import s.implicits._
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_cstr_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(s"$base/idx")
+      SparkEntry.registerTmpCleanup(s"$base/pub")
+      val idx = graft.store.DedupIndexStore.build(s, s"$base/idx",
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+      graft.store.CorpusStore.write(s, s"$base/pub",
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 8)
+      val bench = docs.where(col("doc_id") < 10)
+      for (parity <- Seq(0L, 1L))
+        graft.stream.StreamingCuration.processBatch(
+          docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 4 === parity),
+          "doc_id", "text", bench, "text", idx, s"$base/pub")
+      val intact =
+        graft.store.CorpusStore.validate(s, s"$base/pub", "doc_id", "text") == 0
+      val sums = graft.store.CorpusStore.docs(s, s"$base/pub")
+        .groupBy("shard")
+        .agg(sum(graft.functions.TextFunctions.charFold(col("text")))
+          .as("checksum"))
+      graft.store.CorpusStore.manifest(s, s"$base/pub")
+        .join(sums, Seq("shard"))
+        .select(col("shard"), col("n_docs"), col("n_tokens"), col("checksum"))
+        .withColumn("intact", lit(intact))
+        .orderBy("shard")
+    }
+
     // ---- embedding int8 quantization (exploded to scalar rows: integer-
     //      exact cross-engine compare, no float-array hashing)
     q("emb_quantize_int8", s"""$vnSql,

@@ -69,6 +69,29 @@ object GraphOps {
       .map(org.apache.spark.storage.StorageLevel.fromString)
       .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
+  /** Pick the topology-cache storage level from the graph's footprint:
+    * the GRAFT_GRAPH_STORAGE override wins; otherwise MEMORY_ONLY
+    * (deserialized — no per-iteration decode cost) while the estimated
+    * cache fits comfortably, MEMORY_ONLY_SER once it would crowd the
+    * storage fraction. Measured basis (SCALE.md round 10, sf10 = 140M
+    * edges in a 100 GiB heap): the deserialized topology cache runs
+    * ~650 B/edge and its GC pressure costs more than SER's decode —
+    * k-core 364 s deserialized vs 312 s serialized, and the warm itself
+    * 957 vs 398 s. The crossover is heap-relative, not an absolute edge
+    * count: estimated deserialized bytes over half the driver/executor
+    * max heap → serialize.
+    */
+  private[graft] def topologyStorageLevel(
+      edgeEstimate: Long): org.apache.spark.storage.StorageLevel =
+    sys.env.get("GRAFT_GRAPH_STORAGE")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse {
+        val estBytes = edgeEstimate * 650L
+        if (estBytes > Runtime.getRuntime.maxMemory / 2)
+          org.apache.spark.storage.StorageLevel.MEMORY_ONLY_SER
+        else org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      }
+
   /** TOPOLOGY-ONLY twin of [[toGraph]] — the SAME vertex universe (all
     * four node tables, so rank ties at the no-in-edge floor keep the
     * attributed graph's membership) and the same EdgePartition2D layout,
@@ -83,6 +106,9 @@ object GraphOps {
     * the iteration, not inside it.
     */
   def toTopology(store: GraphStore): Graph[Unit, Unit] = {
+    // footprint-aware storage pick: edges.count() against the cacheAll'd
+    // store is a cached-scan aggregate, paid once per long-lived graph
+    val level = topologyStorageLevel(store.edges.count())
     val vertices = store.directories
       .select(NodeTag.vertexIdCol(NodeTag.Directory, col("id")).as("vid"))
       .unionByName(store.files
@@ -98,7 +124,7 @@ object GraphOps {
         (tagOf(col("kind"), from = false) * lit(1L << 32) + col("target_id")).as("dst"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     Graph(vertices, edges, defaultVertexAttr = (),
-        edgeStorageLevel = storageLevel, vertexStorageLevel = storageLevel)
+        edgeStorageLevel = level, vertexStorageLevel = level)
       .partitionBy(
         org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }

@@ -23,7 +23,14 @@ import org.apache.spark.sql.execution.LogicalRDD
   * unrecomputable by construction (its lineage was truncated).
   */
 object LocalCp {
-  def free(ds: Dataset[_]): Unit = {
+
+  /** Measurement-protocol escape hatch: GRAFT_FREE_CHECKPOINTS=0 turns
+    * freeing off so scale probes can A/B the accumulate-vs-free loop cost
+    * in one session (cross-session comparisons confound with box state).
+    */
+  private val enabled = sys.env.getOrElse("GRAFT_FREE_CHECKPOINTS", "1") != "0"
+
+  def free(ds: Dataset[_]): Unit = if (enabled) {
     ds.queryExecution.analyzed.collectLeaves().foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false); ()
       case _ => ()

@@ -163,6 +163,29 @@ object CurationPipeline {
       benchmark: DataFrame, benchTextCol: String, dsirTarget: Column,
       index: DedupIndexStore, cfg: Config,
       stage: String => DataFrame => DataFrame = _ => identity): DataFrame = {
+    val clean = cleanedPlan(docs, idCol, textCol, benchmark, benchTextCol,
+      index, cfg, stage)
+
+    // ---- 6. DSIR importance resampling toward the target distribution
+    stage("6_dsir_sample") {
+      Dsir.resample(clean, "doc_id", "text", dsirTarget,
+        k = cfg.dsirK, buckets = cfg.dsirBuckets)
+        .select("doc_id", "text")
+    }
+  }
+
+  /** Stages 1-5 — the CLEANING half of the DAG (everything before the
+    * corpus-global resampling/tokenizer stages): scrub → filter → exact
+    * dedup → incremental fuzzy dedup vs the persisted index → benchmark
+    * contamination. This is also the per-micro-batch unit of the streaming
+    * twin ([[graft.stream.StreamingCuration]]) — DSIR/BPE/packing are
+    * corpus-global training-prep jobs, not per-batch admission stages.
+    */
+  private[graft] def cleanedPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      index: DedupIndexStore, cfg: Config,
+      stage: String => DataFrame => DataFrame = _ => identity): DataFrame = {
 
     // ---- 1. line-level boilerplate scrub (text-preserving face)
     val scrubbed = stage("1_scrub") {
@@ -213,18 +236,11 @@ object CurationPipeline {
 
     // ---- 5. benchmark contamination scrub: drop any document sharing a
     //      contamN-gram with the (broadcast) benchmark shingle set
-    val clean = stage("5_contamination") {
+    stage("5_contamination") {
       deduped.join(
         Dedup.benchmarkOverlap(deduped, "doc_id", "text",
           benchmark, benchTextCol, n = cfg.contamN).select("doc_id"),
         Seq("doc_id"), "left_anti")
-    }
-
-    // ---- 6. DSIR importance resampling toward the target distribution
-    stage("6_dsir_sample") {
-      Dsir.resample(clean, "doc_id", "text", dsirTarget,
-        k = cfg.dsirK, buckets = cfg.dsirBuckets)
-        .select("doc_id", "text")
     }
   }
 }

@@ -1,0 +1,126 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.pipeline.{CurationPipeline, Dedup}
+import graft.store.{CorpusStore, DedupIndexStore}
+
+/** Continuous curation ingest — the streaming twin of the composed batch
+  * DAG ([[graft.pipeline.CurationPipeline]]), the way the reference's
+  * watcher loop is the streaming twin of its one-shot indexing ETL
+  * (crates/workspace-watcher: debounce → the same extract→resolve→store
+  * stages per change batch). Each micro-batch runs the CLEANING half of
+  * the pipeline ([[CurationPipeline.cleanedPlan]], stages 1-5):
+  *
+  *   line scrub → Gopher/quality/language filter → exact dedup →
+  *   incremental MinHash dedup against the PERSISTED band index (new×seen,
+  *   then within-batch clusters) → benchmark-contamination scrub
+  *
+  * and then atomically-enough admits the survivors: publish to the
+  * [[CorpusStore]] AND append to the [[DedupIndexStore]], so the NEXT
+  * batch's new×seen stage sees everything published so far. The
+  * corpus-global stages (DSIR resampling, tokenizer training, packing) are
+  * deliberately absent — they are training-prep jobs over the published
+  * corpus, not per-batch admission work.
+  *
+  * Scale shape: every stage is the standalone operator's (map-side filter
+  * math, banded LSH never all-pairs, broadcast benchmark shingles); the
+  * only cross-batch state is the two persisted stores — no Spark streaming
+  * state at all, so a 1000-executor cluster runs each micro-batch as an
+  * ordinary bounded job against admission-time indexes.
+  *
+  * Replay guard: batch ids are anti-joined against the already-published
+  * ids BEFORE the pipeline. That is not just exactly-once bookkeeping —
+  * a crash-replayed document is by then IN the dedup index, so without the
+  * guard its replay would self-match at Jaccard 1.0 and be dropped as a
+  * "near-dup of itself", silently losing the doc from the replayed batch
+  * and double-appending nothing; with it, replays converge to the same
+  * published corpus.
+  */
+object StreamingCuration {
+
+  /** Curate + publish one micro-batch; returns the number of documents
+    * admitted. Shared by the streaming writer and batch callers (the gate
+    * runs two sequential batches through THIS method — the stream is
+    * foreachBatch over it).
+    */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+                   benchmark: DataFrame, benchTextCol: String,
+                   index: DedupIndexStore, publishDir: String,
+                   cfg: CurationPipeline.Config = CurationPipeline.Config())
+      : Long = {
+    val spark = batch.sparkSession
+    // an empty-seeded store has no doc files yet (partitioned write of
+    // zero rows), so the published-ids read would fail schema inference —
+    // and nothing can need guarding. Probe the filesystem, not the
+    // manifest: after a crash between a docs append and its manifest
+    // merge the files exist, so replays stay guarded
+    val docsPath = new org.apache.hadoop.fs.Path(s"$publishDir/docs")
+    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyPublished = fs.exists(docsPath) && {
+      val it = fs.listFiles(docsPath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val fresh = if (!anyPublished) batch else batch.join(
+      CorpusStore.docs(spark, publishDir).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+    // the same stage-boundary persist discipline as the batch face
+    // (CurationPipeline.run): every stage output feeds >1 downstream
+    // consumer, so without it the scrub/filter chain recomputes once per
+    // consumer (at bench SFs the driver's plan-analysis floor hides the
+    // difference; at corpus scale the recompute is the whole scrub cost)
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val persistStage = { (_: String) => (df: DataFrame) =>
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live += p
+      p
+    }
+    val survivors = CurationPipeline.cleanedPlan(fresh, idCol, textCol,
+        benchmark, benchTextCol, index, cfg, persistStage)
+      .select("doc_id", "text")
+      // the plan reads BOTH stores (published ids + band index) and the
+      // admission below writes into them — sever before writing
+      .localCheckpoint(true)
+    val n = survivors.count()
+    live.foreach(_.unpersist(false))
+    if (n > 0) {
+      CorpusStore.append(spark, publishDir, survivors, "doc_id", "text")
+      index.append(survivors, "doc_id", "text")
+    }
+    n
+  }
+
+  /** Writer curating + publishing each micro-batch of `docs`. Both stores
+    * must exist ([[CorpusStore.write]] possibly-empty seed +
+    * [[DedupIndexStore.build]] over the history corpus).
+    */
+  def writer(docs: DataFrame, idCol: String, textCol: String,
+             benchmark: DataFrame, benchTextCol: String,
+             indexDir: String, publishDir: String,
+             cfg: CurationPipeline.Config = CurationPipeline.Config())
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val index = new DedupIndexStore(indexDir, batch.sparkSession)
+          processBatch(batch, idCol, textCol, benchmark, benchTextCol,
+            index, publishDir, cfg)
+        }
+        ()
+      }
+
+  /** Convenience: start curating with a processing-time trigger. */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            benchmark: DataFrame, benchTextCol: String,
+            indexDir: String, publishDir: String,
+            cfg: CurationPipeline.Config = CurationPipeline.Config(),
+            triggerMs: Long = 1000L): StreamingQuery =
+    writer(docs, idCol, textCol, benchmark, benchTextCol, indexDir,
+      publishDir, cfg).trigger(Trigger.ProcessingTime(triggerMs)).start()
+}

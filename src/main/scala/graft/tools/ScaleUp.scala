@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *    (for non-degenerate vectors cos(v, rot_i(v)) ~ 0) — no phantom
   *    10-cliques of cosine-1.0 twins.
   *
-  * Usage: ScaleUp <srcDir> <outDir> [factor=10]
+  * Usage: ScaleUp <srcDir> <outDir> [factor=10] [tables]
+  * `tables` is an optional comma list restricting which tables are
+  * written (e.g. `documents` for the sf30 text-family spot-checks, where
+  * scaling 300x of lineitem nobody reads would only burn generation time).
   */
 object ScaleUp {
 
@@ -40,6 +43,7 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/bench-data/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables = args.lift(3).map(_.split(",").toSet.filter(_.nonEmpty))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,15 +52,18 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scaleDirectory(spark, src, out, factor)
+    scaleDirectory(spark, src, out, factor, tables)
     spark.stop()
   }
 
-  /** Scale every TESTDATA table from `src` into `out` by `factor`. */
+  /** Scale every TESTDATA table (or the `only` subset) from `src` into
+    * `out` by `factor`.
+    */
   def scaleDirectory(spark: SparkSession, src: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, only: Option[Set[String]] = None): Unit = {
+    def want(t: String): Boolean = only.forall(_.contains(t))
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
+    def wr(df: => DataFrame, t: String): Unit = if (want(t))
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // dimensions: fixed

@@ -131,4 +131,66 @@ class CurationPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids2 == Set(12L), s"near-dup of admitted history must drop: $ids2")
   }
+
+  test("streaming curation: MemoryStream micro-batches equal sequential " +
+    "batch admission; crash-replay admits nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-scur").toString
+    val cfg = CurationPipeline.Config(minBoilerDocs = 3)
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    def seed(tag: String): Unit = {
+      emptyIndex(s"$root/idx$tag")
+      CorpusStore.write(spark, s"$root/pub$tag",
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 4)
+    }
+    // b1: 1, 2 distinct; 3 = exact copy of 2 (within-batch exact dedup
+    // keeps min id). b2: 11 = near-copy of b1-PUBLISHED doc 1 (cross-batch
+    // fuzzy dedup via the persisted index); 12 fresh.
+    val b1 = Seq(doc(1, 1), doc(2, 2), (3L, doc(2, 2)._2, "srcA"))
+    val b2 = Seq((11L, doc(1, 1, mutate = 9)._2, "srcA"), doc(12, 12))
+
+    seed("S")
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.stream.StreamingCuration.writer(
+      input.toDS().toDF("doc_id", "text", "source"), "doc_id", "text",
+      bench, "text", s"$root/idxS", s"$root/pubS", cfg).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = CorpusStore.docs(spark, s"$root/pubS")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(1L, 2L, 12L), s"got $streamed")
+    assert(CorpusStore.validate(spark, s"$root/pubS", "doc_id", "text") == 0L)
+
+    // the same batches run sequentially through processBatch land on an
+    // identical store (docs AND the incrementally-merged manifest)
+    seed("B")
+    val idxB = new DedupIndexStore(s"$root/idxB", spark)
+    for (b <- Seq(b1, b2))
+      graft.stream.StreamingCuration.processBatch(
+        b.toDF("doc_id", "text", "source"), "doc_id", "text",
+        bench, "text", idxB, s"$root/pubB", cfg)
+    def snap(tag: String) = CorpusStore.docs(spark, s"$root/pub$tag")
+      .select("doc_id", "text", "shard").as[(Long, String, Int)]
+      .collect().toSet
+    assert(snap("S") == snap("B"))
+    assert(CorpusStore.manifest(spark, s"$root/pubS").collect().toSet ==
+      CorpusStore.manifest(spark, s"$root/pubB").collect().toSet)
+
+    // crash-replay of an already-published batch: the guard sees every id
+    // already stored, so the replay admits nothing and changes nothing —
+    // without it, a replayed doc would self-match in the index at
+    // jaccard 1.0 and silently vanish
+    val before = snap("S")
+    val idxS = new DedupIndexStore(s"$root/idxS", spark)
+    val n = graft.stream.StreamingCuration.processBatch(
+      b1.toDF("doc_id", "text", "source"), "doc_id", "text",
+      bench, "text", idxS, s"$root/pubS", cfg)
+    assert(n == 0L, s"replay admitted $n docs")
+    assert(snap("S") == before)
+    assert(CorpusStore.validate(spark, s"$root/pubS", "doc_id", "text") == 0L)
+  }
 }
