@@ -22,7 +22,9 @@ object ExplainAudit {
         "td_heavy_hitters", "sk_cm_estimate", "sk_cm_store",
         "sk_bloom_filter", "sk_quantile_hist", "td_collocations",
         // round-10: the COMPOSED curation DAG (stages 1-6 as one plan)
-        "e2e_curated_plan")
+        "e2e_curated_plan",
+        // round-10 additions
+        "samp_token_budget", "ann_filtered_topk", "tok_wordpiece_encode")
     names.foreach { name =>
       println(s"===== $name")
       val df =

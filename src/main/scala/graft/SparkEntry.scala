@@ -2188,6 +2188,29 @@ object SparkEntry {
         queryFilter = col("vec_id") < 100)
     }
 
+    // Filtered ANN (vector search + metadata predicate — "nearest
+    // neighbors with label % 3 = 0"): ONE index over the full corpus, the
+    // predicate pre-filters the probed cells before scoring (post-filtering
+    // the top-k starves under selective filters). Recall is measured
+    // against the FILTERED brute-force baseline inside the query — same
+    // recall-bound contract as the other ANN gates. The ~42%-selective
+    // filter thins every cell, so nprobe rises vs the unfiltered gate
+    // (measured curve @ sf0.01: nprobe 8 -> 0.778, 10 -> 0.862,
+    // 12 -> 0.920, 14 -> 0.974, 16 (=nlist, exact) -> 1.0; the unfiltered
+    // ann_ivf_topk clears 0.94 at nprobe=12).
+    q("ann_filtered_topk", s"""$vnSql
+      SELECT 'ivf_filtered' AS algo, CAST(5 AS INT) AS k,
+        CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+      FROM vn WHERE vec_id < 100 AND nrm > 0 ORDER BY algo""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val approx = Similarity.ivfFilteredTopK(embs, "vec_id", "embedding",
+        k = 5, corpusFilter = col("label") % 3 === 0, nlist = 16,
+        nprobe = 14, queryFilter = col("vid") < 100)
+      Similarity.recallGate(embs, approx, "ivf_filtered", k = 5, bound = 0.9,
+        queryFilter = col("vec_id") < 100,
+        corpusFilter = col("label") % 3 === 0)
+    }
+
     // IVF-PQ ANN (FAISS IVFADC composition: coarse cells bound WHICH
     // vectors a query touches, residual PQ codes bound WHAT is read per
     // touched vector): same recall-bound contract. Both index stages are
@@ -3402,6 +3425,90 @@ object SparkEntry {
         .orderBy("doc_id")
     }
 
+    // ---- WordPiece tokenizer TRAINING (likelihood-ratio merges — the
+    //      BERT trainer objective next to BPE's raw-count argmax): per
+    //      round the oracle recounts pairs AND unigram symbols, scores
+    //      each pair as the exact scaled-integer ⌊n·10¹²/(n_a·n_b)⌋
+    //      (HUGEINT in DuckDB, BigInt in Spark — bit-identical), takes the
+    //      (score desc, pair asc) argmax above the min-frequency floor,
+    //      and regexp-merges it. MATERIALIZED pins each round's tables —
+    //      the inlined chain re-evaluates its whole prefix per reference
+    //      and goes exponential in rounds.
+    val wpRounds = 6
+    val wpMinPairs = 3
+    def wpIterSql(pfx: String) = (1 to wpRounds).map { k =>
+      s"""${pfx}s$k AS MATERIALIZED (SELECT unnest(string_split(txt, ' ')) AS s
+         FROM ${pfx}t${k - 1}),
+      ${pfx}u$k AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS c
+         FROM ${pfx}s$k GROUP BY 1),
+      ${pfx}c$k AS MATERIALIZED (SELECT tk[i] || ' ' || tk[i+1] AS pair
+         FROM (SELECT string_split(txt, ' ') AS tk FROM ${pfx}t${k - 1}) s,
+              LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+      ${pfx}p$k AS MATERIALIZED (SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM ${pfx}c$k GROUP BY 1 HAVING count(*) >= $wpMinPairs),
+      ${pfx}b$k AS MATERIALIZED (SELECT pair, n,
+          CAST((n::HUGEINT * 1000000000000) // (a.c::HUGEINT * b.c::HUGEINT) AS BIGINT) AS score12
+        FROM ${pfx}p$k p JOIN ${pfx}u$k a ON string_split(p.pair, ' ')[1] = a.s
+                         JOIN ${pfx}u$k b ON string_split(p.pair, ' ')[2] = b.s
+        ORDER BY score12 DESC, pair LIMIT 1),
+      ${pfx}t$k AS MATERIALIZED (SELECT regexp_replace(t.txt, '\\b' || b.pair || '\\b',
+           replace(b.pair, ' ', '_'), 'g') AS txt FROM ${pfx}t${k - 1} t, ${pfx}b$k b)"""
+    }.mkString(",\n      ")
+    q("tok_wordpiece_merges", docPrelude +
+      s""", wpt0 AS (SELECT array_to_string(toks, ' ') AS txt FROM d_toks
+           WHERE len(toks) >= 1),
+      ${wpIterSql("wp")}
+      ${(1 to wpRounds).map(k =>
+        s"SELECT CAST($k AS INT) AS round, pair, n AS n_pairs, score12 FROM wpb$k")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY round""") { (s, d) =>
+      graft.pipeline.WordPiece.wordpieceMerges(
+        s.read.parquet(s"$d/documents.parquet"), "text",
+        rounds = wpRounds, minPairs = wpMinPairs).orderBy("round")
+    }
+
+    // ---- WordPiece ENCODE: greedy longest-match against the learned
+    //      phrase vocabulary (BERT's tokenizer shape — one left-to-right
+    //      scan emitting the longest phrase at each position; contrast
+    //      tok_bpe_encode's rank-ordered merge replay). The oracle replays
+    //      training, precomputes each position's longest phrase match, and
+    //      walks every document with a recursive CTE carrying (pos, n).
+    q("tok_wordpiece_encode",
+      docPrelude.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", wet0 AS (SELECT array_to_string(toks, ' ') AS txt FROM d_toks
+           WHERE len(toks) >= 1),
+      ${wpIterSql("we")},
+      wev AS MATERIALIZED (SELECT ph, string_split(ph, '_') AS ws,
+          len(string_split(ph, '_')) AS plen
+        FROM (${(1 to wpRounds).map(k =>
+          s"SELECT replace(pair, ' ', '_') AS ph FROM web$k")
+          .mkString(" UNION ALL ")})),
+      wee0 AS MATERIALIZED (SELECT doc_id, toks, len(toks) AS ntok
+        FROM d_toks WHERE len(toks) > 0),
+      wemt AS MATERIALIZED (SELECT e.doc_id, g.i AS pos, max(v.plen) AS step
+        FROM wee0 e, LATERAL (SELECT unnest(generate_series(1, e.ntok)) AS i) g
+        JOIN wev v ON v.plen <= e.ntok - g.i + 1
+          AND e.toks[g.i : g.i + v.plen - 1] = v.ws
+        GROUP BY 1, 2),
+      wew AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
+        FROM wee0
+        UNION ALL
+        SELECT w.doc_id, w.pos + coalesce(m.step, 1), w.n + 1
+        FROM wew w
+        JOIN wee0 e ON e.doc_id = w.doc_id AND w.pos <= e.ntok
+        LEFT JOIN wemt m ON m.doc_id = w.doc_id AND m.pos = w.pos)
+      SELECT w.doc_id, CAST(e.ntok AS BIGINT) AS n_tokens_raw,
+        max(w.n) AS n_tokens_wp
+      FROM wew w JOIN wee0 e USING (doc_id)
+      GROUP BY 1, 2 ORDER BY doc_id""") { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.pipeline.WordPiece.wordpieceEncode(docs, "doc_id", "text",
+        graft.pipeline.WordPiece.wordpieceMerges(docs, "text",
+          rounds = wpRounds, minPairs = wpMinPairs))
+        .orderBy("doc_id")
+    }
+
     // ---- training-sequence packing, concat-and-chunk (GPT-style): the
     //      corpus token stream in doc-id order split into 256-token
     //      chunks; the oracle replays the global offset as a window
@@ -3587,6 +3694,29 @@ object SparkEntry {
           col("lang"), col("doc_id"),
           Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
         .select("doc_id", "lang").orderBy("doc_id")
+    }
+
+    // ---- token-budget mixture (the production mixing contract: budgets in
+    //      TOKENS/bytes per source, not documents): per-group prefix scan
+    //      in id-hash order, admit while the running size total including
+    //      the row stays within budget. The oracle replays the identical
+    //      window cumsum; ROWS frame on both sides (doc_id breaks hash
+    //      ties, so RANGE==ROWS — pinned anyway).
+    q("samp_token_budget",
+      s"""WITH tb AS (SELECT 'en' AS grp, 20000 AS bud
+          UNION ALL SELECT 'es', 8000 UNION ALL SELECT 'zh', 8000),
+      scanned AS (SELECT d.doc_id, d.lang, tb.bud,
+          sum(d.n_chars) OVER (PARTITION BY d.lang
+            ORDER BY $idFold, d.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents d JOIN tb ON d.lang = tb.grp)
+      SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_size
+      FROM scanned WHERE cum <= bud ORDER BY doc_id""") { (s, d) =>
+      graft.pipeline.Sampling.tokenBudgetMixture(
+          s.read.parquet(s"$d/documents.parquet"),
+          col("lang"), col("doc_id"), col("n_chars"),
+          Map("en" -> 20000L, "es" -> 8000L, "zh" -> 8000L))
+        .select("doc_id", "lang", "cum_size").orderBy("doc_id")
     }
 
     q("samp_stratified",

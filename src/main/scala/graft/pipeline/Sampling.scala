@@ -135,6 +135,45 @@ object Sampling {
       .drop("__grp", "__take", "__rn")
   }
 
+  /** Token-budget mixture — the production data-mixing contract. Training
+    * mixes are specified in TOKENS per source ("1T tokens: 67% web, 15%
+    * code, …"), not documents: document counts under-weight long documents
+    * and a doc-proportional draw ([[mixture]]) lands arbitrarily far from
+    * the token targets when per-group length distributions differ. Given an
+    * additive size column (token count, char count — any per-row cost) and
+    * a per-group budget in those units, admit documents per group in
+    * id-hash order (reproducible, engine-independent) while the group's
+    * running total stays within budget: a document is taken iff the
+    * cumulative size INCLUDING it is ≤ the budget. Prefix semantics — the
+    * scan stops at the first overflow rather than best-fit repacking later
+    * smaller docs — keep selection a pure window cumsum, exactly replayable
+    * in SQL (best-fit would be NP-ish and engine-divergent). Groups without
+    * a budget are dropped.
+    *
+    * Scale: one shuffle on the group key; the cumsum window streams each
+    * group partition once. Group count is the parallelism unit — for a
+    * handful of very large groups, pre-partition by (group, hash range) and
+    * run per-range prefix sums (the [[Packing]] two-level pattern).
+    *
+    * Returns the selected rows plus `cum_size` (running total including the
+    * row, in budget units).
+    */
+  def tokenBudgetMixture(df: DataFrame, groupCol: Column, idCol: Column,
+                         sizeCol: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bTable = broadcast(budgets.toSeq.sortBy(_._1)
+      .toDF("__grp", "__budget"))
+    val w = Window.partitionBy(col("__grp")).orderBy(idHash(idCol), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__grp", groupCol)
+      .join(bTable, "__grp")
+      .withColumn("cum_size", sum(sizeCol.cast("long")).over(w))
+      .where(col("cum_size") <= col("__budget"))
+      .drop("__grp", "__budget")
+  }
+
   /** Temperature-scaled mixture targets — the standard multilingual
     * data-mixing computation (q_g ∝ n_g^(1/τ), Conneau & Lample 2019):
     * given a token/doc budget B, each group's target is

@@ -74,6 +74,47 @@ object Similarity {
     ivfProbe(centroids, index, queries, k, nprobe)
   }
 
+  /** Filtered ANN — approximate top-k restricted to corpus vectors
+    * satisfying `corpusFilter` (the vector-search-plus-metadata-predicate
+    * serving shape: "nearest documents in language X under license Y").
+    * The index is built over the FULL corpus — one index serves every
+    * filter, the operational reality; per-filter indexes would be a
+    * combinatorial explosion — and the predicate is applied to the stored
+    * rows BEFORE scoring (pre-filtering). Pre-filtering keeps recall
+    * intact under selective filters where post-filtering (rank first,
+    * filter the top-k after) starves: k survivors of an s-selective
+    * filter need ~k/s unfiltered ranks, unbounded as s → 0.
+    *
+    * `corpusFilter` is evaluated against `embs`' ORIGINAL columns (it
+    * rides through the index build), so callers predicate on their
+    * metadata directly. Cost: the probe join still reads nprobe/nlist of
+    * the corpus and the predicate prunes WITHIN the probed cells — on a
+    * cell-partitioned persisted index the predicate additionally pushes
+    * into the parquet scan. Recall is measured against the FILTERED
+    * brute-force baseline; under very selective filters raise nprobe
+    * (rule of thumb: nprobe' = min(nlist, ceil(nprobe / max(s, nprobe/nlist)))
+    * — cells thin out by s, so the same recall needs proportionally more
+    * of them).
+    */
+  def ivfFilteredTopK(embs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, corpusFilter: Column, nlist: Int = 16,
+                      nprobe: Int = 4, lloydIters: Int = 2,
+                      queryFilter: Column = lit(true)): DataFrame = {
+    val v = embs
+      .select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("vec"),
+        corpusFilter.as("__keep"))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0)
+      .cache()
+    val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
+    val index = index0.where(col("__keep")).drop("__keep")
+    val queries = v.where(queryFilter)
+      .select(col("vid").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    ivfProbe(centroids, index, queries, k, nprobe)
+  }
+
   /** (vid, vec double[], nrm) with zero vectors dropped — the common input
     * shape of the IVF build and probe phases.
     */
@@ -105,13 +146,16 @@ object Similarity {
         (i, r.getSeq[Double](r.fieldIndex("vec")))
       })
 
+    // carries any extra columns of v (beyond vid/vec/nrm) through to the
+    // index rows — metadata the filtered probe face predicates on
+    val extra = v.columns.filterNot(Set("vid", "vec", "nrm")).toSeq
     def assign(c: DataFrame): DataFrame = {
       val scored = v.join(c,
           lit(true), "cross")
         .withColumn("d", dot(col("vec"), col("cvec")) / col("nrm"))
       val w = Window.partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
       scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-        .select(col("vid"), col("cid"), col("vec"), col("nrm"))
+        .select((Seq("vid", "cid", "vec", "nrm") ++ extra).map(col): _*)
     }
 
     // Lloyd refinement: new centroid = per-dimension mean of its members
@@ -165,9 +209,10 @@ object Similarity {
     * pairs recovered.
     */
   def recallGate(embs: DataFrame, approx: DataFrame, algo: String, k: Int,
-                 bound: Double, queryFilter: Column): DataFrame = {
-    val brute = bruteForceTopK(embs.where(queryFilter), embs,
-        "vec_id", "embedding", k)
+                 bound: Double, queryFilter: Column,
+                 corpusFilter: Column = lit(true)): DataFrame = {
+    val brute = bruteForceTopK(embs.where(queryFilter),
+        embs.where(corpusFilter), "vec_id", "embedding", k)
       .select("query_id", "neighbor_id")
     val hits = brute.join(
       approx.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1)),

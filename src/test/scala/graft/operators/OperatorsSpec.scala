@@ -247,6 +247,49 @@ class OperatorsSpec extends SparkSpec {
     assert(unreachable.count() === 0)
   }
 
+  test("Sampling.tokenBudgetMixture: prefix cumsum semantics, budget never exceeded") {
+    import graft.pipeline.Sampling
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val docs = (1L to 60L).map(i => (i, s"g${i % 2}", 10L + i % 7)).toDF("id", "g", "toks")
+    val budgets = Map("g0" -> 100L, "g1" -> 55L)
+    val got = Sampling.tokenBudgetMixture(docs, $"g", $"id", $"toks", budgets)
+      .select("id", "g", "cum_size").as[(Long, String, Long)].collect()
+    // replay: per group, sort by (fold(id), id), admit the longest prefix
+    // whose running total stays within budget (stop at the first overflow)
+    val expectPrefix = docs.as[(Long, String, Long)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        val ordered = rows.sortBy { case (i, _, _) => (fold(i.toString), i) }
+        val cums = ordered.scanLeft(0L) { case (acc, (_, _, t)) => acc + t }.tail
+        ordered.zip(cums).takeWhile(_._2 <= budgets(g))
+          .map { case ((i, gg, _), c) => (i, gg, c) }
+      }.toSet
+    assert(got.toSet === expectPrefix, s"got=${got.toSet}\nexpect=$expectPrefix")
+    // budgets hold: per-group admitted size <= budget
+    val sums = got.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    assert(sums.forall { case (g, s) => s <= budgets(g) }, sums.toString)
+    // a group without a budget is dropped entirely
+    assert(got.forall(r => budgets.contains(r._2)))
+    // deterministic across runs
+    val again = Sampling.tokenBudgetMixture(docs, $"g", $"id", $"toks", budgets)
+      .select("id", "g", "cum_size").as[(Long, String, Long)].collect().toSet
+    assert(again === got.toSet)
+  }
+
+  test("Sampling.tokenBudgetMixture: first overflow stops the group scan (prefix, not best-fit)") {
+    import graft.pipeline.Sampling
+    def fold(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    // order within the group is by id-hash: find the hash order first, then
+    // give the SECOND doc a size that overflows — the third must be excluded
+    // even though it alone would fit (prefix semantics)
+    val ids = Seq(1L, 2L, 3L).sortBy(i => (fold(i.toString), i))
+    val sizes = Map(ids(0) -> 10L, ids(1) -> 100L, ids(2) -> 5L)
+    val docs = ids.map(i => (i, "g", sizes(i))).toDF("id", "g", "toks")
+    val got = Sampling.tokenBudgetMixture(docs, $"g", $"id", $"toks",
+        Map("g" -> 20L))
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(ids(0)), s"expected only ${ids(0)}, got $got")
+  }
+
   test("Packing.sequentialPacks: boundary-aligned packs per shard") {
     val docs = Seq(
       // shard a: tokens 300, 300, 100 -> starts 0, 300, 600

@@ -253,6 +253,31 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 7, s"IVF top-1 recall too low: $recall/10 ($ivf vs $brute)")
   }
 
+  test("filtered ivf ann: every hit satisfies the filter; recalls filtered brute top-1") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val filter = col("label") % 3 === 0
+    val got = Similarity.ivfFilteredTopK(embs, "vec_id", "embedding", k = 1,
+        corpusFilter = filter, nlist = 16, nprobe = 8,
+        queryFilter = col("vid") < 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pre-filter law: no neighbor outside the filtered corpus, ever
+    val allowed = embs.where(filter).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.values.forall(allowed), s"filter leaked: ${got.values.filterNot(allowed)}")
+    // recall vs the brute-force top-1 over the FILTERED corpus
+    val brute = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 10), embs.where(filter),
+        "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == brute.keySet)
+    val recall = brute.count { case (q, n) => got.get(q).contains(n) }
+    assert(recall >= 7, s"filtered IVF top-1 recall too low: $recall/10")
+    // queries themselves need NOT satisfy the filter (search from outside
+    // the filtered slice is the common serving case)
+    val outsideQueries = embs.where(col("vec_id") < 10 && !filter).count()
+    assert(outsideQueries > 0, "fixture should include out-of-filter queries")
+  }
+
   test("lsh ann recalls the brute-force top-1 on real embeddings") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(
