@@ -3473,7 +3473,7 @@ object SparkEntry {
     //      tok_bpe_encode's rank-ordered merge replay). The oracle replays
     //      training, precomputes each position's longest phrase match, and
     //      walks every document with a recursive CTE carrying (pos, n).
-    q("tok_wordpiece_encode",
+    val wpEncodeOracle =
       docPrelude.replaceFirst("WITH ", "WITH RECURSIVE ") +
       s""", wet0 AS (SELECT array_to_string(toks, ' ') AS txt FROM d_toks
            WHERE len(toks) >= 1),
@@ -3501,12 +3501,34 @@ object SparkEntry {
       SELECT w.doc_id, CAST(e.ntok AS BIGINT) AS n_tokens_raw,
         max(w.n) AS n_tokens_wp
       FROM wew w JOIN wee0 e USING (doc_id)
-      GROUP BY 1, 2 ORDER BY doc_id""") { (s, d) =>
+      GROUP BY 1, 2 ORDER BY doc_id"""
+    q("tok_wordpiece_encode", wpEncodeOracle) { (s, d) =>
       val docs = s.read.parquet(s"$d/documents.parquet")
       graft.pipeline.WordPiece.wordpieceEncode(docs, "doc_id", "text",
         graft.pipeline.WordPiece.wordpieceMerges(docs, "text",
           rounds = wpRounds, minPairs = wpMinPairs))
         .orderBy("doc_id")
+    }
+
+    // ---- persisted tokenizer artifact: train → atomic publish
+    //      (two-rename swap) → reopen → encode FROM THE STORE. The stored
+    //      path must land on the identical oracle as the in-memory encode —
+    //      a publish that corrupted or reordered the merge table breaks the
+    //      hash. (The operational shape: one training job publishes, every
+    //      encode job opens.)
+    q("tok_vocab_store", wpEncodeOracle) { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_tokstore_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(dir)
+      graft.store.TokenizerStore.save(s, dir,
+        graft.pipeline.WordPiece.wordpieceMerges(docs, "text",
+          rounds = wpRounds, minPairs = wpMinPairs),
+        graft.store.TokenizerStore.KindWordPiece, minPairs = wpMinPairs)
+      graft.store.TokenizerStore.open(s, dir)
+        .encode(docs, "doc_id", "text").orderBy("doc_id")
     }
 
     // ---- training-sequence packing, concat-and-chunk (GPT-style): the

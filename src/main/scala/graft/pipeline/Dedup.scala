@@ -425,6 +425,17 @@ object Dedup {
     * `sample` docs by id (deterministic): the background-collision input
     * to [[minhashPlanFor]]. One bounded job — sample² pair comparisons on
     * ≤ sample shingle sets.
+    *
+    * SUPERSEDED as the auto-plan input by [[estimateJaccardSample]] +
+    * [[minhashPlanForSample]]: a scalar MEAN is blind to bimodal corpora
+    * (a thin mid-similarity mass — e.g. documents sharing half their
+    * content — barely moves the mean but dominates candidate volume),
+    * and first-`sample`-BY-ID sampling sees only one locality of the
+    * corpus. The sf30 spot-check hit both at once: id-prefix sampling
+    * measured bg=0.0009 on a corpus whose cross-copy siblings sit at
+    * Jaccard ≈ 1/3, the plan chose rowsPerBand=2, and the verify join
+    * spilled past the disk. Kept for the scalar planner face and the
+    * round-9 probe protocol.
     */
   def estimateBackgroundJaccard(docs: DataFrame, idCol: String,
                                 textCol: String, n: Int = 3,
@@ -444,10 +455,88 @@ object Dedup {
     if (r.isNullAt(0)) 0.05 else math.max(1e-4, math.min(0.99, r.getDouble(0)))
   }
 
+  /** Sampled pair-similarity DISTRIBUTION — the planner input that sees
+    * what a scalar mean cannot. Draws `sample` docs spread across the
+    * corpus by ID-HASH order (deterministic, and — unlike first-by-id —
+    * immune to id-locality: on a grown corpus where related documents
+    * cluster by id range, an id-prefix sample measures one locality and
+    * misses every cross-range relationship), computes all pairwise
+    * Jaccards, and returns (totalSampledPairs, the nonzero values).
+    * Zero-similarity pairs never co-band, so only the count of pairs and
+    * the nonzero tail matter; the collect is ≤ C(sample, 2) doubles.
+    *
+    * The order key is an AVALANCHE hash (xxhash64), not the repo's
+    * polynomial charFold. Two reasons, both measured on a grown corpus:
+    * the unsalted fold of decimal id strings never wraps the modulus for
+    * short ids, so it sorts by string LENGTH first — "hash order"
+    * degenerates to id-prefix order and a 500k-doc sample was ids 0..499,
+    * blind to every cross-copy sibling; and even salted, a polynomial
+    * fold maps ids related by a CONSTANT string transform (the grown-
+    * corpus id offset) to hash values at a constant shift, which
+    * anti-correlates a threshold sample — related docs systematically
+    * land on opposite sides of the cut (observed: 2 twin pairs sampled
+    * where independence predicts ~90). The sampler feeds the planner
+    * only — never a cross-engine oracle — so it is free to use a strong
+    * non-replayable hash.
+    */
+  def estimateJaccardSample(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3,
+                            sample: Int = 500): (Long, Seq[Double]) = {
+    val s = docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .orderBy(xxhash64(col("doc_id").cast("string"), lit("jsamp")),
+        col("doc_id"))
+      .limit(sample).cache()
+    try {
+      val m = s.count()
+      val nonzero = s.alias("a").join(s.alias("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select((size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+          / (size(col("a.sh")) + size(col("b.sh"))
+            - size(array_intersect(col("a.sh"), col("b.sh")))))
+          .as("j"))
+        .where(col("j") > 0)
+        .collect().map(_.getDouble(0)).toSeq
+      (m * (m - 1) / 2, nonzero)
+    } finally { s.unpersist(); () }
+  }
+
+  /** Distribution-aware banding plan — [[minhashPlanFor]] generalized from
+    * a scalar background mean to the sampled pair-similarity distribution.
+    * For each rows-per-band r (bands sized for miss ≤ `targetMiss` at the
+    * threshold), the predicted sub-threshold candidate volume is
+    * C(n,2) · E_j[1 − (1 − j^r)^b] over the sampled pairs with j below the
+    * threshold — the exact co-band probability each sampled similarity
+    * contributes, so a thin mass at j ≈ 0.3 (invisible in the mean) is
+    * priced at its true collision rate. Picks the smallest r whose
+    * prediction fits `budgetPerDoc · n`. Pairs AT/above the threshold are
+    * excluded: those are wanted candidates, not background.
+    */
+  def minhashPlanForSample(n: Long, threshold: Double,
+                           sampledPairs: Long, sampledJ: Seq[Double],
+                           targetMiss: Double = 1e-4,
+                           budgetPerDoc: Long = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && sampledPairs > 0)
+    val sub = sampledJ.filter(j => j > 0 && j < threshold)
+    var r = 2
+    while (r < 64) {
+      val pBand = math.pow(threshold, r)
+      val b = math.max(1,
+        math.ceil(math.log(targetMiss) / math.log1p(-pBand)).toInt)
+      val meanCoband = sub.iterator
+        .map(j => 1 - math.pow(1 - math.pow(j, r), b)).sum / sampledPairs
+      val background = n.toDouble * (n - 1) / 2 * meanCoband
+      if (background <= budgetPerDoc.toDouble * n) return (r * b, b)
+      r += 1
+    }
+    (64, 1)
+  }
+
   /** numHashes = 0 auto-plans (numHashes, bands) from the corpus count and
-    * a measured background Jaccard via [[minhashPlanFor]] — the scale-safe
-    * default path; explicit parameters (the gate's verified-recall
-    * small-corpus setting) override.
+    * the SAMPLED pair-similarity distribution via [[minhashPlanForSample]]
+    * — the scale-safe default path; explicit parameters (the gate's
+    * verified-recall small-corpus setting) override.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -461,25 +550,30 @@ object Dedup {
     val (useHashes, useBands) =
       if (numHashes > 0) (numHashes, bands)
       else {
-        val bg = estimateBackgroundJaccard(docs, idCol, textCol, n)
+        val (sampledPairs, sampledJ) =
+          estimateJaccardSample(docs, idCol, textCol, n)
         val nDocs = docs.count()
-        val plan = minhashPlanFor(nDocs, threshold, bg)
+        val plan = minhashPlanForSample(nDocs, threshold,
+          sampledPairs, sampledJ)
         // cost guardrail, same contract as embeddingCosinePairs: the
-        // planner caps background volume at budgetPerDoc·n, but when it
-        // hits the rows-per-band ceiling (r=64) on a pathological corpus
-        // (background Jaccard near the threshold) the residual volume is
-        // unbounded — predict it and refuse over-budget runs up front
+        // planner caps predicted sub-threshold volume at budgetPerDoc·n,
+        // but when it hits the rows-per-band ceiling (r=64) on a
+        // pathological corpus (pair similarity concentrated near the
+        // threshold) the residual volume is unbounded — predict it at the
+        // chosen plan and refuse over-budget runs up front
         val r = plan._1 / plan._2
         val predicted = nDocs.toDouble * (nDocs - 1) / 2 *
-          plan._2 * math.pow(bg, r)
+          sampledJ.iterator.filter(j => j > 0 && j < threshold)
+            .map(j => 1 - math.pow(1 - math.pow(j, r), plan._2))
+            .sum / math.max(1L, sampledPairs)
         require(force || predicted <= candidateBudget.toDouble,
           f"minhashLshPairs: predicted background candidate volume " +
             f"$predicted%.3g exceeds budget $candidateBudget at n=$nDocs " +
-            f"(numHashes=${plan._1}, bands=${plan._2}, background " +
-            f"jaccard=$bg%.3f). The corpus's unrelated-pair similarity is " +
-            "too close to the threshold for banding to separate; scrub " +
-            "shared boilerplate first (scrubCommonLines / dfCap), use the " +
-            "incremental new-vs-seen path, or pass force=true to run anyway.")
+            f"(numHashes=${plan._1}, bands=${plan._2}). The corpus's " +
+            "sub-threshold pair similarity is too close to the threshold " +
+            "for banding to separate; scrub shared boilerplate first " +
+            "(scrubCommonLines / dfCap), use the incremental new-vs-seen " +
+            "path, or pass force=true to run anyway.")
         plan
       }
     minhashLshPairsWith(docs, idCol, textCol, n, useHashes, useBands,
@@ -513,9 +607,34 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    // SIGNATURE-ESTIMATE prefilter before the exact verify: candidate
+    // volume on a corpus with mid-similarity structure (documents sharing
+    // a fraction of their content) is dominated by sub-threshold pairs
+    // that banding surfaces but verification must reject — and the exact
+    // verify join materializes BOTH full shingle arrays per candidate row
+    // (the sf30 failure: ~10^8 candidates × ~2 KB of arrays spilled past
+    // the disk sorting for the second join). The minhash estimate
+    // ĵ = (equal slots)/numHashes costs 16·numHashes bytes per pair in a
+    // join against the SIGNATURE table (already computed, rounds-of-
+    // magnitude narrower than the shingle sets), and a pair at the
+    // threshold fails ĵ ≥ cutoff with probability ≤ ~3e-5 at z = 4 — so
+    // the wide-array join sees only near-threshold pairs. Deterministic:
+    // signatures are content hashes, so the filter is stable across runs.
+    val cutoff = math.max(0.0, threshold -
+      4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    val sigT = sig
+    val estPassed = candidates
+      .join(sigT.select(col("doc_id").as("id_a"), col("mh").as("mha")), "id_a")
+      .join(sigT.select(col("doc_id").as("id_b"), col("mh").as("mhb")), "id_b")
+      .withColumn("est",
+        aggregate(zip_with(col("mha"), col("mhb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .where(col("est") >= cutoff)
+      .select("id_a", "id_b")
     // verify on the true shingle sets (strings, not hashes — immune to hash
-    // collisions), candidate pairs only
-    val withSets = candidates
+    // collisions), estimate-passing candidate pairs only
+    val withSets = estPassed
       .join(base.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(base.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))

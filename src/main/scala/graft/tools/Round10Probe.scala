@@ -38,6 +38,8 @@ object Round10Probe {
     try mode match {
       case "e2e" => e2ePipeline(spark, sfDir)
       case "bpedist" => bpeDistributed(spark, sfDir)
+      case "minhashspot" => minhashSpot(spark, sfDir)
+      case "minhashplan" => minhashPlanOnly(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
   }
@@ -85,6 +87,47 @@ object Round10Probe {
       s""""sec":${f"$total%.2f"}}""")
     graft.SparkEntry.registerTmpCleanup(s"$base/idx")
     graft.SparkEntry.registerTmpCleanup(s"$base/pub")
+  }
+
+  /** The auto-planned MinHash face alone, merged-min over two passes —
+    * the sf30 third-decade spot-check (the fixed-banding face is known
+    * super-linear and is NOT the production path; rerunning it at sf30
+    * would measure a face the planner exists to replace).
+    */
+  private def minhashSpot(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (sampledPairs, sampledJ) = graft.pipeline.Dedup
+      .estimateJaccardSample(docs, "doc_id", "text")
+    val nDocs = docs.count()
+    val (h, b) = graft.pipeline.Dedup.minhashPlanForSample(
+      nDocs, 0.8, sampledPairs, sampledJ)
+    val midMass = sampledJ.count(j => j >= 0.1 && j < 0.8)
+    val passes = (1 to 2).map { _ =>
+      timed {
+        graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 0, bands = 0, threshold = 0.8).count()
+      }
+    }
+    val nAuto = passes.head._1
+    val sAuto = passes.map(_._2).min
+    println(s"""{"metric":"minhash_spot","docs":$nDocs,""" +
+      s""""sampled_pairs":$sampledPairs,"mid_mass_pairs":$midMass,""" +
+      s""""planned_hashes":$h,"planned_bands":$b,""" +
+      s""""auto_pairs":$nAuto,"auto_sec":${f"$sAuto%.1f"}}""")
+  }
+
+  /** Plan-only variant: the sampling + plan math without the full run. */
+  private def minhashPlanOnly(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (sampledPairs, sampledJ) = graft.pipeline.Dedup
+      .estimateJaccardSample(docs, "doc_id", "text")
+    val nDocs = docs.count()
+    val (h, b) = graft.pipeline.Dedup.minhashPlanForSample(
+      nDocs, 0.8, sampledPairs, sampledJ)
+    val midMass = sampledJ.count(j => j >= 0.1 && j < 0.8)
+    println(s"""{"metric":"minhash_plan","docs":$nDocs,""" +
+      s""""sampled_pairs":$sampledPairs,"mid_mass_pairs":$midMass,""" +
+      s""""planned_hashes":$h,"planned_bands":$b}""")
   }
 
   /** The distributed BPE face, decade row: parity vs the driver face at 6

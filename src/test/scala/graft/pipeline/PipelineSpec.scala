@@ -1976,6 +1976,60 @@ class PipelineSpec extends SparkSpec {
     assert(pairs(0, 0) == pairs(128, 32))
   }
 
+  test("distribution-aware minhash planner: a mid-similarity mass raises " +
+    "rows-per-band where the scalar mean is blind") {
+    val n = 1500000L
+    // pure background: 125k sampled pairs, all at j ~ 0.001
+    val bgOnly = Seq.fill(120)(0.001)
+    val (h0, b0) = Dedup.minhashPlanForSample(n, 0.8, 124750L, bgOnly)
+    // same background PLUS a thin sibling mass at j ~ 1/3 (50 of 125k
+    // pairs — barely moves the mean, dominates co-banding)
+    val withMass = bgOnly ++ Seq.fill(50)(0.33)
+    val (h1, b1) = Dedup.minhashPlanForSample(n, 0.8, 124750L, withMass)
+    assert(h1 / b1 > h0 / b0,
+      s"mass should raise rowsPerBand: bg-only r=${h0 / b0}, with-mass r=${h1 / b1}")
+    // the returned plan satisfies its own budget: predicted sub-threshold
+    // volume at (r, b) under budget, and miss bound holds
+    val r1 = h1 / b1
+    val miss = math.pow(1 - math.pow(0.8, r1), b1)
+    assert(miss <= 1e-4 * 1.0001, s"miss=$miss")
+    val predicted = n.toDouble * (n - 1) / 2 * withMass
+      .map(j => 1 - math.pow(1 - math.pow(j, r1), b1)).sum / 124750L
+    assert(predicted <= 64.0 * n, s"predicted=$predicted")
+    // true pairs (j >= threshold) are excluded from the background budget
+    val withTrue = bgOnly ++ Seq.fill(1000)(0.95)
+    val (h2, b2) = Dedup.minhashPlanForSample(n, 0.8, 124750L, withTrue)
+    assert((h2, b2) === (h0, b0), "above-threshold mass must not move the plan")
+  }
+
+  test("hash-spread jaccard sample sees cross-range structure an id-prefix " +
+    "sample misses") {
+    import spark.implicits._
+    // the grown-corpus shape in miniature: ids 0..999 unique 'parents',
+    // ids 100000..100999 near-copies of them — relatives ALWAYS live at
+    // far id ranges. A sample of 600 of the 2000 docs must span both.
+    val uniq = (0 until 1000).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+    val twins = (0 until 1000).map(i =>
+      (100000L + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i theta$i"))
+    val docs = (uniq ++ twins).toDF("doc_id", "text")
+    val (pairs, js) = Dedup.estimateJaccardSample(docs, "doc_id", "text",
+      n = 3, sample = 600)
+    assert(pairs === 600L * 599 / 2)
+    // a 600-doc avalanche-hash sample draws ~300 from each range, so ~90
+    // twin pairs are expected in-sample (1000 twins x 0.3^2). The
+    // polynomial fold fails this corpus BOTH ways: unsalted it sorts by
+    // id-string length (takes ids 0..599 — all parents, zero twins);
+    // salted it maps the constant +100000 id offset to a constant hash
+    // shift, anti-correlating the threshold sample (2 twin pairs seen)
+    assert(js.count(_ > 0.3) >= 20, s"mid-mass pairs seen: ${js.count(_ > 0.3)}")
+    // the old first-by-id scalar face on the same corpus: parents only,
+    // no twin visible (uniq docs share no 3-gram shingles)
+    val bg = Dedup.estimateBackgroundJaccard(docs, "doc_id", "text", n = 3,
+      sample = 100)
+    assert(bg <= 0.001 + 1e-9, s"id-prefix sample measured bg=$bg")
+  }
+
   test("collocations: exact integer word2phrase scores, total-ordered top-k") {
     import spark.implicits._
     // counts: foo 20, bar 18, baz 14; N = 52
