@@ -613,25 +613,12 @@ object Dedup {
     // that banding surfaces but verification must reject — and the exact
     // verify join materializes BOTH full shingle arrays per candidate row
     // (the sf30 failure: ~10^8 candidates × ~2 KB of arrays spilled past
-    // the disk sorting for the second join). The minhash estimate
-    // ĵ = (equal slots)/numHashes costs 16·numHashes bytes per pair in a
-    // join against the SIGNATURE table (already computed, rounds-of-
-    // magnitude narrower than the shingle sets), and a pair at the
-    // threshold fails ĵ ≥ cutoff with probability ≤ ~3e-5 at z = 4 — so
-    // the wide-array join sees only near-threshold pairs. Deterministic:
-    // signatures are content hashes, so the filter is stable across runs.
-    val cutoff = math.max(0.0, threshold -
-      4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    // the disk sorting for the second join). See [[estPrefilter]].
     val sigT = sig
-    val estPassed = candidates
-      .join(sigT.select(col("doc_id").as("id_a"), col("mh").as("mha")), "id_a")
-      .join(sigT.select(col("doc_id").as("id_b"), col("mh").as("mhb")), "id_b")
-      .withColumn("est",
-        aggregate(zip_with(col("mha"), col("mhb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
-      .where(col("est") >= cutoff)
-      .select("id_a", "id_b")
+    val estPassed = estPrefilter(candidates, "id_a", "id_b",
+      sigT.select(col("doc_id").as("id_a"), col("mh").as("mha")),
+      sigT.select(col("doc_id").as("id_b"), col("mh").as("mhb")),
+      numHashes, threshold)
     // verify on the true shingle sets (strings, not hashes — immune to hash
     // collisions), estimate-passing candidate pairs only
     val withSets = estPassed
@@ -686,7 +673,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("seen_id"))
       .distinct()
-    candidates
+    // signature-estimate prefilter before the wide-array verify (see
+    // estPrefilter) — signatures recomputed map-side from the cached base
+    val estPassed = estPrefilter(candidates, "new_id", "seen_id",
+      base.where(col("side") === "n").select(col("doc_id").as("new_id"),
+        minhashSig(col("sh"), numHashes).as("mha")),
+      base.where(col("side") === "s").select(col("doc_id").as("seen_id"),
+        minhashSig(col("sh"), numHashes).as("mhb")),
+      numHashes, threshold)
+    estPassed
       .join(base.where(col("side") === "n")
         .select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
       .join(base.where(col("side") === "s")
@@ -697,6 +692,32 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("new_id"), col("seen_id"),
         round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Signature-estimate prefilter between candidate generation and exact
+    * verification — shared by every MinHash verify stage. The minhash
+    * estimate ĵ = (equal slots)/numHashes costs 16·numHashes bytes per
+    * pair against the signature tables (orders of magnitude narrower than
+    * the shingle arrays the exact verify reads), and a TRUE pair at the
+    * threshold fails ĵ ≥ threshold − 4σ (σ² = t(1−t)/numHashes) with
+    * probability ≤ ~3e-5 — so the wide-array verification join sees only
+    * near-threshold pairs while sub-threshold candidate mass (the
+    * mid-similarity structure banding must surface to keep its recall
+    * contract) is rejected at signature width. Deterministic: signatures
+    * are content hashes, so the filter is stable across runs and engines.
+    */
+  private def estPrefilter(pairs: DataFrame, aId: String, bId: String,
+                           aSigs: DataFrame, bSigs: DataFrame,
+                           numHashes: Int, threshold: Double): DataFrame = {
+    val cutoff = math.max(0.0, threshold -
+      4.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    pairs.join(aSigs, aId).join(bSigs, bId)
+      .withColumn("__est",
+        aggregate(zip_with(col("mha"), col("mhb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .where(col("__est") >= cutoff)
+      .select(aId, bId)
   }
 
   /** [[crossCorpusPairs]] against a PERSISTED seen-side index
@@ -733,7 +754,19 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("seen_id"))
       .distinct()
-    candidates
+    // signature-estimate prefilter (see estPrefilter). The store does not
+    // persist signatures — they re-derive map-side from the stored shingle
+    // sets of the CANDIDATE seen docs only (one bounded semi-join, never a
+    // history rescan), which keeps the store schema at bands+shingles
+    val candSeen = candidates.select(col("seen_id").as("doc_id")).distinct()
+    val estPassed = estPrefilter(candidates, "new_id", "seen_id",
+      newBase.select(col("doc_id").as("new_id"),
+        minhashSig(col("sh"), numHashes).as("mha")),
+      index.shingles.join(candSeen, "doc_id")
+        .select(col("doc_id").as("seen_id"),
+          minhashSig(col("sh"), numHashes).as("mhb")),
+      numHashes, threshold)
+    estPassed
       .join(newBase.select(col("doc_id").as("new_id"), col("sh").as("sha")),
         "new_id")
       .join(index.shingles
