@@ -2292,6 +2292,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }
 
+    // ---- FILTERED probe of the persisted index: metadata (label) rides
+    //      every stored cell row, and the query's predicate pre-filters
+    //      the probed cells — on this store that is parquet-scan pushdown
+    //      under the cid partition pruning, the double-prune serving
+    //      shape. Probing every cell (nprobe = nlist) makes IVF exact, so
+    //      the filtered store answer must hash-match a brute-force cosine
+    //      top-k over the label-filtered corpus replayed in SQL.
+    q("ann_filtered_indexed", s"""$vnSql,
+      afl AS (SELECT v.vec_id, v.vec, v.nrm, e.label
+        FROM vn v JOIN embeddings e ON v.vec_id = e.vec_id),
+      af_surv AS (SELECT vec_id, vec, nrm FROM afl
+        WHERE nrm > 0 AND label % 3 = 0),
+      af_scored AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i])), (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        FROM vn a JOIN af_surv b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10 AND a.nrm > 0),
+      af_ranked AS (SELECT qid, nid, cos,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+        FROM af_scored)
+      SELECT qid AS query_id, nid AS neighbor_id, round(cos, 4) AS cosine, rank
+      FROM af_ranked WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+      val embs = s.read.parquet(s"$d/embeddings.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_annflt_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(idxDir)
+      val idx = graft.store.AnnIndexStore.build(s, idxDir, embs,
+        "vec_id", "embedding", nlist = 16, lloydIters = 2,
+        metaCols = Seq("label"))
+      idx.topK(embs.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 16, filter = col("label") % 3 === 0)
+        .orderBy("query_id", "rank")
+    }
+
     // ---- streaming ANN admission (admit → query crosses the seam): the
     //      index starts from a third of the corpus, the other two thirds
     //      arrive as guarded micro-batch admissions (one batch replayed —

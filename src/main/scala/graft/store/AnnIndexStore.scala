@@ -95,18 +95,31 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
         s"query wants ($nlist, $lloydIters)")
   }
 
+  /** Metadata columns the index was built with (cells schema minus the
+    * vector bookkeeping) — the filterable attributes of [[topK]].
+    */
+  def metaCols: Seq[String] =
+    StoreCompaction.read(spark, s"$dir/cells").columns.toSeq
+      .filterNot(Set("cid", "vid", "vec", "nrm"))
+
   /** Admit a new batch under the frozen quantizer (nearest existing cell;
     * parquet append of the new cells rows only — no rewrite of history).
+    * The batch must carry the index's [[metaCols]] — stored attributes are
+    * per-row, so an append without them would leave unfilterable rows.
     */
   def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
-    val v = Similarity.normalizedVectors(embs, idCol, vecCol)
+    val extra = metaCols
+    val v = embs.select(Seq(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("vec")) ++ extra.map(col): _*)
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0)
     val c = broadcast(centroids)
     val scored = v.join(c, lit(true), "cross")
       .withColumn("d", Similarity.dot(col("vec"), col("cvec")) / col("nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("cid"), col("vid"), col("vec"), col("nrm"))
+      .select((Seq("cid", "vid", "vec", "nrm") ++ extra).map(col): _*)
       .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$dir/cells")
   }
 
@@ -132,26 +145,42 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
   /** Top-k approximate neighbors of each query vector against the stored
     * index. `queries`: (id, vec) — any vector source, not necessarily
     * indexed vectors; self-matches are excluded by id.
+    *
+    * `filter` predicates on the stored [[metaCols]] (pre-filtering — the
+    * recall-preserving strategy, see [[Similarity.ivfFilteredTopK]]). On
+    * this store the predicate does double pruning: dynamic partition
+    * pruning selects the nprobe cell DIRECTORIES, and the metadata
+    * predicate pushes into the parquet scan of those cells
+    * (`PushedFilters` — plan-asserted in AnnIndexStoreSpec), so a
+    * filtered probe reads strictly less than an unfiltered one.
     */
   def topK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
-           nprobe: Int): DataFrame = {
+           nprobe: Int, filter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val q = Similarity.normalizedVectors(queries, idCol, vecCol)
       .select(col("vid").as("q_id"), col("vec").as("q_vec"),
         col("nrm").as("q_nrm"))
-    Similarity.ivfProbe(centroids, cells, q, k, nprobe)
+    Similarity.ivfProbe(centroids, cells.where(filter), q, k, nprobe)
   }
 }
 
 object AnnIndexStore {
 
-  /** Train the quantizer and build (overwrite) the index at `dir`. */
+  /** Train the quantizer and build (overwrite) the index at `dir`.
+    * `metaCols` names metadata columns of `embs` to persist on every cell
+    * row — the filterable attributes of [[AnnIndexStore.topK]] (language,
+    * license, source, …).
+    */
   def build(spark: SparkSession, dir: String, embs: DataFrame, idCol: String,
-            vecCol: String, nlist: Int = 16,
-            lloydIters: Int = 2): AnnIndexStore = {
-    val v = Similarity.normalizedVectors(embs, idCol, vecCol).cache()
+            vecCol: String, nlist: Int = 16, lloydIters: Int = 2,
+            metaCols: Seq[String] = Nil): AnnIndexStore = {
+    val v = embs.select(Seq(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("vec")) ++ metaCols.map(col): _*)
+      .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
+      .where(col("nrm") > 0)
+      .cache()
     val (centroids, index) = Similarity.ivfBuild(v, nlist, lloydIters)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    index.select(col("cid"), col("vid"), col("vec"), col("nrm"))
+    index.select((Seq("cid", "vid", "vec", "nrm") ++ metaCols).map(col): _*)
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(s"$dir/cells")
     import spark.implicits._
     Seq((nlist, lloydIters)).toDF("nlist", "lloyd_iters")

@@ -715,6 +715,43 @@ class PipelineSpec extends SparkSpec {
       == after.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap)
   }
 
+  test("persisted ivf index with metadata: filtered probe correct, pushdown real, appends carry meta") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annflt").toString
+    val idx = graft.store.AnnIndexStore.build(spark, dir, embs,
+      "vec_id", "embedding", nlist = 8, lloydIters = 2,
+      metaCols = Seq("label"))
+    assert(idx.metaCols === Seq("label"))
+    val filter = col("label") % 3 === 0
+    // nprobe = nlist makes IVF exact: filtered store probe == brute force
+    // over the filtered corpus
+    val got = idx.topK(embs.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nprobe = 8, filter = filter)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteForceTopK(embs.where(col("vec_id") < 10),
+        embs.where(filter), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got === brute)
+    // the metadata predicate reaches the parquet scan of the cells
+    val plan = idx.topK(embs.where(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, nprobe = 8, filter = filter)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label predicate not pushed:\n${plan.take(2000)}")
+    // appends must carry the stored metadata: a filtered-in twin of
+    // vector 0 surfaces, a filtered-out one never does
+    val v0 = embs.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    idx.append(Seq((200000L, v0.toArray, 0), (200001L, v0.toArray, 1))
+      .toDF("vec_id", "embedding", "label"), "vec_id", "embedding")
+    val after = idx.topK(embs.where(col("vec_id") === 0), "vec_id",
+        "embedding", k = 3, nprobe = 8, filter = filter)
+      .collect().map(_.getLong(1)).toSet
+    assert(after.contains(200000L), s"label-0 twin missing: $after")
+    assert(!after.contains(200001L), "label-1 twin leaked through the filter")
+  }
+
   test("winnowing: window-min fingerprints match a scala replay; shared-run guarantee") {
     import spark.implicits._
     def fold(s: String): Long =
