@@ -89,7 +89,7 @@ case class CharFold(child: Expression, multExpr: Expression)
       val i = ctx.freshName("i")
       val cp = ctx.freshName("cp")
       s"""
-         |java.lang.String $str = $a.toString();
+         |java.lang.String $str = java.lang.String.valueOf($a);
          |long $acc = 0L;
          |int $i = 0;
          |while ($i < $str.length()) {
