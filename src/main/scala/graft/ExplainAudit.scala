@@ -24,7 +24,8 @@ object ExplainAudit {
         // round-10: the COMPOSED curation DAG (stages 1-6 as one plan)
         "e2e_curated_plan",
         // round-10 additions
-        "samp_token_budget", "ann_filtered_topk", "tok_wordpiece_encode")
+        "samp_token_budget", "ann_filtered_topk", "tok_wordpiece_encode",
+        "tok_unigram_encode", "sk_kmv_store")
     names.foreach { name =>
       println(s"===== $name")
       val df =

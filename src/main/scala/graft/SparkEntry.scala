@@ -2580,6 +2580,41 @@ object SparkEntry {
         .crossJoin(exact)
     }
 
+    // ---- the PERSISTED KMV path across an admit seam: build the store
+    //      on one quarter of the corpus, admit the rest in three batches
+    //      with one REPLAYED — bottom-k union is idempotent (bottom-k of
+    //      a union = bottom-k of merged bottom-k's), so like the Bloom
+    //      store and unlike the additive CM/histogram stores there is no
+    //      batch ledger, and the replayed admission must land on the
+    //      identical synopsis the sk_kmv_card oracle's ONE-SHOT sketch
+    //      produces. Same cardinality output as sk_kmv_card.
+    q("sk_kmv_store", s"""$kmvBigSql,
+      agg AS (SELECT count(*) AS n_kept, max(f) AS f_kth FROM sk)
+      SELECT CAST(n_kept AS BIGINT) AS n_kept, CAST(f_kth AS BIGINT) AS f_kth,
+        CAST(CASE WHEN n_kept < 256 THEN n_kept
+          ELSE (CAST(255 AS BIGINT) * 1000000007) // f_kth END AS BIGINT) AS est,
+        (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM big) AS n_exact
+      FROM agg""") { (s, d) =>
+      import graft.pipeline.Sketches
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val items = docs.select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingleList(col("text"), 2)).as("item"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_kmv_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(base)
+      val st = graft.store.KmvStore.build(s, s"$base/kmv",
+        items.where(col("doc_id") % 4 === 0), "item", k = 256)
+      st.admit(items.where(col("doc_id") % 4 === 1))
+      st.admit(items.where(col("doc_id") % 4 === 2))
+      st.admit(items.where(col("doc_id") % 4 === 2)) // replay: idempotent
+      st.admit(items.where(col("doc_id") % 4 === 3))
+      st.cardinality
+        .crossJoin(items.agg(
+          countDistinct(col("item")).cast("long").as("n_exact")))
+    }
+
     // ---- decimal histogram quantile sketch (the DDSketch shape with
     //      string-exact bucketing): per event type, the buckets containing
     //      the rank-q values for q in {0.5, 0.9, 0.99}. Everything stays
@@ -3562,6 +3597,151 @@ object SparkEntry {
         graft.pipeline.WordPiece.wordpieceMerges(docs, "text",
           rounds = wpRounds, minPairs = wpMinPairs),
         graft.store.TokenizerStore.KindWordPiece, minPairs = wpMinPairs)
+      graft.store.TokenizerStore.open(s, dir)
+        .encode(docs, "doc_id", "text").orderBy("doc_id")
+    }
+
+    // ---- Unigram-LM tokenizer TRAINING (Kudo 2018; the SentencePiece
+    //      trainer objective, hard-EM at word-level symbols): seed every
+    //      n-gram ≥ floor, then per EM round Viterbi-segment the corpus
+    //      and recount. The oracle replays the Viterbi DP as a recursive
+    //      walk carrying the last-3 best scores and a backpointer list —
+    //      bit-identical to the Spark DP because the scoring uses NO
+    //      float addition: exact casts, one correctly-rounded multiply
+    //      per candidate, max, and EXACT power-of-two renormalization
+    //      (best < 2^-400 → ×2^400) against underflow. Backtrack and
+    //      recount are pure integer ops. Vocab lookups are split per
+    //      phrase length so every recursive-term join is a pure hash
+    //      equality (a combined ON forces a per-iteration NLJ, 30×).
+    val uniMinCount = 3
+    val uniPrelude = s"""WITH RECURSIVE d_utoks AS MATERIALIZED (
+        SELECT doc_id, $sqlToks AS toks FROM documents),
+      ugrams AS (
+        SELECT toks[g.i] AS phrase, 1 AS plen
+        FROM d_utoks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+        UNION ALL
+        SELECT array_to_string(toks[g.i : g.i + 1], ' '), 2
+        FROM d_utoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+        UNION ALL
+        SELECT array_to_string(toks[g.i : g.i + 2], ' '), 3
+        FROM d_utoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+      ),
+      ugcnt AS MATERIALIZED (SELECT phrase, plen,
+        CAST(count(*) AS BIGINT) AS cnt FROM ugrams GROUP BY 1, 2),
+      uv0base AS MATERIALIZED (SELECT phrase, CAST(plen AS INT) AS plen, cnt
+        FROM ugcnt WHERE plen = 1 OR cnt >= $uniMinCount)"""
+    // per-plen probability splits of a (phrase, plen, cnt) base CTE
+    def uniVsplit(pfx: String, base: String): String = (1 to 3).map { l =>
+      s"""${pfx}s$l AS MATERIALIZED (SELECT phrase,
+        cnt::DOUBLE / (SELECT sum(cnt) FROM $base)::DOUBLE AS p
+        FROM $base WHERE plen = $l)"""
+    }.mkString(",\n      ")
+    // one Viterbi E-step: forward walk + backtrack + usage recount
+    def uniWalk(pfx: String, v: String): String = s"""${pfx}w AS (
+        SELECT doc_id, toks, len(toks) AS ntok, 0 AS i,
+          CAST(1.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2,
+          CAST(0.0 AS DOUBLE) AS b3, CAST([] AS TINYINT[]) AS path
+        FROM d_utoks WHERE len(toks) > 0
+        UNION ALL
+        SELECT doc_id, toks, ntok, i + 1,
+          CASE WHEN best < pow(2.0, -400) THEN best * pow(2.0, 400) ELSE best END,
+          CASE WHEN best < pow(2.0, -400) THEN b1 * pow(2.0, 400) ELSE b1 END,
+          CASE WHEN best < pow(2.0, -400) THEN b2 * pow(2.0, 400) ELSE b2 END,
+          list_append(path, chosen)
+        FROM (
+          SELECT q.*, greatest(c1, c2, c3) AS best,
+            CASE WHEN c3 = greatest(c1, c2, c3) THEN CAST(3 AS TINYINT)
+                 WHEN c2 = greatest(c1, c2, c3) THEN CAST(2 AS TINYINT)
+                 ELSE CAST(1 AS TINYINT) END AS chosen
+          FROM (
+            SELECT w.doc_id, w.toks, w.ntok, w.i, w.b1, w.b2, w.b3, w.path,
+              coalesce(w.b1 * v1.p, 0.0) AS c1,
+              coalesce(w.b2 * v2.p, 0.0) AS c2,
+              coalesce(w.b3 * v3.p, 0.0) AS c3
+            FROM ${pfx}w w
+            LEFT JOIN ${v}s1 v1 ON v1.phrase = w.toks[w.i + 1]
+            LEFT JOIN ${v}s2 v2 ON v2.phrase = CASE WHEN w.i >= 1
+              THEN array_to_string(w.toks[w.i : w.i + 1], ' ') END
+            LEFT JOIN ${v}s3 v3 ON v3.phrase = CASE WHEN w.i >= 2
+              THEN array_to_string(w.toks[w.i - 1 : w.i + 1], ' ') END
+            WHERE w.i < w.ntok
+          ) q
+        ) q
+      ),
+      ${pfx}f AS MATERIALIZED (SELECT doc_id, toks, ntok, path
+        FROM ${pfx}w WHERE i = ntok),
+      ${pfx}bt AS (
+        SELECT doc_id, toks, ntok, ntok AS pos, path,
+          CAST(0 AS BIGINT) AS npieces FROM ${pfx}f
+        UNION ALL
+        SELECT doc_id, toks, ntok, pos - path[pos], path, npieces + 1
+        FROM ${pfx}bt WHERE pos > 0
+      ),
+      ${pfx}use AS MATERIALIZED (
+        SELECT array_to_string(toks[pos - path[pos] + 1 : pos], ' ') AS phrase,
+          CAST(path[pos] AS INT) AS plen, CAST(count(*) AS BIGINT) AS n
+        FROM ${pfx}bt WHERE pos > 0 GROUP BY 1, 2
+      )"""
+    // M-step: singles floored at max(usage, 1); multis survive iff used
+    def uniNextBase(pfx: String, prevBase: String): String =
+      s"""${pfx}base AS MATERIALIZED (
+        SELECT s.phrase, s.plen, greatest(coalesce(u.n, 0), 1) AS cnt
+        FROM $prevBase s LEFT JOIN ${pfx}use u USING (phrase, plen)
+        WHERE s.plen = 1
+        UNION ALL
+        SELECT phrase, plen, n AS cnt FROM ${pfx}use WHERE plen >= 2
+      )"""
+    val uniTwoRounds = s"""$uniPrelude,
+      ${uniVsplit("uv0", "uv0base")},
+      ${uniWalk("ur1", "uv0")},
+      ${uniNextBase("ur1", "uv0base")},
+      ${uniVsplit("uv1", "ur1base")},
+      ${uniWalk("ur2", "uv1")},
+      ${uniNextBase("ur2", "ur1base")}"""
+    q("tok_unigram_train", s"""$uniTwoRounds
+      SELECT phrase, CAST(plen AS INT) AS plen, cnt AS n_uses
+      FROM ur2base WHERE plen >= 2 ORDER BY phrase""") { (s, d) =>
+      graft.pipeline.Unigram.train(
+        s.read.parquet(s"$d/documents.parquet"), "text",
+        rounds = 2, maxPhraseLen = 3, minCount = uniMinCount)
+        .where(col("plen") >= 2)
+        .select(col("phrase"), col("plen").cast("int").as("plen"),
+          col("cnt").as("n_uses"))
+        .orderBy("phrase")
+    }
+
+    // ---- Unigram ENCODE: Viterbi segmentation under the post-EM
+    //      probabilities (a third walk in the oracle). Contrast
+    //      tok_bpe_encode (merge replay) and tok_wordpiece_encode
+    //      (greedy longest-match): unigram picks the GLOBALLY most
+    //      probable segmentation, not the locally longest one.
+    val uniEncodeOracle = s"""$uniTwoRounds,
+      ${uniVsplit("uv2", "ur2base")},
+      ${uniWalk("ur3", "uv2")}
+      SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens_raw,
+        npieces AS n_tokens_uni
+      FROM ur3bt WHERE pos = 0 ORDER BY doc_id"""
+    q("tok_unigram_encode", uniEncodeOracle) { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.pipeline.Unigram.encode(docs, "doc_id", "text",
+        graft.pipeline.Unigram.train(docs, "text",
+          rounds = 2, maxPhraseLen = 3, minCount = uniMinCount))
+        .orderBy("doc_id")
+    }
+
+    // ---- persisted unigram artifact: train → atomic publish → reopen →
+    //      encode FROM THE STORE, landing on the identical encode oracle
+    //      (the tok_vocab_store discipline for the third tokenizer kind)
+    q("tok_unigram_store", uniEncodeOracle) { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_unistore_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(dir)
+      graft.store.TokenizerStore.saveUnigram(s, dir,
+        graft.pipeline.Unigram.train(docs, "text",
+          rounds = 2, maxPhraseLen = 3, minCount = uniMinCount))
       graft.store.TokenizerStore.open(s, dir)
         .encode(docs, "doc_id", "text").orderBy("doc_id")
     }

@@ -25,6 +25,7 @@ object TokenizerStore {
 
   val KindBpe = "bpe"
   val KindWordPiece = "wordpiece"
+  val KindUnigram = "unigram"
 
   /** Publish a trained merge table (from [[graft.pipeline.TextAnalysis
     * .bpeMerges]] — (round, pair, n_pairs) — or [[graft.pipeline.WordPiece
@@ -43,6 +44,25 @@ object TokenizerStore {
     StoreCompaction.swapIn(spark, s"$dir/merges", table)
     // drop any cached relation for the replaced path — a prior open()'s
     // .cache() would otherwise serve the pre-swap table to new readers
+    spark.catalog.refreshByPath(s"$dir/merges")
+    new TokenizerStore(dir, spark)
+  }
+
+  /** Publish a trained Unigram-LM vocabulary (from [[graft.pipeline
+    * .Unigram.train]] — (phrase, plen, cnt)) at `dir`. The vocab rides
+    * the one merge-table schema so the same two-rename swap publishes all
+    * three tokenizer kinds: round←plen, pair←phrase, n_pairs←cnt (the
+    * count IS the probability numerator; the denominator is the table
+    * sum, recomputed at open — no float ever persisted).
+    */
+  def saveUnigram(spark: SparkSession, dir: String,
+                  vocab: DataFrame): TokenizerStore = {
+    val table = vocab.select(
+      lit(KindUnigram).as("kind"), lit(1L).as("min_pairs"),
+      col("plen").cast("int").as("round"), col("phrase").as("pair"),
+      col("cnt").cast("long").as("n_pairs"),
+      lit(null).cast("long").as("score12"))
+    StoreCompaction.swapIn(spark, s"$dir/merges", table)
     spark.catalog.refreshByPath(s"$dir/merges")
     new TokenizerStore(dir, spark)
   }
@@ -72,10 +92,17 @@ final class TokenizerStore(val dir: String, spark: SparkSession) {
     if (kind == TokenizerStore.KindBpe) base.drop("score12") else base
   }
 
+  /** The stored Unigram vocabulary, shaped as [[graft.pipeline.Unigram
+    * .train]] returns it.
+    */
+  def unigramVocab: DataFrame =
+    table.select(col("pair").as("phrase"), col("round").as("plen"),
+      col("n_pairs").as("cnt"))
+
   /** Encode a corpus with the stored vocabulary, dispatching to the
     * family's encode semantics: BPE rank-ordered merge replay, WordPiece
-    * greedy longest-match. Output column is the family's
-    * (`n_tokens_bpe` / `n_tokens_wp`).
+    * greedy longest-match, Unigram Viterbi. Output column is the
+    * family's (`n_tokens_bpe` / `n_tokens_wp` / `n_tokens_uni`).
     */
   def encode(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     kind match {
@@ -83,5 +110,7 @@ final class TokenizerStore(val dir: String, spark: SparkSession) {
         graft.pipeline.TextAnalysis.bpeEncodeWith(docs, idCol, textCol, merges)
       case TokenizerStore.KindWordPiece =>
         graft.pipeline.WordPiece.wordpieceEncode(docs, idCol, textCol, merges)
+      case TokenizerStore.KindUnigram =>
+        graft.pipeline.Unigram.encode(docs, idCol, textCol, unigramVocab)
     }
 }

@@ -65,4 +65,51 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(estI - 1000.0) / 1000.0 < 0.5, s"estI=$estI")
     assert(estI <= row.getLong(2)) // never exceeds the union estimate
   }
+
+  test("KmvStore: admissions (one replayed) equal the one-shot sketch; " +
+       "rebuild equals build-from-survivors") {
+    val xs = (1 to 3000).map(i => s"kv$i")
+    val k = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvstore")
+      .toString
+    val batches = xs.grouped(1000).toSeq // 3 batches
+    val st = graft.store.KmvStore.build(spark, dir, items(batches(0)),
+      "item", k)
+    st.admit(items(batches(1)))
+    st.admit(items(batches(1))) // replay: idempotent
+    st.admit(items(batches(2)))
+    val oneShot = Sketches.kmv(items(xs), "item", k)
+      .as[Long].collect().sorted.toSeq
+    assert(st.synopsis.as[Long].collect().sorted.toSeq == oneShot)
+    // deletion contract: no retire — rebuild from survivors, bit-identical
+    // to a fresh build over the same survivors
+    val survivors = xs.take(1000)
+    st.rebuild(items(survivors))
+    val fresh = Sketches.kmv(items(survivors), "item", k)
+      .as[Long].collect().sorted.toSeq
+    assert(st.synopsis.as[Long].collect().sorted.toSeq == fresh)
+    // intersect face against an independent synopsis
+    val other = Sketches.kmv(items(xs.take(500)), "item", k)
+    val row = st.intersect(other).head()
+    assert(row.getLong(1) > 0 && row.getLong(3) <= row.getLong(2))
+  }
+
+  test("StreamingKmv admits micro-batches into the persisted synopsis") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmvstream")
+    val src = dir.resolve("src"); val store = dir.resolve("st").toString
+    java.nio.file.Files.createDirectories(src)
+    val xs = (1 to 800).map(i => s"sv$i")
+    graft.store.KmvStore.build(spark, store, items(Seq.empty[String]),
+      "item", 32)
+    items(xs).coalesce(1).write.mode("overwrite").json(src.toString)
+    val stream = spark.readStream
+      .schema("item STRING").json(src.toString)
+    val q = graft.stream.StreamingKmv.start(stream, store, triggerMs = 100L)
+    try q.processAllAvailable() finally q.stop()
+    val got = new graft.store.KmvStore(store, spark)
+      .synopsis.as[Long].collect().sorted.toSeq
+    val oneShot = Sketches.kmv(items(xs), "item", 32)
+      .as[Long].collect().sorted.toSeq
+    assert(got == oneShot)
+  }
 }
