@@ -59,9 +59,18 @@ object Unigram {
     * word has no segmentation, the same reason SentencePiece always keeps
     * single characters). Returns (phrase, plen, cnt); `phrase` is the
     * space-joined word sequence. One shuffle, vocabulary-bounded output.
+    *
+    * `maxVocab` caps the MULTI-word seed at the top-V by (cnt desc,
+    * phrase asc) — SentencePiece's seed prune, and the bound that keeps
+    * the per-round probability broadcast vocabulary-sized no matter how
+    * large the corpus: without it, a 100 TB corpus with a heavy n-gram
+    * tail could push the seed past what one executor's broadcast slot
+    * holds even above a sane `minCount`. Deterministic (total order), so
+    * the DuckDB oracle can replay it; the default is far above any
+    * vocabulary the gates see, leaving them cap-invisible.
     */
   def seedVocab(docs: DataFrame, textCol: String, maxPhraseLen: Int = 3,
-                minCount: Long = 3L): DataFrame = {
+                minCount: Long = 3L, maxVocab: Int = 1 << 20): DataFrame = {
     val toks = docs.select(tokens(col(textCol)).as("toks"))
     val grams = (1 to maxPhraseLen).map { l =>
       // the where-guard matters: sequence(1, n) DESCENDS for n < 1
@@ -71,8 +80,17 @@ object Unigram {
       toks.where(size(col("toks")) >= l)
         .select(explode(gram).as("phrase"), lit(l).as("plen"))
     }.reduce(_ unionAll _)
-    grams.groupBy("phrase", "plen").agg(count(lit(1)).as("cnt"))
-      .where(col("plen") === 1 || col("cnt") >= minCount)
+    val counted = grams.groupBy("phrase", "plen")
+      .agg(count(lit(1)).as("cnt"))
+    val singles = counted.where(col("plen") === 1)
+    val multis = counted.where(col("plen") >= 2 && col("cnt") >= minCount)
+    // engage the cap only when exceeded (one extra vocab-bounded count
+    // pass); the capped path is a distributed sort+limit, never a
+    // single-partition window
+    val capped =
+      if (multis.count() <= maxVocab) multis
+      else multis.orderBy(col("cnt").desc, col("phrase")).limit(maxVocab)
+    singles.unionByName(capped)
   }
 
   /** Viterbi backpointers for one token sequence under phrase

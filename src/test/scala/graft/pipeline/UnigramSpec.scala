@@ -122,6 +122,20 @@ class UnigramSpec extends SparkSpec {
     assert(!seed.contains(("b c", 2))) // count 1 < floor
   }
 
+  test("seedVocab maxVocab caps multis deterministically, singles exempt") {
+    import spark.implicits._
+    val docs = Seq("a b a b a b", "b c b c b c", "c a c a").toDF("text")
+    val seed = Unigram.seedVocab(docs, "text", maxPhraseLen = 2,
+      minCount = 1, maxVocab = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(seed.keys.count(_._2 == 1) == 3) // all singles kept
+    val multis = seed.keys.filter(_._2 == 2).toSet
+    assert(multis.size == 2)
+    // top-2 by (cnt desc, phrase asc): "a b"(3), "b c"(3) beat
+    // "b a"(2), "c b"(2), "c a"(2), "a c"(1)
+    assert(multis == Set(("a b", 2), ("b c", 2)))
+  }
+
   test("train: unused multis pruned, unused singles floored at 1; " +
        "encode counts the Viterbi pieces") {
     import spark.implicits._
