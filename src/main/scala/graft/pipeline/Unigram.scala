@@ -70,18 +70,28 @@ object Unigram {
     * vocabulary the gates see, leaving them cap-invisible.
     */
   def seedVocab(docs: DataFrame, textCol: String, maxPhraseLen: Int = 3,
-                minCount: Long = 3L, maxVocab: Int = 1 << 20): DataFrame = {
-    val toks = docs.select(tokens(col(textCol)).as("toks"))
+                minCount: Long = 3L, maxVocab: Int = 1 << 20): DataFrame =
+    seedFromWeighted(
+      docs.select(tokens(col(textCol)).as("toks"), lit(1L).as("w")),
+      maxPhraseLen, minCount, maxVocab)
+
+  /** Seed census over a pre-folded (toks, w) table — what [[train]] uses
+    * so the corpus is tokenized once (the distinct-sequence fold already
+    * paid it); a weighted n-gram sum over distinct sequences equals the
+    * per-document census exactly.
+    */
+  private def seedFromWeighted(toksW: DataFrame, maxPhraseLen: Int,
+                               minCount: Long, maxVocab: Int): DataFrame = {
     val grams = (1 to maxPhraseLen).map { l =>
       // the where-guard matters: sequence(1, n) DESCENDS for n < 1
       val gram = transform(
         sequence(lit(1), size(col("toks")) - l + 1),
         i => concat_ws(" ", slice(col("toks"), i, lit(l))))
-      toks.where(size(col("toks")) >= l)
-        .select(explode(gram).as("phrase"), lit(l).as("plen"))
+      toksW.where(size(col("toks")) >= l)
+        .select(explode(gram).as("phrase"), lit(l).as("plen"), col("w"))
     }.reduce(_ unionAll _)
     val counted = grams.groupBy("phrase", "plen")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("w")).as("cnt"))
     val singles = counted.where(col("plen") === 1)
     val multis = counted.where(col("plen") >= 2 && col("cnt") >= minCount)
     // engage the cap only when exceeded (one extra vocab-bounded count
@@ -225,7 +235,8 @@ object Unigram {
     * broadcasts in [[Search]].
     */
   def train(docs: DataFrame, textCol: String, rounds: Int = 2,
-            maxPhraseLen: Int = 3, minCount: Long = 3L): DataFrame = {
+            maxPhraseLen: Int = 3, minCount: Long = 3L,
+            maxVocab: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val weighted = docs
@@ -235,7 +246,10 @@ object Unigram {
       .as[(Seq[String], Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val seed = seedVocab(docs, textCol, maxPhraseLen, minCount)
+      // seed from the folded table: the corpus is tokenized ONCE (here),
+      // and a weighted census over distinct sequences equals the raw one
+      val seed = seedFromWeighted(weighted.toDF("toks", "w"),
+          maxPhraseLen, minCount, maxVocab)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val singles = seed.where(col("plen") === 1).select("phrase")
