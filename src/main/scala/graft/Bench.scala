@@ -53,6 +53,11 @@ object Bench {
     // the benchmark would measure less work than the query does)
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // DataFrame-level first: removes the CacheManager entries, which the
+      // RDD-level sweep below does NOT — a freed-but-registered entry gets
+      // substituted into a later matching plan and recomputes from its
+      // stale file listing (see graft.operators.TransientCache)
+      graft.operators.TransientCache.drain()
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!permanent(id)) rdd.unpersist(blocking = false)
       }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
+import graft.operators.TransientCache.Syntax
 
 /** Deduplication operators for large-scale training-data pipelines
   * (BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -103,7 +104,7 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache() // prefix derivation + both verification join sides
+      .transientCache() // prefix derivation + both verification join sides
     // n_sh rides along from the cached array size — computing it as a
     // second window over the exploded rows would cost another sort pass
     val shd = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -156,7 +157,7 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache()
+      .transientCache()
     val shd = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val common = shd.alias("x")
       .join(shd.alias("y"),
@@ -193,7 +194,7 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache()
+      .transientCache()
     val shd = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
     val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -330,7 +331,7 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache()
+      .transientCache()
     val shdAll = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val shd =
       if (dfCap == Long.MaxValue) shdAll
@@ -593,7 +594,7 @@ object Dedup {
       ex.join(ex.groupBy("s").agg(count(lit(1)).as("df")), "s")
         .where(col("df") <= cap)
         .groupBy("doc_id").agg(array_sort(collect_set(col("s"))).as("sh"))
-    }.cache() // signature input + verification join sides
+    }.transientCache() // signature input + verification join sides
     // signature in ONE map-side pass (MinHashSig custom Expression — a
     // generated loop over slots): no doc×shingle explode, no numHashes-way
     // min-aggregate shuffle; the signature stage shuffles nothing at all
@@ -664,7 +665,7 @@ object Dedup {
     val base = side(newDocs, "n").unionByName(side(seenDocs, "s"))
       .select(col("doc_id"), col("side"), shingleSet(col("txt"), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache() // band input + verification sides
+      .transientCache() // band input + verification sides
     val bandRows = base.select(col("doc_id"), col("side"),
       posexplode(bandKeys(minhashSig(col("sh"), numHashes), bands, rowsPerBand))
         .as(Seq("band", "key")))
@@ -745,7 +746,7 @@ object Dedup {
     val newBase = newDocs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .cache() // band input + verification side
+      .transientCache() // band input + verification side
     val newBands = newBase.select(col("doc_id"),
       posexplode(bandKeys(minhashSig(col("sh"), numHashes), bands, rowsPerBand))
         .as(Seq("band", "key")))
@@ -862,7 +863,7 @@ object Dedup {
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+      .transientCache()
     bands.alias("x").join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1184,7 +1185,7 @@ object Dedup {
     val buckets = v.select(col("vid"), col("vec"), col("nrm"),
       posexplode(Similarity.lshBucketArray(col("vec"), dim, useBits,
         useTables)).as(Seq("tbl", "bucket")))
-      .cache()
+      .transientCache()
     buckets.alias("a").join(buckets.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vid") < col("b.vid"))

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.TransientCache.Syntax
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -65,9 +66,9 @@ object Similarity {
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
               queryFilter: Column = lit(true)): DataFrame = {
-    val v = normalizedVectors(embs, idCol, vecCol).cache()
+    val v = normalizedVectors(embs, idCol, vecCol).transientCache()
     val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
-    val index = index0.cache()
+    val index = index0.transientCache()
     val queries = v.where(queryFilter)
       .select(col("vid").as("q_id"), col("vec").as("q_vec"),
         col("nrm").as("q_nrm"))
@@ -106,7 +107,7 @@ object Similarity {
         corpusFilter.as("__keep"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0)
-      .cache()
+      .transientCache()
     val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
     val index = index0.where(col("__keep")).drop("__keep")
     val queries = v.where(queryFilter)
@@ -471,7 +472,7 @@ object Similarity {
   def pqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
              m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
              rerank: Int = 32, queryFilter: Column = lit(true)): DataFrame = {
-    val v = normalizedVectors(embs, idCol, vecCol).cache()
+    val v = normalizedVectors(embs, idCol, vecCol).transientCache()
     val codebook = pqTrain(v, m, ksub, lloydIters)
     val codes = pqAssign(subvectors(v, m), codebook)
       .select(col("vid"), col("s"), col("cid"))
@@ -536,19 +537,19 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, lloydIters: Int = 2, rerank: Int = 32,
                 queryFilter: Column = lit(true)): DataFrame = {
-    val v = normalizedVectors(embs, idCol, vecCol).cache()
+    val v = normalizedVectors(embs, idCol, vecCol).transientCache()
     val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
-    val index = index0.cache()
+    val index = index0.transientCache()
     // residual per vector w.r.t. its assigned cell centroid
     val residuals = index.join(broadcast(centroids), "cid")
       .select(col("vid"), col("cid").as("cell"),
         expr("zip_with(vec, cvec, (a, b) -> a - b)").as("vec"))
-    val resV = residuals.select(col("vid"), col("vec")).cache()
+    val resV = residuals.select(col("vid"), col("vec")).transientCache()
     val codebook = pqTrain(resV, m, ksub, lloydIters)
     val codes = pqAssign(subvectors(resV, m), codebook)
       .select(col("vid"), col("s"), col("cid"))
       .join(residuals.select(col("vid"), col("cell")), "vid")
-      .cache()
+      .transientCache()
     val queries = v.where(queryFilter)
       .select(col("vid").as("q_id"), col("vec").as("q_vec"),
         col("nrm").as("q_nrm"))

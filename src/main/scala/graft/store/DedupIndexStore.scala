@@ -67,13 +67,15 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     * new rows too — same terminal-until-compact contract as
     * [[SearchIndexStore.retire]]).
     */
-  def retire(docIds: DataFrame, idCol: String): Unit =
+  def retire(docIds: DataFrame, idCol: String): Unit = {
     docIds.select(col(idCol).as("doc_id")).distinct()
       .join(broadcast(retired.select("doc_id")), Seq("doc_id"), "left_anti")
       // materialize BEFORE the append: the anti-join reads the very table
       // the write appends to (self-referencing append otherwise)
       .localCheckpoint(true)
       .write.mode(SaveMode.Append).parquet(s"$dir/retired")
+    spark.catalog.refreshByPath(s"$dir/retired")
+  }
 
   /** (n, numHashes, bands) the index was built with. */
   def params: (Int, Int, Int) = {
@@ -103,6 +105,14 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
       .write.mode(mode).parquet(s"$dir/bands")
     base.write.mode(mode).parquet(s"$dir/shingles")
     base.unpersist()
+    // drop any cached-plan fragments over the mutated tables: a stale
+    // registered InMemoryRelation (its blocks evicted or freed) would be
+    // SUBSTITUTED into the next query reading these paths and recompute
+    // from its captured pre-mutation file listing — observed at sf10 as
+    // FAILED_READ_FILE on the curation-stream rerun (the rebuilt index
+    // deleted the listing's files)
+    spark.catalog.refreshByPath(s"$dir/bands")
+    spark.catalog.refreshByPath(s"$dir/shingles")
   }
 
   /** Admit a new batch into an existing index (parquet append). */
@@ -166,6 +176,12 @@ private[store] object StoreCompaction {
       require(fs.rename(hPath, hOld), s"store swap rename failed: $path -> $hOld")
     require(fs.rename(hTmp, hPath), s"store swap rename failed: $tmp -> $path")
     fs.delete(hOld, true)
+    // the parquet write above auto-refreshed cached plans for the TEMP
+    // path; the rename moves files under `path` without any refresh, so
+    // cached-plan fragments over `path` keep their pre-swap file listing —
+    // drop/refresh them, or the next matching query recomputes against
+    // deleted files (see DedupIndexStore.writeDocs for the observed mode)
+    spark.catalog.refreshByPath(path)
   }
 
   /** Crash-recovery read resolution: the live `path` if present, else the

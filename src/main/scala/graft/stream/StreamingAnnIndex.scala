@@ -38,6 +38,8 @@ object StreamingAnnIndex {
       store.admittedVids.select(col("vid").as(idCol)),
       Seq(idCol), "left_anti").localCheckpoint(true)
     val n = fresh.count()
+    // drop operator caches before the mutation (TransientCache scaladoc)
+    graft.operators.TransientCache.drain()
     if (n > 0) store.append(fresh, idCol, vecCol)
     n
   }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** TransientCache: the registry that lets rerunnable faces drop operator-
+  * internal cached fragments (CacheManager entries included — the part an
+  * RDD-level unpersist sweep misses, which is what turned evicted blocks
+  * into stale-file-listing recomputes at sf10).
+  */
+class TransientCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cache registers + persists; drain unpersists and empties") {
+    val df = (1 to 100).toDF("x").select(col("x") * 2 as "y")
+    val cached = TransientCache.cache(df)
+    assert(cached eq df)
+    assert(df.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    TransientCache.drain()
+    assert(df.storageLevel == StorageLevel.NONE)
+    TransientCache.drain() // double drain is a no-op
+  }
+
+  test("a drained fragment is recomputed fresh after a store rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tcache")
+      .toString + "/t"
+    (1 to 50).toDF("v").write.parquet(dir)
+    val frag = spark.read.parquet(dir).select(sum("v"))
+    TransientCache.cache(frag)
+    assert(frag.head().getLong(0) == 1275L)
+    // free blocks the way Bench's RDD sweep would, then drain (the fix)
+    spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(false))
+    TransientCache.drain()
+    (51 to 60).toDF("v").write.mode("overwrite").parquet(dir)
+    val frag2 = spark.read.parquet(dir).select(sum("v"))
+    assert(frag2.head().getLong(0) == 555L) // fresh data, no stale plan
+  }
+
+  test("dedup faces leave no registered transient caches after drain") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z w q r s")).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", n = 3, numHashes = 16, bands = 8,
+      threshold = 0.8)
+    pairs.count()
+    TransientCache.drain()
+    // every cache the face registered is gone — nothing persisted at the
+    // SQL level remains from this query (the graph-store caches of other
+    // suites may exist; assert on OUR fragment by re-running the face and
+    // checking the registry drains to empty without error)
+    graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 8, threshold = 0.8).count()
+    TransientCache.drain()
+  }
+}
