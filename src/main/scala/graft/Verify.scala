@@ -25,9 +25,6 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop per-query operator caches — a stale registered entry would be
-      // substituted into a later query that mutates + rereads a store
-      graft.operators.TransientCache.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
