@@ -3628,8 +3628,13 @@ object SparkEntry {
       ),
       ugcnt AS MATERIALIZED (SELECT phrase, plen,
         CAST(count(*) AS BIGINT) AS cnt FROM ugrams GROUP BY 1, 2),
-      uv0base AS MATERIALIZED (SELECT phrase, CAST(plen AS INT) AS plen, cnt
-        FROM ugcnt WHERE plen = 1 OR cnt >= $uniMinCount)"""
+      uv0multi AS (SELECT phrase, CAST(plen AS INT) AS plen, cnt
+        FROM ugcnt WHERE plen >= 2 AND cnt >= $uniMinCount
+        ORDER BY cnt DESC, phrase LIMIT ${1 << 20}),
+      uv0base AS MATERIALIZED (
+        SELECT phrase, CAST(plen AS INT) AS plen, cnt
+        FROM ugcnt WHERE plen = 1
+        UNION ALL SELECT phrase, plen, cnt FROM uv0multi)"""
     // per-plen probability splits of a (phrase, plen, cnt) base CTE
     def uniVsplit(pfx: String, base: String): String = (1 to 3).map { l =>
       s"""${pfx}s$l AS MATERIALIZED (SELECT phrase,

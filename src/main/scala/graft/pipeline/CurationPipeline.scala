@@ -107,20 +107,52 @@ object CurationPipeline {
     val tPub = System.nanoTime()
     CorpusStore.write(spark, publishDir, sampled, "doc_id", "text",
       nShards = cfg.nShards)
-    index.append(sampled, "doc_id", "text")
+    // The survivors are durable now; everything below reads the STORE.
+    // Release the in-flight chain AND drain the dedup operators' internal
+    // cached fragments over both stores BEFORE mutating the dedup index:
+    // left registered, a RERUN of this pipeline against the same index dir
+    // (a long-lived session's daily batch; Bench's two-pass protocol)
+    // would substitute them and — once their blocks evict under memory
+    // pressure — recompute from the pre-mutation file listing (the sf10
+    // FAILED_READ_FILE abort / silently-stale rows; see
+    // graft.operators.TransientCache). Same placement as the streaming
+    // twin's post-checkpoint drain (StreamingCuration.processBatch);
+    // path-scoped so unrelated warm caches in the session survive.
+    live.foreach(_.unpersist(false))
+    graft.operators.TransientCache.drainPath(publishDir)
+    graft.operators.TransientCache.drainPath(index.dir)
+    // admit FROM THE STORE, not the in-flight `sampled`: its lineage reads
+    // the very band/shingle tables the append writes, so an eviction-forced
+    // recompute mid-append would race the mutation (the streaming twin
+    // severs with localCheckpoint; reading back the just-published corpus
+    // is the batch equivalent, and costs one id+text scan of the day's
+    // survivors — nothing at corpus scale)
+    index.append(CorpusStore.docs(spark, publishDir)
+      .select("doc_id", "text"), "doc_id", "text")
     if (staged) {
       val n = CorpusStore.manifest(spark, publishDir)
         .agg(sum("n_docs")).head().getLong(0)
       stats += StageStat("8_publish", n, (System.nanoTime() - tPub) / 1e9)
     }
 
-    // everything below reads the STORE — release the in-flight chain
-    live.foreach(_.unpersist(false))
-
     // ---- 9. read-back summary: encode the STORED text with the trained
     //      merges, pack per shard, census + checksum, and gate on
     //      expectations over the published corpus
     val t9 = System.nanoTime()
+    val summary = readBackSummary(spark, publishDir, merges, cfg)
+    if (staged) {
+      val n = summary.count()
+      stats += StageStat("9_pack_summary", n, (System.nanoTime() - t9) / 1e9)
+    }
+    Result(summary, stats.toList)
+  }
+
+  /** Stage 9 (shared by [[run]] and [[runResumable]]): the per-shard
+    * summary read back FROM THE STORE — encode with the trained merges,
+    * pack, census + checksum, integrity + expectations verdicts.
+    */
+  private def readBackSummary(spark: SparkSession, publishDir: String,
+                              merges: DataFrame, cfg: Config): DataFrame = {
     val stored = CorpusStore.docs(spark, publishDir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val expectOk = graft.operators.Profile.expect(stored, Seq(
@@ -138,18 +170,123 @@ object CurationPipeline {
       sum("n_tokens_bpe").as("n_bpe_tokens"),
       countDistinct("pack_id").as("n_packs"),
       sum(charFold(col("text"))).as("checksum"))
-    val summary = CorpusStore.manifest(spark, publishDir)
+    CorpusStore.manifest(spark, publishDir)
       .join(perShard, Seq("shard"))
       .select(col("shard"), col("n_docs"), col("n_tokens"),
         col("n_bpe_tokens"), col("n_packs"), col("checksum"))
       .withColumn("intact", lit(intact))
       .withColumn("expect_ok", lit(expectOk))
       .orderBy("shard")
-    if (staged) {
-      val n = summary.count()
-      stats += StageStat("9_pack_summary", n, (System.nanoTime() - t9) / 1e9)
+  }
+
+  /** Resumable face of [[run]]: identical output, but every corpus-global
+    * stage lands a DURABLE artifact, so a run killed at any point restarts
+    * from the last completed artifact instead of from zero — the property
+    * a 100 TB curation run cannot live without (a failure in stage 7 of
+    * the in-memory face forfeits the entire cleaning half). Reference
+    * analog: the incremental reindex loop re-does only what changed
+    * (mutation/changes.rs:53-148); this is the same redo-minimization
+    * applied to the pipeline's own stages.
+    *
+    * Artifacts under `workDir` (plus the two the one-shot face already
+    * persists: the published [[CorpusStore]] and the dedup-index
+    * admission):
+    *
+    *   - `survivors/`  stages 1-6 output (doc_id, text) — parquet written
+    *                   to a `__tmp` sibling then renamed, so a partial
+    *                   write is invisible to a resume;
+    *   - `tokenizer/`  the trained BPE merge table as a
+    *                   [[graft.store.TokenizerStore]] (single-rename
+    *                   publish — either absent or complete);
+    *   - `_published`  marker after the corpus publish ([[CorpusStore
+    *                   .write]] is an idempotent overwrite, so a crash
+    *                   between the write and the marker just re-publishes);
+    *   - index admission needs NO marker: the docs to admit are
+    *     anti-joined against the ids already in the index (the
+    *     [[graft.stream.StreamingCuration]] replay-guard discipline), so
+    *     a crashed-and-resumed admission converges instead of
+    *     double-appending.
+    *
+    * One `workDir` corresponds to one (docs, config) pipeline run; reusing
+    * it with different inputs resumes the OLD run's artifacts by design
+    * (delete the workDir to start fresh). `checkpoint` is invoked with the
+    * stage name after each artifact completes (test seam for kill/resume
+    * protocols; default no-op).
+    */
+  def runResumable(spark: SparkSession, docs: DataFrame, idCol: String,
+                   textCol: String, benchmark: DataFrame,
+                   benchTextCol: String, dsirTarget: Column,
+                   index: DedupIndexStore, publishDir: String,
+                   workDir: String, cfg: Config = Config(),
+                   checkpoint: String => Unit = _ => ()): Result = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def fsOf(p: String) =
+      new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    def exists(p: String) =
+      fsOf(p).exists(new org.apache.hadoop.fs.Path(p))
+
+    // ---- A. survivors (stages 1-6), durable behind a tmp+rename
+    val sPath = s"$workDir/survivors"
+    if (!exists(sPath)) {
+      val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      val persistStage = { (_: String) => (df: DataFrame) =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        live += p
+        p
+      }
+      val sampled = curatedPlan(docs, idCol, textCol, benchmark,
+        benchTextCol, dsirTarget, index, cfg, persistStage)
+      val tmp = sPath + "__tmp"
+      sampled.select(col("doc_id"), col("text"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+      live.foreach(_.unpersist(false))
+      graft.operators.TransientCache.drainPath(index.dir)
+      val fs = fsOf(sPath)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(sPath)),
+        s"survivors rename failed: $tmp -> $sPath")
     }
-    Result(summary, stats.toList)
+    checkpoint("survivors")
+    val survivors = spark.read.parquet(sPath)
+
+    // ---- B. tokenizer artifact (TokenizerStore single-rename publish)
+    val tokDir = s"$workDir/tokenizer"
+    val tok =
+      if (exists(s"$tokDir/merges"))
+        graft.store.TokenizerStore.open(spark, tokDir)
+      else graft.store.TokenizerStore.save(spark, tokDir,
+        TextAnalysis.bpeMerges(survivors, "text", rounds = cfg.bpeRounds),
+        graft.store.TokenizerStore.KindBpe)
+    checkpoint("tokenizer")
+    val merges = tok.merges
+
+    // ---- C. publish (idempotent overwrite behind a completion marker)
+    val pubMarker = s"$workDir/_published"
+    if (!exists(pubMarker)) {
+      CorpusStore.write(spark, publishDir, survivors, "doc_id", "text",
+        nShards = cfg.nShards)
+      fsOf(pubMarker).create(
+        new org.apache.hadoop.fs.Path(pubMarker)).close()
+    }
+    checkpoint("publish")
+
+    // ---- D. admit — replay-guarded, so a crash mid-append converges on
+    //      resume instead of double-appending (no ledger needed; the
+    //      index's own doc ids are the guard). localCheckpoint severs the
+    //      index read from the index write; the drains drop operator
+    //      fragments over both stores first (same discipline as run)
+    graft.operators.TransientCache.drainPath(publishDir)
+    graft.operators.TransientCache.drainPath(index.dir)
+    val fresh = CorpusStore.docs(spark, publishDir)
+      .select("doc_id", "text")
+      .join(index.shingles.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!fresh.isEmpty) index.append(fresh, "doc_id", "text")
+    checkpoint("admit")
+
+    // ---- E. summary: pure read-back, recomputed on every resume
+    Result(readBackSummary(spark, publishDir, merges, cfg), Nil)
   }
 
   /** The composed curation plan, stages 1-6 (everything before the

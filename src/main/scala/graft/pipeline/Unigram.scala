@@ -96,19 +96,37 @@ object Unigram {
     val multis = counted.where(col("plen") >= 2 && col("cnt") >= minCount)
     // engage the cap only when exceeded (one extra vocab-bounded count
     // pass); the capped path is a distributed sort+limit, never a
-    // single-partition window
+    // single-partition window. Engaging is LOUD (warn log) — the DuckDB
+    // oracle mirrors the same (cnt desc, phrase asc) top-V prune, but a
+    // silent engagement at a new scale deserves an operator's eye.
+    val nMulti = multis.count()
     val capped =
-      if (multis.count() <= maxVocab) multis
-      else multis.orderBy(col("cnt").desc, col("phrase")).limit(maxVocab)
+      if (nMulti <= maxVocab) multis
+      else {
+        org.slf4j.LoggerFactory.getLogger(Unigram.getClass).warn(
+          s"unigram seed cap engaged: $nMulti multi-grams above the count " +
+            s"floor, keeping top $maxVocab by (cnt desc, phrase asc)")
+        multis.orderBy(col("cnt").desc, col("phrase")).limit(maxVocab)
+      }
     singles.unionByName(capped)
   }
 
   /** Viterbi backpointers for one token sequence under phrase
-    * probabilities `p` (space-joined keys; misses score zero — length-1
-    * lookups never miss by [[seedVocab]]/[[train]] construction). Entry j
+    * probabilities `p` (space-joined keys; misses score zero). Entry j
     * (0-based) holds the length of the best phrase ENDING at position
-    * j+1. Kept in exact lockstep with the oracle's recursive walk — see
-    * the object scaladoc for why every step is bit-reproducible.
+    * j+1. During TRAINING length-1 lookups never miss ([[seedVocab]]/
+    * [[train]] keep every single), but [[encode]] is a production face
+    * over NEW documents through a persisted [[graft.store.TokenizerStore]]
+    * vocabulary, where an out-of-vocabulary token is reachable: the OOV
+    * position scores 0 everywhere, is emitted as its own single-token
+    * piece, and the carried score RESTARTS at 1.0 so segmentation resumes
+    * optimally after it (SentencePiece's unknown handling; without the
+    * restart every position after the first OOV would degrade to the
+    * chosen=1 fallback). Phrases SPANNING the OOV token are correctly
+    * dead — they contain it, so they cannot be in the vocabulary.
+    * Training behavior is untouched (best > 0 always holds there). Kept
+    * in exact lockstep with the oracle's recursive walk — see the object
+    * scaladoc for why every step is bit-reproducible.
     */
   private[pipeline] def viterbiPath(toks: Array[String],
       p: java.util.HashMap[String, java.lang.Double],
@@ -143,6 +161,10 @@ object Unigram {
         }
         l += 1
       }
+      // OOV restart: no phrase ending here is in the vocabulary (possible
+      // only on encode over new documents) — emit the token as its own
+      // piece and reset the DP score so segmentation resumes after it
+      if (best == 0.0) { best = 1.0; chosen = 1 }
       // shift the carried window, then renormalize EXACTLY (2^400) when
       // the new best crosses the floor — same trigger, same scaling, same
       // order as the oracle
@@ -216,7 +238,11 @@ object Unigram {
       }
     }.toDF("phrase", "plen", "w")
       .groupBy("phrase", "plen").agg(sum("w").as("n"))
-    singles.join(usage.select("phrase", "n"), Seq("phrase"), "left")
+    // join singles usage at plen=1 explicitly (the oracle's USING (phrase,
+    // plen)) — correctness must not lean on the implicit invariant that
+    // single tokens never collide with a space-joined multi-gram string
+    singles.join(usage.where(col("plen") === 1).select("phrase", "n"),
+        Seq("phrase"), "left")
       .select(col("phrase"), lit(1).as("plen"),
         greatest(coalesce(col("n"), lit(0L)), lit(1L)).as("cnt"))
       .unionAll(usage.where(col("plen") >= 2)
@@ -233,6 +259,13 @@ object Unigram {
     * a broadcast + map pass + vocabulary-bounded shuffle. The vocab
     * collect is bounded by `minCount` exactly as the BM25 vocabulary
     * broadcasts in [[Search]].
+    *
+    * The returned vocab is persisted (it was forced during the last
+    * round) and REGISTERED with [[graft.operators.TransientCache]]: a
+    * long-lived session that retrains after a corpus-store compaction
+    * must not keep a CacheManager fragment whose plan reads the old
+    * corpus files — draining drivers reclaim it. Callers may also
+    * `unpersist()` it themselves once consumed.
     */
   def train(docs: DataFrame, textCol: String, rounds: Int = 2,
             maxPhraseLen: Int = 3, minCount: Long = 3L,
@@ -263,6 +296,7 @@ object Unigram {
           vocab = next
           r += 1
         }
+        if (rounds > 0) graft.operators.TransientCache.register(vocab)
         vocab
       } finally { seed.unpersist(); () }
     } finally { weighted.unpersist(); () }

@@ -60,13 +60,15 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     * terminal-until-compact contract shared with
     * [[DedupIndexStore.retire]] and [[SearchIndexStore.retire]]).
     */
-  def retire(ids: DataFrame, idCol: String): Unit =
+  def retire(ids: DataFrame, idCol: String): Unit = {
     ids.select(col(idCol).as("vid")).distinct()
       .join(broadcast(retired.select("vid")), Seq("vid"), "left_anti")
       // materialize BEFORE the append: the anti-join reads the very table
       // the write appends to (self-referencing append otherwise)
       .localCheckpoint(true)
       .write.mode(SaveMode.Append).parquet(s"$dir/retired")
+    graft.operators.TransientCache.drainPath(dir)
+  }
 
   /** Vector ids present in the physical cells OR tombstoned — the
     * replay-guard key set for streaming admission
@@ -121,6 +123,7 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select((Seq("cid", "vid", "vec", "nrm") ++ extra).map(col): _*)
       .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$dir/cells")
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** Re-cluster the accumulated appends: rewrite `cells` so each cid
@@ -139,7 +142,7 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
         .repartition(col("cid")))
     val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** Top-k approximate neighbors of each query vector against the stored
@@ -186,6 +189,7 @@ object AnnIndexStore {
     Seq((nlist, lloydIters)).toDF("nlist", "lloyd_iters")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     v.unpersist()
+    graft.operators.TransientCache.drainPath(dir)
     new AnnIndexStore(dir, spark)
   }
 }

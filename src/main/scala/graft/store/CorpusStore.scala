@@ -46,6 +46,7 @@ object CorpusStore {
     import spark.implicits._
     Seq(nShards).toDF("n_shards")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    graft.operators.TransientCache.drainPath(dir)
     manifest
   }
 
@@ -97,6 +98,7 @@ object CorpusStore {
       .groupBy("shard").agg(sum("n_docs").as("n_docs"),
         sum("n_tokens").as("n_tokens"))
     StoreCompaction.swapIn(spark, s"$dir/manifest", merged.coalesce(1))
+    graft.operators.TransientCache.drainPath(dir)
     manifest(spark, dir)
   }
 
@@ -146,6 +148,7 @@ object CorpusStore {
           .as("n_tokens"))
       .where(col("n_docs") > 0)
     StoreCompaction.swapIn(spark, s"$dir/manifest", merged.coalesce(1))
+    graft.operators.TransientCache.drainPath(dir)
     manifest(spark, dir)
   }
 
@@ -164,7 +167,7 @@ object CorpusStore {
         .repartition(col("shard")).sortWithinPartitions(col(idCol)))
     val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   private def physicalDocs(spark: SparkSession, dir: String): DataFrame =
@@ -194,6 +197,7 @@ object CorpusStore {
              idCol: String = "doc_id"): DataFrame = {
     StoreCompaction.swapIn(spark, s"$dir/manifest",
       census(docs(spark, dir, idCol), textCol).coalesce(1))
+    graft.operators.TransientCache.drainPath(dir)
     manifest(spark, dir)
   }
 

@@ -75,6 +75,7 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
       .localCheckpoint(true)
       .write.mode(SaveMode.Append).parquet(s"$dir/retired")
     spark.catalog.refreshByPath(s"$dir/retired")
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** (n, numHashes, bands) the index was built with. */
@@ -113,6 +114,7 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     // deleted the listing's files)
     spark.catalog.refreshByPath(s"$dir/bands")
     spark.catalog.refreshByPath(s"$dir/shingles")
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** Admit a new batch into an existing index (parquet append). */
@@ -142,7 +144,7 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
         .repartition(col("doc_id")))
     val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    graft.operators.TransientCache.drainPath(dir)
   }
 }
 
@@ -180,8 +182,12 @@ private[store] object StoreCompaction {
     // path; the rename moves files under `path` without any refresh, so
     // cached-plan fragments over `path` keep their pre-swap file listing —
     // drop/refresh them, or the next matching query recomputes against
-    // deleted files (see DedupIndexStore.writeDocs for the observed mode)
+    // deleted files (see DedupIndexStore.writeDocs for the observed mode).
+    // refreshByPath repairs the catalog entry; registered operator
+    // fragments EMBEDDING a read of this path need the registry drain
+    // (refresh cannot reach embedded InMemoryRelations — measured)
     spark.catalog.refreshByPath(path)
+    graft.operators.TransientCache.drainPath(path)
   }
 
   /** Crash-recovery read resolution: the live `path` if present, else the

@@ -66,9 +66,20 @@ final case class GraphStore(
     edges.createOrReplaceTempView("edges")
   }
 
+  /** Cache every table for a serving session — and REGISTER the caches
+    * with [[graft.operators.TransientCache]] (paths auto-extracted from
+    * each plan), so a reindex overwriting this store's directory
+    * ([[write]] drains its path) cannot leave stale CacheManager
+    * fragments to be substituted into post-reindex reads (the
+    * FAILED_READ_FILE / silently-pre-swap-rows mode documented on
+    * TransientCache).
+    */
   def cacheAll(): GraphStore = {
     Seq(directories, files, definitions, importedSymbols, edges,
-      symmetrizedEdges).foreach(_.cache())
+      symmetrizedEdges).foreach { df =>
+      df.cache()
+      graft.operators.TransientCache.register(df)
+    }
     this
   }
 
@@ -87,6 +98,13 @@ final case class GraphStore(
       .write.mode("overwrite").parquet(s"$dir/imported_symbol_nodes")
     edges.write.mode("overwrite").partitionBy("kind")
       .parquet(s"$dir/edges")
+    // serving-session cache hygiene: a long-lived HTTP/MCP server that
+    // reindexes a workspace rewrites these directories while cached plans
+    // from earlier requests sit registered — drop the registered fragments
+    // over this store so post-reindex reads never substitute a stale
+    // listing (refreshByPath alone cannot repair embedded
+    // InMemoryRelations; see graft.operators.TransientCache)
+    graft.operators.TransientCache.drainPath(dir)
   }
 }
 

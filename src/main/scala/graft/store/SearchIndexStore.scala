@@ -98,6 +98,7 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
         Seq((n0 - r.getLong(0), s0 - r.getAs[Double](1)))
           .toDF("n_docs", "sum_dl"))
     }
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** (n_docs, sum_dl) — the maintained corpus scalars. */
@@ -122,6 +123,7 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
     StoreCompaction.swapIn(spark, s"$dir/meta",
       Seq((n0 + add.getLong(0), s0 + add.getAs[Double](1)))
         .toDF("n_docs", "sum_dl"))
+    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** BM25 top-k over the stored index: postings pruned to the query
@@ -209,7 +211,7 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
         .repartition(col("doc_id")))
     val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    graft.operators.TransientCache.drainPath(dir)
   }
 }
 
@@ -237,6 +239,7 @@ object SearchIndexStore {
     import spark.implicits._
     Seq((t.getLong(0), t.getAs[Double](1))).toDF("n_docs", "sum_dl")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    graft.operators.TransientCache.drainPath(dir)
     new SearchIndexStore(dir, spark)
   }
 }

@@ -38,8 +38,11 @@ object StreamingAnnIndex {
       store.admittedVids.select(col("vid").as(idCol)),
       Seq(idCol), "left_anti").localCheckpoint(true)
     val n = fresh.count()
-    // drop operator caches before the mutation (TransientCache scaladoc)
-    graft.operators.TransientCache.drain()
+    // drop operator caches over THIS store before the mutation
+    // (TransientCache scaladoc) — path-scoped so warm caches of unrelated
+    // operators in the same session survive; store.append drains too, but
+    // the guard's own anti-join fragment must go before the write starts
+    graft.operators.TransientCache.drainPath(dir)
     if (n > 0) store.append(fresh, idCol, vecCol)
     n
   }

@@ -88,12 +88,15 @@ object StreamingCuration {
       .localCheckpoint(true)
     val n = survivors.count()
     live.foreach(_.unpersist(false))
-    // drop the dedup operators' internal cached fragments NOW, before the
-    // store mutations below: left registered, a LATER batch's matching
-    // plan would substitute them and — once their blocks are evicted —
-    // recompute against the pre-append file listing (the sf10
-    // FAILED_READ_FILE abort; see graft.operators.TransientCache)
-    graft.operators.TransientCache.drain()
+    // drop the dedup operators' internal cached fragments over the two
+    // stores NOW, before the mutations below: left registered, a LATER
+    // batch's matching plan would substitute them and — once their blocks
+    // are evicted — recompute against the pre-append file listing (the
+    // sf10 FAILED_READ_FILE abort; see graft.operators.TransientCache).
+    // Path-scoped so a serving session's unrelated warm caches survive;
+    // the stores' own mutating faces drain their paths again, harmlessly
+    graft.operators.TransientCache.drainPath(publishDir)
+    graft.operators.TransientCache.drainPath(index.dir)
     if (n > 0) {
       CorpusStore.append(spark, publishDir, survivors, "doc_id", "text")
       index.append(survivors, "doc_id", "text")

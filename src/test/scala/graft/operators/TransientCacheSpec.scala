@@ -38,6 +38,32 @@ class TransientCacheSpec extends SparkSpec {
     assert(frag2.head().getLong(0) == 555L) // fresh data, no stale plan
   }
 
+  test("drainPath drops only fragments whose plans read under the mutated " +
+    "dir — unrelated warm caches survive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tscope")
+      .toString
+    (1 to 50).toDF("v").write.parquet(s"$root/storeA/part")
+    (1 to 50).toDF("v").write.parquet(s"$root/storeB")
+    val overA = TransientCache.cache(
+      spark.read.parquet(s"$root/storeA/part").select(sum("v").as("s")))
+    val overB = TransientCache.cache(
+      spark.read.parquet(s"$root/storeB").select(sum("v").as("s")))
+    val pureMem = TransientCache.cache((1 to 10).toDF("x"))
+    Seq(overA, overB, pureMem).foreach(_.count())
+    // mutating the PARENT of a read path must drain the child's fragment
+    TransientCache.drainPath(s"$root/storeA")
+    assert(overA.storageLevel == StorageLevel.NONE, "storeA fragment drained")
+    assert(overB.storageLevel != StorageLevel.NONE, "storeB cache survives")
+    assert(pureMem.storageLevel != StorageLevel.NONE, "file-free cache survives")
+    // and mutating a CHILD of a read root drains the wildcard-style reader
+    val overRootB = TransientCache.cache(
+      spark.read.parquet(s"$root/storeB").select(count(lit(1))))
+    overRootB.count()
+    TransientCache.drainPath(s"$root/storeB/sub")
+    assert(overRootB.storageLevel == StorageLevel.NONE)
+    TransientCache.drain()
+  }
+
   test("dedup faces leave no registered transient caches after drain") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
       (3L, "x y z w q r s")).toDF("doc_id", "text")

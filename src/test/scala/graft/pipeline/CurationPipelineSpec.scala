@@ -132,6 +132,101 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ids2 == Set(12L), s"near-dup of admitted history must drop: $ids2")
   }
 
+  test("batch pipeline twice in one session against a REBUILT index dir " +
+    "survives forced block eviction between passes (the drain seam)") {
+    // The Bench two-pass protocol: DedupIndexStore.build (Overwrite —
+    // deletes the pass-1 files) at the SAME dir, then run() again. Pass 1
+    // leaves the dedup operators' transient caches registered unless
+    // run() drains them; this sweep then frees their BLOCKS at the RDD
+    // level — which does NOT unregister the SQL CacheManager entries, the
+    // exact memory-pressure state documented in TransientCache: pass 2's
+    // matching plan would substitute a blockless fragment and recompute
+    // from the pre-rebuild file listing (deleted files → FAILED_READ_FILE,
+    // the sf10 abort). With the drain in CurationPipeline.run, both
+    // passes complete and publish identical summaries.
+    val root = Files.createTempDirectory("graft-e2e4").toString
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    // history shares a near-dup with the batch so the incremental face
+    // genuinely reads (and caches over) the index files
+    val history = Seq(doc(100, 1), doc(101, 40)).toDF("doc_id", "text", "source")
+    val batch = (Seq((11L, doc(1, 1, mutate = 9)._2, "srcA")) ++
+      (2 to 9).map(i => doc(i.toLong, i))).toDF("doc_id", "text", "source")
+    def pass(): (Seq[org.apache.spark.sql.Row], Set[Long]) = {
+      DedupIndexStore.build(spark, s"$root/idx",
+        history.select("doc_id", "text"), "doc_id", "text")
+      val res = runBatch(batch, s"$root/idx", s"$root/pub", bench)
+      (res.summary.collect().toSeq,
+        CorpusStore.docs(spark, s"$root/pub")
+          .select("doc_id").as[Long].collect().toSet)
+    }
+    val p1 = pass()
+    // survivor check: 11 is a near-dup of admitted history, must drop
+    assert(p1._2 == (2L to 9L).toSet, s"pass 1 published ${p1._2}")
+    // forced eviction: free every persisted block (RDD-level, registry
+    // entries untouched) — simulates executor memory pressure
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val p2 = pass()
+    assert(p2 == p1, "rebuilt-index rerun diverged after eviction")
+  }
+
+  test("resumable pipeline: killed at every stage boundary, the resumed " +
+    "run equals the one-shot run (summary, corpus, index state)") {
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val history = Seq(doc(100, 1), doc(101, 40))
+      .toDF("doc_id", "text", "source").select("doc_id", "text")
+    // 11 = near-dup of admitted history (exercises the index read);
+    // 2..9 fresh
+    val batch = (Seq((11L, doc(1, 1, mutate = 9)._2, "srcA")) ++
+      (2 to 9).map(i => doc(i.toLong, i))).toDF("doc_id", "text", "source")
+    def freshDirs(): (String, DedupIndexStore, String, String) = {
+      val r = Files.createTempDirectory("graft-resume").toString
+      val idx = DedupIndexStore.build(spark, s"$r/idx", history,
+        "doc_id", "text")
+      (r, idx, s"$r/pub", s"$r/work")
+    }
+    def resumable(idx: DedupIndexStore, pub: String, work: String,
+                  kill: String): CurationPipeline.Result =
+      CurationPipeline.runResumable(spark, batch, "doc_id", "text",
+        bench, "text", dsirTarget = col("source") === "srcA",
+        index = idx, publishDir = pub, workDir = work,
+        cfg = CurationPipeline.Config(minBoilerDocs = 3),
+        checkpoint = s =>
+          if (s == kill) throw new RuntimeException(s"killed after $s"))
+    def indexSize(idx: DedupIndexStore): Long =
+      idx.shingles.select("doc_id").distinct().count()
+
+    // the one-shot reference (the in-memory face)
+    val (_, idxRef, pubRef, _) = freshDirs()
+    val ref = CurationPipeline.run(spark, batch, "doc_id", "text",
+      bench, "text", dsirTarget = col("source") === "srcA",
+      index = idxRef, publishDir = pubRef,
+      cfg = CurationPipeline.Config(minBoilerDocs = 3))
+      .summary.collect().toSeq
+    val refIdxSize = indexSize(idxRef)
+
+    // resumable with no kill equals the one-shot face outright
+    val (_, idx0, pub0, work0) = freshDirs()
+    assert(resumable(idx0, pub0, work0, kill = "none")
+      .summary.collect().toSeq == ref)
+    assert(indexSize(idx0) == refIdxSize)
+
+    // killed after each stage artifact, then resumed: identical output
+    for (kp <- Seq("survivors", "tokenizer", "publish", "admit")) {
+      val (_, idx, pub, work) = freshDirs()
+      val e = intercept[RuntimeException](resumable(idx, pub, work, kp))
+      assert(e.getMessage.contains(kp))
+      val resumed = resumable(idx, pub, work, kill = "none")
+      assert(resumed.summary.collect().toSeq == ref,
+        s"resume after '$kp' diverged from the one-shot run")
+      assert(indexSize(idx) == refIdxSize,
+        s"index state after '$kp' resume diverged")
+      // resuming AGAIN is a no-op on state (idempotent admission)
+      assert(resumable(idx, pub, work, kill = "none")
+        .summary.collect().toSeq == ref)
+      assert(indexSize(idx) == refIdxSize)
+    }
+  }
+
   test("streaming curation: MemoryStream micro-batches equal sequential " +
     "batch admission; crash-replay admits nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

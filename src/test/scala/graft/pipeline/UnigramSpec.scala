@@ -154,6 +154,29 @@ class UnigramSpec extends SparkSpec {
     assert(enc.getLong(1) == 4L && enc.getLong(2) == 2L)
   }
 
+  test("encode over NEW documents: an OOV token becomes its own piece and " +
+       "the DP restarts — in-vocab phrases after it still win") {
+    import spark.implicits._
+    val train = Seq.fill(5)("q r q r").toDF("text")
+    val vocab = Unigram.train(train, "text", rounds = 2, maxPhraseLen = 3,
+      minCount = 2)
+    // production face: a persisted store encodes documents the trainer
+    // never saw — "zzz" is out of vocabulary
+    val dir = java.nio.file.Files.createTempDirectory("graft-unioov").toString
+    graft.store.TokenizerStore.saveUnigram(spark, dir, vocab)
+    val store = graft.store.TokenizerStore.open(spark, dir)
+    val newDocs = Seq(
+      (1L, "q r zzz q r"),   // OOV mid-doc: [q r][zzz][q r] = 3 pieces
+      (2L, "zzz q r q r"),   // OOV first:  [zzz][q r][q r] = 3 pieces
+      (3L, "zzz zzz zzz"),   // all OOV: 3 single pieces
+      (4L, "q r q r")        // control, no OOV: [q r][q r] = 2 pieces
+    ).toDF("doc_id", "text")
+    val got = store.encode(newDocs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5L, 3L), (2L, 5L, 3L), (3L, 3L, 3L), (4L, 4L, 2L)),
+      s"got $got")
+  }
+
   test("TokenizerStore round-trips the unigram vocabulary") {
     import spark.implicits._
     val docs = Seq("m n m n", "m n o").zipWithIndex
