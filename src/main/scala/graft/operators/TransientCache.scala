@@ -51,15 +51,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object TransientCache {
 
+  private final case class Entry(paths: Option[Set[String]], seq: Long)
+
   /** Registered fragment → the normalized filesystem paths its analyzed
-    * plan reads; None when path extraction failed (drained by ANY
-    * drainPath — conservative).
+    * plan reads (None when path extraction failed — drained by ANY
+    * drainPath, conservative) + a monotonic registration sequence (the
+    * [[beginScope]]/[[drainScope]] lifecycle handle).
     */
   private val reg =
-    new java.util.concurrent.ConcurrentHashMap[DataFrame, Option[Set[String]]]()
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, Entry]()
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Persist `df` (the Dataset.cache() level) and register it for the
-    * next [[drain]]/[[drainPath]].
+    * next [[drain]]/[[drainPath]]/[[drainScope]].
     */
   def cache(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -72,9 +76,28 @@ object TransientCache {
     * must still be reclaimable by draining drivers.
     */
   def register(df: DataFrame): DataFrame = {
-    reg.put(df, sourcePaths(df))
+    reg.put(df, Entry(sourcePaths(df), seqGen.incrementAndGet()))
     df
   }
+
+  /** Open a lifecycle scope: everything registered AFTER this call is
+    * dropped by the matching [[drainScope]]. Composed drivers (the batch
+    * curation pipeline, the streaming foreachBatch faces) bracket their
+    * run with this, so their operator-internal fragments end with the
+    * run instead of lingering — a lingering fragment whose BLOCKS a later
+    * RDD-level sweep frees is worse than no cache at all: the sweep
+    * clears the buffer RDD's storage level without unregistering the SQL
+    * entry, so every later matching plan substitutes a fragment that
+    * recomputes ON EVERY USE and never re-materializes (measured: the
+    * e2e rerun's new×seen stage at 9.2× its first-pass cost, three
+    * consumers each recomputing the full upstream chain). Scoped
+    * draining leaves caches registered by OTHER operators in the session
+    * untouched.
+    */
+  def beginScope(): Long = seqGen.get()
+
+  /** Drop every fragment registered after `mark` (see [[beginScope]]). */
+  def drainScope(mark: Long): Unit = drainWhere(_.seq > mark)
 
   /** `.transientCache()` syntax for operator internals. */
   implicit final class Syntax(private val df: DataFrame) extends AnyVal {
@@ -109,12 +132,12 @@ object TransientCache {
     */
   def drainPath(dir: String): Unit = {
     val target = normalize(dir)
-    drainWhere {
+    drainWhere(_.paths match {
       case None => true
       case Some(paths) => paths.exists(p =>
         p == target || p.startsWith(target + "/") ||
           target.startsWith(p + "/"))
-    }
+    })
   }
 
   /** Unpersist every registered cache (removing its CacheManager entry
@@ -122,7 +145,7 @@ object TransientCache {
     */
   def drain(): Unit = drainWhere(_ => true)
 
-  private def drainWhere(pred: Option[Set[String]] => Boolean): Unit = {
+  private def drainWhere(pred: Entry => Boolean): Unit = {
     val it = reg.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

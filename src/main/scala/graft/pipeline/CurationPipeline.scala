@@ -72,6 +72,11 @@ object CurationPipeline {
           textCol: String, benchmark: DataFrame, benchTextCol: String,
           dsirTarget: Column, index: DedupIndexStore, publishDir: String,
           cfg: Config = Config(), staged: Boolean = false): Result = {
+    // lifecycle scope: every operator-internal fragment registered during
+    // this run is dropped once the stores are final — lingering fragments
+    // whose blocks a later RDD sweep frees become recompute-per-use traps
+    // (see TransientCache.beginScope)
+    val scope = graft.operators.TransientCache.beginScope()
     val stats = scala.collection.mutable.ListBuffer.empty[StageStat]
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
@@ -129,6 +134,10 @@ object CurationPipeline {
     // survivors — nothing at corpus scale)
     index.append(CorpusStore.docs(spark, publishDir)
       .select("doc_id", "text"), "doc_id", "text")
+    // both stores are final: the run's remaining operator fragments (the
+    // ones over the immutable SOURCE corpus, deliberately spared by the
+    // path drains above) have served every consumer — end their lifecycle
+    graft.operators.TransientCache.drainScope(scope)
     if (staged) {
       val n = CorpusStore.manifest(spark, publishDir)
         .agg(sum("n_docs")).head().getLong(0)
@@ -153,8 +162,14 @@ object CurationPipeline {
     */
   private def readBackSummary(spark: SparkSession, publishDir: String,
                               merges: DataFrame, cfg: Config): DataFrame = {
-    val stored = CorpusStore.docs(spark, publishDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // registered (not just persisted): the returned summary is lazy, so
+    // this cache must outlive the call — registration hands its lifetime
+    // to the store drains, so the NEXT publish over the same corpus dir
+    // reclaims it instead of leaking one 100%-of-corpus cache per run in
+    // a long-lived session
+    val stored = graft.operators.TransientCache.register(
+      CorpusStore.docs(spark, publishDir)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val expectOk = graft.operators.Profile.expect(stored, Seq(
         "id_present" -> col("doc_id").isNotNull,
         "text_nonempty" -> (length(col("text")) > 0),
@@ -219,6 +234,7 @@ object CurationPipeline {
                    index: DedupIndexStore, publishDir: String,
                    workDir: String, cfg: Config = Config(),
                    checkpoint: String => Unit = _ => ()): Result = {
+    val scope = graft.operators.TransientCache.beginScope()
     val hconf = spark.sparkContext.hadoopConfiguration
     def fsOf(p: String) =
       new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
@@ -283,6 +299,8 @@ object CurationPipeline {
         Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     if (!fresh.isEmpty) index.append(fresh, "doc_id", "text")
+    // stores final — end the run's fragment lifecycle (run() discipline)
+    graft.operators.TransientCache.drainScope(scope)
     checkpoint("admit")
 
     // ---- E. summary: pure read-back, recomputed on every resume

@@ -47,25 +47,39 @@ object TextAnalysis {
   def withQuality(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    // null denominators instead of zero: empty/token-less documents (legal
-    // after an upstream line scrub) get null ratios and a null score —
-    // which every downstream `>= threshold` filter drops — rather than an
-    // ANSI DIVIDE_BY_ZERO job failure
-    val nChars = nullif(length(t).cast("double"), lit(0.0))
-    val nAlpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
-    val nPunct = length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("double")
-    val nToks = nullif(size(toks).cast("double"), lit(0.0))
-    val stopHits = size(filter(toks,
-      x => array_contains(array(stopwords("en").map(lit): _*), x))).cast("double")
-    docs
+    // Raw features land in their OWN projection, so every expensive
+    // expression (the regexp replaces, the tokenization) is an attribute
+    // by the time the null-guarded ratios reference it. Feeding them to
+    // the ratios as full expressions nested inside nullif's If puts them
+    // in CONDITIONAL branches, which whole-stage codegen's common-
+    // subexpression elimination does not hoist — measured as a 2.0×
+    // same-session regression on this exact face (SCALE.md round 11);
+    // attribute references cost nothing to repeat.
+    val raw = docs
       .withColumn("n_chars", length(t))
       .withColumn("n_tokens", size(toks))
-      .withColumn("alpha_ratio", round(nAlpha / nChars, 4))
-      .withColumn("punct_ratio", round(nPunct / nChars, 4))
-      .withColumn("stopword_ratio", round(stopHits / nToks, 4))
+      .withColumn("q_alpha",
+        length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double"))
+      .withColumn("q_punct",
+        length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("double"))
+      .withColumn("q_stop", size(filter(toks,
+        x => array_contains(array(stopwords("en").map(lit): _*), x)))
+        .cast("double"))
+    // null denominators instead of zero: empty/token-less documents (legal
+    // after an upstream line scrub) get null ratios and a null score —
+    // which every downstream `>= threshold` filter drops — rather than a
+    // divide-by-zero NaN leaking into score arithmetic
+    val nChars = nullif(col("n_chars").cast("double"), lit(0.0))
+    val nToks = nullif(col("n_tokens").cast("double"), lit(0.0))
+    raw
+      .withColumn("alpha_ratio", round(col("q_alpha") / nChars, 4))
+      .withColumn("punct_ratio", round(col("q_punct") / nChars, 4))
+      .withColumn("stopword_ratio", round(col("q_stop") / nToks, 4))
       .withColumn("quality_score",
-        round(lit(0.4) * (nAlpha / nChars) + lit(0.3) * (stopHits / nToks) +
+        round(lit(0.4) * (col("q_alpha") / nChars) +
+          lit(0.3) * (col("q_stop") / nToks) +
           lit(0.3) * least(lit(1.0), nToks / lit(100.0)), 4))
+      .drop("q_alpha", "q_punct", "q_stop")
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens
@@ -96,25 +110,33 @@ object TextAnalysis {
   def withGopherRules(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    // null denominator for word-less documents (legal after a line scrub):
-    // null ratios + keep=false, not an ANSI DIVIDE_BY_ZERO job failure
-    val nWords = nullif(size(toks).cast("double"), lit(0.0))
-    val wordChars = length(regexp_replace(normText(t), " ", "")).cast("double")
-    val stopHits = size(array_intersect(array_distinct(toks),
-      array(stopwords("en").map(lit): _*)))
-    val symbolHits = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
-    val alphaWords = size(filter(toks, x => x.rlike("[a-z]"))).cast("double")
-    docs
+    // same hoist discipline as withQuality: raw features become
+    // attributes BEFORE the null-guarded ratios reference them, keeping
+    // the expensive expressions out of nullif's conditional branches
+    // (where codegen CSE cannot reach — the measured 1.45× regression)
+    val raw = docs
       .withColumn("n_words", size(toks))
-      .withColumn("mean_wlen", round(wordChars / nWords, 4))
-      .withColumn("stop_hits", stopHits)
-      .withColumn("symbol_ratio", round(symbolHits / nWords, 4))
-      .withColumn("alpha_frac", round(alphaWords / nWords, 4))
+      .withColumn("g_wchars",
+        length(regexp_replace(normText(t), " ", "")).cast("double"))
+      .withColumn("stop_hits", size(array_intersect(array_distinct(toks),
+        array(stopwords("en").map(lit): _*))))
+      .withColumn("g_sym",
+        size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))))
+      .withColumn("g_alphaw",
+        size(filter(toks, x => x.rlike("[a-z]"))).cast("double"))
+    // null denominator for word-less documents (legal after a line
+    // scrub): null ratios + keep=false, never a NaN verdict
+    val nWords = nullif(col("n_words").cast("double"), lit(0.0))
+    raw
+      .withColumn("mean_wlen", round(col("g_wchars") / nWords, 4))
+      .withColumn("symbol_ratio", round(col("g_sym") / nWords, 4))
+      .withColumn("alpha_frac", round(col("g_alphaw") / nWords, 4))
       .withColumn("keep", coalesce(
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
           col("symbol_ratio") < 0.1 && col("alpha_frac") > 0.8 &&
           col("stop_hits") >= 2, lit(false)))
+      .drop("g_wchars", "g_sym", "g_alphaw")
   }
 
   /** Gopher-style intra-document repetition signals (Rae et al. 2021,

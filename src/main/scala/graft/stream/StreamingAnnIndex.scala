@@ -30,6 +30,7 @@ object StreamingAnnIndex {
     */
   def admitBatch(batch: DataFrame, dir: String, idCol: String,
                  vecCol: String): Long = {
+    val scope = graft.operators.TransientCache.beginScope()
     val store = new AnnIndexStore(dir, batch.sparkSession)
     // localCheckpoint severs the plan's store dependency BEFORE append
     // writes into the cells table the anti-join is reading
@@ -44,6 +45,7 @@ object StreamingAnnIndex {
     // the guard's own anti-join fragment must go before the write starts
     graft.operators.TransientCache.drainPath(dir)
     if (n > 0) store.append(fresh, idCol, vecCol)
+    graft.operators.TransientCache.drainScope(scope)
     n
   }
 

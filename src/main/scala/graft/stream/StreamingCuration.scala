@@ -51,6 +51,7 @@ object StreamingCuration {
                    index: DedupIndexStore, publishDir: String,
                    cfg: CurationPipeline.Config = CurationPipeline.Config())
       : Long = {
+    val scope = graft.operators.TransientCache.beginScope()
     val spark = batch.sparkSession
     // an empty-seeded store has no doc files yet (partitioned write of
     // zero rows), so the published-ids read would fail schema inference —
@@ -101,6 +102,10 @@ object StreamingCuration {
       CorpusStore.append(spark, publishDir, survivors, "doc_id", "text")
       index.append(survivors, "doc_id", "text")
     }
+    // end the batch's fragment lifecycle: survivors are checkpointed and
+    // the stores final, so nothing may linger into the next micro-batch
+    // (a later RDD sweep would turn it into a recompute-per-use trap)
+    graft.operators.TransientCache.drainScope(scope)
     n
   }
 
