@@ -741,14 +741,25 @@ object Dedup {
                               n: Int = 3, numHashes: Int = 128,
                               bands: Int = 32,
                               threshold: Double = 0.8): DataFrame = {
-    index.requireParams(n, numHashes, bands)
-    val rowsPerBand = numHashes / bands
+    // numHashes = 0 ADOPTS the index's stored band family (the
+    // auto-planned-build path: the family was chosen at admission time
+    // from the corpus's sampled pair-similarity distribution, and the
+    // query must sign the new docs with the SAME family or match
+    // nothing); explicit parameters are validated against the store
+    val (nh, nb) =
+      if (numHashes > 0) { index.requireParams(n, numHashes, bands)
+        (numHashes, bands) }
+      else { val p = index.params
+        require(p._1 == n, s"index at ${index.dir} shingles at n=${p._1}, " +
+          s"query wants n=$n")
+        (p._2, p._3) }
+    val rowsPerBand = nh / nb
     val newBase = newDocs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .transientCache() // band input + verification side
     val newBands = newBase.select(col("doc_id"),
-      posexplode(bandKeys(minhashSig(col("sh"), numHashes), bands, rowsPerBand))
+      posexplode(bandKeys(minhashSig(col("sh"), nh), nb, rowsPerBand))
         .as(Seq("band", "key")))
     val candidates = newBands.alias("x")
       .join(index.bands.alias("y"),
@@ -762,11 +773,11 @@ object Dedup {
     val candSeen = candidates.select(col("seen_id").as("doc_id")).distinct()
     val estPassed = estPrefilter(candidates, "new_id", "seen_id",
       newBase.select(col("doc_id").as("new_id"),
-        minhashSig(col("sh"), numHashes).as("mha")),
+        minhashSig(col("sh"), nh).as("mha")),
       index.shingles.join(candSeen, "doc_id")
         .select(col("doc_id").as("seen_id"),
-          minhashSig(col("sh"), numHashes).as("mhb")),
-      numHashes, threshold)
+          minhashSig(col("sh"), nh).as("mhb")),
+      nh, threshold)
     estPassed
       .join(newBase.select(col("doc_id").as("new_id"), col("sh").as("sha")),
         "new_id")

@@ -241,16 +241,37 @@ private[store] object StoreCompaction {
 
 object DedupIndexStore {
 
-  /** Build (overwrite) the index at `dir` from a corpus. */
+  /** Build (overwrite) the index at `dir` from a corpus.
+    *
+    * `numHashes = 0` auto-plans the band family from the corpus count and
+    * the SAMPLED pair-similarity distribution
+    * ([[graft.pipeline.Dedup.minhashPlanForSample]]) — the same
+    * scale-safe convention as [[graft.pipeline.Dedup.minhashLshPairs]],
+    * and the build-time lever the sf30 measurements point at: on a
+    * corpus with heavy mid-similarity mass (cross-copy siblings at
+    * j ≈ 1/3), a fixed r=4 family co-bands ~40% of that mass into the
+    * incremental face's candidate set, where the planner's r=5 cuts it
+    * ~3×. The family is chosen ONCE, at admission time, and persisted in
+    * `meta/` — queries adopt it (their `numHashes = 0` face) or must
+    * match it exactly.
+    */
   def build(spark: SparkSession, dir: String, docs: DataFrame,
             idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
-            bands: Int = 32): DedupIndexStore = {
-    require(numHashes % bands == 0, s"bands must divide numHashes")
+            bands: Int = 32, threshold: Double = 0.8): DedupIndexStore = {
+    val (h, b) =
+      if (numHashes > 0) (numHashes, bands)
+      else {
+        val (sampledPairs, sampledJ) = graft.pipeline.Dedup
+          .estimateJaccardSample(docs, idCol, textCol, n)
+        if (sampledPairs <= 0) (128, 32) // empty/1-doc corpus: any family
+        else graft.pipeline.Dedup.minhashPlanForSample(
+          math.max(docs.count(), 2L), threshold, sampledPairs, sampledJ)
+      }
+    require(h % b == 0, s"bands must divide numHashes")
     val store = new DedupIndexStore(dir, spark)
-    store.writeDocs(docs, idCol, textCol, n, numHashes, bands,
-      SaveMode.Overwrite)
+    store.writeDocs(docs, idCol, textCol, n, h, b, SaveMode.Overwrite)
     import spark.implicits._
-    Seq((n, numHashes, bands)).toDF("n", "num_hashes", "bands")
+    Seq((n, h, b)).toDF("n", "num_hashes", "bands")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     store
   }

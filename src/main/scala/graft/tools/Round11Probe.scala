@@ -51,6 +51,7 @@ object Round11Probe {
       case "wpdist" => wordpieceDistributed(spark, sfDir)
       case "abquality" => abQuality(spark, sfDir)
       case "incr" => incrementalIsolated(spark, sfDir)
+      case "incrauto" => incrementalAuto(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
   }
@@ -255,6 +256,52 @@ object Round11Probe {
         s""""median_sec":${f"${ts(ts.size / 2)}%.3f"},""" +
         s""""reps":${ts.size}}""")
     }
+  }
+
+  /** The auto-planned index build (numHashes = 0: family priced from the
+    * sampled pair-similarity distribution at ADMISSION time) against the
+    * same seen/new split as [[incrementalIsolated]] — the build-time
+    * lever for candidate densification. Reports the planned family, the
+    * candidate volume it admits, and the adopted-family query cost.
+    */
+  private def incrementalAuto(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val seen = docs.where(col("doc_id") % 5 =!= 4)
+    val fresh = docs.where(col("doc_id") % 5 === 4)
+    val (nSeen, nFresh) = (seen.count(), fresh.count())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_r11_incra_" +
+      ProcessHandle.current().pid()
+    graft.SparkEntry.registerTmpCleanup(s"$base/idx")
+    val (idx, idxSec) = timed {
+      graft.store.DedupIndexStore.build(spark, s"$base/idx", seen,
+        "doc_id", "text", numHashes = 0)
+    }
+    val (_, h, b) = idx.params
+    val passes = (1 to 2).map { _ =>
+      timed {
+        graft.pipeline.Dedup.crossCorpusPairsIndexed(fresh, "doc_id",
+          "text", idx, numHashes = 0, threshold = 0.8).count()
+      }
+    }
+    val pairs = passes.head._1
+    val sec = passes.map(_._2).min
+    import graft.functions.TextFunctions._
+    val rowsPerBand = h / b
+    val newBands = fresh
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(
+        bandKeys(minhashSig(col("sh"), h), b, rowsPerBand))
+        .as(Seq("band", "key")))
+    val candidates = newBands.alias("x")
+      .join(idx.bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("seen_id"))
+      .distinct().count()
+    println(s"""{"metric":"incr_auto","seen":$nSeen,"new":$nFresh,""" +
+      s""""planned_hashes":$h,"planned_bands":$b,""" +
+      s""""index_build_sec":${f"$idxSec%.1f"},"pairs":$pairs,""" +
+      s""""candidates":$candidates,"query_sec":${f"$sec%.1f"}}""")
   }
 
   /** Item 7: the incremental face isolated. Seen = 80% of the corpus

@@ -1660,6 +1660,66 @@ class PipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(dir))
   }
 
+  test("auto-planned dedup index: numHashes=0 builds with the sampled-" +
+    "distribution family, queries adopt it, pairs equal the fixed face") {
+    import spark.implicits._
+    // a corpus with real mid-similarity structure so the planner has a
+    // distribution to price: 60 base docs, each with a ~0.5-jaccard
+    // sibling (first half shared) and one exact-threshold near-dup
+    val vocab = (0 until 200).map(i => s"tok$i")
+    def doc(seed: Int): String =
+      (0 until 40).map(i => vocab((seed * 17 + i * 7) % vocab.size))
+        .mkString(" ")
+    def mutate(s: String): String = { val w = s.split(" ")
+      (w.init :+ "zchanged").mkString(" ") }
+    val seen = (0 until 60).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val freshText = (0 until 40).map(i => s"fresh$i").mkString(" ")
+    val fresh = Seq(
+      (100L, mutate(doc(3))), // near-dup of seen 3
+      (101L, freshText)       // fresh content, disjoint token space
+    ).toDF("doc_id", "text")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ddauto").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft_ddfix").toString
+    try {
+      val auto = graft.store.DedupIndexStore.build(spark, dirA, seen,
+        "doc_id", "text", numHashes = 0)
+      val (n, h, b) = auto.params
+      assert(n == 3 && h > 0 && b > 0 && h % b == 0,
+        s"planned family must be stored and divisible: ($n, $h, $b)")
+      // adopted-family query (numHashes = 0) equals the fixed-family face
+      val viaAuto = Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text",
+        auto, numHashes = 0).orderBy("new_id", "seen_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val fixed = graft.store.DedupIndexStore.build(spark, dirF, seen,
+        "doc_id", "text")
+      val viaFixed = Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text",
+        fixed).orderBy("new_id", "seen_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(viaAuto == viaFixed, s"auto $viaAuto != fixed $viaFixed")
+      // the stride construction makes seed 16 a true ~0.85-jaccard
+      // sibling of seed 3 (token positions shift by 3), so the mutated
+      // fresh doc legitimately matches both
+      assert(viaAuto.map(p => (p._1, p._2)) == Seq((100L, 3L), (100L, 16L)))
+      // an n mismatch against an adopted family is still an error
+      intercept[IllegalArgumentException] {
+        Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text", auto,
+          n = 4, numHashes = 0)
+      }
+      // admission appends sign with the STORED family: a doc appended to
+      // the auto index is findable by a later adopted-family query
+      auto.append(fresh, "doc_id", "text")
+      val today = Seq((200L, mutate(freshText))).toDF("doc_id", "text")
+      val hits = Dedup.crossCorpusPairsIndexed(today, "doc_id", "text",
+        auto, numHashes = 0).select("seen_id").as[Long].collect().toSeq
+      assert(hits == Seq(101L), s"appended doc must match: $hits")
+    } finally {
+      graft.store.GraphStore.deleteRecursively(
+        java.nio.file.Paths.get(dirA))
+      graft.store.GraphStore.deleteRecursively(
+        java.nio.file.Paths.get(dirF))
+    }
+  }
+
   test("triangle delta: incremental count equals census difference on random splits") {
     import spark.implicits._
     val n = 60
