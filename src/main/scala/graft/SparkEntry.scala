@@ -3614,8 +3614,13 @@ object SparkEntry {
     //      phrase length so every recursive-term join is a pure hash
     //      equality (a combined ON forces a per-iteration NLJ, 30×).
     val uniMinCount = 3
-    val uniPrelude = s"""WITH RECURSIVE d_utoks AS MATERIALIZED (
-        SELECT doc_id, $sqlToks AS toks FROM documents),
+    // `trainWhere` restricts the TRAINING corpus and `src` substitutes the
+    // document source (the OOV encode gate trains on a subset of a
+    // per-doc-token-bearing rewrite so encode sees genuinely unseen
+    // tokens); the walks read d_utoks, so training stays subset-scoped
+    def uniPreludeFor(trainWhere: String, src: String = "documents"): String =
+      s"""WITH RECURSIVE d_utoks AS MATERIALIZED (
+        SELECT doc_id, $sqlToks AS toks FROM $src$trainWhere),
       ugrams AS (
         SELECT toks[g.i] AS phrase, 1 AS plen
         FROM d_utoks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
@@ -3635,18 +3640,37 @@ object SparkEntry {
         SELECT phrase, CAST(plen AS INT) AS plen, cnt
         FROM ugcnt WHERE plen = 1
         UNION ALL SELECT phrase, plen, cnt FROM uv0multi)"""
+    val uniPrelude = uniPreludeFor("")
     // per-plen probability splits of a (phrase, plen, cnt) base CTE
     def uniVsplit(pfx: String, base: String): String = (1 to 3).map { l =>
       s"""${pfx}s$l AS MATERIALIZED (SELECT phrase,
         cnt::DOUBLE / (SELECT sum(cnt) FROM $base)::DOUBLE AS p
         FROM $base WHERE plen = $l)"""
     }.mkString(",\n      ")
-    // one Viterbi E-step: forward walk + backtrack + usage recount
-    def uniWalk(pfx: String, v: String): String = s"""${pfx}w AS (
+    // one Viterbi E-step: forward walk + backtrack + usage recount.
+    // `src` is the walked corpus (training walks read the — possibly
+    // subset-scoped — d_utoks); `oovRestart` replays the engine's encode-
+    // face unknown handling: a position where NO candidate phrase is in
+    // the vocabulary (greatest = 0, reachable only when walking documents
+    // the vocab wasn't trained on) is emitted as its own single-token
+    // piece and the carried DP score RESTARTS at 1.0 (Unigram.viterbiPath)
+    def uniWalk(pfx: String, v: String, src: String = "d_utoks",
+                oovRestart: Boolean = false): String = {
+      val bestExpr =
+        if (oovRestart)
+          """CASE WHEN greatest(c1, c2, c3) = 0.0 THEN CAST(1.0 AS DOUBLE)
+                 ELSE greatest(c1, c2, c3) END"""
+        else "greatest(c1, c2, c3)"
+      val oovArm =
+        if (oovRestart)
+          "CASE WHEN greatest(c1, c2, c3) = 0.0 THEN CAST(1 AS TINYINT)\n" +
+            "                 WHEN c3 = greatest(c1, c2, c3) THEN CAST(3 AS TINYINT)"
+        else "CASE WHEN c3 = greatest(c1, c2, c3) THEN CAST(3 AS TINYINT)"
+      s"""${pfx}w AS (
         SELECT doc_id, toks, len(toks) AS ntok, 0 AS i,
           CAST(1.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2,
           CAST(0.0 AS DOUBLE) AS b3, CAST([] AS TINYINT[]) AS path
-        FROM d_utoks WHERE len(toks) > 0
+        FROM $src WHERE len(toks) > 0
         UNION ALL
         SELECT doc_id, toks, ntok, i + 1,
           CASE WHEN best < pow(2.0, -400) THEN best * pow(2.0, 400) ELSE best END,
@@ -3654,8 +3678,8 @@ object SparkEntry {
           CASE WHEN best < pow(2.0, -400) THEN b2 * pow(2.0, 400) ELSE b2 END,
           list_append(path, chosen)
         FROM (
-          SELECT q.*, greatest(c1, c2, c3) AS best,
-            CASE WHEN c3 = greatest(c1, c2, c3) THEN CAST(3 AS TINYINT)
+          SELECT q.*, $bestExpr AS best,
+            $oovArm
                  WHEN c2 = greatest(c1, c2, c3) THEN CAST(2 AS TINYINT)
                  ELSE CAST(1 AS TINYINT) END AS chosen
           FROM (
@@ -3687,6 +3711,7 @@ object SparkEntry {
           CAST(path[pos] AS INT) AS plen, CAST(count(*) AS BIGINT) AS n
         FROM ${pfx}bt WHERE pos > 0 GROUP BY 1, 2
       )"""
+    }
     // M-step: singles floored at max(usage, 1); multis survive iff used
     def uniNextBase(pfx: String, prevBase: String): String =
       s"""${pfx}base AS MATERIALIZED (
@@ -3747,6 +3772,51 @@ object SparkEntry {
       graft.store.TokenizerStore.saveUnigram(s, dir,
         graft.pipeline.Unigram.train(docs, "text",
           rounds = 2, maxPhraseLen = 3, minCount = uniMinCount))
+      graft.store.TokenizerStore.open(s, dir)
+        .encode(docs, "doc_id", "text").orderBy("doc_id")
+    }
+
+    // ---- Unigram encode with REACHABLE OOV: every document gains a
+    //      per-doc token (` q<doc_id>z` — the synthetic corpus draws from
+    //      one shared vocabulary, so a mere train-subset split yields ZERO
+    //      OOV positions at any SF; measured), the vocab trains on 30% of
+    //      the rewritten corpus (doc_id % 10 < 3), publishes through the
+    //      store, and encodes ALL documents — the other 70%'s per-doc
+    //      tokens are STRUCTURALLY unseen, so the production face's OOV
+    //      restart (emit the unknown as its own piece, reset the DP score
+    //      to 1.0 — Unigram.viterbiPath) executes on the gate path, not
+    //      just in specs. The oracle's final walk replays the restart
+    //      (uniWalk oovRestart) over the full corpus against the subset-
+    //      trained vocabulary.
+    val uniOovSrc = "(SELECT doc_id, text || ' q' || " +
+      "CAST(doc_id AS VARCHAR) || 'z' AS text FROM documents) oovsrc"
+    val uniOovOracle = s"""${uniPreludeFor(" WHERE doc_id % 10 < 3", uniOovSrc)},
+      d_uall AS MATERIALIZED (
+        SELECT doc_id, $sqlToks AS toks FROM $uniOovSrc),
+      ${uniVsplit("uv0", "uv0base")},
+      ${uniWalk("ur1", "uv0")},
+      ${uniNextBase("ur1", "uv0base")},
+      ${uniVsplit("uv1", "ur1base")},
+      ${uniWalk("ur2", "uv1")},
+      ${uniNextBase("ur2", "ur1base")},
+      ${uniVsplit("uv2", "ur2base")},
+      ${uniWalk("ur3", "uv2", src = "d_uall", oovRestart = true)}
+      SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens_raw,
+        npieces AS n_tokens_uni
+      FROM ur3bt WHERE pos = 0 ORDER BY doc_id"""
+    q("tok_unigram_encode_oov", uniOovOracle) { (s, d) =>
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("text", concat(col("text"), lit(" q"),
+          col("doc_id").cast("string"), lit("z")))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest((d + "#oov").getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_unioov_" +
+        s"${ProcessHandle.current().pid()}_$digest"
+      SparkEntry.registerTmpCleanup(dir)
+      graft.store.TokenizerStore.saveUnigram(s, dir,
+        graft.pipeline.Unigram.train(docs.where(col("doc_id") % 10 < 3),
+          "text", rounds = 2, maxPhraseLen = 3, minCount = uniMinCount))
       graft.store.TokenizerStore.open(s, dir)
         .encode(docs, "doc_id", "text").orderBy("doc_id")
     }

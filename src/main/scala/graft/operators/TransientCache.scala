@@ -51,16 +51,32 @@ import org.apache.spark.storage.StorageLevel
   */
 object TransientCache {
 
-  private final case class Entry(paths: Option[Set[String]], seq: Long)
+  private final case class Entry(paths: Option[Set[String]], scopes: Set[Long])
 
   /** Registered fragment → the normalized filesystem paths its analyzed
-    * plan reads (None when path extraction failed — drained by ANY
-    * drainPath, conservative) + a monotonic registration sequence (the
-    * [[beginScope]]/[[drainScope]] lifecycle handle).
+    * plan reads (None when path extraction failed OR the plan contains a
+    * leaf relation the extractor does not recognize — drained by ANY
+    * drainPath, conservative) + the [[beginScope]] tokens active on the
+    * registering thread (the [[drainScope]] lifecycle handle).
     */
   private val reg =
     new java.util.concurrent.ConcurrentHashMap[DataFrame, Entry]()
   private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Scope tokens open on the CURRENT thread, innermost first. Scopes are
+    * per-driver-thread, not session-global: two concurrent drivers (two
+    * streaming queries' foreachBatch, a serving cacheAll racing a batch
+    * run) each see only their own registrations in their drainScope —
+    * the session-global alternative (drain everything registered after a
+    * sequence mark) over-drains the OTHER driver's warm caches, which
+    * contradicts the "caches registered by other operators untouched"
+    * contract. A driver's begin/drain pair must run on one thread (true
+    * of every composed driver here: foreachBatch bodies and the batch
+    * pipelines are single-threaded drivers).
+    */
+  private val activeScopes = new ThreadLocal[List[Long]] {
+    override def initialValue(): List[Long] = Nil
+  }
 
   /** Persist `df` (the Dataset.cache() level) and register it for the
     * next [[drain]]/[[drainPath]]/[[drainScope]].
@@ -76,28 +92,44 @@ object TransientCache {
     * must still be reclaimable by draining drivers.
     */
   def register(df: DataFrame): DataFrame = {
-    reg.put(df, Entry(sourcePaths(df), seqGen.incrementAndGet()))
+    reg.put(df, Entry(sourcePaths(df), activeScopes.get().toSet))
     df
   }
 
-  /** Open a lifecycle scope: everything registered AFTER this call is
-    * dropped by the matching [[drainScope]]. Composed drivers (the batch
-    * curation pipeline, the streaming foreachBatch faces) bracket their
-    * run with this, so their operator-internal fragments end with the
-    * run instead of lingering — a lingering fragment whose BLOCKS a later
-    * RDD-level sweep frees is worse than no cache at all: the sweep
-    * clears the buffer RDD's storage level without unregistering the SQL
-    * entry, so every later matching plan substitutes a fragment that
-    * recomputes ON EVERY USE and never re-materializes (measured: the
-    * e2e rerun's new×seen stage at 9.2× its first-pass cost, three
-    * consumers each recomputing the full upstream chain). Scoped
-    * draining leaves caches registered by OTHER operators in the session
-    * untouched.
+  /** Open a lifecycle scope: everything registered by THIS THREAD while
+    * the scope is open is dropped by the matching [[drainScope]].
+    * Composed drivers (the batch curation pipeline, the streaming
+    * foreachBatch faces) bracket their run with this, so their
+    * operator-internal fragments end with the run instead of lingering —
+    * a lingering fragment whose BLOCKS a later RDD-level sweep frees is
+    * worse than no cache at all: the sweep clears the buffer RDD's
+    * storage level without unregistering the SQL entry, so every later
+    * matching plan substitutes a fragment that recomputes ON EVERY USE
+    * and never re-materializes (measured: the e2e rerun's new×seen stage
+    * at 9.2× its first-pass cost, three consumers each recomputing the
+    * full upstream chain). Scoped draining leaves caches registered by
+    * OTHER operators — same thread outside the scope, or any concurrent
+    * driver thread — untouched.
     */
-  def beginScope(): Long = seqGen.get()
+  def beginScope(): Long = {
+    val id = seqGen.incrementAndGet()
+    activeScopes.set(id :: activeScopes.get())
+    id
+  }
 
-  /** Drop every fragment registered after `mark` (see [[beginScope]]). */
-  def drainScope(mark: Long): Unit = drainWhere(_.seq > mark)
+  /** Drop every fragment registered under scope `mark` and close it —
+    * along with any nested scopes opened after it on this thread (their
+    * fragments carry `mark` too, so a driver that aborted mid-nested-
+    * scope still reclaims everything its run registered). See
+    * [[beginScope]].
+    */
+  def drainScope(mark: Long): Unit = {
+    val cur = activeScopes.get()
+    val idx = cur.indexOf(mark)
+    activeScopes.set(
+      if (idx >= 0) cur.drop(idx + 1) else cur.filterNot(_ == mark))
+    drainWhere(_.scopes.contains(mark))
+  }
 
   /** `.transientCache()` syntax for operator internals. */
   implicit final class Syntax(private val df: DataFrame) extends AnyVal {
@@ -107,18 +139,49 @@ object TransientCache {
   /** Every file-source root path in `df`'s ANALYZED plan (pre-cache-
     * substitution, so nested registered fragments contribute their own
     * underlying file relations too), normalized to scheme-less URI paths.
+    *
+    * Safety direction: None (drained by EVERY drainPath) whenever the
+    * plan holds a LEAF RELATION this extractor does not recognize — a
+    * successful-but-incomplete extraction is the unsafe case, because a
+    * fragment whose file reads were missed (e.g. a V2-only source, or
+    * parquet dropped from spark.sql.sources.useV1SourceList) would never
+    * match its store's drainPath and silently revive the stale-cached-
+    * plan / FAILED_READ_FILE mode this registry exists to fix. Only
+    * leaves PROVEN path-free (in-memory/local relations) may contribute
+    * an empty set — those legitimately never match a path drain.
     */
   private def sourcePaths(df: DataFrame): Option[Set[String]] =
     try {
-      val fromV1 = df.queryExecution.analyzed.collect {
+      var unknownLeaf = false
+      val paths = Set.newBuilder[String]
+      df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.relation match {
             case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toUri.getPath)
-            case _ => Seq.empty[String]
+              fs.location.rootPaths.foreach(p => paths += p.toUri.getPath)
+            case _ => unknownLeaf = true
           }
-      }.flatten
-      Some(fromV1.toSet)
+        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          v2.table match {
+            case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+              ft.fileIndex.rootPaths.foreach(p => paths += p.toUri.getPath)
+            case _ => unknownLeaf = true
+          }
+        // proven path-free leaves: in-memory rows, RDD-backed plans
+        // (localCheckpoint), ranges — legitimately never path-drained
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+        case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => ()
+        case _: org.apache.spark.sql.catalyst.plans.logical.Range => ()
+        case _: org.apache.spark.sql.execution.LogicalRDD => ()
+        case _: org.apache.spark.sql.execution.ExternalRDD[_] => ()
+        case p if p.children.isEmpty && p.innerChildren.isEmpty =>
+          // any other leaf (streaming relations, catalog/JDBC relations,
+          // future source kinds): reads we cannot attribute — stale risk
+          // unknown means assume stale
+          unknownLeaf = true
+        case _ => ()
+      }
+      if (unknownLeaf) None else Some(paths.result())
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def normalize(dir: String): String =

@@ -376,9 +376,18 @@ object CurationPipeline {
     //      within-batch near-dup clusters (banded LSH candidates + exact
     //      verify + O(log n) component labels, keep the min-id keeper)
     val deduped = stage("4_fuzzy_dedup") {
+      // ADOPT the index's stored band family (numHashes = bands = 0)
+      // rather than forcing the pipeline's own default: the family is an
+      // admission-time physical-layout choice recorded in the index's
+      // meta/ (an auto-planned build prices it from the corpus's sampled
+      // pair-similarity distribution — measured 5× on the sf30 new×seen
+      // stage from signature-width economy alone), and a query signing
+      // with any OTHER family would match nothing. Fixed-family indexes
+      // adopt to their stored (128, 32) — byte-identical behavior.
       val crossDropped = Dedup.crossCorpusPairsIndexed(
         exact, "doc_id", "text", index,
-        n = cfg.jaccardN, threshold = cfg.jaccardThreshold)
+        n = cfg.jaccardN, numHashes = 0, bands = 0,
+        threshold = cfg.jaccardThreshold)
         .select(col("new_id").as("doc_id")).distinct()
       val afterCross = stage("4a_after_cross")(
         exact.join(crossDropped, Seq("doc_id"), "left_anti"))

@@ -741,17 +741,33 @@ object Dedup {
                               n: Int = 3, numHashes: Int = 128,
                               bands: Int = 32,
                               threshold: Double = 0.8): DataFrame = {
-    // numHashes = 0 ADOPTS the index's stored band family (the
-    // auto-planned-build path: the family was chosen at admission time
-    // from the corpus's sampled pair-similarity distribution, and the
-    // query must sign the new docs with the SAME family or match
-    // nothing); explicit parameters are validated against the store
+    // numHashes = 0 (with bands = 0) ADOPTS the index's stored band
+    // family (the auto-planned-build path: the family was chosen at
+    // admission time from the corpus's sampled pair-similarity
+    // distribution, and the query must sign the new docs with the SAME
+    // family or match nothing); explicit parameters are validated
+    // against the store
+    require((numHashes == 0) == (bands == 0),
+      s"numHashes and bands must be overridden together (got $numHashes, " +
+        s"$bands); set both 0 to adopt the index's stored family")
     val (nh, nb) =
       if (numHashes > 0) { index.requireParams(n, numHashes, bands)
         (numHashes, bands) }
       else { val p = index.params
         require(p._1 == n, s"index at ${index.dir} shingles at n=${p._1}, " +
           s"query wants n=$n")
+        // the stored family was priced for the threshold recorded at
+        // build time (recall target miss ≤ 1e-4 AT that threshold); a
+        // query at a LOWER threshold against an adopted family silently
+        // loses that guarantee — surface it
+        index.builtThreshold.filter(t => math.abs(t - threshold) > 1e-9)
+          .foreach { t =>
+            org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+              f"crossCorpusPairsIndexed: adopting family from " +
+                f"${index.dir} planned for threshold=$t%.3f but querying " +
+                f"at threshold=$threshold%.3f; the targetMiss recall " +
+                "guarantee holds only at the build threshold")
+          }
         (p._2, p._3) }
     val rowsPerBand = nh / nb
     val newBase = newDocs

@@ -109,7 +109,8 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     * The batch must carry the index's [[metaCols]] — stored attributes are
     * per-row, so an append without them would leave unfilterable rows.
     */
-  def append(embs: DataFrame, idCol: String, vecCol: String): Unit = {
+  def append(embs: DataFrame, idCol: String, vecCol: String,
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit = {
     val extra = metaCols
     val v = embs.select(Seq(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("vec")) ++ extra.map(col): _*)
@@ -124,6 +125,12 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
       .select((Seq("cid", "vid", "vec", "nrm") ++ extra).map(col): _*)
       .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$dir/cells")
     graft.operators.TransientCache.drainPath(dir)
+    // admission-time maintenance: each append writes its own files under
+    // every touched cell, so probe cost grows with admission count until
+    // a compaction re-clusters (see StoreCompaction.AutoCompactFiles)
+    StoreCompaction.maybeAutoCompact(spark, s"$dir/cells",
+      autoCompactFiles, "AnnIndexStore")(compact())
+    ()
   }
 
   /** Re-cluster the accumulated appends: rewrite `cells` so each cid

@@ -85,7 +85,8 @@ object CorpusStore {
     * same contract as [[retire]] documents.
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
-             idCol: String, textCol: String): DataFrame = {
+             idCol: String, textCol: String,
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): DataFrame = {
     val n = nShards(spark, dir)
     val sharded = docs.withColumn("shard", shardOf(col(idCol), n))
     sharded
@@ -99,6 +100,9 @@ object CorpusStore {
         sum("n_tokens").as("n_tokens"))
     StoreCompaction.swapIn(spark, s"$dir/manifest", merged.coalesce(1))
     graft.operators.TransientCache.drainPath(dir)
+    // admission-time maintenance (see StoreCompaction.AutoCompactFiles)
+    StoreCompaction.maybeAutoCompact(spark, s"$dir/docs",
+      autoCompactFiles, "CorpusStore")(compact(spark, dir, idCol))
     manifest(spark, dir)
   }
 

@@ -84,6 +84,20 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     (m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
   }
 
+  /** The similarity threshold the stored band family was planned/priced
+    * for (None on indexes written before the column existed). Adopt-time
+    * consumers ([[graft.pipeline.Dedup.crossCorpusPairsIndexed]]'s
+    * numHashes = 0 face) compare it against their query threshold — the
+    * family's targetMiss recall guarantee holds only at the build
+    * threshold.
+    */
+  def builtThreshold: Option[Double] = {
+    val df = spark.read.parquet(s"$dir/meta")
+    if (df.columns.contains("threshold"))
+      Option(df.head().getAs[Double]("threshold"))
+    else None
+  }
+
   def requireParams(n: Int, numHashes: Int, nBands: Int): Unit = {
     val p = params
     require(p == ((n, numHashes, nBands)),
@@ -117,10 +131,20 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     graft.operators.TransientCache.drainPath(dir)
   }
 
-  /** Admit a new batch into an existing index (parquet append). */
-  def append(docs: DataFrame, idCol: String, textCol: String): Unit = {
+  /** Admit a new batch into an existing index (parquet append). When the
+    * accumulated appends push the band table past `autoCompactFiles`
+    * data files, [[compact]] runs inline before returning — the
+    * admission-time maintenance hook that keeps a months-of-daily-ingest
+    * index at fresh-build query cost without an operator remembering to
+    * intervene (0 disables; see [[StoreCompaction.AutoCompactFiles]]).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit = {
     val (n, numHashes, nBands) = params
     writeDocs(docs, idCol, textCol, n, numHashes, nBands, SaveMode.Append)
+    StoreCompaction.maybeAutoCompact(spark, s"$dir/bands",
+      autoCompactFiles, "DedupIndexStore")(compact())
+    ()
   }
 
   /** Re-cluster the accumulated appends: rewrite `bands` partitioned on the
@@ -226,6 +250,88 @@ private[store] object StoreCompaction {
         spark.read.parquet(resolve(spark, path))
     }
 
+  /** Run `action` (a query whose scan reads tables under a store), retrying
+    * once when a concurrent [[swapIn]] moved the files out from under it
+    * MID-EXECUTION. [[read]]'s own retry covers only the resolution-time
+    * listing (schema inference); a query planned against the pre-swap file
+    * list that executes across the swap window fails its file OPEN
+    * (FAILED_READ_FILE / FileNotFoundException) because the listed paths
+    * were renamed to `__old` and deleted — the retry re-plans from a fresh
+    * listing, which lands on the swapped-in table. One retry suffices under
+    * the stores' single-writer contract (at most one swap in flight; the
+    * second listing is stable). Concurrent-serving readers should wrap
+    * their ACTIONS (collect/count/write) in this; the lazy faces cannot
+    * retry for them.
+    */
+  def withSwapRetry[T](action: => T): T = {
+    def isSwapRace(t: Throwable): Boolean =
+      if (t == null) false
+      else t match {
+        case _: java.io.FileNotFoundException => true
+        case e if e.getMessage != null &&
+          (e.getMessage.contains("FAILED_READ_FILE") ||
+            e.getMessage.contains("FileNotFoundException")) => true
+        case e => isSwapRace(e.getCause)
+      }
+    try action
+    catch { case scala.util.control.NonFatal(e) if isSwapRace(e) => action }
+  }
+
+  /** Default auto-compaction trigger for the persisted stores' append
+    * faces: once a table accumulates more than this many data files, the
+    * admission that crossed the line runs the store's compact() inline
+    * before returning. Rationale: every append lands its own file set
+    * (~shuffle-partition files per touched partition), so the key-
+    * clustered-files property a fresh build has degrades FOREVER under
+    * append-only use — file-open overhead per query grows linearly with
+    * admission count (measured: tools.IncrementalBench appends mode) and
+    * nothing else in a long-running ingest loop ever restores it. At 512
+    * files (≈16 admissions at 32 shuffle partitions) the one-off rewrite
+    * amortizes to a small fraction of the admissions it pays for. 0
+    * disables (callers that schedule their own maintenance window).
+    */
+  val AutoCompactFiles: Int = 512
+
+  /** Count of data files under `path` (recursive, [[resolve]]-aware;
+    * `_`/`.`-prefixed sidecars excluded). File count — not row count —
+    * is the append-degradation metric: admissions grow it unboundedly
+    * while rows may stay flat under retire/replace churn.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val h = new org.apache.hadoop.fs.Path(resolve(spark, path))
+    val fs = h.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(h)) 0L
+    else {
+      val it = fs.listFiles(h, true)
+      var n = 0L
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** The shared admission-time trigger: when `table` holds more than
+    * `threshold` data files, run `compact` (loudly — an operator should
+    * see maintenance land in the ingest log). Returns whether it ran.
+    */
+  def maybeAutoCompact(spark: SparkSession, table: String, threshold: Int,
+                       label: String)(compact: => Unit): Boolean = {
+    if (threshold <= 0) false
+    else {
+      val n = dataFileCount(spark, table)
+      if (n <= threshold) false
+      else {
+        org.slf4j.LoggerFactory.getLogger(StoreCompaction.getClass).info(
+          s"$label: auto-compaction at $n data files (> $threshold) " +
+            s"under $table")
+        compact
+        true
+      }
+    }
+  }
+
   /** Rewrite the parquet table at `path` through `cluster`, swap in. */
   def rewrite(spark: SparkSession, path: String)(
       cluster: DataFrame => DataFrame): Unit =
@@ -257,21 +363,56 @@ object DedupIndexStore {
     */
   def build(spark: SparkSession, dir: String, docs: DataFrame,
             idCol: String, textCol: String, n: Int = 3, numHashes: Int = 128,
-            bands: Int = 32, threshold: Double = 0.8): DedupIndexStore = {
+            bands: Int = 32, threshold: Double = 0.8,
+            candidateBudget: Long = 100_000_000_000L,
+            force: Boolean = false): DedupIndexStore = {
     val (h, b) =
       if (numHashes > 0) (numHashes, bands)
       else {
         val (sampledPairs, sampledJ) = graft.pipeline.Dedup
           .estimateJaccardSample(docs, idCol, textCol, n)
         if (sampledPairs <= 0) (128, 32) // empty/1-doc corpus: any family
-        else graft.pipeline.Dedup.minhashPlanForSample(
-          math.max(docs.count(), 2L), threshold, sampledPairs, sampledJ)
+        else {
+          val nDocs = math.max(docs.count(), 2L)
+          val plan = graft.pipeline.Dedup.minhashPlanForSample(
+            nDocs, threshold, sampledPairs, sampledJ)
+          // same cost guardrail as minhashLshPairs' auto path: when the
+          // planner hits its rows-per-band ceiling (the (64, 1) fallback
+          // on a corpus whose pair similarity concentrates near the
+          // threshold), the residual sub-threshold candidate volume is
+          // unbounded — predict it at the chosen family and refuse an
+          // over-budget ADMISSION up front, because every later adopted-
+          // family query inherits this family's collision rate
+          val r = plan._1 / plan._2
+          val predicted = nDocs.toDouble * (nDocs - 1) / 2 *
+            sampledJ.iterator.filter(j => j > 0 && j < threshold)
+              .map(j => 1 - math.pow(1 - math.pow(j, r), plan._2))
+              .sum / sampledPairs
+          require(force || predicted <= candidateBudget.toDouble,
+            f"DedupIndexStore.build: predicted background candidate " +
+              f"volume $predicted%.3g under the planned family " +
+              f"(numHashes=${plan._1}, bands=${plan._2}) exceeds budget " +
+              f"$candidateBudget at n=$nDocs. The corpus's sub-threshold " +
+              "pair similarity is too close to the threshold for banding " +
+              "to separate; scrub shared boilerplate first, or pass " +
+              "force=true to admit anyway.")
+          if (plan == ((64, 1)))
+            org.slf4j.LoggerFactory.getLogger(DedupIndexStore.getClass).warn(
+              s"auto-planned band family hit the rows-per-band ceiling " +
+                s"(64, 1) at n=$nDocs, threshold=$threshold — banding " +
+                "separates this corpus poorly; queries against this index " +
+                "will verify a heavy candidate stream")
+          plan
+        }
       }
     require(h % b == 0, s"bands must divide numHashes")
     val store = new DedupIndexStore(dir, spark)
     store.writeDocs(docs, idCol, textCol, n, h, b, SaveMode.Overwrite)
     import spark.implicits._
-    Seq((n, h, b)).toDF("n", "num_hashes", "bands")
+    // threshold persists alongside the family: the plan was priced FOR
+    // this threshold, and adopt-time readers warn when querying at a
+    // different one (builtThreshold)
+    Seq((n, h, b, threshold)).toDF("n", "num_hashes", "bands", "threshold")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     store
   }

@@ -110,7 +110,8 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
   /** Admit a batch of documents (caller guarantees ids are new — replay
     * dedup is the ingest pipeline's job, as with the corpus store).
     */
-  def append(docs: DataFrame, idCol: String, textCol: String): Unit = {
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit = {
     val base = SearchIndexStore.tokenized(docs, idCol, textCol).cache()
     SearchIndexStore.postingsOf(base)
       .write.mode(SaveMode.Append).parquet(s"$dir/postings")
@@ -124,6 +125,10 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
       Seq((n0 + add.getLong(0), s0 + add.getAs[Double](1)))
         .toDF("n_docs", "sum_dl"))
     graft.operators.TransientCache.drainPath(dir)
+    // admission-time maintenance (see StoreCompaction.AutoCompactFiles)
+    StoreCompaction.maybeAutoCompact(spark, s"$dir/postings",
+      autoCompactFiles, "SearchIndexStore")(compact())
+    ()
   }
 
   /** BM25 top-k over the stored index: postings pruned to the query

@@ -40,6 +40,10 @@ object IncrementalBench {
       case a if a.startsWith("annappends=") =>
         a.stripPrefix("annappends=").toInt
     }
+    val autoAppendsMode = args.lift(2).collect {
+      case a if a.startsWith("autoappends=") =>
+        a.stripPrefix("autoappends=").toInt
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,6 +67,12 @@ object IncrementalBench {
     }
     annAppendsMode.foreach { nAppends =>
       runAnnAppendsMode(spark, sfDir, idxDir, runs, nAppends)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+      spark.stop()
+      return
+    }
+    autoAppendsMode.foreach { nAppends =>
+      runAutoAppendsMode(spark, sfDir, docs, idxDir, runs, nAppends)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
       spark.stop()
       return
@@ -106,8 +116,11 @@ object IncrementalBench {
 
     val idx = graft.store.DedupIndexStore.build(spark, idxDir,
       seen.where(slice === 0), "doc_id", "text")
+    // auto-compaction OFF: this mode MEASURES the fragmentation the
+    // policy exists to bound (autoappends mode measures the policy)
     (1 to nAppends).foreach(j =>
-      idx.append(seen.where(slice === j), "doc_id", "text"))
+      idx.append(seen.where(slice === j), "doc_id", "text",
+        autoCompactFiles = 0))
 
     def parquetFiles(sub: String): Int =
       org.apache.commons.io.FileUtils
@@ -143,6 +156,49 @@ object IncrementalBench {
       s""""compacted_query_s":${r3(compS)},"pairs":$fragPairs}""")
   }
 
+  /** The POLICY face of [[runAppendsMode]]: the same N-admission loop but
+    * with the admission-time auto-compaction live (a deliberately low
+    * file threshold so the trigger engages at gate scale), reporting how
+    * many admissions compacted, the final file count, and the query time
+    * the steady-state ingest loop actually pays — the "query time
+    * restored WITHOUT an operator intervening" row for SCALE.md.
+    */
+  private def runAutoAppendsMode(spark: SparkSession, sfDir: String,
+      docs: org.apache.spark.sql.DataFrame, idxDir: String, runs: Int,
+      nAppends: Int): Unit = {
+    val seen = docs.where(col("doc_id") % 5 === 0)
+    val fresh = docs.where(col("doc_id") % 5 =!= 0)
+    val slice = (col("doc_id") / 5).cast("long") % (nAppends + 1)
+    val threshold = sys.env.getOrElse("GRAFT_AUTOCOMPACT_FILES", "200").toInt
+    val idx = graft.store.DedupIndexStore.build(spark, idxDir,
+      seen.where(slice === 0), "doc_id", "text")
+    def parquetFiles: Int = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$idxDir/bands"), Array("parquet"), true)
+      .size()
+    var compactions = 0
+    (1 to nAppends).foreach { j =>
+      val before = parquetFiles
+      idx.append(seen.where(slice === j), "doc_id", "text",
+        autoCompactFiles = threshold)
+      if (parquetFiles < before) compactions += 1
+    }
+    var pairs = 0L
+    val times = (1 to runs).map { _ =>
+      val q0 = System.nanoTime()
+      val res = graft.pipeline.Dedup.crossCorpusPairsIndexed(
+        fresh, "doc_id", "text", idx, threshold = 0.8)
+      res.write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - q0) / 1e9
+      pairs = res.count()
+      dt
+    }
+    def r3(v: Double) = (math.round(v * 1000) / 1000.0).toString
+    println(s"""{"mode":"autoappends","sf":"$sfDir","appends":$nAppends,""" +
+      s""""threshold":$threshold,"compactions":$compactions,""" +
+      s""""final_files":$parquetFiles,"query_s":${r3(times.min)},""" +
+      s""""pairs":$pairs}""")
+  }
+
   /** ANN twin of [[runAppendsMode]]: fragment AnnIndexStore's cid cells
     * with frozen-quantizer appends, time the stored probe before/after
     * compact(), assert identical neighbor sets.
@@ -153,8 +209,10 @@ object IncrementalBench {
     val slice = (col("vec_id") % (nAppends + 1))
     val idx = graft.store.AnnIndexStore.build(spark, idxDir,
       embs.where(slice === 0), "vec_id", "embedding")
+    // auto-compaction OFF: measuring the fragmentation itself
     (1 to nAppends).foreach(j =>
-      idx.append(embs.where(slice === j), "vec_id", "embedding"))
+      idx.append(embs.where(slice === j), "vec_id", "embedding",
+        autoCompactFiles = 0))
 
     val queries = embs.where(col("vec_id") % 97 === 0)
     def parquetFiles: Int = org.apache.commons.io.FileUtils

@@ -280,7 +280,7 @@ object Round11Probe {
     val passes = (1 to 2).map { _ =>
       timed {
         graft.pipeline.Dedup.crossCorpusPairsIndexed(fresh, "doc_id",
-          "text", idx, numHashes = 0, threshold = 0.8).count()
+          "text", idx, numHashes = 0, bands = 0, threshold = 0.8).count()
       }
     }
     val pairs = passes.head._1

@@ -64,6 +64,69 @@ class TransientCacheSpec extends SparkSpec {
     TransientCache.drain()
   }
 
+  test("a fragment reading through a V2 file source is still path-drained " +
+    "(DSv2 relations contribute their fileIndex root paths)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tcv2")
+      .toString + "/t"
+    (1 to 50).toDF("v").write.parquet(dir)
+    val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val frag = TransientCache.cache(
+        spark.read.parquet(dir).select(sum("v").as("s")))
+      // the premise: with parquet off the V1 list this plan really is a
+      // DataSourceV2Relation leaf (else the test silently re-covers V1)
+      assert(frag.queryExecution.analyzed.collectLeaves().exists(
+        _.getClass.getSimpleName == "DataSourceV2Relation"),
+        "expected a DSv2 leaf under useV1SourceList=\"\"")
+      frag.count()
+      // an unrelated path must NOT drain it (paths were extracted, not
+      // conservatively None)
+      TransientCache.drainPath(dir + "_elsewhere")
+      assert(frag.storageLevel != StorageLevel.NONE,
+        "V2 fragment over-drained: paths fell back to None")
+      TransientCache.drainPath(dir)
+      assert(frag.storageLevel == StorageLevel.NONE,
+        "V2 fragment not drained by its own store path")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+      TransientCache.drain()
+    }
+  }
+
+  test("drainScope drops only the registering driver's scope — a " +
+    "concurrent driver's registrations survive, nested scopes drain with " +
+    "their parent") {
+    // distinct data per frame: identical-data frames CANONICALIZE to the
+    // same plan, so the CacheManager would share ONE cache entry across
+    // them and unpersisting any drops all — the spec must not conflate
+    // that with scope behavior
+    val mark = TransientCache.beginScope()
+    val mine = TransientCache.cache((1 to 10).toDF("a").select(sum("a")))
+    mine.count()
+    // a second driver on its own thread registers AFTER this mark — the
+    // global-sequence semantics would have swept it with our scope
+    @volatile var other: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      other = TransientCache.cache((11 to 20).toDF("b").select(sum("b")))
+      other.count()
+    })
+    t.start(); t.join()
+    // a nested scope opened by our own run: its fragments carry the outer
+    // mark too, so an outer drain reclaims them even if the nested drain
+    // never ran (aborted mid-run)
+    TransientCache.beginScope()
+    val nested = TransientCache.cache((21 to 30).toDF("c").select(sum("c")))
+    nested.count()
+    TransientCache.drainScope(mark)
+    assert(mine.storageLevel == StorageLevel.NONE, "own fragment drained")
+    assert(nested.storageLevel == StorageLevel.NONE,
+      "nested-scope fragment drains with the parent scope")
+    assert(other.storageLevel != StorageLevel.NONE,
+      "concurrent driver's cache must survive a foreign drainScope")
+    TransientCache.drain()
+  }
+
   test("dedup faces leave no registered transient caches after drain") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
       (3L, "x y z w q r s")).toDF("doc_id", "text")

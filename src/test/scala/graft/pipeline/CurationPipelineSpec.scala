@@ -132,6 +132,36 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ids2 == Set(12L), s"near-dup of admitted history must drop: $ids2")
   }
 
+  test("pipeline adopts the index's stored band family: a run over an " +
+    "auto-planned index equals a run over the fixed-family default") {
+    val root = Files.createTempDirectory("graft-e2e5").toString
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val history = Seq(doc(100, 1), doc(101, 40))
+      .toDF("doc_id", "text", "source").select("doc_id", "text")
+    // 11 = near-dup of admitted history doc 100 (one word of 60 mutated,
+    // jaccard ≈ 0.9 — above both families' threshold with miss ≤ 1e-4);
+    // 2..9 fresh
+    val batch = (Seq((11L, doc(1, 1, mutate = 9)._2, "srcA")) ++
+      (2 to 9).map(i => doc(i.toLong, i))).toDF("doc_id", "text", "source")
+    val fixed = DedupIndexStore.build(spark, s"$root/idxF", history,
+      "doc_id", "text")
+    val auto = DedupIndexStore.build(spark, s"$root/idxA", history,
+      "doc_id", "text", numHashes = 0)
+    // the planner must actually pick a different family here, or the
+    // adoption test is vacuous (deterministic: sampled from 2 docs)
+    assert(auto.params != fixed.params,
+      s"expected a planner family distinct from the (128, 32) default, " +
+        s"got ${auto.params}")
+    val rF = runBatch(batch, s"$root/idxF", s"$root/pubF", bench)
+    val rA = runBatch(batch, s"$root/idxA", s"$root/pubA", bench)
+    assert(rA.summary.collect().toSeq == rF.summary.collect().toSeq,
+      "auto-planned admission diverged from fixed-family admission")
+    def ids(tag: String) = CorpusStore.docs(spark, s"$root/pub$tag")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids("F") == (2L to 9L).toSet, s"fixed published ${ids("F")}")
+    assert(ids("A") == ids("F"))
+  }
+
   test("batch pipeline twice in one session against a REBUILT index dir " +
     "survives forced block eviction between passes (the drain seam)") {
     // The Bench two-pass protocol: DedupIndexStore.build (Overwrite —

@@ -1686,9 +1686,19 @@ class PipelineSpec extends SparkSpec {
       val (n, h, b) = auto.params
       assert(n == 3 && h > 0 && b > 0 && h % b == 0,
         s"planned family must be stored and divisible: ($n, $h, $b)")
+      // the threshold the family was priced for persists with it
+      assert(auto.builtThreshold.contains(0.8),
+        s"build threshold must persist in meta: ${auto.builtThreshold}")
+      // overriding only ONE of (numHashes, bands) is an error, never a
+      // silent half-adoption: numHashes=0 with an explicit bands would
+      // leave the caller believing they overrode the family
+      intercept[IllegalArgumentException] {
+        Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text", auto,
+          numHashes = 0, bands = 16)
+      }
       // adopted-family query (numHashes = 0) equals the fixed-family face
       val viaAuto = Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text",
-        auto, numHashes = 0).orderBy("new_id", "seen_id").collect()
+        auto, numHashes = 0, bands = 0).orderBy("new_id", "seen_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val fixed = graft.store.DedupIndexStore.build(spark, dirF, seen,
         "doc_id", "text")
@@ -1703,14 +1713,15 @@ class PipelineSpec extends SparkSpec {
       // an n mismatch against an adopted family is still an error
       intercept[IllegalArgumentException] {
         Dedup.crossCorpusPairsIndexed(fresh, "doc_id", "text", auto,
-          n = 4, numHashes = 0)
+          n = 4, numHashes = 0, bands = 0)
       }
       // admission appends sign with the STORED family: a doc appended to
       // the auto index is findable by a later adopted-family query
       auto.append(fresh, "doc_id", "text")
       val today = Seq((200L, mutate(freshText))).toDF("doc_id", "text")
       val hits = Dedup.crossCorpusPairsIndexed(today, "doc_id", "text",
-        auto, numHashes = 0).select("seen_id").as[Long].collect().toSeq
+        auto, numHashes = 0, bands = 0).select("seen_id").as[Long]
+        .collect().toSeq
       assert(hits == Seq(101L), s"appended doc must match: $hits")
     } finally {
       graft.store.GraphStore.deleteRecursively(
