@@ -914,7 +914,8 @@ object Dedup {
     * a pair.
     */
   def clusterKeepers(pairs: DataFrame, idA: String = "id_a",
-                     idB: String = "id_b", rounds: Int = 6): DataFrame = {
+                     idB: String = "id_b", rounds: Int = 6,
+                     driverMaxEdges: Long = 500_000L): DataFrame = {
     // both edge orientations from ONE pass over `pairs`: a two-branch union
     // would execute the (potentially expensive) upstream pair-generation
     // chain twice — measured 2× the whole jaccard pipeline at sf0.1
@@ -923,6 +924,44 @@ object Dedup {
         struct(col(idB).as("u"), col(idA).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().localCheckpoint(true)
+    // driver fast path below a size bound — the auto-dispatch discipline of
+    // the BPE trainer's driver face. A near-dup pair graph is TINY relative
+    // to its corpus (pairs are what dedup exists to make rare), yet each
+    // distributed round below costs join + checkpoint + convergence-probe
+    // JOBS whose fixed overhead dwarfs the data at micro-batch scale —
+    // measured 16 s of a 30 s streaming admission at sf0.1 (447 docs, ~5
+    // pairs). The in-memory recurrence is the SAME synchronous bounded-
+    // rounds min-label propagation (not exact CC — a chain longer than
+    // `rounds` must label identically on both paths, and the dd_clusters
+    // oracle replays the bounded recurrence), so output is path-invariant;
+    // spec-pinned driver == distributed including a >rounds-diameter chain.
+    val edgeCount = sym.count()
+    if (edgeCount <= driverMaxEdges &&
+        sym.schema("u").dataType == org.apache.spark.sql.types.LongType) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val adj = new scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.ArrayBuffer[Long]]()
+      sym.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          new scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(1)
+      }
+      var labels: Map[Long, Long] = adj.keysIterator.map(k => k -> k).toMap
+      var round = 0
+      var changed = true
+      while (round < rounds && changed) {
+        changed = false
+        val next = adj.iterator.map { case (u, vs) =>
+          var m = labels(u)
+          vs.foreach { v => val l = labels(v); if (l < m) m = l }
+          if (m != labels(u)) changed = true
+          u -> m
+        }.toMap
+        labels = next
+        round += 1
+      }
+      return labels.toSeq.sortBy(_._1).toDF("doc_id", "keeper_id")
+    }
     var labels = sym.select(col("u").as("doc_id"))
       .distinct().withColumn("lbl", col("doc_id"))
       .localCheckpoint(true)

@@ -45,6 +45,7 @@ object Round12Probe {
       case "e2eauto" => e2eAuto(spark, sfDir)
       case "resumetax" => resumeTax(spark, sfDir)
       case "streamprof" => streamProf(spark, sfDir)
+      case "streamstages" => streamStages(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     } finally spark.stop()
   }
@@ -201,5 +202,44 @@ object Round12Probe {
       s""""batch2_sec":${f"${batchSecs(1)}%.2f"},""" +
       s""""validate_sec":${f"$tValidate%.2f"},""" +
       s""""census_sec":${f"$tCensus%.2f"}}""")
+  }
+
+  /** Per-stage attribution inside one micro-batch's cleaning half: the
+    * gate's batch-1 input run through cleanedPlan with a force-and-time
+    * stage wrapper (the streamProf rows attribute the gate wall between
+    * admission and validation; this attributes WITHIN the admission).
+    */
+  private def streamStages(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_r12_ss_" +
+      ProcessHandle.current().pid()
+    graft.SparkEntry.registerTmpCleanup(s"$base/idx")
+    val idx = graft.store.DedupIndexStore.build(spark, s"$base/idx",
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+    val bench = docs.where(col("doc_id") < 10)
+    val batch =
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 4 === 0)
+    val stats =
+      scala.collection.mutable.ListBuffer.empty[(String, Long, Double, Double)]
+    val tStart = System.nanoTime()
+    val stage = { (name: String) => (df: org.apache.spark.sql.DataFrame) =>
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t0 = System.nanoTime()
+      val n = p.count()
+      stats += ((name, n, (System.nanoTime() - t0) / 1e9,
+        (System.nanoTime() - tStart) / 1e9))
+      p
+    }
+    val (nOut, tAll) = timed {
+      graft.pipeline.CurationPipeline.cleanedPlan(batch, "doc_id", "text",
+        bench, "text", idx, graft.pipeline.CurationPipeline.Config(), stage)
+        .count()
+    }
+    stats.foreach { case (name, n, s, at) =>
+      println(s"""{"metric":"stream_stage","stage":"$name","rows":$n,""" +
+        s""""sec":${f"$s%.2f"},"done_at":${f"$at%.2f"}}""")
+    }
+    println(s"""{"metric":"stream_stage_total","rows":$nOut,""" +
+      s""""sec":${f"$tAll%.2f"}}""")
   }
 }

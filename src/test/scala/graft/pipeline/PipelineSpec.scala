@@ -1378,6 +1378,25 @@ class PipelineSpec extends SparkSpec {
     assert(lp(13L) != 1L)
   }
 
+  test("clusterKeepers driver fast path == distributed path, including a " +
+    "chain past the round horizon (bounded-rounds semantics preserved)") {
+    import spark.implicits._
+    // clusters of every shape the recurrence distinguishes: a triangle, a
+    // star, a pair, AND a 13-node chain whose diameter exceeds rounds=6 —
+    // the case where exact CC and bounded min-label propagation DIFFER, so
+    // a fast path that sneaked in exact union-find would fail here
+    val pairs = ((1L to 12L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (30L, 32L), (40L, 41L), (50L, 51L), (51L, 52L),
+        (50L, 52L))).toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    val drv = toMap(Dedup.clusterKeepers(pairs))
+    val dist = toMap(Dedup.clusterKeepers(pairs, driverMaxEdges = 0L))
+    assert(drv == dist, s"driver $drv != distributed $dist")
+    // the horizon law itself: 6 rounds carry label 1 exactly 6 hops
+    assert(drv(7L) == 1L && drv(8L) != 1L)
+  }
+
   test("star-contraction CC agrees with label propagation on small clusters") {
     import spark.implicits._
     // triangle {1,2,3}, pair {10,11}, star {20,21,22,23} — diameters <= 2
