@@ -131,6 +131,11 @@ object TransientCache {
     drainWhere(_.scopes.contains(mark))
   }
 
+  /** Test seam: number of currently registered fragments (specs assert an
+    * aborted driver leaves the registry where it found it).
+    */
+  private[graft] def registeredCount: Int = reg.size
+
   /** `.transientCache()` syntax for operator internals. */
   implicit final class Syntax(private val df: DataFrame) extends AnyVal {
     def transientCache(): DataFrame = cache(df)

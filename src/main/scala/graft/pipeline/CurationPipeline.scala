@@ -75,10 +75,15 @@ object CurationPipeline {
     // lifecycle scope: every operator-internal fragment registered during
     // this run is dropped once the stores are final — lingering fragments
     // whose blocks a later RDD sweep frees become recompute-per-use traps
-    // (see TransientCache.beginScope)
+    // (see TransientCache.beginScope). An ABORTED run drains its scope too
+    // (the catch below): a failed daily batch must not leave a session's
+    // worth of half-built fragments registered for the next run to trip on.
+    // (Not try/finally: the success path MUST drain before stage 9, whose
+    // read-back cache outlives the run by design.)
     val scope = graft.operators.TransientCache.beginScope()
     val stats = scala.collection.mutable.ListBuffer.empty[StageStat]
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
 
     // a stage boundary: persist (every stage output here feeds >1
     // downstream consumer or an action-bearing operator), optionally
@@ -154,6 +159,11 @@ object CurationPipeline {
       stats += StageStat("9_pack_summary", n, (System.nanoTime() - t9) / 1e9)
     }
     Result(summary, stats.toList)
+    } catch { case t: Throwable =>
+      live.foreach(df => scala.util.Try(df.unpersist(false)))
+      graft.operators.TransientCache.drainScope(scope)
+      throw t
+    }
   }
 
   /** Stage 9 (shared by [[run]] and [[runResumable]]): the per-shard
@@ -235,6 +245,7 @@ object CurationPipeline {
                    workDir: String, cfg: Config = Config(),
                    checkpoint: String => Unit = _ => ()): Result = {
     val scope = graft.operators.TransientCache.beginScope()
+    try {
     val hconf = spark.sparkContext.hadoopConfiguration
     def fsOf(p: String) =
       new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
@@ -305,6 +316,12 @@ object CurationPipeline {
 
     // ---- E. summary: pure read-back, recomputed on every resume
     Result(readBackSummary(spark, publishDir, merges, cfg), Nil)
+    } catch { case t: Throwable =>
+      // a killed-at-any-boundary run (the face's whole point) must not
+      // leave its operator fragments registered for the RESUME to trip on
+      graft.operators.TransientCache.drainScope(scope)
+      throw t
+    }
   }
 
   /** The composed curation plan, stages 1-6 (everything before the

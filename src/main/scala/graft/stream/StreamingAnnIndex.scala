@@ -31,6 +31,7 @@ object StreamingAnnIndex {
   def admitBatch(batch: DataFrame, dir: String, idCol: String,
                  vecCol: String): Long = {
     val scope = graft.operators.TransientCache.beginScope()
+    try {
     val store = new AnnIndexStore(dir, batch.sparkSession)
     // localCheckpoint severs the plan's store dependency BEFORE append
     // writes into the cells table the anti-join is reading
@@ -47,6 +48,12 @@ object StreamingAnnIndex {
     if (n > 0) store.append(fresh, idCol, vecCol)
     graft.operators.TransientCache.drainScope(scope)
     n
+    } catch { case t: Throwable =>
+      // a failed admission (the stream will retry it) must not leave its
+      // fragments registered for the replay to substitute
+      graft.operators.TransientCache.drainScope(scope)
+      throw t
+    }
   }
 
   /** Writer admitting each micro-batch of `embs` (idCol, vecCol columns)

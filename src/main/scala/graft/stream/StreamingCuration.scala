@@ -52,6 +52,7 @@ object StreamingCuration {
                    cfg: CurationPipeline.Config = CurationPipeline.Config())
       : Long = {
     val scope = graft.operators.TransientCache.beginScope()
+    try {
     val spark = batch.sparkSession
     // an empty-seeded store has no doc files yet (partitioned write of
     // zero rows), so the published-ids read would fail schema inference —
@@ -107,6 +108,12 @@ object StreamingCuration {
     // (a later RDD sweep would turn it into a recompute-per-use trap)
     graft.operators.TransientCache.drainScope(scope)
     n
+    } catch { case t: Throwable =>
+      // a failed micro-batch (the stream will retry it) must not leave its
+      // fragments registered for the replay to substitute
+      graft.operators.TransientCache.drainScope(scope)
+      throw t
+    }
   }
 
   /** Writer curating + publishing each micro-batch of `docs`. Both stores

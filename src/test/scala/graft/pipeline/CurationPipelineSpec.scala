@@ -257,6 +257,29 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("an aborted pipeline run drains its own scope — no operator " +
+    "fragments linger registered for the next run to substitute") {
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val r = Files.createTempDirectory("graft-abort").toString
+    val idx = DedupIndexStore.build(spark,
+      s"$r/idx", Seq(doc(100, 1), doc(101, 40))
+        .toDF("doc_id", "text", "source").select("doc_id", "text"),
+      "doc_id", "text")
+    val batch = (2 to 9).map(i => doc(i.toLong, i))
+      .toDF("doc_id", "text", "source")
+    val before = graft.operators.TransientCache.registeredCount
+    intercept[RuntimeException] {
+      CurationPipeline.runResumable(spark, batch, "doc_id", "text",
+        bench, "text", dsirTarget = col("source") === "srcA",
+        index = idx, publishDir = s"$r/pub", workDir = s"$r/work",
+        cfg = CurationPipeline.Config(minBoilerDocs = 3),
+        checkpoint = s =>
+          if (s == "survivors") throw new RuntimeException("killed"))
+    }
+    assert(graft.operators.TransientCache.registeredCount == before,
+      "aborted run left fragments registered")
+  }
+
   test("streaming curation: MemoryStream micro-batches equal sequential " +
     "batch admission; crash-replay admits nothing") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
