@@ -74,8 +74,11 @@ object Round11Probe {
     graft.SparkEntry.registerTmpCleanup(s"$base/idx")
     graft.SparkEntry.registerTmpCleanup(s"$base/pub")
     def onePass(): (Seq[Seq[Any]], Double) = timed {
+      // auto-planned family (numHashes = 0): the pipeline's default path
+      // since the adoption change — the probe measures what callers run
       val idx = graft.store.DedupIndexStore.build(spark, s"$base/idx",
-        docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+        numHashes = 0)
       val r = graft.pipeline.CurationPipeline.run(spark,
         docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
         benchmark = docs.where(col("doc_id") < 10), benchTextCol = "text",
@@ -109,7 +112,8 @@ object Round11Probe {
     for (pass <- 1 to 2) {
       val (idx, idxSec) = timed {
         graft.store.DedupIndexStore.build(spark, s"$base/idx",
-          docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+          numHashes = 0)
       }
       val (res, total) = timed {
         val r = graft.pipeline.CurationPipeline.run(spark,
