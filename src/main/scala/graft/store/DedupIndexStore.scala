@@ -250,31 +250,60 @@ private[store] object StoreCompaction {
         spark.read.parquet(resolve(spark, path))
     }
 
-  /** Run `action` (a query whose scan reads tables under a store), retrying
-    * once when a concurrent [[swapIn]] moved the files out from under it
-    * MID-EXECUTION. [[read]]'s own retry covers only the resolution-time
-    * listing (schema inference); a query planned against the pre-swap file
-    * list that executes across the swap window fails its file OPEN
-    * (FAILED_READ_FILE / FileNotFoundException) because the listed paths
-    * were renamed to `__old` and deleted — the retry re-plans from a fresh
-    * listing, which lands on the swapped-in table. One retry suffices under
-    * the stores' single-writer contract (at most one swap in flight; the
-    * second listing is stable). Concurrent-serving readers should wrap
-    * their ACTIONS (collect/count/write) in this; the lazy faces cannot
-    * retry for them.
+  /** Run `action` (a query whose scan reads tables under the store at
+    * `path`), retrying when a concurrent [[swapIn]] moved the files out
+    * from under it MID-EXECUTION. [[read]]'s own retry covers only the
+    * resolution-time listing (schema inference); a query planned against
+    * the pre-swap file list that executes across the swap window fails its
+    * file OPEN (FAILED_READ_FILE / FileNotFoundException) because the
+    * listed paths were renamed to `__old` and deleted. A bare re-run is
+    * NOT enough (measured: the concurrent spec still failed ~1-in-3 runs
+    * with a single blind retry): the session's shared FileStatusCache can
+    * serve the retry the PRE-swap listing until the writer's own
+    * refreshByPath lands, so each retry here refreshes `path` first, then
+    * re-plans (with a short backoff so the re-plan clears the writer's
+    * rename-to-refresh window instead of re-entering it).
+    *
+    * Contract limit, surfaced by the concurrent spec and worth stating
+    * plainly: a swap COMPLETION deletes the files any mid-flight scan
+    * planned against, so the vulnerable window is the reader's WHOLE
+    * execution, not the rename instant — under continuous back-to-back
+    * swaps every bounded retry count can be exhausted. Bounded retries
+    * (default 3) guarantee progress when swap completions are spaced
+    * wider than one read's execution, which is what the single-writer
+    * stores' OCCASIONAL maintenance compactions produce; a store that
+    * must be rewritten continuously under live readers needs a
+    * generational layout (pointer + grace-deleted generation dirs), not
+    * a retry. Concurrent-serving readers wrap their ACTIONS
+    * (collect/count/write) in this; the lazy faces cannot retry for them.
     */
-  def withSwapRetry[T](action: => T): T = {
+  def withSwapRetry[T](spark: SparkSession, path: String, attempts: Int = 4)(
+      action: => T): T = {
     def isSwapRace(t: Throwable): Boolean =
       if (t == null) false
       else t match {
         case _: java.io.FileNotFoundException => true
         case e if e.getMessage != null &&
           (e.getMessage.contains("FAILED_READ_FILE") ||
-            e.getMessage.contains("FileNotFoundException")) => true
+            e.getMessage.contains("FileNotFoundException") ||
+            // the resolution window: read()'s own single retry can land on
+            // `path` again just before the second rename completes
+            e.getMessage.contains("PATH_NOT_FOUND")) => true
         case e => isSwapRace(e.getCause)
       }
-    try action
-    catch { case scala.util.control.NonFatal(e) if isSwapRace(e) => action }
+    var left = math.max(1, attempts)
+    while (true) {
+      try return action
+      catch {
+        case scala.util.control.NonFatal(e) if isSwapRace(e) && left > 1 =>
+          left -= 1
+          // clear the writer's rename-to-refresh window, then drop the
+          // session's cached (pre-swap) listing before re-planning
+          Thread.sleep(50L * (attempts - left))
+          scala.util.Try(spark.catalog.refreshByPath(path))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Default auto-compaction trigger for the persisted stores' append
