@@ -126,6 +126,18 @@ object TransientCache {
   def drainScope(mark: Long): Unit = {
     val cur = activeScopes.get()
     val idx = cur.indexOf(mark)
+    if (idx < 0 && cur.nonEmpty)
+      // the begin/drain pair is a same-thread contract (scopes are
+      // ThreadLocal). A drain from a thread that did not open the mark
+      // still reclaims the mark's FRAGMENTS (the registry is global),
+      // but the opener's ThreadLocal stack keeps the dead token until
+      // its own next drain — on a pooled, long-lived thread that means
+      // later registrations carry dead scope ids. Surface the misuse
+      // loudly instead of silently mis-scoping.
+      org.slf4j.LoggerFactory.getLogger(TransientCache.getClass).warn(
+        s"TransientCache.drainScope($mark) called on a thread that did " +
+          s"not open it (open scopes here: $cur) — begin/drain must pair " +
+          "on one thread; the opener's stack retains the dead token")
     activeScopes.set(
       if (idx >= 0) cur.drop(idx + 1) else cur.filterNot(_ == mark))
     drainWhere(_.scopes.contains(mark))
@@ -159,33 +171,48 @@ object TransientCache {
     try {
       var unknownLeaf = false
       val paths = Set.newBuilder[String]
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-              fs.location.rootPaths.foreach(p => paths += p.toUri.getPath)
-            case _ => unknownLeaf = true
-          }
-        case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-          v2.table match {
-            case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
-              ft.fileIndex.rootPaths.foreach(p => paths += p.toUri.getPath)
-            case _ => unknownLeaf = true
-          }
-        // proven path-free leaves: in-memory rows, RDD-backed plans
-        // (localCheckpoint), ranges — legitimately never path-drained
-        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
-        case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => ()
-        case _: org.apache.spark.sql.catalyst.plans.logical.Range => ()
-        case _: org.apache.spark.sql.execution.LogicalRDD => ()
-        case _: org.apache.spark.sql.execution.ExternalRDD[_] => ()
-        case p if p.children.isEmpty && p.innerChildren.isEmpty =>
-          // any other leaf (streaming relations, catalog/JDBC relations,
-          // future source kinds): reads we cannot attribute — stale risk
-          // unknown means assume stale
-          unknownLeaf = true
-        case _ => ()
+      // explicit recursion rather than TreeNode.foreach: foreach walks
+      // `children` only, and plans held in INNER children (CTE
+      // definitions, subquery expressions' plans) would be skipped — a
+      // fragment whose only file scans live there would return an
+      // incomplete Some(paths), survive its store's drainPath, and
+      // silently serve stale data. visit() descends both edges.
+      def visit(node: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Unit = {
+        node match {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.foreach(p => paths += p.toUri.getPath)
+              case _ => unknownLeaf = true
+            }
+          case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            v2.table match {
+              case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+                ft.fileIndex.rootPaths.foreach(p => paths += p.toUri.getPath)
+              case _ => unknownLeaf = true
+            }
+          // proven path-free leaves: in-memory rows, RDD-backed plans
+          // (localCheckpoint), ranges — legitimately never path-drained
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+          case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => ()
+          case _: org.apache.spark.sql.catalyst.plans.logical.Range => ()
+          case _: org.apache.spark.sql.execution.LogicalRDD => ()
+          case _: org.apache.spark.sql.execution.ExternalRDD[_] => ()
+          case p: org.apache.spark.sql.catalyst.trees.TreeNode[_]
+              if p.children.isEmpty && p.innerChildren.isEmpty =>
+            // any other leaf (streaming relations, catalog/JDBC relations,
+            // future source kinds): reads we cannot attribute — stale risk
+            // unknown means assume stale
+            unknownLeaf = true
+          case _ => ()
+        }
+        node.children.foreach {
+          case c: org.apache.spark.sql.catalyst.trees.TreeNode[_] => visit(c)
+          case _ => ()
+        }
+        node.innerChildren.foreach(visit)
       }
+      visit(df.queryExecution.analyzed)
       if (unknownLeaf) None else Some(paths.result())
     } catch { case scala.util.control.NonFatal(_) => None }
 

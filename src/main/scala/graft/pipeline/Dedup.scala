@@ -482,9 +482,21 @@ object Dedup {
     */
   def estimateJaccardSample(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3,
-                            sample: Int = 500): (Long, Seq[Double]) = {
-    val s = docs.select(col(idCol).as("doc_id"),
-        shingleSet(col(textCol), n).as("sh"))
+                            sample: Int = 500): (Long, Seq[Double]) =
+    estimateJaccardSampleShingled(
+      docs.select(col(idCol).as("doc_id"),
+        shingleSet(col(textCol), n).as("sh")),
+      sample)
+
+  /** [[estimateJaccardSample]] over PRE-SHINGLED sets (doc_id, sh) — the
+    * input shape [[graft.store.DedupIndexStore.compact]]'s corpus-drift
+    * re-plan has on hand: the store persists the true shingle sets, so
+    * re-pricing the band family against the grown corpus costs a sampled
+    * pair pass over stored arrays, never a re-shingling of history.
+    */
+  def estimateJaccardSampleShingled(shingled: DataFrame,
+                                    sample: Int = 500): (Long, Seq[Double]) = {
+    val s = shingled
       .where(size(col("sh")) > 0)
       .orderBy(xxhash64(col("doc_id").cast("string"), lit("jsamp")),
         col("doc_id"))
@@ -753,14 +765,18 @@ object Dedup {
     val (nh, nb) =
       if (numHashes > 0) { index.requireParams(n, numHashes, bands)
         (numHashes, bands) }
-      else { val p = index.params
+      else {
+        // ONE meta read for the whole adopt face (n-check + family +
+        // threshold): separate params/builtThreshold accessors are a
+        // Spark job each — a fixed floor paid per streaming admission
+        val p = index.familyMeta
         require(p._1 == n, s"index at ${index.dir} shingles at n=${p._1}, " +
           s"query wants n=$n")
         // the stored family was priced for the threshold recorded at
-        // build time (recall target miss ≤ 1e-4 AT that threshold); a
+        // build time (recall target miss <= 1e-4 AT that threshold); a
         // query at a LOWER threshold against an adopted family silently
         // loses that guarantee — surface it
-        index.builtThreshold.filter(t => math.abs(t - threshold) > 1e-9)
+        p._4.filter(t => math.abs(t - threshold) > 1e-9)
           .foreach { t =>
             org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
               f"crossCorpusPairsIndexed: adopting family from " +
@@ -919,11 +935,11 @@ object Dedup {
     // both edge orientations from ONE pass over `pairs`: a two-branch union
     // would execute the (potentially expensive) upstream pair-generation
     // chain twice — measured 2× the whole jaccard pipeline at sf0.1
-    val sym = pairs.select(explode(array(
+    val symPlan = pairs.select(explode(array(
         struct(col(idA).as("u"), col(idB).as("v")),
         struct(col(idB).as("u"), col(idA).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct()
     // driver fast path below a size bound — the auto-dispatch discipline of
     // the BPE trainer's driver face. A near-dup pair graph is TINY relative
     // to its corpus (pairs are what dedup exists to make rare), yet each
@@ -935,14 +951,29 @@ object Dedup {
     // `rounds` must label identically on both paths, and the dd_clusters
     // oracle replays the bounded recurrence), so output is path-invariant;
     // spec-pinned driver == distributed including a >rounds-diameter chain.
-    val edgeCount = sym.count()
-    if (edgeCount <= driverMaxEdges &&
-        sym.schema("u").dataType == org.apache.spark.sql.types.LongType) {
+    //
+    // Dispatch and delivery are ONE bounded job (round-13 job-floor work):
+    // the old shape paid three jobs before any label moved — checkpoint
+    // the symmetrized edges, count them, then collect — and each job's
+    // fixed submission latency dominates at micro-batch scale. The
+    // limit(bound+1) probe IS the dispatch test AND, on the driver path,
+    // the edge delivery; CollectLimit scans partitions incrementally, so
+    // a tiny pair graph rarely touches them all. The distributed path
+    // (probe overflow) re-plans with the checkpoint it needs for its
+    // per-round reuse — one redundant bounded job at the crossover,
+    // nothing at either steady state.
+    require(driverMaxEdges < Int.MaxValue, s"driverMaxEdges: $driverMaxEdges")
+    val probe =
+      if (symPlan.schema("u").dataType ==
+          org.apache.spark.sql.types.LongType)
+        Some(symPlan.limit(driverMaxEdges.toInt + 1).collect())
+      else None
+    if (probe.exists(_.length <= driverMaxEdges)) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val adj = new scala.collection.mutable.HashMap[Long,
         scala.collection.mutable.ArrayBuffer[Long]]()
-      sym.collect().foreach { r =>
+      probe.get.foreach { r =>
         adj.getOrElseUpdate(r.getLong(0),
           new scala.collection.mutable.ArrayBuffer[Long]()) += r.getLong(1)
       }
@@ -962,6 +993,7 @@ object Dedup {
       }
       return labels.toSeq.sortBy(_._1).toDF("doc_id", "keeper_id")
     }
+    val sym = symPlan.localCheckpoint(true)
     var labels = sym.select(col("u").as("doc_id"))
       .distinct().withColumn("lbl", col("doc_id"))
       .localCheckpoint(true)

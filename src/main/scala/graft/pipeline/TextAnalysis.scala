@@ -266,21 +266,32 @@ object TextAnalysis {
                 driverMaxDistinctSeqs: Long = 2L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val weighted = docs
+    val weightedPlan = docs
       .select(tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
       .groupBy("toks").agg(count(lit(1)).as("w"))
       .as[(Seq[String], Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val distinctSeqs = weighted.count()
-      val merges =
-        if (distinctSeqs <= driverMaxDistinctSeqs)
-          trainBpeDriver(
-            weighted.collect().map { case (s, w) => (s.toArray, w) }, rounds)
-        else bpeMergesDistributed(weighted, rounds)
-      merges.toDF("round", "pair", "n_pairs")
-    } finally { weighted.unpersist(); () }
+    // dispatch and delivery are ONE bounded job (the clusterKeepers
+    // discipline, round-13 job-floor work): the old shape persisted the
+    // weight table, counted it, then collected it — three jobs before a
+    // single merge, each with fixed submission latency the composed
+    // pipeline pays per run. The limit(bound+1) probe IS the dispatch
+    // test AND, on the (overwhelmingly common) driver path, the weight
+    // table itself. Only the distributed path persists — it re-reads the
+    // table every round.
+    require(driverMaxDistinctSeqs < Int.MaxValue,
+      s"driverMaxDistinctSeqs: $driverMaxDistinctSeqs")
+    val probe = weightedPlan.limit(driverMaxDistinctSeqs.toInt + 1).collect()
+    val merges =
+      if (probe.length <= driverMaxDistinctSeqs)
+        trainBpeDriver(probe.map { case (s, w) => (s.toArray, w) }, rounds)
+      else {
+        val weighted = weightedPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try bpeMergesDistributed(weighted, rounds)
+        finally { weighted.unpersist(); () }
+      }
+    merges.toDF("round", "pair", "n_pairs")
   }
 
   /** Driver-side BPE merge induction over the collected weight table — the

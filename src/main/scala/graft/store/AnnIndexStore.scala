@@ -60,13 +60,16 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     * terminal-until-compact contract shared with
     * [[DedupIndexStore.retire]] and [[SearchIndexStore.retire]]).
     */
-  def retire(ids: DataFrame, idCol: String): Unit = {
+  def retire(ids: DataFrame, idCol: String): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
+    val target = StoreCompaction.appendTarget(spark, s"$dir/retired")
     ids.select(col(idCol).as("vid")).distinct()
       .join(broadcast(retired.select("vid")), Seq("vid"), "left_anti")
       // materialize BEFORE the append: the anti-join reads the very table
       // the write appends to (self-referencing append otherwise)
       .localCheckpoint(true)
-      .write.mode(SaveMode.Append).parquet(s"$dir/retired")
+      .write.mode(SaveMode.Append).parquet(target)
+    spark.catalog.refreshByPath(target)
     graft.operators.TransientCache.drainPath(dir)
   }
 
@@ -110,7 +113,8 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     * per-row, so an append without them would leave unfilterable rows.
     */
   def append(embs: DataFrame, idCol: String, vecCol: String,
-             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit = {
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
     val extra = metaCols
     val v = embs.select(Seq(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("vec")) ++ extra.map(col): _*)
@@ -121,9 +125,11 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
       .withColumn("d", Similarity.dot(col("vec"), col("cvec")) / col("nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
+    val target = StoreCompaction.appendTarget(spark, s"$dir/cells")
     scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select((Seq("cid", "vid", "vec", "nrm") ++ extra).map(col): _*)
-      .write.mode(SaveMode.Append).partitionBy("cid").parquet(s"$dir/cells")
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(target)
+    spark.catalog.refreshByPath(target)
     graft.operators.TransientCache.drainPath(dir)
     // admission-time maintenance: each append writes its own files under
     // every touched cell, so probe cost grows with admission count until
@@ -142,13 +148,12 @@ final class AnnIndexStore(val dir: String, spark: SparkSession) {
     * rewrite-then-swap discipline as [[DedupIndexStore.compact]];
     * centroids/meta are tiny and immutable.
     */
-  def compact(): Unit = {
+  def compact(): Unit = StoreMaintenance.lockFor(dir).synchronized {
     val gone = retired.select("vid").localCheckpoint(true)
     StoreCompaction.rewritePartitioned(spark, s"$dir/cells", "cid")(
       _.join(broadcast(gone), Seq("vid"), "left_anti")
         .repartition(col("cid")))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    StoreCompaction.clearTable(spark, s"$dir/retired")
     graft.operators.TransientCache.drainPath(dir)
   }
 
@@ -190,8 +195,13 @@ object AnnIndexStore {
       .cache()
     val (centroids, index) = Similarity.ivfBuild(v, nlist, lloydIters)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    index.select((Seq("cid", "vid", "vec", "nrm") ++ metaCols).map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(s"$dir/cells")
+    // a rebuild over a dir that was ever compacted must publish through
+    // the generational flip (a raw overwrite would strand legacy files
+    // beside live generation dirs); centroids/meta are tiny, immutable
+    // post-build, and never swap-managed
+    StoreCompaction.swapIn(spark, s"$dir/cells",
+      index.select((Seq("cid", "vid", "vec", "nrm") ++ metaCols).map(col): _*),
+      Some("cid"))
     import spark.implicits._
     Seq((nlist, lloydIters)).toDF("nlist", "lloyd_iters")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")

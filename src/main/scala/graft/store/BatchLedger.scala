@@ -56,8 +56,18 @@ private[store] object BatchLedger {
     // dims are irrelevant on the marker row: allowMissingColumns nulls them
     val marker = spark.range(1).select(lit(batchKey).as("batch_key"),
       lit(1).as("__marker"), lit(n).as("cnt"))
-    cells.unionByName(marker, allowMissingColumns = true).coalesce(1)
-      .write.mode(mode).parquet(s"$dir/batches")
+    val rows = cells.unionByName(marker, allowMissingColumns = true)
+      .coalesce(1)
+    if (mode == SaveMode.Overwrite)
+      // build face: publish through the generational flip (a raw
+      // overwrite over a ledger that was ever repaired/compacted would
+      // strand legacy files beside live generation dirs)
+      StoreCompaction.swapIn(spark, s"$dir/batches", rows)
+    else {
+      val target = StoreCompaction.appendTarget(spark, s"$dir/batches")
+      rows.write.mode(SaveMode.Append).parquet(target)
+      spark.catalog.refreshByPath(target)
+    }
   }
 
   /** Marker/cell agreement for every stored batch. */

@@ -70,8 +70,8 @@ object BloomStore {
     import spark.implicits._
     Seq((itemCol, k, width)).toDF("item_col", "k", "width")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
-    Sketches.bloomBits(df, itemCol, k, width).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bits")
+    StoreCompaction.swapIn(spark, s"$dir/bits",
+      Sketches.bloomBits(df, itemCol, k, width).coalesce(1))
     new BloomStore(dir, spark)
   }
 }

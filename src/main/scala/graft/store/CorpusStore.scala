@@ -35,14 +35,15 @@ object CorpusStore {
             idCol: String, textCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val sharded = docs.withColumn("shard", shardOf(col(idCol), nShards))
-    sharded
-      .repartition(col("shard"))
-      .sortWithinPartitions(col(idCol))
-      .write.mode(SaveMode.Overwrite).partitionBy("shard")
-      .parquet(s"$dir/docs")
+    // publishes go through the generational flip: a RE-publish over a
+    // corpus that was ever appended-to/compacted must not strand legacy
+    // files beside live generation dirs (runResumable re-publishes on a
+    // crash between the corpus write and its marker)
+    StoreCompaction.swapIn(spark, s"$dir/docs",
+      sharded.repartition(col("shard")).sortWithinPartitions(col(idCol)),
+      Some("shard"))
     val manifest = census(sharded, textCol)
-    manifest.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$dir/manifest")
+    StoreCompaction.swapIn(spark, s"$dir/manifest", manifest.coalesce(1))
     import spark.implicits._
     Seq(nShards).toDF("n_shards")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
@@ -86,14 +87,17 @@ object CorpusStore {
     */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
              idCol: String, textCol: String,
-             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): DataFrame = {
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): DataFrame =
+      StoreMaintenance.lockFor(dir).synchronized {
     val n = nShards(spark, dir)
     val sharded = docs.withColumn("shard", shardOf(col(idCol), n))
+    val target = StoreCompaction.appendTarget(spark, s"$dir/docs")
     sharded
       .repartition(col("shard"))
       .sortWithinPartitions(col(idCol))
       .write.mode(SaveMode.Append).partitionBy("shard")
-      .parquet(s"$dir/docs")
+      .parquet(target)
+    spark.catalog.refreshByPath(target)
     val merged = manifest(spark, dir)
       .unionByName(census(sharded, textCol))
       .groupBy("shard").agg(sum("n_docs").as("n_docs"),
@@ -133,7 +137,8 @@ object CorpusStore {
     * live docs, which are the source of truth.
     */
   def retire(spark: SparkSession, dir: String, ids: DataFrame,
-             idCol: String, textCol: String): DataFrame = {
+             idCol: String, textCol: String): DataFrame =
+      StoreMaintenance.lockFor(dir).synchronized {
     val newIds = ids.select(col(idCol).as("doc_id")).distinct()
       .join(broadcast(retired(spark, dir)), Seq("doc_id"), "left_anti")
       // materialize BEFORE the append: the anti-join reads the very table
@@ -143,7 +148,9 @@ object CorpusStore {
       physicalDocs(spark, dir).join(
         broadcast(newIds.withColumnRenamed("doc_id", idCol)), Seq(idCol)),
       textCol).localCheckpoint(true)
-    newIds.write.mode(SaveMode.Append).parquet(s"$dir/retired")
+    val target = StoreCompaction.appendTarget(spark, s"$dir/retired")
+    newIds.write.mode(SaveMode.Append).parquet(target)
+    spark.catalog.refreshByPath(target)
     val merged = manifest(spark, dir).alias("m")
       .join(goneCensus.alias("g"), Seq("shard"), "left_outer")
       .select(col("shard"),
@@ -163,14 +170,14 @@ object CorpusStore {
     * Results are byte-equivalent to a fresh publish of the surviving docs.
     */
   def compact(spark: SparkSession, dir: String,
-              idCol: String = "doc_id"): Unit = {
+              idCol: String = "doc_id"): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
     val gone = retired(spark, dir).localCheckpoint(true)
     StoreCompaction.rewritePartitioned(spark, s"$dir/docs", "shard")(
       _.join(broadcast(gone.withColumnRenamed("doc_id", idCol)),
           Seq(idCol), "left_anti")
         .repartition(col("shard")).sortWithinPartitions(col(idCol)))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    StoreCompaction.clearTable(spark, s"$dir/retired")
     graft.operators.TransientCache.drainPath(dir)
   }
 

@@ -67,21 +67,38 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     * new rows too — same terminal-until-compact contract as
     * [[SearchIndexStore.retire]]).
     */
-  def retire(docIds: DataFrame, idCol: String): Unit = {
+  def retire(docIds: DataFrame, idCol: String): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
+    val target = StoreCompaction.appendTarget(spark, s"$dir/retired")
     docIds.select(col(idCol).as("doc_id")).distinct()
       .join(broadcast(retired.select("doc_id")), Seq("doc_id"), "left_anti")
       // materialize BEFORE the append: the anti-join reads the very table
       // the write appends to (self-referencing append otherwise)
       .localCheckpoint(true)
-      .write.mode(SaveMode.Append).parquet(s"$dir/retired")
-    spark.catalog.refreshByPath(s"$dir/retired")
+      .write.mode(SaveMode.Append).parquet(target)
+    spark.catalog.refreshByPath(target)
     graft.operators.TransientCache.drainPath(dir)
+  }
+
+  /** One-read family metadata — (n, numHashes, bands, builtThreshold,
+    * autoPlanned). The adopt-time faces need all of it, and each separate
+    * accessor is its own one-task Spark job; at micro-batch admission
+    * cadence those fixed job floors add up (round-13 job-floor work), so
+    * consumers on the hot path read the meta row once through this.
+    */
+  def familyMeta: (Int, Int, Int, Option[Double], Boolean) = {
+    val df = StoreCompaction.read(spark, s"$dir/meta")
+    val cols = df.columns.toSet
+    val m = df.head()
+    (m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
+      if (cols("threshold")) Option(m.getAs[Double]("threshold")) else None,
+      cols("auto") && m.getAs[Boolean]("auto"))
   }
 
   /** (n, numHashes, bands) the index was built with. */
   def params: (Int, Int, Int) = {
-    val m = spark.read.parquet(s"$dir/meta").head()
-    (m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"))
+    val m = familyMeta
+    (m._1, m._2, m._3)
   }
 
   /** The similarity threshold the stored band family was planned/priced
@@ -91,12 +108,7 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     * family's targetMiss recall guarantee holds only at the build
     * threshold.
     */
-  def builtThreshold: Option[Double] = {
-    val df = spark.read.parquet(s"$dir/meta")
-    if (df.columns.contains("threshold"))
-      Option(df.head().getAs[Double]("threshold"))
-    else None
-  }
+  def builtThreshold: Option[Double] = familyMeta._4
 
   def requireParams(n: Int, numHashes: Int, nBands: Int): Unit = {
     val p = params
@@ -113,22 +125,33 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .cache() // feeds both tables; one shingle pass over the batch
-    base.select(col("doc_id"),
+    val bandRows = base.select(col("doc_id"),
         posexplode(bandKeys(minhashSig(col("sh"), numHashes), nBands,
           rowsPerBand)).as(Seq("band", "key")))
       .repartition(col("key"))
-      .write.mode(mode).parquet(s"$dir/bands")
-    base.write.mode(mode).parquet(s"$dir/shingles")
+    if (mode == SaveMode.Overwrite) {
+      // a BUILD over a dir that was ever compacted must publish through
+      // the generational flip (a raw overwrite would strand legacy files
+      // beside live generation dirs)
+      StoreCompaction.swapIn(spark, s"$dir/bands", bandRows)
+      StoreCompaction.swapIn(spark, s"$dir/shingles", base.toDF())
+    } else {
+      // admission append: additive-only into the live generation
+      val bandsTarget = StoreCompaction.appendTarget(spark, s"$dir/bands")
+      val shTarget = StoreCompaction.appendTarget(spark, s"$dir/shingles")
+      bandRows.write.mode(SaveMode.Append).parquet(bandsTarget)
+      base.write.mode(SaveMode.Append).parquet(shTarget)
+      // drop any cached-plan fragments over the mutated tables: a stale
+      // registered InMemoryRelation (its blocks evicted or freed) would be
+      // SUBSTITUTED into the next query reading these paths and recompute
+      // from its captured pre-mutation file listing — observed at sf10 as
+      // FAILED_READ_FILE on the curation-stream rerun (the rebuilt index
+      // deleted the listing's files)
+      spark.catalog.refreshByPath(bandsTarget)
+      spark.catalog.refreshByPath(shTarget)
+      graft.operators.TransientCache.drainPath(dir)
+    }
     base.unpersist()
-    // drop any cached-plan fragments over the mutated tables: a stale
-    // registered InMemoryRelation (its blocks evicted or freed) would be
-    // SUBSTITUTED into the next query reading these paths and recompute
-    // from its captured pre-mutation file listing — observed at sf10 as
-    // FAILED_READ_FILE on the curation-stream rerun (the rebuilt index
-    // deleted the listing's files)
-    spark.catalog.refreshByPath(s"$dir/bands")
-    spark.catalog.refreshByPath(s"$dir/shingles")
-    graft.operators.TransientCache.drainPath(dir)
   }
 
   /** Admit a new batch into an existing index (parquet append). When the
@@ -139,7 +162,8 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     * intervene (0 disables; see [[StoreCompaction.AutoCompactFiles]]).
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
-             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit = {
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
     val (n, numHashes, nBands) = params
     writeDocs(docs, idCol, textCol, n, numHashes, nBands, SaveMode.Append)
     StoreCompaction.maybeAutoCompact(spark, s"$dir/bands",
@@ -147,98 +171,337 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     ()
   }
 
+  /** True when the stored band family was AUTO-planned at build time
+    * (numHashes = 0); false for explicit families and pre-column indexes.
+    * Only auto-planned stores are eligible for [[compact]]'s re-plan — an
+    * explicit family is an operator contract ([[requireParams]] callers
+    * depend on it) and must survive compactions byte-stable.
+    */
+  def autoPlanned: Boolean = familyMeta._5
+
   /** Re-cluster the accumulated appends: rewrite `bands` partitioned on the
     * join key and `shingles` on the doc id, restoring the
     * key-clustered-files property a fresh build has. Each append lands its
     * OWN key-partitioned file set, so after N admissions a (band, key) join
     * reads ~N small files per key cluster and the scan's file-open overhead
     * grows with history — the offline compaction the scaladoc deferred,
-    * measured by tools.IncrementalBench's appends mode. Rewrite goes to a
-    * sibling temp dir then swaps via rename, so a crash mid-compact leaves
-    * the live table intact (readers racing the swap see old or new, both
-    * complete).
+    * measured by tools.IncrementalBench's appends mode. Each table rewrite
+    * publishes a new GENERATION ([[StoreCompaction.swapIn]]), so readers
+    * racing the compaction keep scanning their resolved generation
+    * untouched.
+    *
+    * Corpus-drift re-plan (`replan = true`, AUTO-planned stores only): the
+    * band family was priced ONCE, at admission, against that corpus's size
+    * and sampled pair-similarity mass — a store built small and grown N×
+    * by appends keeps a stale family forever, paying its collision rate on
+    * every adopted-family query. Since compaction rewrites the band table
+    * anyway, this is the free moment to re-price: sample the LIVE stored
+    * shingle sets (no re-shingling — the true sets are stored), and if the
+    * planner chooses a different family, re-SIGN the band table from the
+    * stored shingles under it and update `meta/`. Output parity with a
+    * fresh build at the same family is spec-pinned (ReplanSpec).
     */
-  def compact(): Unit = {
+  def compact(replan: Boolean = true): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
     val gone = retired.select("doc_id").localCheckpoint(true)
-    StoreCompaction.rewrite(spark, s"$dir/bands")(
-      _.join(broadcast(gone), Seq("doc_id"), "left_anti")
-        .repartition(col("key")))
+    def liveShingles = StoreCompaction.read(spark, s"$dir/shingles")
+      .join(broadcast(gone), Seq("doc_id"), "left_anti")
+    val (n0, h0, b0, thr0, auto0) = familyMeta
+    val rePlanned: Option[(Int, Int)] =
+      if (!replan || !auto0) None
+      else thr0.flatMap { thr =>
+        val (pairs, js) =
+          graft.pipeline.Dedup.estimateJaccardSampleShingled(liveShingles)
+        if (pairs <= 0) None
+        else {
+          val nDocs = math.max(liveShingles.count(), 2L)
+          val plan = graft.pipeline.Dedup.minhashPlanForSample(
+            nDocs, thr, pairs, js)
+          if (plan == ((h0, b0))) None else Some(plan)
+        }
+      }
+    rePlanned match {
+      case Some((h, b)) =>
+        org.slf4j.LoggerFactory.getLogger(classOf[DedupIndexStore]).info(
+          s"DedupIndexStore: corpus drift re-plan at compact — band " +
+            s"family ($h0, $b0) re-priced to ($h, $b) under $dir")
+        StoreCompaction.swapIn(spark, s"$dir/bands",
+          liveShingles.select(col("doc_id"),
+            posexplode(bandKeys(minhashSig(col("sh"), h), b, h / b))
+              .as(Seq("band", "key")))
+            .repartition(col("key")))
+        import spark.implicits._
+        StoreCompaction.swapIn(spark, s"$dir/meta",
+          Seq((n0, h, b, thr0.get, true))
+            .toDF("n", "num_hashes", "bands", "threshold", "auto"))
+      case None =>
+        StoreCompaction.rewrite(spark, s"$dir/bands")(
+          _.join(broadcast(gone), Seq("doc_id"), "left_anti")
+            .repartition(col("key")))
+    }
     StoreCompaction.rewrite(spark, s"$dir/shingles")(
       _.join(broadcast(gone), Seq("doc_id"), "left_anti")
         .repartition(col("doc_id")))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    StoreCompaction.clearTable(spark, s"$dir/retired")
     graft.operators.TransientCache.drainPath(dir)
   }
 }
 
-/** Shared rewrite-then-swap primitive for the persisted-store compactions
-  * and incremental-manifest merges.
+/** Shared MVCC write/read primitive for the persisted-store tables — the
+  * compaction swaps, incremental-manifest merges, build overwrites, and
+  * admission appends all go through here.
+  *
+  * Layout: a table at `path` is GENERATION-VERSIONED — data lives in
+  * immutable `path/gen-N/` directories, and the newest generation carrying
+  * a `_COMMITTED` marker file is the live one. A rewrite writes the whole
+  * new table to `gen-N+1/` and "flips" by creating the marker (one atomic
+  * file create — the pointer flip); readers resolve the marker once per
+  * query and then scan a directory NO writer ever mutates or deletes out
+  * from under them, because superseded generations are retired only after
+  * a grace window of [[KeepGenerations]] further swaps. This retires the
+  * round-12 contract limit of the old two-rename swap (continuous zero-gap
+  * swaps could exhaust any bounded read retry: every swap COMPLETION
+  * deleted the files mid-flight scans had planned against) — and, because
+  * each generation is a fresh never-before-listed path, the session
+  * FileStatusCache can never serve a reader a stale listing for it.
+  * Reference analog: fresh-DB-per-index + pointer flip
+  * (crates/indexer/src/indexer.rs:551-589) — same hygiene, kept online.
+  *
+  * Pre-generational ("legacy") tables — plain parquet dirs — remain fully
+  * readable; their first [[swapIn]] migrates them (write outside, displace
+  * legacy to `__old`, install as `gen-1`), a one-time window covered by
+  * [[resolve]]'s legacy fallback chain and [[withSwapRetry]].
   */
 private[store] object StoreCompaction {
-  /** Write `df` (which may lazily READ from `path`) to a sibling temp dir,
-    * then swap it over `path` with a two-rename shuffle:
-    * live → `path__old`, tmp → `path`, delete `path__old`. The window in
-    * which `path` does not exist is a single rename (vs the naive
-    * delete-then-rename, whose window spans the whole delete), a crash at
-    * ANY point leaves the previous data recoverable (under `path`,
-    * `path__old`, or `__compacting` — [[resolve]] falls back in that
-    * order), and a reader that raced into the rename window recovers by
-    * re-resolving. On HDFS/POSIX each rename is atomic; on object stores
-    * rename is copy+delete and a fronting commit protocol is expected —
-    * same caveat as every rename-based committer.
+
+  private val GenPrefix = "gen-"
+  private val CommitMarker = "_COMMITTED"
+
+  /** Committed generations retained besides the live one, regardless of
+    * age. A reader that resolved generation G keeps scanning intact files
+    * until KeepGenerations further swaps complete AND [[GraceMs]] has
+    * elapsed since G was superseded — the count bounds steady-state disk
+    * (K+1 table copies when swaps are spaced wider than the grace), the
+    * time bound protects readers against swap bursts faster than one
+    * read's execution.
+    */
+  val KeepGenerations: Int = 2
+
+  /** Minimum wall-clock a superseded committed generation survives before
+    * retirement (measured from the commit of the generation that
+    * superseded it). Size to the longest query a deployment serves
+    * against the store — any read that RESOLVES a generation finishes
+    * against intact files as long as it completes within this window,
+    * even under continuous zero-gap swaps. Transient disk cost under a
+    * swap burst is bounded by swap-rate × GraceMs table copies, all
+    * reclaimed by the first swap (or [[repair]]) after the window.
+    * Mutable for deployments with long analytical reads (and for specs
+    * that pin the retirement bookkeeping itself).
+    */
+  @volatile var GraceMs: Long = 60_000L
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val h = new org.apache.hadoop.fs.Path(path)
+    (h.getFileSystem(spark.sparkContext.hadoopConfiguration), h)
+  }
+
+  private def genIdx(name: String): Option[Long] =
+    if (!name.startsWith(GenPrefix)) None
+    else scala.util.Try(name.drop(GenPrefix.length).toLong).toOption
+
+  /** (index, dir) of every generation under `path`, committed or not,
+    * ascending by index.
+    */
+  private def generations(fs: org.apache.hadoop.fs.FileSystem,
+                          hPath: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(hPath)) Nil
+    else fs.listStatus(hPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => genIdx(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+
+  private def isCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                          gen: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(gen, CommitMarker))
+
+  private def newestCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                              hPath: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] =
+    generations(fs, hPath).reverseIterator
+      .collectFirst { case (_, p) if isCommitted(fs, p) => p }
+
+  /** True when `path` holds pre-generational data files directly. */
+  private def hasLegacyData(fs: org.apache.hadoop.fs.FileSystem,
+                            hPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+      val n = st.getPath.getName
+      // legacy parquet data is files at the root OR partition (k=v)
+      // subdirectories — generation dirs are neither
+      (st.isFile && !n.startsWith("_") && !n.startsWith(".")) ||
+        (st.isDirectory && n.contains("="))
+    }
+
+  /** Write `df` (which may lazily READ from the table's live generation)
+    * as the table's next generation and flip the commit marker — the
+    * atomic publish. Superseded generations are retired after the
+    * [[KeepGenerations]] grace window; readers racing the flip see the old
+    * or the new generation, both complete, and never a directory being
+    * deleted under their scan. First call on a legacy table migrates it
+    * (the only moment with a rename window; [[resolve]]'s fallback chain
+    * covers it). On object stores the marker create is a single PUT —
+    * no rename-based commit needed on the generational fast path.
     */
   def swapIn(spark: SparkSession, path: String, df: DataFrame,
              partitionCol: Option[String] = None): Unit = {
-    val tmp = path + "__compacting"
-    val w = df.write.mode(SaveMode.Overwrite)
-    partitionCol.fold(w)(w.partitionBy(_)).parquet(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
-    val hOld = new org.apache.hadoop.fs.Path(path + "__old")
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hOld, true) // stale leftover from an earlier crash
-    if (fs.exists(hPath))
-      require(fs.rename(hPath, hOld), s"store swap rename failed: $path -> $hOld")
-    require(fs.rename(hTmp, hPath), s"store swap rename failed: $tmp -> $path")
-    fs.delete(hOld, true)
-    // the parquet write above auto-refreshed cached plans for the TEMP
-    // path; the rename moves files under `path` without any refresh, so
-    // cached-plan fragments over `path` keep their pre-swap file listing —
-    // drop/refresh them, or the next matching query recomputes against
-    // deleted files (see DedupIndexStore.writeDocs for the observed mode).
-    // refreshByPath repairs the catalog entry; registered operator
-    // fragments EMBEDDING a read of this path need the registry drain
-    // (refresh cannot reach embedded InMemoryRelations — measured)
+    val (fs, hPath) = fsOf(spark, path)
+    val gens = generations(fs, hPath)
+    def write(target: String): Unit = {
+      val w = df.write.mode(SaveMode.Overwrite)
+      partitionCol.fold(w)(w.partitionBy(_)).parquet(target)
+    }
+    if (gens.exists(g => isCommitted(fs, g._2))) {
+      // generational fast path: the new generation is written in place
+      // (readers never list `path` as a parquet dir once generational —
+      // they resolve to one gen dir) and published by one marker create
+      val next = gens.last._1 + 1
+      val genDir = new org.apache.hadoop.fs.Path(hPath, f"$GenPrefix$next%08d")
+      write(genDir.toString)
+      fs.create(new org.apache.hadoop.fs.Path(genDir, CommitMarker), true)
+        .close()
+      retireGenerations(fs, hPath, next)
+    } else {
+      // legacy table (or first write): write OUTSIDE `path` — a legacy
+      // reader lists `path` recursively, so a nested in-progress write
+      // would corrupt its partition discovery — then displace any legacy
+      // files to `__old` and install the result as gen-1. Readers racing
+      // this one-time migration recover through resolve's fallback chain.
+      val tmp = path + "__compacting"
+      write(tmp)
+      val hTmp = new org.apache.hadoop.fs.Path(tmp)
+      val hOld = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(hOld, true) // stale leftover from an earlier crash
+      if (fs.exists(hPath))
+        require(fs.rename(hPath, hOld),
+          s"store swap rename failed: $path -> $hOld")
+      fs.mkdirs(hPath)
+      val genDir = new org.apache.hadoop.fs.Path(hPath, f"$GenPrefix${1L}%08d")
+      require(fs.rename(hTmp, genDir),
+        s"store swap rename failed: $tmp -> $genDir")
+      fs.create(new org.apache.hadoop.fs.Path(genDir, CommitMarker), true)
+        .close()
+      fs.delete(hOld, true)
+    }
+    // a NEW generation path can have no stale FileStatusCache entry, but
+    // cached-plan fragments over the SUPERSEDED generation still match a
+    // semantically-stale plan — drop them, or a registered fragment keeps
+    // serving pre-swap rows to any plan that re-reads the old gen path.
+    // refreshByPath repairs the catalog entry for the legacy-migration
+    // case; registered operator fragments EMBEDDING a read of this table
+    // need the registry drain (refresh cannot reach embedded
+    // InMemoryRelations — measured)
     spark.catalog.refreshByPath(path)
     graft.operators.TransientCache.drainPath(path)
   }
 
-  /** Crash-recovery read resolution: the live `path` if present, else the
-    * displaced `path__old` (crash between swapIn's two renames), else the
-    * completed-but-unswapped `__compacting` temp (crash after write,
-    * before any rename). Lets a store survive any swapIn crash point
-    * without manual recovery.
+  /** Delete generations superseded beyond the grace window. Below
+    * `newest`, a generation goes when it is uncommitted (a crash-abandoned
+    * write — stores are single-writer, so during OUR swap no other write
+    * is in flight; it was never readable) or committed but BOTH outside
+    * the newest [[KeepGenerations]] committed set AND superseded longer
+    * than [[GraceMs]] ago (superseded-at = the commit-marker mtime of the
+    * earliest committed generation above it).
     */
-  def resolve(spark: SparkSession, path: String): String = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath)) path
-    else if (fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
-      path + "__old"
-    else if (fs.exists(new org.apache.hadoop.fs.Path(path + "__compacting")))
-      path + "__compacting"
-    else path // let the reader raise the normal path-not-found
+  private def retireGenerations(fs: org.apache.hadoop.fs.FileSystem,
+                                hPath: org.apache.hadoop.fs.Path,
+                                newest: Long): Unit = {
+    val gens = generations(fs, hPath)
+    val committed = gens.filter(g => isCommitted(fs, g._2))
+    val keep = committed.takeRight(KeepGenerations).map(_._1).toSet
+    val now = System.currentTimeMillis()
+    def commitTime(p: org.apache.hadoop.fs.Path): Long =
+      scala.util.Try(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(p, CommitMarker))
+        .getModificationTime).getOrElse(Long.MaxValue)
+    gens.foreach { case (i, p) =>
+      if (i < newest && !keep.contains(i)) {
+        if (!isCommitted(fs, p)) fs.delete(p, true)
+        else {
+          val supersededAt = committed.collectFirst {
+            case (j, q) if j > i => commitTime(q)
+          }.getOrElse(Long.MaxValue)
+          if (now - supersededAt > GraceMs) fs.delete(p, true)
+        }
+      }
+    }
   }
 
-  /** Read a store table with [[resolve]] crash-recovery fallback. A reader
-    * racing a concurrent [[swapIn]] can resolve the live `path`, have it
-    * renamed to `path__old` underneath it, and fail the parquet listing —
-    * so the initial read (where Spark eagerly lists files for schema
-    * inference) retries ONCE through a fresh [[resolve]], which lands on
-    * the swapped-in table. One retry suffices because stores are
-    * single-writer (the serving layer serializes compactions per store):
-    * at most one swap can be in flight, so the second resolve is stable.
+  /** Crash-repair face: drop uncommitted generation dirs (a swap that
+    * died between its write and its marker flip) and stale migration
+    * leftovers (`__old`/`__compacting`) once a committed generation
+    * exists to serve reads, then apply normal grace-window retirement.
+    * Idempotent; a no-op on a healthy table. Legacy tables are left for
+    * [[resolve]]'s fallback chain — their leftovers ARE the recovery data.
+    */
+  def repair(spark: SparkSession, path: String): Unit = {
+    val (fs, hPath) = fsOf(spark, path)
+    newestCommitted(fs, hPath).foreach { live =>
+      genIdx(live.getName).foreach(retireGenerations(fs, hPath, _))
+      generations(fs, hPath).foreach { case (_, p) =>
+        if (!isCommitted(fs, p) && p != live) fs.delete(p, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(path + "__old"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "__compacting"), true)
+    }
+  }
+
+  /** Read resolution: the newest COMMITTED generation when the table is
+    * generational; otherwise the legacy chain — `path` itself (if it holds
+    * data), the displaced `path__old` (crash between the migration
+    * renames), then the completed-but-unswapped `__compacting` temp
+    * (crash after write, before any rename). Lets a store survive any
+    * swapIn crash point without manual recovery.
+    */
+  def resolve(spark: SparkSession, path: String): String = {
+    val (fs, hPath) = fsOf(spark, path)
+    newestCommitted(fs, hPath) match {
+      case Some(gen) => gen.toString
+      case None =>
+        if (hasLegacyData(fs, hPath)) path
+        else if (fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+          path + "__old"
+        else if (fs.exists(new org.apache.hadoop.fs.Path(path + "__compacting")))
+          path + "__compacting"
+        else path // let the reader raise the normal path-not-found
+    }
+  }
+
+  /** Where an admission APPEND lands: the live generation dir when the
+    * table is generational, else the legacy path. Appends only ever ADD
+    * files (no delete), so a reader racing one sees the pre-append file
+    * set — ordinary parquet append isolation, unchanged by versioning.
+    */
+  def appendTarget(spark: SparkSession, path: String): String = {
+    val (fs, hPath) = fsOf(spark, path)
+    newestCommitted(fs, hPath).map(_.toString).getOrElse(path)
+  }
+
+  /** Purge a tombstone table's rows without deleting its directory under
+    * racing readers: swap in an empty (schema-preserving) generation.
+    * No-op when the table was never created.
+    */
+  def clearTable(spark: SparkSession, path: String): Unit = {
+    val (fs, hPath) = fsOf(spark, path)
+    if (fs.exists(hPath)) swapIn(spark, path, read(spark, path).limit(0))
+  }
+
+  /** Read a store table with [[resolve]] crash-recovery fallback. On a
+    * generational table the resolved directory is immutable for at least
+    * [[KeepGenerations]] further swaps, so no retry is normally needed;
+    * the single retry below covers LEGACY tables racing their one-time
+    * migration (resolve the live `path`, have it renamed to `path__old`
+    * underneath the eager schema-inference listing) and the pathological
+    * case of a read outliving the whole grace window.
     */
   def read(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(resolve(spark, path))
@@ -252,30 +515,24 @@ private[store] object StoreCompaction {
 
   /** Run `action` (a query whose scan reads tables under the store at
     * `path`), retrying when a concurrent [[swapIn]] moved the files out
-    * from under it MID-EXECUTION. [[read]]'s own retry covers only the
-    * resolution-time listing (schema inference); a query planned against
-    * the pre-swap file list that executes across the swap window fails its
-    * file OPEN (FAILED_READ_FILE / FileNotFoundException) because the
-    * listed paths were renamed to `__old` and deleted. A bare re-run is
-    * NOT enough (measured: the concurrent spec still failed ~1-in-3 runs
-    * with a single blind retry): the session's shared FileStatusCache can
-    * serve the retry the PRE-swap listing until the writer's own
-    * refreshByPath lands, so each retry here refreshes `path` first, then
-    * re-plans (with a short backoff so the re-plan clears the writer's
+    * from under it MID-EXECUTION. On GENERATIONAL tables this is belt and
+    * braces only: a resolved generation's files survive [[KeepGenerations]]
+    * further swaps, so mid-execution deletion requires a read outliving
+    * the whole grace window. The retry earns its keep on LEGACY tables and
+    * their one-time migration, where a swap completion still deletes the
+    * files a mid-flight scan planned against (FAILED_READ_FILE /
+    * FileNotFoundException at file OPEN). A bare re-run is NOT enough
+    * (measured: the concurrent spec still failed ~1-in-3 runs with a
+    * single blind retry): the session's shared FileStatusCache can serve
+    * the retry the PRE-swap listing until the writer's own refreshByPath
+    * lands, so each retry here refreshes `path` first, then re-plans
+    * (with a short backoff so the re-plan clears the writer's
     * rename-to-refresh window instead of re-entering it).
     *
-    * Contract limit, surfaced by the concurrent spec and worth stating
-    * plainly: a swap COMPLETION deletes the files any mid-flight scan
-    * planned against, so the vulnerable window is the reader's WHOLE
-    * execution, not the rename instant — under continuous back-to-back
-    * swaps every bounded retry count can be exhausted. Bounded retries
-    * (default 3) guarantee progress when swap completions are spaced
-    * wider than one read's execution, which is what the single-writer
-    * stores' OCCASIONAL maintenance compactions produce; a store that
-    * must be rewritten continuously under live readers needs a
-    * generational layout (pointer + grace-deleted generation dirs), not
-    * a retry. Concurrent-serving readers wrap their ACTIONS
-    * (collect/count/write) in this; the lazy faces cannot retry for them.
+    * The round-12 contract limit (continuous zero-gap swaps exhaust any
+    * bounded retry) is retired by the generational layout, not by retry
+    * tuning — ConcurrentSwapSpec drives a zero-gap swap loop against a
+    * generational table with NO retries consumed.
     */
   def withSwapRetry[T](spark: SparkSession, path: String, attempts: Int = 4)(
       action: => T): T = {
@@ -291,11 +548,23 @@ private[store] object StoreCompaction {
             e.getMessage.contains("PATH_NOT_FOUND")) => true
         case e => isSwapRace(e.getCause)
       }
+    // a genuinely deleted store is not a swap race: when NO resolvable
+    // form of the table exists (no generation, no legacy data, no
+    // crash-window leftovers), fail fast instead of burning retries with
+    // sleeps on every FileNotFoundException (the classifier is message-
+    // based and cannot tell the two apart on its own)
+    def tableGone: Boolean = {
+      val (fs, hPath) = fsOf(spark, path)
+      !fs.exists(hPath) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(path + "__old")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(path + "__compacting"))
+    }
     var left = math.max(1, attempts)
     while (true) {
       try return action
       catch {
-        case scala.util.control.NonFatal(e) if isSwapRace(e) && left > 1 =>
+        case scala.util.control.NonFatal(e)
+            if isSwapRace(e) && left > 1 && !tableGone =>
           left -= 1
           // clear the writer's rename-to-refresh window, then drop the
           // session's cached (pre-swap) listing before re-planning
@@ -348,6 +617,12 @@ private[store] object StoreCompaction {
   def maybeAutoCompact(spark: SparkSession, table: String, threshold: Int,
                        label: String)(compact: => Unit): Boolean = {
     if (threshold <= 0) false
+    // a live maintenance loop owns this table's compactions: the
+    // admission only appends, and the rewrite runs on the maintenance
+    // thread at its next tick (StoreMaintenance) — admissions never pay
+    // the corpus-linear rewrite while the loop is up, and transparently
+    // fall back to inline if it stops
+    else if (StoreMaintenance.delegated(table)) false
     else {
       val n = dataFileCount(spark, table)
       if (n <= threshold) false
@@ -440,9 +715,11 @@ object DedupIndexStore {
     import spark.implicits._
     // threshold persists alongside the family: the plan was priced FOR
     // this threshold, and adopt-time readers warn when querying at a
-    // different one (builtThreshold)
-    Seq((n, h, b, threshold)).toDF("n", "num_hashes", "bands", "threshold")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    // different one (builtThreshold). `auto` records whether the family
+    // was planner-chosen — the eligibility bit for compact()'s re-plan
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((n, h, b, threshold, numHashes == 0))
+        .toDF("n", "num_hashes", "bands", "threshold", "auto"))
     store
   }
 }

@@ -88,8 +88,8 @@ object KmvStore {
     import spark.implicits._
     Seq((itemCol, k)).toDF("item_col", "k")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
-    Sketches.kmv(df, itemCol, k).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/synopsis")
+    StoreCompaction.swapIn(spark, s"$dir/synopsis",
+      Sketches.kmv(df, itemCol, k).coalesce(1))
     new KmvStore(dir, spark)
   }
 }

@@ -83,15 +83,18 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
     * [[compact]]). Idempotent: already-retired or never-admitted ids
     * contribute nothing. Returns the number of docs actually retired.
     */
-  def retire(docIds: DataFrame, idCol: String): Unit = {
+  def retire(docIds: DataFrame, idCol: String): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
     val gone = doclens // live view: already-retired ids drop out here
       .join(docIds.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"),
         "left_semi")
       .localCheckpoint(true) // two consumers; sever before we write
     val r = gone.agg(count(lit(1)), sum("dl")).head()
     if (r.getLong(0) > 0) {
+      val target = StoreCompaction.appendTarget(spark, s"$dir/retired")
       gone.select("doc_id")
-        .write.mode(SaveMode.Append).parquet(s"$dir/retired")
+        .write.mode(SaveMode.Append).parquet(target)
+      spark.catalog.refreshByPath(target)
       val (n0, s0) = stats
       import spark.implicits._
       StoreCompaction.swapIn(spark, s"$dir/meta",
@@ -111,12 +114,17 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
     * dedup is the ingest pipeline's job, as with the corpus store).
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
-             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit = {
+             autoCompactFiles: Int = StoreCompaction.AutoCompactFiles): Unit =
+      StoreMaintenance.lockFor(dir).synchronized {
     val base = SearchIndexStore.tokenized(docs, idCol, textCol).cache()
+    val pTarget = StoreCompaction.appendTarget(spark, s"$dir/postings")
+    val dTarget = StoreCompaction.appendTarget(spark, s"$dir/doclens")
     SearchIndexStore.postingsOf(base)
-      .write.mode(SaveMode.Append).parquet(s"$dir/postings")
+      .write.mode(SaveMode.Append).parquet(pTarget)
     base.select("doc_id", "dl")
-      .write.mode(SaveMode.Append).parquet(s"$dir/doclens")
+      .write.mode(SaveMode.Append).parquet(dTarget)
+    spark.catalog.refreshByPath(pTarget)
+    spark.catalog.refreshByPath(dTarget)
     val add = base.agg(count(lit(1)), sum("dl")).head()
     base.unpersist()
     val (n0, s0) = stats
@@ -206,7 +214,7 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
     * retired ids are fresh again). Every crash window is safe: a
     * tombstone that outlives its purged rows anti-joins nothing.
     */
-  def compact(): Unit = {
+  def compact(): Unit = StoreMaintenance.lockFor(dir).synchronized {
     val gone = retired.select("doc_id").localCheckpoint(true)
     StoreCompaction.rewrite(spark, s"$dir/postings")(
       _.join(broadcast(gone), Seq("doc_id"), "left_anti")
@@ -214,8 +222,7 @@ final class SearchIndexStore(val dir: String, spark: SparkSession) {
     StoreCompaction.rewrite(spark, s"$dir/doclens")(
       _.join(broadcast(gone), Seq("doc_id"), "left_anti")
         .repartition(col("doc_id")))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/retired")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    StoreCompaction.clearTable(spark, s"$dir/retired")
     graft.operators.TransientCache.drainPath(dir)
   }
 }
@@ -236,14 +243,17 @@ object SearchIndexStore {
   def build(spark: SparkSession, dir: String, docs: DataFrame,
             idCol: String, textCol: String): SearchIndexStore = {
     val base = tokenized(docs, idCol, textCol).cache()
-    postingsOf(base).write.mode(SaveMode.Overwrite).parquet(s"$dir/postings")
-    base.select("doc_id", "dl")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/doclens")
+    // builds publish through the generational flip too: a rebuild over a
+    // dir that was ever compacted must not strand legacy files beside
+    // live generation dirs
+    StoreCompaction.swapIn(spark, s"$dir/postings", postingsOf(base))
+    StoreCompaction.swapIn(spark, s"$dir/doclens",
+      base.select("doc_id", "dl"))
     val t = base.agg(count(lit(1)), sum("dl")).head()
     base.unpersist()
     import spark.implicits._
-    Seq((t.getLong(0), t.getAs[Double](1))).toDF("n_docs", "sum_dl")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((t.getLong(0), t.getAs[Double](1))).toDF("n_docs", "sum_dl"))
     graft.operators.TransientCache.drainPath(dir)
     new SearchIndexStore(dir, spark)
   }

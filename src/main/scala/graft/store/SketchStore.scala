@@ -82,8 +82,8 @@ object SketchStore {
             groupCol: String, valueCol: String,
             lgK: Int = 12): SketchStore = {
     require(lgK >= 4 && lgK <= 21, s"lgK out of DataSketches range: $lgK")
-    sketchOf(df, groupCol, valueCol, lgK)
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/sketches")
+    StoreCompaction.swapIn(spark, s"$dir/sketches",
+      sketchOf(df, groupCol, valueCol, lgK).coalesce(1))
     import spark.implicits._
     Seq((groupCol, valueCol, lgK)).toDF("group_col", "value_col", "lg_k")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")

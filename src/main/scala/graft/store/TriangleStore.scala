@@ -51,8 +51,10 @@ final class TriangleStore(val dir: String, spark: SparkSession) {
       graft.graph.GraphOps.canonicalUndirected(newEdges), stored)
     val nNew = trulyNew.count()
     if (nNew > 0) {
+      val target = StoreCompaction.appendTarget(spark, s"$dir/edges")
       trulyNew.repartition(col("u"))
-        .write.mode(SaveMode.Append).parquet(s"$dir/edges")
+        .write.mode(SaveMode.Append).parquet(target)
+      spark.catalog.refreshByPath(target)
       val (e0, t0) = stats
       import spark.implicits._
       StoreCompaction.swapIn(spark, s"$dir/meta",
@@ -134,13 +136,13 @@ object TriangleStore {
   def build(spark: SparkSession, dir: String, edges: DataFrame): TriangleStore = {
     val canon = graft.graph.GraphOps.canonicalUndirected(edges)
       .localCheckpoint(true)
-    canon.repartition(col("u"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/edges")
+    StoreCompaction.swapIn(spark, s"$dir/edges",
+      canon.repartition(col("u")))
     import spark.implicits._
-    Seq((canon.count(),
-      graft.graph.GraphOps.enumerateTriangles(canon).count()))
-      .toDF("n_edges", "n_triangles")
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    StoreCompaction.swapIn(spark, s"$dir/meta",
+      Seq((canon.count(),
+        graft.graph.GraphOps.enumerateTriangles(canon).count()))
+        .toDF("n_edges", "n_triangles"))
     new TriangleStore(dir, spark)
   }
 }

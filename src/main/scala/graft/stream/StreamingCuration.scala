@@ -136,12 +136,34 @@ object StreamingCuration {
         ()
       }
 
-  /** Convenience: start curating with a processing-time trigger. */
+  /** Convenience: start curating with a processing-time trigger.
+    *
+    * `maintenance = true` (default) registers both stores with
+    * [[graft.store.StoreMaintenance]] and starts its background loop:
+    * continuous ingest is exactly the workload where an INLINE
+    * auto-compaction hurts most (a corpus-linear rewrite injected into
+    * one unlucky micro-batch — hours at 100 TB), so admissions only
+    * append and the maintenance thread pays the rewrite between batches,
+    * serialized against them by the store lock. If the loop is stopped,
+    * admissions transparently fall back to the inline trigger.
+    */
   def start(docs: DataFrame, idCol: String, textCol: String,
             benchmark: DataFrame, benchTextCol: String,
             indexDir: String, publishDir: String,
             cfg: CurationPipeline.Config = CurationPipeline.Config(),
-            triggerMs: Long = 1000L): StreamingQuery =
+            triggerMs: Long = 1000L,
+            maintenance: Boolean = true): StreamingQuery = {
+    if (maintenance) {
+      val spark = docs.sparkSession
+      graft.store.StoreMaintenance.register(s"$indexDir/bands",
+        graft.store.StoreMaintenance.DefaultThreshold, "DedupIndexStore",
+        indexDir)(new DedupIndexStore(indexDir, spark).compact())
+      graft.store.StoreMaintenance.register(s"$publishDir/docs",
+        graft.store.StoreMaintenance.DefaultThreshold, "CorpusStore",
+        publishDir)(CorpusStore.compact(spark, publishDir))
+      graft.store.StoreMaintenance.start(spark)
+    }
     writer(docs, idCol, textCol, benchmark, benchTextCol, indexDir,
       publishDir, cfg).trigger(Trigger.ProcessingTime(triggerMs)).start()
+  }
 }

@@ -534,8 +534,17 @@ class PipelineSpec extends SparkSpec {
       .collect().toMap
     grownShards.foreach { case (id, sh) => assert(full(id) == sh) }
     // compaction: same rows, same manifest agreement, fewer files
-    def files(d: String) = org.apache.commons.io.FileUtils
-      .listFiles(new java.io.File(s"$d/docs"), Array("parquet"), true).size()
+    // count the LIVE generation only: the generational layout retains the
+    // superseded generation through a grace window, so a recursive count
+    // over the table root would see old + new after a compact
+    def files(d: String) = {
+      val root = new java.io.File(s"$d/docs")
+      val gens = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      val live = if (gens.isEmpty) root else gens.maxBy(_.getName)
+      org.apache.commons.io.FileUtils
+        .listFiles(live, Array("parquet"), true).size()
+    }
     val before = files(dir2)
     graft.store.CorpusStore.compact(spark, dir2)
     assert(files(dir2) < before, s"$before -> ${files(dir2)}")
@@ -1664,9 +1673,15 @@ class PipelineSpec extends SparkSpec {
 
       // compaction re-clusters the accumulated appends: same results,
       // fewer files (build + append each wrote their own file set)
-      def files(sub: String) = org.apache.commons.io.FileUtils
-        .listFiles(new java.io.File(s"$dir/$sub"), Array("parquet"), true)
-        .size()
+      // live generation only (see the corpus-store spec's files())
+      def files(sub: String) = {
+        val root = new java.io.File(s"$dir/$sub")
+        val gens = Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+        val live = if (gens.isEmpty) root else gens.maxBy(_.getName)
+        org.apache.commons.io.FileUtils
+          .listFiles(live, Array("parquet"), true).size()
+      }
       val (bandsBefore, shBefore) = (files("bands"), files("shingles"))
       idx.compact()
       assert(files("bands") < bandsBefore, s"bands: $bandsBefore -> ${files("bands")}")

@@ -54,7 +54,10 @@ class CmStoreSpec extends SparkSpec {
     Sketches.countMin(df.where($"id" >= 50), "item", 4, 64)
       .select(lit("b_crash").as("batch_key"), lit(0).as("__marker"),
         $"j", $"bucket", $"cnt")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/batches")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(StoreCompaction.appendTarget(spark, s"$dir/batches"))
+    spark.catalog.refreshByPath(
+      StoreCompaction.appendTarget(spark, s"$dir/batches"))
     assert(!st.validate())
     assert(estMap(st) == clean, "half-landed cells must not be readable")
     st.repair()
@@ -120,7 +123,10 @@ class CmStoreSpec extends SparkSpec {
     Sketches.histSketch(df, "key", "value")
       .select(lit("b_crash").as("batch_key"), lit(0).as("__marker"),
         $"key", $"sgn", $"nd", $"p2", $"lo4", $"hi4", $"cnt")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/batches")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(StoreCompaction.appendTarget(spark, s"$dir/batches"))
+    spark.catalog.refreshByPath(
+      StoreCompaction.appendTarget(spark, s"$dir/batches"))
     assert(!st.validate())
     assert(qmap(st) == got)
     st.repair()

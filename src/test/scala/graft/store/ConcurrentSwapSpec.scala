@@ -6,48 +6,43 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** The reader-vs-swap race, exercised CONCURRENTLY (the prior specs drove
-  * swap recovery sequentially): a reader thread querying a store table in
-  * a loop while the writer thread runs live [[StoreCompaction.swapIn]]s
-  * against it. The contract under test: every read that completes returns
-  * a COMPLETE table — one generation, all its rows — never a torn mix or
-  * a partial scan. Two mechanisms cooperate: resolve-time fallback +
-  * single retry inside [[StoreCompaction.read]] (covers the listing), and
-  * [[StoreCompaction.withSwapRetry]] around the reader's ACTION (covers a
-  * scan planned pre-swap whose file opens land post-swap — the execution-
-  * time window the lazy read face cannot guard). The race is REAL and
-  * this spec exercises it — it surfaced two findings now baked into the
-  * contract: a blind retry fails through the session's stale
-  * FileStatusCache listing (withSwapRetry refreshes the path before each
-  * re-plan), and a swap COMPLETION invalidates every mid-flight scan, so
-  * bounded retries guarantee progress only when swaps are spaced wider
-  * than one read (true of maintenance compactions; the spec paces its
-  * swap loop accordingly — a zero-gap loop can exhaust ANY retry bound,
-  * documented on withSwapRetry).
+/** The reader-vs-swap race under the GENERATIONAL store layout. Round 12's
+  * contract limit — a swap COMPLETION deletes the files any mid-flight
+  * scan planned against, so continuous back-to-back swaps could exhaust
+  * any bounded retry — is retired by [[StoreCompaction.swapIn]]'s MVCC
+  * layout: a new generation is published by one marker create, and a
+  * superseded generation's files survive KeepGenerations further swaps
+  * (the grace window), so a reader's whole execution runs against a
+  * directory no writer mutates. The spec drives the EXACT workload the
+  * old contract excluded — a ZERO-GAP swap loop — against a reader with
+  * NO retry wrapper at all, and requires zero failed reads and zero torn
+  * reads.
   */
 class ConcurrentSwapSpec extends SparkSpec {
 
-  test("a reader thread racing a live swapIn loop sees only complete " +
-    "(old or new) tables, never torn or failed reads") {
+  test("a zero-gap swapIn loop against an unguarded reader: zero failed " +
+    "reads, zero torn reads, no retries needed (generational layout)") {
     val dir = Files.createTempDirectory("graft-race").toString + "/t"
     def gen(g: Int) = spark.range(100)
       .select(col("id"), lit(g).as("gen"))
-    gen(1).write.parquet(dir)
-    // a reader losing the race logs its task failure at ERROR before the
-    // retry recovers — expected here by construction, so keep the spec's
-    // output quiet (level restored below)
-    spark.sparkContext.setLogLevel("FATAL")
+    gen(0).write.parquet(dir)
+    // install the generational layout up front: the one-time legacy
+    // migration (rename window) is covered by resolve's fallback chain +
+    // withSwapRetry and is not what this spec pins
+    StoreCompaction.swapIn(spark, dir, gen(1))
+    assert(StoreCompaction.resolve(spark, dir).contains("/gen-"))
     val stop = new AtomicBoolean(false)
     val reads = new AtomicLong(0L)
     val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val reader = new Thread(() => {
       while (!stop.get()) {
         try {
-          val r = StoreCompaction.withSwapRetry(spark, dir) {
-            StoreCompaction.read(spark, dir)
-              .agg(count(lit(1)).as("n"), countDistinct("gen").as("g"))
-              .head()
-          }
+          // deliberately UNGUARDED: no withSwapRetry, no read-level
+          // retry should ever fire — the resolved generation dir is
+          // immutable for the grace window
+          val r = StoreCompaction.read(spark, dir)
+            .agg(count(lit(1)).as("n"), countDistinct("gen").as("g"))
+            .head()
           reads.incrementAndGet()
           if (r.getLong(0) != 100L || r.getLong(1) != 1L)
             bad.add(s"torn read: n=${r.getLong(0)} gens=${r.getLong(1)}")
@@ -58,22 +53,46 @@ class ConcurrentSwapSpec extends SparkSpec {
     })
     reader.start()
     try {
-      for (g <- 2 to 20) {
-        StoreCompaction.swapIn(spark, dir, gen(g))
-        // serving cadence, not a tight loop: every swap completion
-        // invalidates any mid-flight scan, so zero-gap swaps can exhaust
-        // ANY bounded retry count (measured: 2-3 exhaustions per run at
-        // 100 ms gaps) — while single-writer stores compact occasionally,
-        // leaving retries a stable table to land on. The gap is sized to
-        // one read's execution (~0.3-0.5 s here).
-        Thread.sleep(750)
-      }
+      // ZERO-GAP: the exact cadence the round-12 two-rename contract
+      // documented as able to exhaust any bounded retry count
+      for (g <- 2 to 16) StoreCompaction.swapIn(spark, dir, gen(g))
     } finally {
       stop.set(true); reader.join()
-      spark.sparkContext.setLogLevel("WARN")
     }
     assert(reads.get() > 0, "reader never completed a read")
     assert(bad.isEmpty,
       s"race violations (${bad.size}): ${bad.toArray.take(3).mkString("; ")}")
+    assert(StoreCompaction.read(spark, dir)
+      .agg(max(col("gen"))).head().getInt(0) == 16)
+  }
+
+  test("generation retirement bookkeeping: superseded generations are " +
+    "reclaimed once past BOTH the count and the time grace") {
+    val dir = Files.createTempDirectory("graft-retire").toString + "/t"
+    def gen(g: Int) = spark.range(10)
+      .select(col("id"), lit(g).as("gen"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName).sorted.toSeq
+    val saved = StoreCompaction.GraceMs
+    try {
+      // time grace active: a zero-gap burst retires nothing (every
+      // superseded generation is younger than the grace), so transient
+      // disk is swap-rate x GraceMs — and a slow reader keeps its files
+      StoreCompaction.swapIn(spark, dir, gen(1))
+      for (g <- 2 to 5) StoreCompaction.swapIn(spark, dir, gen(g))
+      assert(genDirs.size == 5,
+        s"inside the grace window nothing retires: $genDirs")
+      // grace elapsed (simulated): the next swap reclaims down to the
+      // KeepGenerations bound — steady-state disk is K+1 copies
+      StoreCompaction.GraceMs = 0L
+      StoreCompaction.swapIn(spark, dir, gen(6))
+      assert(genDirs.size == StoreCompaction.KeepGenerations,
+        s"past the grace window the count bound applies: $genDirs")
+      assert(StoreCompaction.read(spark, dir)
+        .agg(max(col("gen"))).head().getInt(0) == 6)
+    } finally StoreCompaction.GraceMs = saved
   }
 }

@@ -201,7 +201,8 @@ class RetireSpec extends SparkSpec {
     // compact: physical purge, tombstones dropped, ids re-admittable
     CorpusStore.compact(spark, dir)
     assert(CorpusStore.retired(spark, dir).isEmpty)
-    assert(spark.read.parquet(s"$dir/docs").where(col("doc_id") % 5 === 0)
+    assert(StoreCompaction.read(spark, s"$dir/docs")
+      .where(col("doc_id") % 5 === 0)
       .isEmpty, "compact must purge retired rows")
     assert(CorpusStore.validate(spark, dir, "doc_id", "text") == 0L)
     CorpusStore.append(spark, dir, docs.where(col("doc_id") % 5 === 0),

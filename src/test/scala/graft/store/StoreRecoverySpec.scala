@@ -15,24 +15,63 @@ class StoreRecoverySpec extends SparkSpec {
   private def fs =
     new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  test("swapIn survives a crash between its two renames: read falls back " +
-    "to path__old, the next swap heals") {
+  test("legacy migration crash window: read falls back to path__old; " +
+    "generational crash between write and marker flip serves the previous " +
+    "generation; repair drops the dead generation") {
     val dir = Files.createTempDirectory("graft-swap").toString
     val path = s"$dir/t"
+    // legacy table -> first swapIn migrates it to gen-1
     Seq(1, 2, 3).toDF("v").write.parquet(path)
     StoreCompaction.swapIn(spark, path, Seq(4, 5).toDF("v"))
+    assert(StoreCompaction.resolve(spark, path).contains("/gen-"),
+      "first swap must install the generational layout")
     assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
       .toSeq == Seq(4, 5))
-    // simulate the crash window: live displaced to __old, tmp never renamed
-    assert(fs.rename(new Path(path), new Path(path + "__old")))
-    assert(StoreCompaction.resolve(spark, path) == path + "__old")
-    assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
-      .toSeq == Seq(4, 5))
+    // simulate the MIGRATION crash window on a fresh legacy table: legacy
+    // displaced to __old, gen dir never installed
+    val path2 = s"$dir/t2"
+    Seq(7, 8).toDF("v").write.parquet(path2)
+    assert(fs.rename(new Path(path2), new Path(path2 + "__old")))
+    assert(StoreCompaction.resolve(spark, path2) == path2 + "__old")
+    assert(StoreCompaction.read(spark, path2).as[Int].collect().sorted
+      .toSeq == Seq(7, 8))
     // the next swap starts from the recovered data and heals the layout
-    StoreCompaction.rewrite(spark, path)(_.where(col("v") > 4))
-    assert(StoreCompaction.resolve(spark, path) == path)
-    assert(StoreCompaction.read(spark, path).as[Int].collect().toSeq == Seq(5))
-    assert(!fs.exists(new Path(path + "__old")))
+    StoreCompaction.rewrite(spark, path2)(_.where(col("v") > 7))
+    assert(StoreCompaction.read(spark, path2).as[Int].collect()
+      .toSeq == Seq(8))
+    assert(!fs.exists(new Path(path2 + "__old")))
+
+    // generational crash window: a newer generation written but never
+    // marker-flipped is invisible to readers and removed by repair()
+    val live = StoreCompaction.resolve(spark, path)
+    val dead = s"$path/gen-00000099"
+    Seq(42).toDF("v").write.parquet(dead)
+    assert(StoreCompaction.resolve(spark, path) == live,
+      "an uncommitted generation must never resolve")
+    assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
+      .toSeq == Seq(4, 5))
+    StoreCompaction.repair(spark, path)
+    assert(!fs.exists(new Path(dead)), "repair must drop the dead generation")
+    assert(StoreCompaction.read(spark, path).as[Int].collect().sorted
+      .toSeq == Seq(4, 5))
+
+    // grace window: a swapped-out generation survives the next swap
+    // (an in-flight reader's files are never deleted by the swap that
+    // supersedes them), then retires once past BOTH the count and time
+    // bounds (time grace zeroed here to pin the count bound alone)
+    val genBefore = StoreCompaction.resolve(spark, path)
+    StoreCompaction.rewrite(spark, path)(_.where(col("v") === 5))
+    assert(fs.exists(new Path(genBefore)),
+      "the superseded generation must survive the next swap (grace window)")
+    val saved = StoreCompaction.GraceMs
+    try {
+      StoreCompaction.GraceMs = 0L
+      StoreCompaction.rewrite(spark, path)(identity)
+      assert(!fs.exists(new Path(genBefore)),
+        "a generation beyond the grace window must be retired")
+    } finally StoreCompaction.GraceMs = saved
+    assert(StoreCompaction.read(spark, path).as[Int].collect()
+      .toSeq == Seq(5))
   }
 
   test("swapIn crash before any rename: read falls back to __compacting") {
@@ -61,7 +100,10 @@ class StoreRecoverySpec extends SparkSpec {
     // doclens append and meta swap never run
     val base = SearchIndexStore.tokenized(late, "doc_id", "text")
     SearchIndexStore.postingsOf(base)
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.mode("append")
+      .parquet(StoreCompaction.appendTarget(spark, s"$dir/postings"))
+    spark.catalog.refreshByPath(
+      StoreCompaction.appendTarget(spark, s"$dir/postings"))
     assert(!st.validate(), "orphaned postings must fail validation")
 
     // the replay guard key set covers the half-landed docs, so a replayed
@@ -98,7 +140,10 @@ class StoreRecoverySpec extends SparkSpec {
       .cast("string")) % 4).cast("int")
     batch.withColumn("shard", shard)
       .repartition(col("shard")).sortWithinPartitions(col("doc_id"))
-      .write.mode("append").partitionBy("shard").parquet(s"$dir/docs")
+      .write.mode("append").partitionBy("shard")
+      .parquet(StoreCompaction.appendTarget(spark, s"$dir/docs"))
+    spark.catalog.refreshByPath(
+      StoreCompaction.appendTarget(spark, s"$dir/docs"))
     assert(CorpusStore.validate(spark, dir, "doc_id", "text") > 0L,
       "half-applied admission must be detected")
 

@@ -51,7 +51,10 @@ class TriangleStoreSpec extends SparkSpec {
     assert(st.stats == ((3L, 1L)))
     // simulate the crash window: edges of {2-4, 3-4} land, meta never swaps
     Seq((2L + (3L << 32), 4L + (3L << 32)), (3L + (3L << 32), 4L + (3L << 32)))
-      .toDF("u", "v").write.mode("append").parquet(s"$dir/edges")
+      .toDF("u", "v").write.mode("append")
+      .parquet(StoreCompaction.appendTarget(spark, s"$dir/edges"))
+    spark.catalog.refreshByPath(
+      StoreCompaction.appendTarget(spark, s"$dir/edges"))
     assert(!st.validate(), "half-applied admission must be detected")
     st.repair()
     assert(st.validate())
