@@ -49,11 +49,17 @@ object StreamingCuration {
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
                    benchmark: DataFrame, benchTextCol: String,
                    index: DedupIndexStore, publishDir: String,
-                   cfg: CurationPipeline.Config = CurationPipeline.Config())
-      : Long = {
+                   cfg: CurationPipeline.Config = CurationPipeline.Config(),
+                   aqeOffBelowBytes: Long = 256L << 20): Long = {
     val scope = graft.operators.TransientCache.beginScope()
     try {
     val spark = batch.sparkSession
+    // micro-batch planning mode: below the size threshold the admission
+    // runs without AQE — at this scale the ~50 sequential AQE stage-jobs'
+    // fixed latency IS the admission wall (see
+    // CurationPipeline.withMicroBatchPlanning; measured 19.4 -> 11.5 s
+    // per sf0.1 batch). 0 disables the switch.
+    CurationPipeline.withMicroBatchPlanning(spark, batch, aqeOffBelowBytes) {
     // an empty-seeded store has no doc files yet (partitioned write of
     // zero rows), so the published-ids read would fail schema inference —
     // and nothing can need guarding. Probe the filesystem, not the
@@ -108,6 +114,7 @@ object StreamingCuration {
     // (a later RDD sweep would turn it into a recompute-per-use trap)
     graft.operators.TransientCache.drainScope(scope)
     n
+    }
     } catch { case t: Throwable =>
       // a failed micro-batch (the stream will retry it) must not leave its
       // fragments registered for the replay to substitute

@@ -59,7 +59,9 @@ object Round13Probe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "1") match {
+          case "0" => "false"; case _ => "true" })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -67,6 +69,7 @@ object Round13Probe {
     graft.functions.VectorExpressions.register(spark)
     mode match {
       case "streamjobs" => streamJobs(spark, sfDir)
+      case "streamphases" => streamPhases(spark, sfDir)
       case "e2ejobs" => e2eJobs(spark, sfDir)
       case other => sys.error(s"unknown mode: $other")
     }
@@ -99,6 +102,70 @@ object Round13Probe {
         f""""wall_sec":$wall%.2f,"jobs":$jobs,"tasks":$tasks,""" +
         f""""task_sec":$taskSec%.2f}""")
     }
+  }
+
+  /** Phase-level job attribution INSIDE one admission: replays
+    * processBatch's structure piecewise (replay guard / cleanedPlan
+    * eager internals / survivors checkpoint / corpus append / index
+    * append) with a job counter around each — locates which phase owns
+    * the 70-job floor streamjobs measures.
+    */
+  private def streamPhases(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_r13_ph_" +
+      ProcessHandle.current().pid()
+    graft.SparkEntry.registerTmpCleanup(s"$base/idx")
+    graft.SparkEntry.registerTmpCleanup(s"$base/pub")
+    val idx = graft.store.DedupIndexStore.build(spark, s"$base/idx",
+      docs.where(col("doc_id") % 5 === 0), "doc_id", "text")
+    val bench = docs.where(col("doc_id") < 10)
+    // batch 1 primes store + JIT; attribute batch 2 (the steady state)
+    graft.store.CorpusStore.write(spark, s"$base/pub",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 8)
+    graft.stream.StreamingCuration.processBatch(
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 4 === 0),
+      "doc_id", "text", bench, "text", idx, s"$base/pub")
+    def phase[T](name: String)(f: => T): T = {
+      val ((r, wall), jobs, tasks, taskSec) = withJobCount(spark)(timed(f))
+      println(f"""{"metric":"stream_phase","phase":"$name",""" +
+        f""""wall_sec":$wall%.2f,"jobs":$jobs,"tasks":$tasks,""" +
+        f""""task_sec":$taskSec%.2f}""")
+      r
+    }
+    val scope = graft.operators.TransientCache.beginScope()
+    val batch = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 4 === 1)
+    val fresh = phase("replay_guard") {
+      batch.join(graft.store.CorpusStore.docs(spark, s"$base/pub")
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val live = scala.collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+    val persistStage = { (_: String) => (df: org.apache.spark.sql.DataFrame) =>
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      live += p; p
+    }
+    val cleaned = phase("cleaned_plan_build") {
+      graft.pipeline.CurationPipeline.cleanedPlan(fresh, "doc_id", "text",
+        bench, "text", idx, graft.pipeline.CurationPipeline.Config(),
+        persistStage).select("doc_id", "text")
+    }
+    val survivors = phase("survivors_checkpoint") {
+      cleaned.localCheckpoint(true)
+    }
+    val n = phase("survivors_count")(survivors.count())
+    live.foreach(_.unpersist(false))
+    graft.operators.TransientCache.drainPath(s"$base/pub")
+    graft.operators.TransientCache.drainPath(idx.dir)
+    phase("corpus_append") {
+      graft.store.CorpusStore.append(spark, s"$base/pub", survivors,
+        "doc_id", "text")
+    }
+    phase("index_append") {
+      idx.append(survivors, "doc_id", "text")
+    }
+    graft.operators.TransientCache.drainScope(scope)
+    println(s"""{"metric":"stream_phase_total","rows":$n}""")
   }
 
   private def e2eJobs(spark: SparkSession, sfDir: String): Unit = {
