@@ -60,12 +60,22 @@ object Bench {
     // across gates) are the documented hyperfine-min protocol, and an
     // unconditional drain here measured a flat +25% across the cache-
     // sharing gates while fixing nothing Bench-visible.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // returns whether the gate RAN to completion. A failed run must never
+    // contribute its time-to-failure to the per-gate MIN — round 13
+    // caught a gate whose second pass threw early and "won" the min at
+    // 0.05x of its true cost, silently converting a correctness bug into
+    // a phantom speedup. Failures time as FailedRunSec (a loud sentinel
+    // in the artifact) and print a gate_error line.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!permanent(id)) rdd.unpersist(blocking = false)
       }
+      ok
     }
+    val FailedRunSec = 99999.0
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     // multiple timed passes, report per-query MIN — the reference's own
@@ -76,9 +86,7 @@ object Bench {
     // SPARK_GRAFT_RUNS=1 restores single-pass (with WARM=1 for a warmup).
     val runsN = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     if (runsN == 1 && sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0")
-      qs0.foreach { case (_, fn) =>
-        try run(fn) catch { case _: Throwable => () }
-      }
+      qs0.foreach { case (_, fn) => run(fn); () }
     // fixed CALIBRATION row (round-13 ambient hardening): a
     // corpus-independent codegen-bound computation timed min-of-3 and
     // recorded in the artifact, so a judge comparing BENCH_rN across
@@ -98,12 +106,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val calibration = calibrate()
+    def timedRun(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double) = {
+      val t0 = System.nanoTime()
+      val ok = run(fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (!ok) println(s"""{"metric":"gate_error","name":"$name"}""")
+      name -> (if (ok) sec else FailedRunSec)
+    }
     val passes = (1 to runsN).map { _ =>
-      qs0.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      qs0.map { case (name, fn) => timedRun(name, fn) }
     }
     // ambient hardening for SHORT gates: a sub-3s gate's min-of-2 still
     // swings with one unlucky scheduler stall (the r10/r11 attribution
@@ -117,11 +130,7 @@ object Bench {
     val extra: Map[String, Double] =
       if (runsN < 2) Map.empty
       else qs0.filter { case (name, _) => prelim(name) < 3.0 }
-        .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try run(fn) catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
-        }.toMap
+        .map { case (name, fn) => timedRun(name, fn) }.toMap
     val results = qs0.map { case (name, _) =>
       name -> math.min(prelim(name), extra.getOrElse(name, Double.MaxValue))
     }

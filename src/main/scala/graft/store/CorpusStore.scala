@@ -197,6 +197,30 @@ object CorpusStore {
   def manifest(spark: SparkSession, dir: String): DataFrame =
     StoreCompaction.read(spark, s"$dir/manifest")
 
+  /** True when the LIVE docs table holds any data file — the guard the
+    * streaming admission needs before reading published ids (an
+    * empty-seeded store's docs read would fail schema inference: an empty
+    * PARTITIONED write emits no files at all). Must consult the resolved
+    * live generation, not the directory tree: a re-seeded store keeps its
+    * superseded generation on disk through the grace window
+    * ([[StoreCompaction.swapIn]]), and a raw recursive probe would see
+    * those historical files, conclude "published", and then fail reading
+    * the empty live generation (the round-13 bench rerun surfaced exactly
+    * this).
+    */
+  def anyPublished(spark: SparkSession, dir: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(
+      StoreCompaction.resolve(spark, s"$dir/docs"))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(live) && {
+      val it = fs.listFiles(live, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
   /** Rebuild the manifest from a full recount of the stored shards — the
     * recovery path for a half-applied admission ([[append]]'s crash
     * contract): after a crash between the docs append and the manifest

@@ -64,17 +64,12 @@ object StreamingCuration {
     // zero rows), so the published-ids read would fail schema inference —
     // and nothing can need guarding. Probe the filesystem, not the
     // manifest: after a crash between a docs append and its manifest
-    // merge the files exist, so replays stay guarded
-    val docsPath = new org.apache.hadoop.fs.Path(s"$publishDir/docs")
-    val fs = docsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyPublished = fs.exists(docsPath) && {
-      val it = fs.listFiles(docsPath, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-    val fresh = if (!anyPublished) batch else batch.join(
+    // merge the files exist, so replays stay guarded. The probe is the
+    // store's LIVE-generation face — a raw recursive listing would see a
+    // re-seeded store's superseded (grace-retained) generation and walk
+    // into the unreadable empty live one (CorpusStore.anyPublished).
+    val fresh = if (!CorpusStore.anyPublished(spark, publishDir)) batch
+    else batch.join(
       CorpusStore.docs(spark, publishDir).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
     // the same stage-boundary persist discipline as the batch face

@@ -341,4 +341,37 @@ class CurationPipelineSpec extends SparkSpec {
     assert(snap("S") == before)
     assert(CorpusStore.validate(spark, s"$root/pubS", "doc_id", "text") == 0L)
   }
+
+  test("re-seeding the stores over a previous run re-admits honestly: the " +
+    "replay guard probes the LIVE generation, not grace-retained history") {
+    // the bench two-pass pattern: a gate reruns against the SAME dirs
+    // after rebuilding the index and re-publishing the empty corpus seed.
+    // Under the generational layout the superseded (grace-retained)
+    // generation still holds the first pass's parquet files — a raw
+    // recursive probe saw them, concluded "published", and the
+    // published-ids read then failed schema inference on the empty live
+    // generation (surfaced as a bench pass failing at 0.05x cost).
+    val root = Files.createTempDirectory("graft-reseed").toString
+    val cfg = CurationPipeline.Config(minBoilerDocs = 3)
+    val bench = Seq((900L, benchText, "b")).toDF("doc_id", "text", "source")
+    val batch = Seq(doc(1, 1), doc(2, 2), doc(3, 3))
+      .toDF("doc_id", "text", "source")
+    def pass(): Long = {
+      emptyIndex(s"$root/idx")
+      CorpusStore.write(spark, s"$root/pub",
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 4)
+      val idx = new DedupIndexStore(s"$root/idx", spark)
+      graft.stream.StreamingCuration.processBatch(batch, "doc_id", "text",
+        bench, "text", idx, s"$root/pub", cfg)
+    }
+    val first = pass()
+    assert(first == 3L, s"first pass admitted $first")
+    val second = pass()
+    assert(second == 3L,
+      s"re-seeded pass must re-admit the full batch, admitted $second")
+    assert(CorpusStore.docs(spark, s"$root/pub")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(CorpusStore.validate(spark, s"$root/pub", "doc_id", "text") == 0L)
+  }
 }
