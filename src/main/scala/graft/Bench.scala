@@ -20,6 +20,24 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Round-13 measured NON-change (OPTIMIZATION_r13.md): lowering
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize to 64k
+      // un-serializes the CPU-heavy text gates (AQE's byte-based
+      // coalescing collapses their few-MB shuffles to 1-2 tasks:
+      // dd_containment_prefix 9.7 -> 2.9 s) but costs MORE across the
+      // ~100 small and iterative gates (extra tiny tasks per round;
+      // g_kcore +3.7 s, full bench +9 s net), so the session keeps
+      // Spark's default floor. SPARK_GRAFT_MIN_PARTITION_SIZE overrides
+      // for experiments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
+      // Round-13: the driver-side codegen class cache defaults to 100
+      // entries (static conf) — this suite compiles thousands of distinct
+      // whole-stage classes per pass, so the LRU thrashes and every gate's
+      // SECOND pass (usually the reported min) re-pays Janino compilation
+      // for each stage. Tens of MB of driver memory buys compile-once.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // ContextCleaner reclaims broadcasts/shuffle state only on GC; with a
       // 48g heap GC barely runs, so ~70 queries of state pile up and the
       // eventual full GC lands mid-measurement on late queries. The default

@@ -302,10 +302,17 @@ object GraphOps {
     while (!converged && r < maxRounds) {
       val deg = und.select(explode(array(col("u"), col("v"))).as("vid"))
         .groupBy("vid").agg(count(lit(1)).as("dg"))
-      val keep = deg.where(col("dg") >= k).select("vid")
+      // prune by the DROP set, not the keep set (round-13): "both
+      // endpoints >= k" ≡ "neither endpoint < k" (every endpoint has a
+      // degree row by construction), and the per-round drop set is the
+      // small side — after round one it is a sliver of the vertex set, so
+      // the runtime planner broadcasts it and the edge frame is never
+      // exchanged; the keep-side semi-joins shuffled the surviving edges
+      // twice per round
+      val drop = deg.where(col("dg") < k).select("vid")
       val pruned = und
-        .join(keep.select(col("vid").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("vid").as("v")), Seq("v"), "left_semi")
+        .join(drop.select(col("vid").as("u")), Seq("u"), "left_anti")
+        .join(drop.select(col("vid").as("v")), Seq("v"), "left_anti")
         .localCheckpoint(true)
       val n = pruned.count()
       if (n == prev) { converged = true; graft.operators.LocalCp.free(pruned) }
@@ -470,6 +477,27 @@ object GraphOps {
       .orderBy("tag", "id")
   }
 
+  /** `df` unless its every use would recompute a non-trivial plan: frames
+    * that are already block-backed (a localCheckpoint's LogicalRDD leaf,
+    * possibly under pure filter/project — the DOULION sample's shape) pass
+    * through; anything with a shuffle-bearing operator (aggregate, join,
+    * distinct) is localCheckpoint'd eagerly so multi-consumer callers pay
+    * its computation once.
+    */
+  private def ensureMaterialized(df: DataFrame): DataFrame = {
+    def cheap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        cheap(f.child)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        cheap(pr.child)
+      case _ => false
+    }
+    if (cheap(df.queryExecution.optimizedPlan)) df
+    else df.localCheckpoint(true)
+  }
+
   /** Canonical undirected (u < v, distinct, loop-free) packed-vertex edges
     * from the kind-tagged edge table.
     */
@@ -490,7 +518,18 @@ object GraphOps {
     * Every triangle {x,y,z} with x<y<z in (deg,id) order is counted exactly
     * once: both wedge arms leave x, the closing edge is oriented y -> z.
     */
-  private[graft] def enumerateTriangles(und: DataFrame): DataFrame = {
+  private[graft] def enumerateTriangles(und0: DataFrame): DataFrame = {
+    // `und` has two appearances in the eager `dir` checkpoint below (the
+    // degree aggregation and the orientation join's left side), so a lazy
+    // input — the round-13 profile caught triangleTopVertices paying the
+    // canonicalUndirected distinct (a 1.5M-row shuffle at sf0.1) twice
+    // inside that single job, ~40% of the gate's build phase — is
+    // materialized once up front. Callers that already hold a
+    // materialized frame (the store faces checkpoint before calling; the
+    // DOULION faces sample from a checkpointed parent) skip the extra
+    // pass: a LogicalRDD leaf, or a pure filter/project over one, is
+    // already block-backed.
+    val und = ensureMaterialized(und0)
     val deg = und.select(explode(array(col("u"), col("v"))).as("vid"))
       .groupBy("vid").agg(count(lit(1)).as("dg"))
     val dir = und

@@ -106,9 +106,13 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .transientCache() // prefix derivation + both verification join sides
     // n_sh rides along from the cached array size — computing it as a
-    // second window over the exploded rows would cost another sort pass
+    // second window over the exploded rows would cost another sort pass.
+    // shd itself is cached: it has three consumers (document frequencies,
+    // the prefix ranking's join input, and — via prefix — the candidate
+    // join's both sides), each of which would otherwise replay the explode
     val shd = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
+      .transientCache()
     val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     // 1e-9 nudge: ceil must not round UP on binary-float noise (e.g.
@@ -195,8 +199,12 @@ object Dedup {
         shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .transientCache()
+    // cached for the same three-consumer reason as the sibling
+    // ngramJaccardPairs prefix path (round-13: the composed plan replayed
+    // this explode once per consumer)
     val shd = sets.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
+      .transientCache()
     val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     // 1e-9 nudge as in ngramJaccardPairs: ceil must not round UP on
@@ -496,11 +504,17 @@ object Dedup {
     */
   def estimateJaccardSampleShingled(shingled: DataFrame,
                                     sample: Int = 500): (Long, Seq[Double]) = {
+    // fan the bounded sample out before the pairwise join (round-13): a
+    // ≤500-row frame is one partition, so the C(500,2) array_intersect
+    // pass — the estimate's whole cost — ran as ONE task; round-robin
+    // over the cores makes it corpus-independent AND parallel
     val s = shingled
       .where(size(col("sh")) > 0)
       .orderBy(xxhash64(col("doc_id").cast("string"), lit("jsamp")),
         col("doc_id"))
-      .limit(sample).cache()
+      .limit(sample)
+      .repartition(shingled.sparkSession.sparkContext.defaultParallelism)
+      .cache()
     try {
       val m = s.count()
       val nonzero = s.alias("a").join(s.alias("b"),

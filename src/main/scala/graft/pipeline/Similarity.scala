@@ -65,9 +65,11 @@ object Similarity {
     */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
-              queryFilter: Column = lit(true)): DataFrame = {
+              queryFilter: Column = lit(true),
+              pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None)
+      : DataFrame = {
     val v = normalizedVectors(embs, idCol, vecCol).transientCache()
-    val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
+    val (centroids, index0) = ivfBuild(v, nlist, lloydIters, pretrainedIvf)
     val index = index0.transientCache()
     val queries = v.where(queryFilter)
       .select(col("vid").as("q_id"), col("vec").as("q_vec"),
@@ -100,7 +102,9 @@ object Similarity {
   def ivfFilteredTopK(embs: DataFrame, idCol: String, vecCol: String,
                       k: Int, corpusFilter: Column, nlist: Int = 16,
                       nprobe: Int = 4, lloydIters: Int = 2,
-                      queryFilter: Column = lit(true)): DataFrame = {
+                      queryFilter: Column = lit(true),
+                      pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None)
+      : DataFrame = {
     val v = embs
       .select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("vec"),
@@ -108,7 +112,7 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0)
       .transientCache()
-    val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
+    val (centroids, index0) = ivfBuild(v, nlist, lloydIters, pretrainedIvf)
     val index = index0.where(col("__keep")).drop("__keep")
     val queries = v.where(queryFilter)
       .select(col("vid").as("q_id"), col("vec").as("q_vec"),
@@ -133,44 +137,69 @@ object Similarity {
     * and [[graft.store.AnnIndexStore]] (persisted) build the IDENTICAL
     * index.
     */
-  def ivfBuild(v: DataFrame, nlist: Int,
-               lloydIters: Int): (DataFrame, DataFrame) = {
+  def ivfBuild(v: DataFrame, nlist: Int, lloydIters: Int,
+               pretrained: Option[Seq[(Int, Seq[Double])]] = None)
+      : (DataFrame, DataFrame) = {
     val spark = v.sparkSession
-    import spark.implicits._
-    def centroidDf(rows: Seq[(Int, Seq[Double])]) =
-      broadcast(rows.toDF("cid", "cvec")
-        .withColumn("cvec", col("cvec").cast("array<double>")))
+    // `pretrained` (round-13): the training phase is deterministic in
+    // (v's rows, nlist, lloydIters) — nothing else — so a caller that has
+    // ALREADY trained the centroids for this exact corpus (the gate layer
+    // session-caches them the way the unigram family caches its EM vocab:
+    // SparkEntry.ivfCentroidsFor) passes the rows and skips the
+    // seed-collect + per-round assign/mean jobs; output is byte-identical
+    // to training in place.
+    val centroids = centroidDf(spark,
+      pretrained.getOrElse(ivfTrain(v, nlist, lloydIters)))
+    (centroids, ivfAssign(v, centroids))
+  }
 
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+                         rows: Seq[(Int, Seq[Double])]): DataFrame = {
+    val sqlc = spark
+    import sqlc.implicits._
+    broadcast(rows.toDF("cid", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<double>")))
+  }
+
+  /** Nearest-centroid assignment (cosine against normalized `v`, ties to
+    * the lower cid) carrying any extra columns of `v` beyond vid/vec/nrm —
+    * metadata the filtered probe faces predicate on.
+    */
+  private def ivfAssign(v: DataFrame, c: DataFrame): DataFrame = {
+    val extra = v.columns.filterNot(Set("vid", "vec", "nrm")).toSeq
+    val scored = v.join(c, lit(true), "cross")
+      .withColumn("d", dot(col("vec"), col("cvec")) / col("nrm"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select((Seq("vid", "cid", "vec", "nrm") ++ extra).map(col): _*)
+  }
+
+  /** The IVF training phase alone: deterministic seed (first `nlist`
+    * vectors by id) + `lloydIters` assignment/mean rounds, returned as
+    * driver rows (nlist-sized by construction). Extra columns of `v` are
+    * ignored by training (seed and means read vid/vec/nrm only), so
+    * centroids trained on a bare (vid, vec, nrm) frame are valid for any
+    * metadata-carrying variant of the same corpus.
+    */
+  def ivfTrain(v: DataFrame, nlist: Int,
+               lloydIters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = v.sparkSession
     // seed: first nlist vectors in id order (deterministic)
-    var centroids = centroidDf(
+    var centroids: Seq[(Int, Seq[Double])] =
       v.orderBy("vid").limit(nlist).collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Double](r.fieldIndex("vec")))
-      })
-
-    // carries any extra columns of v (beyond vid/vec/nrm) through to the
-    // index rows — metadata the filtered probe face predicates on
-    val extra = v.columns.filterNot(Set("vid", "vec", "nrm")).toSeq
-    def assign(c: DataFrame): DataFrame = {
-      val scored = v.join(c,
-          lit(true), "cross")
-        .withColumn("d", dot(col("vec"), col("cvec")) / col("nrm"))
-      val w = Window.partitionBy(col("vid")).orderBy(col("d").desc, col("cid"))
-      scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-        .select((Seq("vid", "cid", "vec", "nrm") ++ extra).map(col): _*)
-    }
-
+      }.toSeq
     // Lloyd refinement: new centroid = per-dimension mean of its members
     (1 to lloydIters).foreach { _ =>
-      val assigned = assign(centroids)
-      val means = assigned
+      val assigned = ivfAssign(v, centroidDf(spark, centroids))
+      centroids = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("i", "x")))
         .groupBy("cid", "i").agg(avg(col("x")).as("m"))
         .groupBy("cid").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("parts"))
         .select(col("cid"), expr("transform(parts, p -> p.m)").as("cvec"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      centroids = centroidDf(means.toSeq)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     }
-    (centroids, assign(centroids))
+    centroids
   }
 
   /** IVF probe phase: nprobe best cells per query by centroid cosine, exact
@@ -536,9 +565,11 @@ object Similarity {
   def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, lloydIters: Int = 2, rerank: Int = 32,
-                queryFilter: Column = lit(true)): DataFrame = {
+                queryFilter: Column = lit(true),
+                pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None)
+      : DataFrame = {
     val v = normalizedVectors(embs, idCol, vecCol).transientCache()
-    val (centroids, index0) = ivfBuild(v, nlist, lloydIters)
+    val (centroids, index0) = ivfBuild(v, nlist, lloydIters, pretrainedIvf)
     val index = index0.transientCache()
     // residual per vector w.r.t. its assigned cell centroid
     val residuals = index.join(broadcast(centroids), "cid")

@@ -187,13 +187,16 @@ object AnnIndexStore {
     */
   def build(spark: SparkSession, dir: String, embs: DataFrame, idCol: String,
             vecCol: String, nlist: Int = 16, lloydIters: Int = 2,
-            metaCols: Seq[String] = Nil): AnnIndexStore = {
+            metaCols: Seq[String] = Nil,
+            pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None)
+      : AnnIndexStore = {
     val v = embs.select(Seq(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("vec")) ++ metaCols.map(col): _*)
       .withColumn("nrm", sqrt(Similarity.dot(col("vec"), col("vec"))))
       .where(col("nrm") > 0)
       .cache()
-    val (centroids, index) = Similarity.ivfBuild(v, nlist, lloydIters)
+    val (centroids, index) =
+      Similarity.ivfBuild(v, nlist, lloydIters, pretrainedIvf)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     // a rebuild over a dir that was ever compacted must publish through
     // the generational flip (a raw overwrite would strand legacy files

@@ -120,11 +120,22 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
   private def writeDocs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int, nBands: Int,
                         mode: SaveMode): Unit = {
-    val rowsPerBand = numHashes / nBands
     val base = docs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
       .cache() // feeds both tables; one shingle pass over the batch
+    writeShingled(base, numHashes, nBands, mode)
+    base.unpersist()
+  }
+
+  /** The write half over PRE-SHINGLED cached sets — shared by [[writeDocs]]
+    * and [[DedupIndexStore.build]], whose auto-planning already shingled
+    * the corpus for the pair-similarity sample (round-13: building
+    * shingled the full corpus twice).
+    */
+  private def writeShingled(base: DataFrame, numHashes: Int, nBands: Int,
+                            mode: SaveMode): Unit = {
+    val rowsPerBand = numHashes / nBands
     val bandRows = base.select(col("doc_id"),
         posexplode(bandKeys(minhashSig(col("sh"), numHashes), nBands,
           rowsPerBand)).as(Seq("band", "key")))
@@ -151,7 +162,7 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
       spark.catalog.refreshByPath(shTarget)
       graft.operators.TransientCache.drainPath(dir)
     }
-    base.unpersist()
+    // base's persist lifecycle belongs to the caller (writeDocs / build)
   }
 
   /** Admit a new batch into an existing index (parquet append). When the
@@ -670,11 +681,18 @@ object DedupIndexStore {
             bands: Int = 32, threshold: Double = 0.8,
             candidateBudget: Long = 100_000_000_000L,
             force: Boolean = false): DedupIndexStore = {
+    // ONE shingle pass (round-13): the auto-planner's pair-similarity
+    // sample and the index write both start from the shingle sets, and
+    // computing them separately shingled the full corpus twice per build
+    val base = docs
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .cache()
     val (h, b) =
       if (numHashes > 0) (numHashes, bands)
       else {
         val (sampledPairs, sampledJ) = graft.pipeline.Dedup
-          .estimateJaccardSample(docs, idCol, textCol, n)
+          .estimateJaccardSampleShingled(base)
         if (sampledPairs <= 0) (128, 32) // empty/1-doc corpus: any family
         else {
           val nDocs = math.max(docs.count(), 2L)
@@ -711,7 +729,8 @@ object DedupIndexStore {
       }
     require(h % b == 0, s"bands must divide numHashes")
     val store = new DedupIndexStore(dir, spark)
-    store.writeDocs(docs, idCol, textCol, n, h, b, SaveMode.Overwrite)
+    store.writeShingled(base, h, b, SaveMode.Overwrite)
+    base.unpersist()
     import spark.implicits._
     // threshold persists alongside the family: the plan was priced FOR
     // this threshold, and adopt-time readers warn when querying at a
