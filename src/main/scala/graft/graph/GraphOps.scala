@@ -659,6 +659,13 @@ object GraphOps {
     val n = newCanon
       .join(s, Seq("u", "v"), "left_anti")
       .localCheckpoint(true)
+    // replay short-circuit (round-13): a re-admitted batch anti-joins to
+    // ZERO truly-new edges, yet the wedge machinery below still paid the
+    // full symmetric-adjacency union + checkpoint of the whole stored
+    // graph to count triangles over an empty probe — the store gates'
+    // crash-replay twins ran it on every second admit. No new edges ⇒
+    // delta is 0 by definition.
+    if (n.isEmpty) return (n, 0L)
     val all = s.unionByName(n)
     // symmetric membership (a, b): edge {a, b} exists in the merged graph
     val adj = all.select(col("u").as("a"), col("v").as("b"))

@@ -46,9 +46,13 @@ final class TriangleStore(val dir: String, spark: SparkSession) {
     * update the census. Returns (truly-new edges, triangle delta).
     */
   def admit(newEdges: DataFrame): (Long, Long) = {
-    val stored = edges.localCheckpoint(true) // two consumers: delta + meta guard
+    // the stored edge set stays a LAZY parquet read (round-13): both of
+    // its consumers inside the delta core (the anti-join's checkpoint and
+    // the adjacency checkpoint) evaluate EAGERLY before the append below
+    // mutates the table, and a second pruned columnar scan is cheaper
+    // than materializing the whole table into memory blocks per admission
     val (trulyNew, delta) = graft.graph.GraphOps.triangleDeltaCanonical(
-      graft.graph.GraphOps.canonicalUndirected(newEdges), stored)
+      graft.graph.GraphOps.canonicalUndirected(newEdges), edges)
     val nNew = trulyNew.count()
     if (nNew > 0) {
       val target = StoreCompaction.appendTarget(spark, s"$dir/edges")
@@ -78,7 +82,9 @@ final class TriangleStore(val dir: String, spark: SparkSession) {
     * (idempotent — a replayed retirement removes nothing).
     */
   def retire(oldEdges: DataFrame): (Long, Long) = {
-    val stored = edges.localCheckpoint(true)
+    // lazy store read for the same eager-consumers reason as [[admit]]:
+    // present and survivors are both checkpointed before the swap mutates
+    val stored = edges
     val present = graft.graph.GraphOps.canonicalUndirected(oldEdges)
       .join(stored, Seq("u", "v"), "left_semi")
       .localCheckpoint(true)
@@ -102,9 +108,9 @@ final class TriangleStore(val dir: String, spark: SparkSession) {
     */
   def validate(): Boolean = {
     val (e, t) = stats
+    // enumerateTriangles materializes its input itself (round-13)
     edges.count() == e &&
-      graft.graph.GraphOps.enumerateTriangles(
-        edges.localCheckpoint(true)).count() == t
+      graft.graph.GraphOps.enumerateTriangles(edges).count() == t
   }
 
   /** Rebuild the census from the stored edges — recovery for a
