@@ -74,17 +74,47 @@ object CurationPipeline {
     * slower for that one query; admissions hold the store lock but
     * readers deliberately don't.
     */
-  private[graft] def withMicroBatchPlanning[T](spark: SparkSession,
-      input: DataFrame, thresholdBytes: Long)(f: => T): T = {
-    val small = thresholdBytes > 0 && scala.util.Try(
+  /** True when `input`'s optimizer size estimate is under
+    * `thresholdBytes` — the micro-batch dispatch test shared by
+    * [[withMicroBatchPlanning]] and [[run]]'s stage-boundary choice.
+    */
+  private[graft] def isMicroBatch(input: DataFrame,
+                                  thresholdBytes: Long): Boolean =
+    thresholdBytes > 0 && scala.util.Try(
       input.queryExecution.optimizedPlan.stats.sizeInBytes
         <= BigInt(thresholdBytes)).getOrElse(false)
+
+  private[graft] def withMicroBatchPlanning[T](spark: SparkSession,
+      input: DataFrame, thresholdBytes: Long)(f: => T): T = {
+    val est: Option[BigInt] =
+      if (thresholdBytes <= 0) None
+      else scala.util.Try(
+        input.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+    val small = est.exists(_ <= BigInt(thresholdBytes))
     if (!small) f
     else {
       val key = "spark.sql.adaptive.enabled"
+      val pKey = "spark.sql.shuffle.partitions"
       val before = spark.conf.get(key)
+      val beforeP = spark.conf.get(pKey)
       spark.conf.set(key, "false")
-      try f finally spark.conf.set(key, before)
+      // Round-14 (VERDICT item 2): with AQE off, every shuffle in the
+      // admission runs at the SESSION's partition count — tiny stages of
+      // `cpus` near-empty tasks each, whose launch overhead made the
+      // composed gates run FASTER on 8 cores than 32 (the 8-core bench
+      // also ran 8 shuffle partitions). Size the micro-batch's shuffles to
+      // its bytes instead: ~8 MB per partition, floor 4 (CPU-dense text
+      // stages want some parallelism even on KB inputs), never above the
+      // session value. Only active below thresholdBytes, so a real
+      // corpus-scale batch keeps the session layout AND its AQE re-plans.
+      val sizedP = math.max(4L, math.min(
+        scala.util.Try(beforeP.toLong).getOrElse(4L),
+        est.map(b => (b / (8L << 20)).toLong + 1).getOrElse(4L))).toString
+      spark.conf.set(pKey, sizedP)
+      try f finally {
+        spark.conf.set(key, before)
+        spark.conf.set(pKey, beforeP)
+      }
     }
   }
 
@@ -122,9 +152,20 @@ object CurationPipeline {
 
     // a stage boundary: persist (every stage output here feeds >1
     // downstream consumer or an action-bearing operator), optionally
-    // force + time
+    // force + time. In MICRO-BATCH mode the boundary is an eager local
+    // checkpoint instead (the StreamingCuration.processBatch discipline,
+    // round 14): a small run's wall is the driver re-analyzing the deep
+    // composed plan per eager operator action — a LogicalRDD boundary
+    // truncates every downstream analysis at the previous stage (measured
+    // 2× on the steady-state streaming admission). At corpus scale the
+    // lazy persist keeps lineage replayable and lets Spark pipeline
+    // stages, so the checkpoint path only engages under the same size
+    // gate as the AQE flip.
+    val micro = isMicroBatch(docs, aqeOffBelowBytes)
     def stageFn(name: String)(df: DataFrame): DataFrame = {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val p =
+        if (micro) df.localCheckpoint(true)
+        else df.persist(StorageLevel.MEMORY_AND_DISK)
       live += p
       if (staged) {
         val t0 = System.nanoTime()
@@ -163,7 +204,9 @@ object CurationPipeline {
     // graft.operators.TransientCache). Same placement as the streaming
     // twin's post-checkpoint drain (StreamingCuration.processBatch);
     // path-scoped so unrelated warm caches in the session survive.
-    live.foreach(_.unpersist(false))
+    live.foreach { df =>
+      if (micro) graft.operators.LocalCp.free(df) else df.unpersist(false)
+    }
     graft.operators.TransientCache.drainPath(publishDir)
     graft.operators.TransientCache.drainPath(index.dir)
     // admit FROM THE STORE, not the in-flight `sampled`: its lineage reads
@@ -195,7 +238,9 @@ object CurationPipeline {
     }
     Result(summary, stats.toList)
     } catch { case t: Throwable =>
-      live.foreach(df => scala.util.Try(df.unpersist(false)))
+      live.foreach(df => scala.util.Try {
+        graft.operators.LocalCp.free(df); df.unpersist(false)
+      })
       graft.operators.TransientCache.drainScope(scope)
       throw t
     }

@@ -207,9 +207,24 @@ object Dedup {
       .transientCache()
     val dfreq = shd.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // CPU-density guard (round-14, VERDICT item 3): this operator's rows
+    // are ~1000× more expensive per byte than a typical shuffle row
+    // (per-doc sorts below; array_intersect over full shingle sets in the
+    // verify join), so AQE's BYTE-based partition coalescing collapses the
+    // few-MB exchanges to 1-2 tasks and serializes the whole chain
+    // (GateProf: wall ≈ summed task time, 21 tasks total). The two hot
+    // exchanges are therefore EXPLICIT repartitions at the session's
+    // shuffle-partition count — the same key and count a plain exchange
+    // would use (so zero extra exchanges: each satisfies the downstream
+    // required distribution), but user-specified, which AQE does not
+    // coalesce. Scale-adaptive by construction: the count is the session
+    // conf, not a local constant, and at corpus scale the bytes are big
+    // enough that AQE would not have coalesced anyway.
+    val numP = docs.sparkSession.sessionState.conf.numShufflePartitions
     // 1e-9 nudge as in ngramJaccardPairs: ceil must not round UP on
     // binary-float noise and shorten the prefix below the lossless bound
     val prefix = shd.join(dfreq, "shingle")
+      .repartition(numP, col("doc_id"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
@@ -231,6 +246,7 @@ object Dedup {
     // driver OOM / 8 GB-limit failure). AQE broadcasts it at runtime when it
     // measures small; otherwise the verify joins shuffle on the ids.
     candidates
+      .repartition(numP, col("id_a")) // CPU-density guard, see above
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
@@ -1063,15 +1079,52 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
                               idB: String = "id_b",
-                              maxRounds: Int = 50): DataFrame = {
+                              maxRounds: Int = 50,
+                              driverMaxEdges: Long = 500_000L): DataFrame = {
     // one pass over the (potentially expensive) pair source, same reason
     // as clusterKeepers; canonical u<v orientation, self-loops dropped
-    val base = pairs
+    val basePlan = pairs
       .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("v"),
         greatest(col("a"), col("b")).as("u"))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    // driver fast path below a size bound — the clusterKeepers dispatch
+    // discipline (round-14: the gate ran 43 sequential stage-jobs over a
+    // ~50-task round loop for a pair graph of a few dozen edges; GateProf
+    // measured the wall as pure job floor). Star contraction computes
+    // EXACT components with the component minimum as root, so an in-memory
+    // union-find over the same edges lands on the identical (doc_id,
+    // keeper_id) rows for ANY diameter — property-pinned against the
+    // distributed path in DedupSpec. The limit(bound+1) probe is the
+    // dispatch test AND, on the driver path, the edge delivery.
+    require(driverMaxEdges < Int.MaxValue, s"driverMaxEdges: $driverMaxEdges")
+    val probe =
+      if (driverMaxEdges > 0)
+        Some(basePlan.limit(driverMaxEdges.toInt + 1).collect())
+      else None
+    if (probe.exists(_.length <= driverMaxEdges)) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = new scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.get.foreach { row =>
+        val (v, u) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(v, v); parent.getOrElseUpdate(u, u)
+        val (rv, ru) = (find(v), find(u))
+        if (rv != ru) { if (rv < ru) parent(ru) = rv else parent(rv) = ru }
+      }
+      // root-by-union keeps the smaller id, so find() is the component min
+      return parent.keysIterator.map(k => (k, find(k))).toSeq
+        .sortBy(_._1).toDF("doc_id", "keeper_id")
+    }
+    val base = basePlan.localCheckpoint(true)
     val participants = base.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct().localCheckpoint(true)
     // edges are (child u -> parent v) pointers with v < u throughout

@@ -422,34 +422,52 @@ object Similarity {
     * (a sample of) the corpus once; encoding is one broadcast join.
     */
   def pqTrain(v: DataFrame, m: Int, ksub: Int,
-              lloydIters: Int = 2): DataFrame = {
+              lloydIters: Int = 2): DataFrame =
+    pqCodebookDf(v.sparkSession, pqTrainRows(v, m, ksub, lloydIters))
+
+  /** The PQ training phase alone, returned as driver rows (m·ksub-sized by
+    * construction — the codebook is broadcast at encode time anyway).
+    * Deterministic in (v's rows, m, ksub, lloydIters): id-order seeding, no
+    * RNG, means rounded to 4 per Lloyd step — so a caller that has already
+    * trained the codebook for this exact corpus (the gate layer session-
+    * caches it the way [[ivfTrain]]'s rows are cached via
+    * `SparkEntry.ivfCentroidsFor`) passes the rows through `pretrainedPq`
+    * and skips the seed collect + per-round assign/mean jobs; output is
+    * byte-identical to training in place.
+    */
+  def pqTrainRows(v: DataFrame, m: Int, ksub: Int,
+                  lloydIters: Int = 2): Seq[(Int, Int, Seq[Double])] = {
     val spark = v.sparkSession
-    import spark.implicits._
     val sub = subvectors(v, m).cache()
-    def centroidDf(rows: Seq[(Int, Int, Seq[Double])]) =
-      broadcast(rows.toDF("s", "cid", "cvec")
-        .withColumn("cvec", col("cvec").cast("array<double>")))
     // seed: subvectors of the first ksub vectors in id order
-    var codebook = centroidDf(
+    var codebook: Seq[(Int, Int, Seq[Double])] =
       sub.join(broadcast(v.orderBy("vid").limit(ksub)
           .select(col("vid")).withColumn("cid",
             (row_number().over(Window.orderBy("vid")) - 1).cast("int"))),
         "vid")
         .select(col("s"), col("cid"), col("sv"))
         .collect().map(r =>
-          (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq)
+          (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     (1 to lloydIters).foreach { _ =>
-      val means = pqAssign(sub, codebook)
+      codebook = pqAssign(sub, pqCodebookDf(spark, codebook))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
         .groupBy("s", "cid", "i").agg(round(avg(col("x")), 4).as("c"))
         .groupBy("s", "cid")
         .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("p"))
         .select(col("s"), col("cid"), expr("transform(p, q -> q.c)").as("cvec"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      codebook = centroidDf(means.toSeq)
+        .toSeq
     }
     sub.unpersist()
     codebook
+  }
+
+  private def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+                           rows: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val sqlc = spark
+    import sqlc.implicits._
+    broadcast(rows.toDF("s", "cid", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<double>")))
   }
 
   /** (vid, s, sv): vector `vid`'s `s`-th of `m` equal subvector slices. */
@@ -500,9 +518,12 @@ object Similarity {
     */
   def pqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
              m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
-             rerank: Int = 32, queryFilter: Column = lit(true)): DataFrame = {
+             rerank: Int = 32, queryFilter: Column = lit(true),
+             pretrainedPq: Option[Seq[(Int, Int, Seq[Double])]] = None)
+      : DataFrame = {
     val v = normalizedVectors(embs, idCol, vecCol).transientCache()
-    val codebook = pqTrain(v, m, ksub, lloydIters)
+    val codebook = pqCodebookDf(v.sparkSession,
+      pretrainedPq.getOrElse(pqTrainRows(v, m, ksub, lloydIters)))
     val codes = pqAssign(subvectors(v, m), codebook)
       .select(col("vid"), col("s"), col("cid"))
     val queries = v.where(queryFilter)
@@ -541,6 +562,24 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** The IVF-PQ residual-codebook training phase alone (the exact
+    * construction [[ivfPqTopK]] trains when `pretrainedPq` is absent):
+    * assign every vector to its IVF cell, subtract the cell centroid, train
+    * the product quantizer on the residuals. Returned as driver rows for
+    * the gate layer's session memo — deterministic in (corpus, IVF
+    * centroids, m, ksub, lloydIters).
+    */
+  def ivfPqTrainRows(embs: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, lloydIters: Int, m: Int, ksub: Int,
+                     pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None)
+      : Seq[(Int, Int, Seq[Double])] = {
+    val v = normalizedVectors(embs, idCol, vecCol).transientCache()
+    val (centroids, index) = ivfBuild(v, nlist, lloydIters, pretrainedIvf)
+    val resV = index.join(broadcast(centroids), "cid")
+      .select(col("vid"), expr("zip_with(vec, cvec, (a, b) -> a - b)").as("vec"))
+    pqTrainRows(resV, m, ksub, lloydIters)
+  }
+
   /** IVF-PQ: the production composition of the two index families —
     * coarse IVF cells bound WHICH vectors a query touches (nprobe/nlist
     * of the corpus), and a residual product-quantizer bounds WHAT is
@@ -566,7 +605,8 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
                 ksub: Int = 16, lloydIters: Int = 2, rerank: Int = 32,
                 queryFilter: Column = lit(true),
-                pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None)
+                pretrainedIvf: Option[Seq[(Int, Seq[Double])]] = None,
+                pretrainedPq: Option[Seq[(Int, Int, Seq[Double])]] = None)
       : DataFrame = {
     val v = normalizedVectors(embs, idCol, vecCol).transientCache()
     val (centroids, index0) = ivfBuild(v, nlist, lloydIters, pretrainedIvf)
@@ -576,7 +616,12 @@ object Similarity {
       .select(col("vid"), col("cid").as("cell"),
         expr("zip_with(vec, cvec, (a, b) -> a - b)").as("vec"))
     val resV = residuals.select(col("vid"), col("vec")).transientCache()
-    val codebook = pqTrain(resV, m, ksub, lloydIters)
+    // the RESIDUAL codebook is deterministic in (corpus, the — themselves
+    // deterministic — IVF centroids, m, ksub, lloydIters), so the gate
+    // layer may pass a session-cached training result (pretrainedPq); the
+    // encode/probe phases below always run in-gate, uncached
+    val codebook = pqCodebookDf(v.sparkSession,
+      pretrainedPq.getOrElse(pqTrainRows(resV, m, ksub, lloydIters)))
     val codes = pqAssign(subvectors(resV, m), codebook)
       .select(col("vid"), col("s"), col("cid"))
       .join(residuals.select(col("vid"), col("cell")), "vid")

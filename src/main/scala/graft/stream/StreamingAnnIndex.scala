@@ -32,6 +32,13 @@ object StreamingAnnIndex {
                  vecCol: String): Long = {
     val scope = graft.operators.TransientCache.beginScope()
     try {
+    // NOT wrapped in the curation twin's withMicroBatchPlanning: measured
+    // (round 14, same-session A/B at sf0.1) ann_ivf_stream 4.7 → 9.2 s
+    // with AQE off + batch-sized shuffle partitions around the admissions
+    // — the vector admission's window/append stages NEED AQE's runtime
+    // coalescing (whole-gate AQE-off GateProf: 12.7-17.5 s vs 4.5-7.1 s
+    // with AQE on). The curation chain's text stages are where the re-plan
+    // floor dominates; here it does not.
     val store = new AnnIndexStore(dir, batch.sparkSession)
     // localCheckpoint severs the plan's store dependency BEFORE append
     // writes into the cells table the anti-join is reading

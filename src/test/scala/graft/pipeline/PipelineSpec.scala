@@ -1455,6 +1455,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction CC driver fast path == distributed path on every " +
+    "component shape (exact CC on both — union-find roots are minima)") {
+    import spark.implicits._
+    // a long chain (the shape that separates exact CC from bounded LP), a
+    // triangle, a star, a pair, and duplicate/reversed edges
+    val pairs = ((1L to 12L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (30L, 32L), (40L, 41L), (50L, 51L), (51L, 52L),
+        (50L, 52L), (31L, 30L), (40L, 41L))).toDF("id_a", "id_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    val drv = toMap(Dedup.connectedComponentsStar(pairs))
+    val dist = toMap(Dedup.connectedComponentsStar(pairs, driverMaxEdges = 0L))
+    assert(drv == dist, s"driver $drv != distributed $dist")
+    assert((1L to 13L).forall(drv(_) == 1L))
+  }
+
   test("BPE merge induction: argmax pair per round, corpus-wide merge") {
     import spark.implicits._
     val d = Seq(
