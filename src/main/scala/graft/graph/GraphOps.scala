@@ -456,20 +456,37 @@ object GraphOps {
       .localCheckpoint(true)
     var labels = adj.select(col("a").as("vid")).distinct()
       .withColumn("lbl", col("vid"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // the round recurrence is a SINGLE-CONSUMER chain (each round reads the
+    // previous labels exactly once and the checkpointed adj once), so the
+    // loop stays LAZY and the terminal action evaluates all rounds as one
+    // job — round-14: the old eager per-round localCheckpoint made every
+    // round its own driver job whose fixed submission/analysis floor, not
+    // the shuffles, was the gate's wall (g_label_prop 8.8 s at sf0.1 for 4
+    // rounds of KB-scale aggregations; scaling ratio 1.06 = pure floor).
+    // Lineage stays bounded for ANY rounds via a checkpoint every
+    // `cpEvery` rounds (the kCore/callClosure O(1)-lineage discipline —
+    // plan depth never exceeds cpEvery rounds).
+    val cpEvery = 8
+    // the previous intermediate checkpoint, freed once its successor is
+    // materialized — NOT LocalCp.free(labels) on a lazy chain, whose leaf
+    // walk would reach (and free) the still-live adj checkpoint
+    var prevCp: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
       val counts = adj
         .join(labels.select(col("vid").as("b"), col("lbl")), "b")
         .groupBy(col("a").as("vid"), col("lbl"))
         .agg(count(lit(1)).as("n"))
       // argmax with min-label tie-break as one max(struct): highest n,
       // then highest -lbl == lowest lbl
-      val next = counts
+      var next = counts
         .groupBy("vid")
         .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("vid"), (-col("m.neg")).as("lbl"))
-        .localCheckpoint(true) // eager: prior generation now unreferenced
-      graft.operators.LocalCp.free(labels)
+      if (r % cpEvery == 0 && r < rounds) {
+        next = next.localCheckpoint(true)
+        prevCp.foreach(graft.operators.LocalCp.free(_))
+        prevCp = Some(next)
+      }
       labels = next
     }
     labels.select(shiftright(col("vid"), 32).as("tag"),

@@ -816,9 +816,18 @@ object Dedup {
           }
         (p._2, p._3) }
     val rowsPerBand = nh / nb
+    // CPU-density guard (round-14, the containmentPairsPrefix discipline):
+    // the 128-slot MinHashSig loop runs map-side over this frame THREE
+    // times (band keys, estimate signature, and — shape-shared — the
+    // verify side), and a small batch arrives as a 1-2 partition scan, so
+    // without an explicit spread the signing runs single-task (GateProf:
+    // dd_incremental wall ≈ summed task time over ~25 tasks). Explicit
+    // count = the session conf, so the spread follows the scale knob.
+    val numP = newDocs.sparkSession.sessionState.conf.numShufflePartitions
     val newBase = newDocs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      .repartition(numP, col("doc_id"))
       .transientCache() // band input + verification side
     val newBands = newBase.select(col("doc_id"),
       posexplode(bandKeys(minhashSig(col("sh"), nh), nb, rowsPerBand))
@@ -837,6 +846,9 @@ object Dedup {
       newBase.select(col("doc_id").as("new_id"),
         minhashSig(col("sh"), nh).as("mha")),
       index.shingles.join(candSeen, "doc_id")
+        // CPU-density guard: the candidate seen docs' signatures re-derive
+        // map-side here — spread them like newBase above
+        .repartition(numP, col("doc_id"))
         .select(col("doc_id").as("seen_id"),
           minhashSig(col("sh"), nh).as("mhb")),
       nh, threshold)
@@ -1189,8 +1201,15 @@ object Dedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 6, minDf: Int = 2): DataFrame = {
+    // CPU-density guard (round-14): the positional-gram explode, the
+    // per-token posexplode and the per-document reassembly all run
+    // map-side over this frame, and a bench-scale corpus arrives as a 1-2
+    // partition scan — GateProf measured the gate's wall ≈ its summed task
+    // time over 21 tasks (serialized). Count = session conf (scale knob).
+    val numP = docs.sparkSession.sessionState.conf.numShufflePartitions
     val base = docs.select(col(idCol).as("rd_id"),
       tokens(col(textCol)).as("toks"))
+      .repartition(numP, col("rd_id"))
     val pg = base.where(size(col("toks")) >= n)
       .select(col("rd_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - n)).as("i"))

@@ -88,7 +88,9 @@ object GateProf {
           f""""jobs":${c.jobs.get()},"tasks":${c.tasks.get()},""" +
           f""""task_sec":${c.taskTimeNs.get() / 1e9}%.2f}""")
         if (dumpPlan && rep == reps) {
-          val out = java.nio.file.Paths.get(s"plans/r13/${name}_$tag.txt")
+          val planDir = sys.env.getOrElse("SPARK_GRAFT_PROF_PLAN_DIR",
+            "plans/r13")
+          val out = java.nio.file.Paths.get(s"$planDir/${name}_$tag.txt")
           java.nio.file.Files.createDirectories(out.getParent)
           java.nio.file.Files.write(out,
             fn(spark, sfDir).queryExecution.explainString(
