@@ -123,6 +123,12 @@ final class DedupIndexStore(val dir: String, spark: SparkSession) {
     val base = docs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      // CPU-density guard (round-14, the crossCorpusPairsIndexed
+      // discipline): the 128-slot MinHashSig signing below runs map-side
+      // over this cache, and a small corpus arrives as a 1-2 partition
+      // scan — spread it at the session's scale knob before caching
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .cache() // feeds both tables; one shingle pass over the batch
     writeShingled(base, numHashes, nBands, mode)
     base.unpersist()
@@ -687,6 +693,10 @@ object DedupIndexStore {
     val base = docs
       .select(col(idCol).as("doc_id"), shingleSet(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
+      // CPU-density guard — see writeDocs: the build's signing pass and
+      // the auto-planner's pairwise sample both run over this cache
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .cache()
     val (h, b) =
       if (numHashes > 0) (numHashes, bands)
