@@ -103,13 +103,14 @@ object CurationPipeline {
       // `cpus` near-empty tasks each, whose launch overhead made the
       // composed gates run FASTER on 8 cores than 32 (the 8-core bench
       // also ran 8 shuffle partitions). Size the micro-batch's shuffles to
-      // its bytes instead: ~8 MB per partition, floor 4 (CPU-dense text
-      // stages want some parallelism even on KB inputs), never above the
+      // its bytes instead: ~8 MB per partition, floor 8 (CPU-dense text
+      // stages want parallelism even on KB inputs — swept 4/8/16 at sf0.1:
+      // steady-state admission 10.2/8.3/9.3 s; 8 wins), never above the
       // session value. Only active below thresholdBytes, so a real
       // corpus-scale batch keeps the session layout AND its AQE re-plans.
-      val sizedP = math.max(4L, math.min(
-        scala.util.Try(beforeP.toLong).getOrElse(4L),
-        est.map(b => (b / (8L << 20)).toLong + 1).getOrElse(4L))).toString
+      val sizedP = math.max(8L, math.min(
+        scala.util.Try(beforeP.toLong).getOrElse(8L),
+        est.map(b => (b / (8L << 20)).toLong + 1).getOrElse(8L))).toString
       spark.conf.set(pKey, sizedP)
       try f finally {
         spark.conf.set(key, before)
